@@ -1,0 +1,54 @@
+"""Canonical testdata table loader.
+
+The driver's synthetic tables (TESTDATA.md) are single parquet files.
+One quirk: ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's
+parquet reader rejects by default (DuckDB silently truncates it to
+micros). We read nanos as a long (``spark.sql.legacy.parquet
+.nanosAsLong``, set in session.py) and convert to a microsecond
+timestamp, so Spark and the DuckDB oracle see identical values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read the TIMESTAMP(NANOS) column as int64 nanos
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    out = {}
+    for t in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            out[t] = load_table(spark, sf_dir, t)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view for spark.sql."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
