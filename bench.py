@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the registry's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collected) but results are discarded;
+the first query's timing excludes JVM/session spin-up because the
+session is created before the clock starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dragnet_spark.session import get_spark  # noqa: E402
+from dragnet_spark import registry  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: every family the engine implements, weighted toward
+# the shapes that dominate at 100 TB (scans, star joins, windows)
+BENCH_QUERIES = [
+    "scan_count",
+    "scan_by_type",
+    "scan_multi_breakdown",
+    "scan_filter_and_or",
+    "scan_quantize",
+    "scan_day_window",
+    "scan_json_prop",
+    "scan_weighted_reagg",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "top_customers_per_nation",
+    "orders_with_discounted_lines",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="dragnet_bench")
+    # warm the JVM + parquet footer cache with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        e = registry.REGISTRY.get(name)
+        if e is None:
+            continue
+        t0 = time.perf_counter()
+        df = e.spark(spark, SF_DIR)
+        # noop sink executes the full plan (no column pruning shortcut,
+        # nothing shipped to the driver)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

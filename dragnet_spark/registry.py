@@ -1,0 +1,390 @@
+"""Query registry: every implemented operator as a (Spark, oracle-SQL) pair.
+
+This is the engine's coverage ledger. Each entry is one operator or
+query family from SURVEY.md §2 (or a beyond-reference addition):
+``spark(spark, sf_dir) -> DataFrame`` runs the idiomatic-Spark
+implementation; ``oracle`` is the equivalent ANSI SQL DuckDB runs over
+the same parquet for a row-count/schema/value-hash cross-check.
+
+Rules that keep the two sides hash-identical:
+
+* every computed column is aliased the same on both sides;
+* money math goes through DECIMAL(18,4)/(18,6) on both sides (exact,
+  order-independent) and is cast to DOUBLE only at the end — a plain
+  double SUM would differ between Spark's and DuckDB's addition
+  orders;
+* timestamps are output as DATE or epoch-second BIGINT, never raw
+  timestamps (collect()-side timezone conversion differs);
+* top-k queries carry a unique tie-breaker column in the ORDER BY.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dragnet_spark.oracle import scan_oracle_sql
+from dragnet_spark.query import QueryConfig
+from dragnet_spark.scan import scan
+from dragnet_spark.sources.tables import load_table
+
+
+@dataclass
+class Entry:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Entry(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec4(c: str):
+    return F.col(c).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# Dragnet scan family (reference: dn scan; SURVEY §2.1-2.4 S1..A4)
+# Oracle SQL is generated from the same QueryConfig by scan_oracle_sql,
+# so Spark plan and oracle can't drift.
+# ---------------------------------------------------------------------------
+
+_EVENTS_FIELD_SQL = {"ts": "epoch(ts)"}
+
+
+def _scan_pair(name: str, query: QueryConfig, doc: str, filter_ds=None):
+    sql = scan_oracle_sql(
+        query, "events", field_sql=_EVENTS_FIELD_SQL, datasource_filter=filter_ds
+    )
+
+    @register(name, sql, doc)
+    def _q(spark: SparkSession, sf_dir: str, _query=query, _ds=filter_ds) -> DataFrame:
+        return scan(_t(spark, sf_dir, "events"), _query, datasource_filter=_ds)
+
+    return _q
+
+
+_scan_pair(
+    "scan_count",
+    QueryConfig.load(),
+    "zero-breakdown total count (reference A2, tst.empty.sh)",
+)
+_scan_pair(
+    "scan_by_type",
+    QueryConfig.load("event_type"),
+    "single breakdown group-by (reference A1)",
+)
+_scan_pair(
+    "scan_multi_breakdown",
+    QueryConfig.load("event_type,uid_bucket[field=user_id,aggr=lquantize,step=100]"),
+    "multi-field breakdown with linear bucketization (A1+A4)",
+)
+_scan_pair(
+    "scan_filter_eq",
+    QueryConfig.load("event_type", filter={"eq": ["event_type", "click"]}),
+    "krill eq filter + breakdown (F1)",
+)
+_scan_pair(
+    "scan_filter_loose_eq",
+    QueryConfig.load("event_type", filter={"eq": ["user_id", "42"]}),
+    'loose equality: string "42" matches int64 42 (F1 loose typing)',
+)
+_scan_pair(
+    "scan_filter_and_or",
+    QueryConfig.load(
+        "event_type",
+        filter={
+            "and": [
+                {"or": [{"eq": ["event_type", "click"]}, {"eq": ["event_type", "view"]}]},
+                {"ge": ["value", 10]},
+                {"lt": ["value", 90]},
+            ]
+        },
+    ),
+    "nested and/or combinators with relational ops (F1)",
+)
+_scan_pair(
+    "scan_quantize",
+    QueryConfig.load("val[field=value,aggr=quantize]"),
+    "DTrace power-of-two histogram buckets (A3)",
+)
+_scan_pair(
+    "scan_lquantize",
+    QueryConfig.load("val[field=value,aggr=lquantize,step=25]"),
+    "linear histogram buckets (A4)",
+)
+_scan_pair(
+    "scan_day_window",
+    QueryConfig.load("day[date,field=ts,aggr=lquantize,step=86400]"),
+    "synthetic date + per-day tumbling window (P2+P4, README.md:322-346)",
+)
+_scan_pair(
+    "scan_time_bounds",
+    QueryConfig.load(
+        "event_type",
+        time_after="2024-01-10T00:00:00Z",
+        time_before="2024-01-20T00:00:00Z",
+        time_field="ts",
+    ),
+    "--after/--before event-time range filter (F3)",
+)
+_scan_pair(
+    "scan_datasource_filter",
+    QueryConfig.load("event_type"),
+    "implicit datasource filter ANDed into the scan (F2)",
+    filter_ds={"ne": ["event_type", "error"]},
+)
+
+
+@register(
+    "scan_json_prop",
+    scan_oracle_sql(
+        QueryConfig.load("k[aggr=lquantize,step=10]"),
+        "events",
+        field_sql={"k": "json_extract_string(props, '$.k')"},
+    ),
+    "breakdown on a JSON-string property (reference nested-field pluck P1)",
+)
+def scan_json_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k")
+    )
+    return scan(df, QueryConfig.load("k[aggr=lquantize,step=10]"))
+
+
+@register(
+    "scan_weighted_reagg",
+    scan_oracle_sql(
+        QueryConfig.load("event_type"), "events", field_sql=_EVENTS_FIELD_SQL
+    ),
+    "skinner-point closure: re-aggregate pre-aggregated points (A5/A6, "
+    "tst.format_skinner.sh) — must equal the direct scan",
+)
+def scan_weighted_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stage 1: partial aggregate by (event_type, day) — the "--points" output
+    q1 = QueryConfig.load("event_type,day[date,field=ts,aggr=lquantize,step=86400]")
+    points = scan(_t(spark, sf_dir, "events"), q1)
+    # stage 2: re-scan the points as weighted records (json-skinner input)
+    return scan(points, QueryConfig.load("event_type"), value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# Analytics family (beyond the reference: joins, top-k, windows —
+# the reference lists these as future work, docs/design-stateful.md:154-171)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,6))
+                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: multi-aggregate pricing summary with decimal-exact math",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    disc_price = (_dec4("l_extendedprice") * (one - _dec4("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    charge = (disc_price * (one + _dec4("l_tax"))).cast("decimal(18,6)")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec4("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec4("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec4("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-way join + agg + deterministic top-k "
+    "(broadcast the dimension side; tie-broken by orderkey)",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    disc_price = (_dec4("l_extendedprice") * (one - _dec4("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "inner"
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-table star join, small dims broadcast, "
+    "fact-fact join shuffles on orderkey",
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    disc_price = (_dec4("l_extendedprice") * (one - _dec4("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_name, acctbal FROM (
+      SELECT n_name, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rn <= 3
+    """,
+    "top-k per group via window row_number (reference future-work top-N, "
+    "docs/design-stateful.md:166)",
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "n_name",
+            "c_name",
+            F.col("c_acctbal").cast("decimal(18,4)").cast("double").alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "orders_with_discounted_lines",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+    "EXISTS as left-semi join (TPC-H Q4 shape)",
+)
+def orders_with_discounted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.spark for name, e in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}

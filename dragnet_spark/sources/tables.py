@@ -31,6 +31,10 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # runtime-settable; required even when the session wasn't built
+        # by dragnet_spark.session.get_spark (e.g. the driver's own)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read the TIMESTAMP(NANOS) column as int64 nanos
