@@ -1,0 +1,133 @@
+"""Build+query equivalence: the reference's key test idea — the same
+query corpus answered from raw scan and from the index must agree
+(tests/dn/local/tst.index_file.sh redefines scan as `dn query`)."""
+
+import pytest
+
+from dragnet_spark.index import Metric, NoMetricError, build_index, find_metric, query_index
+from dragnet_spark.query import QueryConfig
+from dragnet_spark.scan import scan
+from dragnet_spark.sources.tables import load_table
+
+from tests.conftest import rows_set
+
+
+METRICS = [
+    Metric.load(
+        "by_type_day",
+        "event_type,day[date,field=ts,aggr=lquantize,step=86400]",
+    ),
+    Metric.load(
+        "clicks_by_day",
+        "day[date,field=ts,aggr=lquantize,step=86400]",
+        filter={"eq": ["event_type", "click"]},
+    ),
+    Metric.load("by_bucket", "val[field=value,aggr=lquantize,step=25]"),
+]
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dnindex"))
+    events = load_table(spark, sf_dir, "events")
+    build_index(spark, events, METRICS, path, interval="day", time_field="ts")
+    return path
+
+
+# the shared corpus, scan-vs-index (reference scan_testcases.sh pattern)
+CORPUS = [
+    QueryConfig.load("event_type"),
+    QueryConfig.load("event_type,day[date,field=ts,aggr=lquantize,step=86400]"),
+    QueryConfig.load("day[date,field=ts,aggr=lquantize,step=86400]"),
+    QueryConfig.load(
+        "day[date,field=ts,aggr=lquantize,step=86400]",
+        filter={"eq": ["event_type", "click"]},
+    ),
+    QueryConfig.load(
+        "event_type",
+        filter={"eq": ["event_type", "click"]},
+    ),
+    QueryConfig.load("val[field=value,aggr=lquantize,step=25]"),
+    QueryConfig.load(
+        "event_type,day[date,field=ts,aggr=lquantize,step=86400]",
+        time_after="2024-01-05T00:00:00Z",
+        time_before="2024-01-12T00:00:00Z",
+        time_field="ts",
+    ),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(CORPUS)))
+def test_scan_index_equivalence(spark, sf_dir, index_path, qi):
+    q = CORPUS[qi]
+    events = load_table(spark, sf_dir, "events")
+    # the scan side must express time bounds through the same breakdown
+    # names the index uses, so compare on identical QueryConfigs
+    want = rows_set(scan(events, q))
+    got = rows_set(query_index(spark, index_path, q))
+    assert got == want
+
+
+def test_routing_prefers_first_match():
+    q = QueryConfig.load("event_type")
+    m, ignore = find_metric(q, METRICS)
+    assert m.name == "by_type_day" and not ignore
+
+
+def test_routing_filter_identity():
+    q = QueryConfig.load(
+        "day[date,field=ts,aggr=lquantize,step=86400]",
+        filter={"eq": ["event_type", "click"]},
+    )
+    # by_type_day serves it (filter fields are indexed columns); the
+    # dedicated filtered metric only matches if listed first
+    m, ignore = find_metric(q, METRICS)
+    assert m.name == "by_type_day" and not ignore
+    m2, ignore2 = find_metric(q, [METRICS[1]])
+    assert m2.name == "clicks_by_day" and ignore2
+
+
+def test_routing_rejects_unserveable():
+    with pytest.raises(NoMetricError):
+        find_metric(QueryConfig.load("no_such_col"), METRICS)
+    with pytest.raises(NoMetricError):
+        # filter on a field the filterless metrics don't index, and not
+        # identical to the filtered metric's filter
+        find_metric(
+            QueryConfig.load("event_type", filter={"eq": ["user_id", 3]}), METRICS
+        )
+    with pytest.raises(NoMetricError):
+        # step mismatch
+        find_metric(
+            QueryConfig.load("val[field=value,aggr=lquantize,step=50]"), METRICS
+        )
+
+
+def test_time_bounds_need_date_breakdown():
+    q = QueryConfig.load(
+        "val[field=value,aggr=lquantize,step=25]",
+        time_after="2024-01-05T00:00:00Z",
+        time_before="2024-01-12T00:00:00Z",
+        time_field="ts",
+    )
+    with pytest.raises(NoMetricError):
+        find_metric(q, [METRICS[2]])
+
+
+def test_empty_interval_yields_zero(spark, index_path):
+    q = QueryConfig.load(
+        time_after="2030-01-01T00:00:00Z",
+        time_before="2030-01-02T00:00:00Z",
+        time_field="day",
+    )
+    # zero-breakdown total over an empty time range → single 0 row
+    q = QueryConfig(
+        breakdowns=QueryConfig.load(
+            "day[date,field=ts,aggr=lquantize,step=86400]"
+        ).breakdowns,
+        time_after=q.time_after,
+        time_before=q.time_before,
+        time_field="ts",
+    )
+    rows = query_index(spark, index_path, q).collect()
+    assert rows == []
