@@ -458,6 +458,244 @@ def orders_with_discounted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline family (beyond reference): text analysis,
+# dedup, similarity search, multimodal plumbing. Oracle SQL comes from
+# the *_sql twins in ops.text so both sides share one definition.
+# ---------------------------------------------------------------------------
+
+from dragnet_spark.ops import text as _text  # noqa: E402
+from dragnet_spark.ops.dedup import (  # noqa: E402
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from dragnet_spark.ops.multimodal import (  # noqa: E402
+    attach_payloads,
+    extract_features,
+    frame_sample_plan,
+)
+from dragnet_spark.ops.similarity import cosine_topk, cosine_topk_blocked  # noqa: E402
+
+_Q = {k: v for k, v in _text.quality_sql("text").items()}
+
+@register(
+    "text_quality",
+    "SELECT doc_id, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _Q.items())
+    + " FROM documents",
+    "per-document quality features: lengths, punct/digit/stopword ratios",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    cols = _text.quality_columns("text")
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "text_lang_id",
+    f"SELECT doc_id, lang, {_text.lang_id_sql('text')} AS lang_pred FROM documents",
+    "stopword-heuristic language ID vs the labeled lang column",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", "lang", _text.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_tokens_by_source",
+    f"""
+    SELECT source, CAST(SUM({_text.token_count_sql('text')}) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    "corpus token accounting per source (BPE-ish whitespace tokenizer)",
+)
+def text_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select("source", _text.token_count("text").alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {_text.fingerprint_sql('text')} AS fp, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup by normalized-text fingerprint (hash groupBy)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_JACCARD_T = 0.8
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    toks = f"list_distinct({_text.tokens_sql('text')})"
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {toks} AS ts FROM documents)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+    FROM t a JOIN t b ON a.id < b.id
+    WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= {threshold}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _jaccard_oracle(_JACCARD_T),
+    "exact all-pairs token-set Jaccard near-dup detection (small-input / "
+    "verification path; the scale path is dedup_minhash_lsh)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=_JACCARD_T
+    )
+
+
+def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    r = num_hashes // bands
+    sig = _text.minhash_signature_sql("text", num_hashes)
+    toks = f"list_distinct({_text.tokens_sql('text')})"
+    band_hash = " || chr(31) || ".join(f"sig[{{i}}*{r} + {j + 1}]" for j in range(r))
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {toks} AS ts, {sig} AS sig FROM documents),
+    banded AS (
+      SELECT id, ts, i AS band, md5({band_hash.format(i="i")}) AS bhash
+      FROM t, UNNEST(range(0, {bands})) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+      WHERE a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+    FROM cand c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
+    WHERE round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_lsh_oracle(16, 8, _JACCARD_T),
+    "MinHash(16) + LSH(8 bands × 2 rows) candidate generation, exact-"
+    "Jaccard verification of candidates only — the shuffle-friendly "
+    "near-dup path for 100 TB corpora",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=8,
+        threshold=_JACCARD_T,
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64 has no DuckDB twin → rows-only check
+    "64-bit SimHash signatures (near-dup by hamming distance); JVM "
+    "xxhash64 is not reproducible in DuckDB, so this is a rows-only check",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", simhash64("text").alias("simhash"))
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+     scored AS (
+       SELECT q.query_id, c.neighbor_id,
+              round(list_cosine_similarity(q.qv, c.cv), 6) AS score
+       FROM q, c WHERE q.query_id <> c.neighbor_id
+     ),
+     ranked AS (
+       SELECT query_id, neighbor_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       FROM scored
+     )
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    _ANN_ORACLE,
+    "exact brute-force cosine top-5 for 10 query vectors (baseline ANN; "
+    "built-in zip_with/aggregate expressions, corpus side never shuffles)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ann_cosine_topk_blocked",
+    _ANN_ORACLE,
+    "same result via mapInPandas blocked BLAS matmul (the 100 TB "
+    "throughput path) — must agree with the expression path exactly",
+)
+def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "multimodal_features",
+    None,  # sha256-chunk features have no clean SQL twin → rows-only
+    "binary-column plumbing: payload bytes → deterministic stub features "
+    "via mapInPandas (decode step stubbed; schema/batching real)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs, "text", "doc_id")
+    return extract_features(media, decode_stub=True)
+
+
+@register(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS id, CAST(u.i AS BIGINT) AS frame_index,
+           CAST(length(text) AS BIGINT) AS pixels
+    FROM documents,
+         UNNEST(range(0, greatest(CAST(FLOOR(octet_length(encode(text)) / 10.0) AS INT), 1))) AS u(i)
+    WHERE doc_id % 3 = 2
+    """,
+    "video frame-sampling plan: explode-to-work-units keeps per-task "
+    "memory flat when one video fans out to many frames",
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs, "text", "doc_id")
+    plan = frame_sample_plan(media, every_n=10)
+    return plan.select(
+        "id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("pixels").cast("long").alias("pixels"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: e.spark for name, e in REGISTRY.items()}
 

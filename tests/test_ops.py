@@ -1,0 +1,145 @@
+"""Invariant tests for the training-data pipeline operators."""
+
+from pyspark.sql import functions as F
+
+from dragnet_spark.ops.dedup import (
+    dedup_keep_first,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_hamming,
+)
+from dragnet_spark.ops.multimodal import attach_payloads, extract_features
+from dragnet_spark.ops.similarity import cosine_topk, cosine_topk_blocked
+from dragnet_spark.ops.text import lang_id, token_count
+from dragnet_spark.sources.tables import load_table
+
+from tests.conftest import rows_set
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    got = {(r.keep_id, r.n_dupes) for r in exact_dup_groups(df, "text", "doc_id").collect()}
+    # 1 and 2 normalize identically (case + whitespace)
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id long, text string"
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.9)
+    kept = dedup_keep_first(pairs, df, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    exact = rows_set(ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8))
+    lsh = rows_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.8)
+    )
+    # LSH verifies candidates with the exact measure → always a subset;
+    # at j>=0.8 with r=2,b=8 recall is ~1-(1-0.8^2)^8 ≈ 0.9998
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) > 0.95
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "completely unrelated words about database query engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = df.select("doc_id", simhash64("text").alias("h"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    d = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            simhash_hamming(F.col("a.h"), F.col("b.h")).alias("ham"),
+        )
+        .collect()
+    )
+    dist = {(r.ia, r.ib): r.ham for r in d}
+    assert dist[(1, 2)] < dist[(1, 3)]
+    assert dist[(1, 2)] < dist[(2, 3)]
+
+
+def test_lang_id_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house that is red"),
+            (2, "der Hund und die Katze sind nicht zu Hause"),
+            (3, "le chat et le chien sont dans la maison"),
+            (4, "zzz qqq www"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "  a  b   c "), (2, "one")], "id long, text string")
+    got = {r.id: r.n for r in df.select("id", token_count("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_blocked_equals_expression_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = rows_set(cosine_topk(emb, q, k=5))
+    b = rows_set(cosine_topk_blocked(emb, q, k=5))
+    assert a == b
+
+
+def test_topk_structure(spark, sf_dir):
+    """(labels in the synthetic embeddings are geometrically random, so
+    invariants are structural: k rows per query, valid rank/order,
+    cosine in [-1,1], no self-matches)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    rows = cosine_topk(emb, q, k=5).collect()
+    assert len(rows) == 50
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert -1.000001 <= r.score <= 1.000001
+        by_q.setdefault(r.query_id, []).append((r.rank, r.score))
+    for ranked in by_q.values():
+        ranked.sort()
+        assert [rk for rk, _ in ranked] == [1, 2, 3, 4, 5]
+        scores = [s for _, s in ranked]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "xyz")], "doc_id long, text string")
+    media = attach_payloads(df, "text", "doc_id")
+    f1 = extract_features(media).collect()
+    f2 = extract_features(media).collect()
+    assert sorted(map(str, f1)) == sorted(map(str, f2))
+    row = {r.id: r for r in f1}
+    assert row[1].n_bytes == 3
+    assert len(row[1].features) == 8
+    assert all(0 <= v < 1 for v in row[1].features)
+
+
+def test_multimodal_stub_raises_without_decoder(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    media = attach_payloads(df, "text", "doc_id")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|decoders"):
+        extract_features(media, decode_stub=False).collect()
