@@ -110,8 +110,10 @@ def predicate_fields(pred: Any) -> list[str]:
     return out
 
 
-def _leaf_column(field: str, op: str, const: Any) -> Column:
-    col = F.col(field)
+def _leaf_column(
+    field: str, op: str, const: Any, col_for: Callable[[str], Column]
+) -> Column:
+    col = col_for(field)
     if isinstance(const, bool):
         cmp = _apply_op(col.try_cast("boolean"), op, F.lit(const))
     elif isinstance(const, (int, float)):
@@ -147,27 +149,33 @@ def _apply_op(lhs: Column, op: str, rhs: Column) -> Column:
     return lhs >= rhs
 
 
-def compile_predicate(pred: Any) -> Column:
+def compile_predicate(
+    pred: Any, col_for: Callable[[str], Column] | None = None
+) -> Column:
     """Compile a krill predicate to a Spark boolean Column.
 
-    Stays entirely in built-in expressions (codegen-friendly, pushdown-
+    ``col_for`` maps a krill field path to the Column carrying that
+    field's value (default: ``F.col`` — schema'd DataFrames; the
+    variant-based NDJSON scan passes a variant-path getter). Stays
+    entirely in built-in expressions (codegen-friendly, pushdown-
     eligible); never a Python UDF.
     """
     validate_predicate(pred)
+    col_for = col_for or F.col
     if not pred:
         return F.lit(True)
     (op, arg), = pred.items()
     if op == "and":
-        out = compile_predicate(arg[0])
+        out = compile_predicate(arg[0], col_for)
         for sub in arg[1:]:
-            out = out & compile_predicate(sub)
+            out = out & compile_predicate(sub, col_for)
         return out
     if op == "or":
-        out = compile_predicate(arg[0])
+        out = compile_predicate(arg[0], col_for)
         for sub in arg[1:]:
-            out = out | compile_predicate(sub)
+            out = out | compile_predicate(sub, col_for)
         return out
-    return _leaf_column(arg[0], op, arg[1])
+    return _leaf_column(arg[0], op, arg[1], col_for)
 
 
 def _sql_quote_str(s: str) -> str:

@@ -16,13 +16,22 @@ and spill instead of the reference's documented OOM on high-cardinality
 group-bys (README.md:666-698).
 
 Group-key normalization preserved from the reference: NULL group
-values become the string "null"; a field absent from the schema
-becomes "undefined" (tests/dn/local/tst.scan_file.sh.out:136-147).
+values become the string "null"; a missing field becomes "undefined"
+(tests/dn/local/tst.scan_file.sh.out:136-147). Two field resolvers
+supply the values:
+
+* :class:`SchemaResolver` — typed DataFrames (parquet tables, schema'd
+  JSON). Columnar storage conflates JSON null with absent, so
+  "undefined" only appears when the field is absent from the schema.
+* :class:`VariantResolver` — raw NDJSON parsed to a VariantType column
+  (``parse_json``). Preserves the reference's *per-record* distinction:
+  a key present with JSON null groups as "null", an absent key as
+  "undefined" (lib/stream-synthetic + jsprim.pluck semantics).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dragnet_spark.buckets import lquantize, quantize
@@ -31,6 +40,7 @@ from dragnet_spark.krill import compile_predicate
 from dragnet_spark.query import QueryConfig
 
 VALUE_COL = "value"
+VARIANT_COL = "__dn_v"
 
 
 def _has_field(df: DataFrame, path: str) -> bool:
@@ -49,6 +59,51 @@ def _has_field(df: DataFrame, path: str) -> bool:
     return True
 
 
+class SchemaResolver:
+    """Field access for typed DataFrames."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def raw(self, path: str) -> Column:
+        """The field's value; NULL when null-or-missing."""
+        if not _has_field(self.df, path):
+            return F.lit(None).cast("string")
+        return F.col(path)
+
+    def grouped(self, path: str) -> Column:
+        """Group-key string with null→"null" / missing→"undefined"."""
+        if not _has_field(self.df, path):
+            return F.lit("undefined")
+        return F.coalesce(F.col(path).cast("string"), F.lit("null"))
+
+
+class VariantResolver:
+    """Field access over a VariantType column parsed from raw JSON.
+
+    ``try_variant_get`` returns SQL NULL for an absent path but a
+    *variant null* for a key explicitly set to JSON null — exactly the
+    distinction the reference preserves and columnar schemas erase.
+    """
+
+    def __init__(self, vcol: str = VARIANT_COL):
+        self.vcol = vcol
+
+    def _get(self, path: str, typ: str) -> Column:
+        return F.try_variant_get(F.col(self.vcol), f"$.{path}", typ)
+
+    def raw(self, path: str) -> Column:
+        return self._get(path, "string")
+
+    def grouped(self, path: str) -> Column:
+        v = self._get(path, "variant")
+        return (
+            F.when(F.isnull(v), F.lit("undefined"))
+            .when(F.is_variant_null(v), F.lit("null"))
+            .otherwise(self._get(path, "string"))
+        )
+
+
 def synthetic_date_column(col: Column) -> Column:
     """Parse an ISO-8601 string or numeric epoch to floored unix seconds.
 
@@ -63,26 +118,26 @@ def synthetic_date_column(col: Column) -> Column:
     )
 
 
-def breakdown_column(df: DataFrame, b: Breakdown) -> Column:
+def breakdown_column(resolver, b: Breakdown) -> Column:
     """The group-by expression for one breakdown.
 
     Bucketized → long bucket minimum; date → unix seconds; plain →
     string with null→"null" / missing→"undefined" normalization.
     """
-    if not _has_field(df, b.field) and not b.date:
-        return F.lit("undefined")
-    src = F.col(b.field)
     if b.date:
-        src = synthetic_date_column(src)
-        # a date breakdown may additionally bucketize (e.g. per-hour
-        # windows: timestamp[date,field=time,aggr=lquantize,step=3600])
-    if b.aggr == "quantize":
-        return quantize(src)
-    if b.aggr == "lquantize":
-        return lquantize(src, b.step or 1)
-    if b.date:
+        src = synthetic_date_column(resolver.raw(b.field))
+        # a date breakdown may additionally bucketize (per-hour windows:
+        # timestamp[date,field=time,aggr=lquantize,step=3600])
+        if b.aggr == "quantize":
+            return quantize(src)
+        if b.aggr == "lquantize":
+            return lquantize(src, b.step or 1)
         return src
-    return F.coalesce(src.cast("string"), F.lit("null"))
+    if b.aggr == "quantize":
+        return quantize(resolver.raw(b.field))
+    if b.aggr == "lquantize":
+        return lquantize(resolver.raw(b.field), b.step or 1)
+    return resolver.grouped(b.field)
 
 
 def scan(
@@ -90,6 +145,7 @@ def scan(
     query: QueryConfig,
     datasource_filter=None,
     value_col: str | None = None,
+    resolver=None,
 ) -> DataFrame:
     """Run a QueryConfig against a DataFrame of raw events.
 
@@ -102,26 +158,32 @@ def scan(
     (tests/dn/local/tst.empty.sh.out); with breakdowns, empty input
     yields zero rows.
     """
+    resolver = resolver or SchemaResolver(df)
     out = df
 
     # datasource filter first, right after parse (lib/datasource-file.js:154-166)
     if datasource_filter:
-        out = out.filter(compile_predicate(datasource_filter))
+        out = out.filter(compile_predicate(datasource_filter, resolver.raw))
     if query.filter:
-        out = out.filter(compile_predicate(query.filter))
+        out = out.filter(compile_predicate(query.filter, resolver.raw))
 
     # synthetic date columns; unparseable/missing dates are dropped
     # with a warning in the reference (lib/stream-synthetic.js:48-77)
-    date_needed = {b.name: b for b in query.synthetic_dates}
     if query.time_after is not None and query.time_field is not None:
-        ts = synthetic_date_column(F.col(query.time_field))
+        ts = synthetic_date_column(resolver.raw(query.time_field))
         out = out.filter(
             ts.isNotNull()
             & (ts >= F.lit(query.time_after))
             & (ts < F.lit(query.time_before))
         )
-    for b in date_needed.values():
-        out = out.filter(synthetic_date_column(F.col(b.field)).isNotNull())
+    for b in query.synthetic_dates:
+        out = out.filter(synthetic_date_column(resolver.raw(b.field)).isNotNull())
+    # a bucketized non-date breakdown on a non-numeric/missing value is
+    # dropped with a warning in the reference ("value is not a number",
+    # skinner bucketizer) — not grouped as a null bucket
+    for b in query.breakdowns:
+        if b.bucketized and not b.date:
+            out = out.filter(breakdown_column(resolver, b).isNotNull())
 
     weight = (
         F.col(value_col).cast("long") if value_col else F.lit(1).cast("long")
@@ -130,10 +192,36 @@ def scan(
     if not query.breakdowns:
         return out.agg(F.coalesce(F.sum(weight), F.lit(0)).cast("long").alias(VALUE_COL))
 
-    keys = [breakdown_column(out, b).alias(b.name) for b in query.breakdowns]
+    keys = [breakdown_column(resolver, b).alias(b.name) for b in query.breakdowns]
     return (
         out.groupBy(*keys)
         .agg(F.sum(weight).cast("long").alias(VALUE_COL))
+    )
+
+
+def scan_ndjson(
+    spark: SparkSession,
+    paths: str | list[str],
+    query: QueryConfig,
+    datasource_filter=None,
+) -> DataFrame:
+    """Scan raw NDJSON with full reference semantics (per-record
+    null-vs-missing, loose typing, corrupt-line tolerance).
+
+    One pass: text lines → ``try_parse_json`` variant (corrupt lines →
+    NULL, dropped — the reference's parser-warning path) → the standard
+    scan plan over a VariantResolver. The single-pass variant parse
+    replaces schema inference (which would be a second full read of the
+    data — untenable at 100 TB).
+    """
+    txt = spark.read.text(paths)
+    df = (
+        txt.filter(F.trim(F.col("value")) != "")
+        .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
+        .filter(F.col(VARIANT_COL).isNotNull())
+    )
+    return scan(
+        df, query, datasource_filter=datasource_filter, resolver=VariantResolver()
     )
 
 

@@ -1,0 +1,126 @@
+"""Golden-output parity with the reference.
+
+Runs the reference's canonical scan corpus (tests/dn/scan_testcases.sh)
+over the reference's own fixture data (tests/data/2014/05-01/one.log,
+250 records) and compares our rendered output byte-for-byte against
+the checked-in golden file tests/dn/local/tst.scan_file.sh.out.
+
+Table/histogram sections must match exactly. --points sections are
+piped through `sort -d` in the reference runner, so they are compared
+as line sets (same data, locale-proof)."""
+
+import os
+import re
+
+import pytest
+
+from dragnet_spark.output.format import format_points, render
+from dragnet_spark.query import QueryConfig
+from dragnet_spark.scan import scan_ndjson
+
+REF = "/root/reference"
+DATA = f"{REF}/tests/data/2014/05-01/one.log"
+GOLDEN = f"{REF}/tests/dn/local/tst.scan_file.sh.out"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="reference golden files not present"
+)
+
+# the scan_testcases.sh corpus, in file order, plus the two
+# datasource-filter cases appended by tst.scan_file.sh:26-34
+GET = {"eq": ["req.method", "GET"]}
+CASES = [
+    # (filter, breakdowns, datasource_filter)
+    (None, None, None),
+    (None, "operation", None),
+    (None, "operation,req.method,host", None),
+    (None, "req.caller", None),
+    (None, "operation,req.caller", None),
+    (GET, None, None),
+    (GET, "operation,req.method,host", None),
+    ({"eq": ["req.caller", "poseidon"]}, None, None),
+    ({"eq": ["req.caller", "poseidon"]}, "req.caller", None),
+    (None, "latency[aggr=quantize]", None),
+    (None, "latency[aggr=quantize],operation,host", None),
+    (None, "host,operation,latency[aggr=quantize]", None),
+    (None, "latency[aggr=lquantize,step=100]", None),
+    (None, None, GET),
+    ({"eq": ["res.statusCode", "200"]}, None, GET),
+]
+
+
+def _sections():
+    """Split the golden file into (header, body) pairs in order."""
+    with open(GOLDEN) as f:
+        lines = f.read().split("\n")
+    sections = []
+    header, body = None, []
+    for ln in lines:
+        if ln.startswith("# dn scan"):
+            if header is not None:
+                sections.append((header, body))
+            header, body = ln, []
+        elif header is not None:
+            body.append(ln)
+    if header is not None:
+        sections.append((header, body))
+    # each scan invocation echoes one trailing blank line; drop it
+    out = []
+    for header, body in sections:
+        while body and body[-1] == "":
+            body.pop()
+        out.append((header, body))
+    return out
+
+
+SECTIONS = _sections()
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    """One scan per corpus case, collected once."""
+    out = []
+    for filt, bd, dsf in CASES:
+        q = QueryConfig.load(breakdowns=bd, filter=filt)
+        df = scan_ndjson(spark, DATA, q, datasource_filter=dsf)
+        out.append((q, [tuple(r) for r in df.collect()]))
+    return out
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_pretty_section(results, i):
+    q, rows = results[i]
+    want = "\n".join(SECTIONS[2 * i][1])
+    got = render(rows, q, mode="table").rstrip("\n")
+    # histogram sections keep interior blank lines; normalize only the ends
+    assert got == want.rstrip("\n"), (
+        f"section {SECTIONS[2 * i][0]!r}\n--- got ---\n{got}\n--- want ---\n{want}"
+    )
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_points_section(results, i):
+    q, rows = results[i]
+    want = {ln for ln in SECTIONS[2 * i + 1][1] if ln}
+    got = set(format_points(rows, q))
+    assert got == want, f"section {SECTIONS[2 * i + 1][0]!r}"
+
+
+def test_section_headers_line_up():
+    """The golden file must contain exactly our 15 cases × 2 modes."""
+    assert len(SECTIONS) == 2 * len(CASES)
+    for i in range(len(CASES)):
+        assert not SECTIONS[2 * i][0].startswith("# dn scan --points")
+        assert SECTIONS[2 * i + 1][0].startswith("# dn scan --points")
+
+
+def test_corrupt_tolerance_fileset(spark):
+    """The full 9-file tree contains 2 deliberately-broken lines; a
+    whole-tree count must still work and see 2252 valid records
+    (reference tests/dn/local/tst.scan_fileset.sh.out:2475-2477)."""
+    import glob
+
+    files = sorted(glob.glob(f"{REF}/tests/data/2014/*/*.log"))
+    q = QueryConfig.load()
+    got = scan_ndjson(spark, files, q).collect()[0]["value"]
+    assert got == 2252
