@@ -1,0 +1,547 @@
+"""The ``dn`` command-line interface.
+
+Re-expresses the reference CLI (bin/dn) over the Spark engine, with
+the same subcommand family, option names (dashdash table at
+bin/dn:146-215), message shapes ("dn: <message>" to stderr, usage on
+argument errors), and output formats (fixed-width datasource/metric
+listings, bin/dn:421-489,572-614; scan/query output via
+dragnet_spark.output.format).
+
+Commands:
+  datasource-add|-update|-remove|-list|-show
+  metric-add|-list|-remove
+  scan   — aggregate raw data        (bin/dn:869-896)
+  build  — materialize index views   (bin/dn:640-694)
+  query  — answer from index views   (bin/dn:837-864)
+  index-config — print the effective index definition (bin/dn:729-749)
+  index-scan   — emit the per-metric aggregated points a build would
+                 index, tagged __dn_metric (the distributed map phase,
+                 lib/datasource-manta.js:36-62)
+  index-read   — build index views from pre-aggregated points on stdin
+                 (the distributed reduce phase, lib/datasource-file.js:729-746)
+
+A SparkSession is only created for the commands that touch data;
+config CRUD is instant.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Any
+
+from dragnet_spark.config import (
+    Catalog,
+    ConfigError,
+    DatasourceConfig,
+    MetricConfig,
+    default_config_path,
+)
+from dragnet_spark.fieldspec import FieldSpecError
+from dragnet_spark.krill import KrillError
+from dragnet_spark.query import QueryConfig, QueryError
+
+USAGE = "usage: dn SUBCOMMAND [OPTIONS] ARGS"
+ARG0 = "dn"
+
+
+class UsageError(Exception):
+    pass
+
+
+class FatalError(Exception):
+    pass
+
+
+# ------------------------------------------------------------ option parsing
+
+# name → (takes_value, default); shorts per the reference option table
+_OPT_DEFS = {
+    "after": True, "assetroot": True, "backend": True, "before": True,
+    "breakdowns": True, "counters": False, "data-format": True,
+    "dry-run": False, "filter": True, "gnuplot": False, "interval": True,
+    "index-config": True, "index-path": True, "path": True, "points": False,
+    "raw": False, "time-field": True, "time-format": True, "verbose": False,
+    "warnings": False,
+}
+_SHORTS = {
+    "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
+    "f": "filter", "i": "interval", "v": "verbose",
+}
+
+
+def _parse_args(argv: list[str], allowed: list[str]) -> dict:
+    """Minimal dashdash-alike: --opt=v, --opt v, -x v, interspersed
+    positionals collect into ``_args``. Unknown options are usage
+    errors, like the reference's allowUnknown: false."""
+    opts: dict[str, Any] = {"_args": []}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        name = None
+        inline = None
+        if a.startswith("--") and len(a) > 2:
+            body = a[2:]
+            if "=" in body:
+                name, inline = body.split("=", 1)
+            else:
+                name = body
+        elif a.startswith("-") and len(a) > 1 and not a[1:].isdigit():
+            short = a[1:]
+            if short not in _SHORTS:
+                raise UsageError(f'unknown option: "-{short}"')
+            name = _SHORTS[short]
+        if name is None:
+            opts["_args"].append(a)
+            i += 1
+            continue
+        if name not in allowed:
+            raise UsageError(f'unknown option: "--{name}"')
+        if _OPT_DEFS[name]:
+            if inline is not None:
+                val = inline
+            else:
+                if i + 1 >= len(argv):
+                    raise UsageError(f'option "--{name}" requires an argument')
+                i += 1
+                val = argv[i]
+            key = name.replace("-", "_")
+            if name == "breakdowns":
+                # comma-splitting is bracket-aware and happens in the
+                # field-spec parser (reference: dnExpandArray → attrsParse)
+                opts.setdefault("breakdowns", []).append(val)
+            else:
+                opts[key] = val
+        else:
+            opts[name.replace("-", "_")] = True
+        i += 1
+    if "filter" in opts:
+        try:
+            opts["filter"] = json.loads(opts["filter"])
+        except json.JSONDecodeError as e:
+            raise UsageError(f"invalid filter: {e.msg}")
+    return opts
+
+
+def _nargs(opts: dict, n: int) -> list[str]:
+    args = opts["_args"]
+    if len(args) < n:
+        raise UsageError("missing arguments")
+    if len(args) > n:
+        raise UsageError('extra arguments: "%s"' % " ".join(args[n:]))
+    return args
+
+
+# ------------------------------------------------------------- config output
+
+def _location(ds: DatasourceConfig) -> str:
+    if ds.backend == "manta":
+        return "manta://us-east.manta.joyent.com" + ds.path
+    return "file:/" + ds.path
+
+
+def _print_datasource(out, name: str, ds: DatasourceConfig, verbose: bool):
+    out.write("%-20s %-59s\n" % (name, _location(ds)))
+    if not verbose:
+        return
+    if ds.filter is not None:
+        out.write("    %-11s %s\n" % ("filter:", json.dumps(ds.filter, separators=(",", ":"))))
+    out.write("    %-11s %s\n" % ("dataFormat:", json.dumps(ds.data_format)))
+    for label, v in (
+        ("indexPath:", ds.index_path),
+        ("timeFormat:", ds.time_format),
+        ("timeField:", ds.time_field),
+    ):
+        if v is not None:
+            out.write("    %-11s %s\n" % (label, json.dumps(v)))
+
+
+# ------------------------------------------------------------ config commands
+
+def _ds_config_from_opts(name: str, opts: dict) -> DatasourceConfig:
+    return DatasourceConfig(
+        name=name,
+        path=opts["path"],
+        backend=opts.get("backend", "file"),
+        data_format=opts.get("data_format", "json"),
+        index_path=opts.get("index_path"),
+        time_format=opts.get("time_format"),
+        time_field=opts.get("time_field"),
+        filter=opts.get("filter"),
+    )
+
+
+def cmd_datasource_add(argv, cat: Catalog, out):
+    opts = _parse_args(argv, ["backend", "data-format", "filter", "path",
+                              "time-field", "time-format", "index-path"])
+    if "path" not in opts:
+        raise UsageError('"path" option is required')
+    (name,) = _nargs(opts, 1)
+    cat.datasource_add(_ds_config_from_opts(name, opts))
+    cat.save()
+
+
+def cmd_datasource_update(argv, cat: Catalog, out):
+    opts = _parse_args(argv, ["backend", "data-format", "filter", "path",
+                              "time-field", "time-format", "index-path"])
+    (name,) = _nargs(opts, 1)
+    old = cat.datasource(name)
+    merged = DatasourceConfig(
+        name=name,
+        path=opts.get("path", old.path),
+        backend=opts.get("backend", old.backend),
+        data_format=opts.get("data_format", old.data_format),
+        index_path=opts.get("index_path", old.index_path),
+        time_format=opts.get("time_format", old.time_format),
+        time_field=opts.get("time_field", old.time_field),
+        filter=opts.get("filter", old.filter),
+    )
+    cat.datasource_add(merged, update=True)
+    cat.save()
+
+
+def cmd_datasource_remove(argv, cat: Catalog, out):
+    opts = _parse_args(argv, [])
+    (name,) = _nargs(opts, 1)
+    cat.datasource_remove(name)
+    cat.save()
+
+
+def cmd_datasource_list(argv, cat: Catalog, out):
+    opts = _parse_args(argv, ["verbose"])
+    _nargs(opts, 0)
+    out.write("%-20s %-59s\n" % ("DATASOURCE", "LOCATION"))
+    for name in cat.datasources:
+        _print_datasource(out, name, cat.datasources[name], opts.get("verbose", False))
+
+
+def cmd_datasource_show(argv, cat: Catalog, out):
+    opts = _parse_args(argv, ["verbose"])
+    (name,) = _nargs(opts, 1)
+    ds = cat.datasource(name)
+    out.write("%-20s %-59s\n" % ("DATASOURCE", "LOCATION"))
+    _print_datasource(out, name, ds, opts.get("verbose", False))
+
+
+def cmd_metric_add(argv, cat: Catalog, out):
+    from dragnet_spark.fieldspec import parse_breakdowns
+
+    opts = _parse_args(argv, ["breakdowns", "filter"])
+    dsname, metname = _nargs(opts, 2)
+    parsed = parse_breakdowns(opts.get("breakdowns", []))
+    cat.metric_add(
+        MetricConfig(
+            name=metname,
+            datasource=dsname,
+            breakdowns=[{"name": b.name, **b.attrs} for b in parsed],
+            filter=opts.get("filter"),
+        )
+    )
+    cat.save()
+
+
+def cmd_metric_remove(argv, cat: Catalog, out):
+    opts = _parse_args(argv, [])
+    dsname, metname = _nargs(opts, 2)
+    cat.metric_remove(dsname, metname)
+    cat.save()
+
+
+def cmd_metric_list(argv, cat: Catalog, out):
+    opts = _parse_args(argv, ["verbose"])
+    (dsname,) = _nargs(opts, 1)
+    out.write("%-20s %-20s\n" % ("DATASOURCE", "METRIC"))
+    for m in cat.metrics_for(dsname):
+        out.write("%-20s %-20s\n" % (m.datasource, m.name))
+        if not opts.get("verbose"):
+            continue
+        if m.filter is not None:
+            out.write("    %-11s %s\n" % ("filter:", json.dumps(m.filter, separators=(",", ":"))))
+        if m.breakdowns:
+            out.write("    %-11s %s\n" % (
+                "breakdowns:", ", ".join(b["name"] for b in m.breakdowns)
+            ))
+
+
+# -------------------------------------------------------------- data commands
+
+def _get_spark():
+    from dragnet_spark.session import get_spark
+
+    return get_spark(app_name="dn")
+
+
+def _query_from_opts(opts: dict, ds: DatasourceConfig) -> QueryConfig:
+    bds = opts.get("breakdowns") or None
+    if bds is not None and bds and isinstance(bds[0], str):
+        bds = ",".join(bds)
+    return QueryConfig.load(
+        breakdowns=bds,
+        filter=opts.get("filter"),
+        time_after=opts.get("after"),
+        time_before=opts.get("before"),
+        time_field=ds.time_field,
+    )
+
+
+def _metrics_for_build(cat: Catalog, dsname: str, opts: dict):
+    from dragnet_spark.index.build import Metric
+
+    if "index_config" in opts:
+        with open(opts["index_config"]) as f:
+            cfg = json.load(f)
+        return [Metric.from_json(m) for m in cfg.get("metrics", [])]
+    out = [
+        Metric.load(m.name, [dict(b) for b in m.breakdowns], m.filter)
+        for m in cat.metrics_for(dsname)
+    ]
+    return out
+
+
+def _render_result(df, query, opts, out, title):
+    from dragnet_spark.output.format import render
+
+    if opts.get("gnuplot") and len(query.breakdowns) != 1:
+        raise FatalError("--gnuplot can only be used with exactly one breakdown")
+    mode = (
+        "points" if opts.get("points") or opts.get("raw")
+        else "gnuplot" if opts.get("gnuplot")
+        else "table"
+    )
+    out.write(render(df, query, mode=mode, title=title))
+
+
+def cmd_scan(argv, cat: Catalog, out):
+    from dragnet_spark.datasource import list_files, load_datasource, resolve_paths
+    from dragnet_spark.scan import scan
+
+    opts = _parse_args(argv, ["before", "after", "filter", "breakdowns", "raw",
+                              "points", "counters", "warnings", "gnuplot",
+                              "assetroot", "dry-run"])
+    (dsname,) = _nargs(opts, 1)
+    ds = cat.datasource(dsname)
+    query = _query_from_opts(opts, ds)
+
+    if opts.get("dry_run"):
+        out.write("would scan files:\n")
+        for f in list_files(resolve_paths(ds, query)):
+            out.write("    %s\n" % f)
+        return
+
+    spark = _get_spark()
+    df, resolver, value_col = load_datasource(spark, ds, query)
+    if df is None:
+        _render_result([], query, opts, out, dsname)
+        return
+    res = scan(df, query, datasource_filter=ds.filter,
+               value_col=value_col, resolver=resolver)
+    _render_result(res, query, opts, out, dsname)
+    if opts.get("warnings"):
+        from dragnet_spark.sources.ndjson import corrupt_line_count
+
+        if ds.data_format == "json":
+            n = corrupt_line_count(spark, resolve_paths(ds, query))
+            if n:
+                sys.stderr.write("warn: %d unparseable input lines\n" % n)
+
+
+def cmd_build(argv, cat: Catalog, out):
+    from dragnet_spark.datasource import load_datasource
+    from dragnet_spark.index.build import build_index
+
+    opts = _parse_args(argv, ["after", "before", "counters", "dry-run",
+                              "index-config", "interval", "warnings",
+                              "assetroot"])
+    (dsname,) = _nargs(opts, 1)
+    ds = cat.datasource(dsname)
+    if not ds.index_path:
+        raise FatalError(f'datasource "{dsname}" has no index path configured')
+    metrics = _metrics_for_build(cat, dsname, opts)
+    if not metrics:
+        raise FatalError(f'datasource "{dsname}" has no metrics configured')
+    interval = opts.get("interval", "day")
+    query = _query_from_opts(opts, ds)
+
+    if opts.get("dry_run"):
+        out.write('would build %s index for "%s" (%d metrics)\n'
+                  % (interval, dsname, len(metrics)))
+        return
+
+    spark = _get_spark()
+    df, resolver, _vc = load_datasource(spark, ds, query)
+    if df is None:
+        raise FatalError("no input files in the requested time range")
+    build_index(
+        spark, df, metrics, ds.index_path, interval=interval,
+        time_field=ds.time_field, datasource_filter=ds.filter,
+        resolver=resolver,
+    )
+    sys.stderr.write('indexes for "%s" built\n' % dsname)
+
+
+def cmd_query(argv, cat: Catalog, out):
+    from dragnet_spark.index.query import NoMetricError, query_index
+
+    opts = _parse_args(argv, ["before", "after", "filter", "breakdowns", "raw",
+                              "points", "counters", "interval", "gnuplot",
+                              "assetroot", "dry-run"])
+    (dsname,) = _nargs(opts, 1)
+    ds = cat.datasource(dsname)
+    if not ds.index_path:
+        raise FatalError(f'datasource "{dsname}" has no index path configured')
+    query = _query_from_opts(opts, ds)
+    spark = _get_spark()
+    try:
+        res = query_index(spark, ds.index_path, query)
+    except NoMetricError:
+        raise FatalError("no metrics available to serve query")
+    _render_result(res, query, opts, out, dsname)
+
+
+def cmd_index_config(argv, cat: Catalog, out):
+    opts = _parse_args(argv, [])
+    (dsname,) = _nargs(opts, 1)
+    cat.datasource(dsname)
+    metrics = [
+        {"name": m.name, "filter": m.filter,
+         "breakdowns": [dict(b) for b in m.breakdowns]}
+        for m in cat.metrics_for(dsname)
+    ]
+    out.write(json.dumps({"metrics": metrics}, separators=(",", ":")) + "\n")
+
+
+def cmd_index_scan(argv, cat: Catalog, out):
+    """Map phase of a distributed build: emit each metric's aggregated
+    points, tagged with __dn_metric, ready to pipe into index-read."""
+    from dragnet_spark.datasource import load_datasource
+    from dragnet_spark.index.build import BUCKET_COL, bucket_column
+    from dragnet_spark.output.format import format_points
+    from dragnet_spark.scan import ColumnOverlayResolver, scan
+    from dragnet_spark.fieldspec import Breakdown
+    from pyspark.sql import functions as F
+
+    opts = _parse_args(argv, ["before", "after", "filter", "breakdowns",
+                              "counters", "index-config", "interval"])
+    (dsname,) = _nargs(opts, 1)
+    ds = cat.datasource(dsname)
+    metrics = _metrics_for_build(cat, dsname, opts)
+    if not metrics:
+        raise FatalError(f'datasource "{dsname}" has no metrics configured')
+    interval = opts.get("interval", "day")
+    query = _query_from_opts(opts, ds)
+    spark = _get_spark()
+    df, resolver, _vc = load_datasource(spark, ds, query)
+    if df is None:
+        return
+    for i, m in enumerate(metrics):
+        src, r = df, resolver
+        breakdowns = list(m.breakdowns)
+        if interval != "all" and ds.time_field:
+            src = src.withColumn(
+                BUCKET_COL, bucket_column(r.raw(ds.time_field), interval)
+            ).filter(F.col(BUCKET_COL).isNotNull())
+            r = ColumnOverlayResolver(r, [BUCKET_COL])
+            breakdowns = [Breakdown(BUCKET_COL, BUCKET_COL)] + breakdowns
+        q = QueryConfig(breakdowns=tuple(breakdowns), filter=m.filter)
+        res = scan(src, q, datasource_filter=ds.filter, resolver=r)
+        rows = [tuple(x) for x in res.collect()]
+        for line in format_points(rows, q):
+            obj = json.loads(line)
+            obj["fields"]["__dn_metric"] = i
+            out.write(json.dumps(obj, separators=(",", ":")) + "\n")
+
+
+def cmd_index_read(argv, cat: Catalog, out):
+    """Reduce phase of a distributed build: read tagged points from
+    stdin and materialize the index views."""
+    from dragnet_spark.index.build import BUCKET_COL, INDEX_META_FILE, INDEX_VERSION
+    import os
+
+    opts = _parse_args(argv, ["index-config", "interval"])
+    (dsname,) = _nargs(opts, 1)
+    ds = cat.datasource(dsname)
+    if not ds.index_path:
+        raise FatalError(f'datasource "{dsname}" has no index path configured')
+    metrics = _metrics_for_build(cat, dsname, opts)
+    interval = opts.get("interval", "day")
+    spark = _get_spark()
+
+    by_metric: dict[int, list[dict]] = {}
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        pt = json.loads(line)
+        fields = pt["fields"]
+        idx = int(fields.pop("__dn_metric", 0))
+        fields["value"] = pt["value"]
+        by_metric.setdefault(idx, []).append(fields)
+
+    for i, m in enumerate(metrics):
+        rows = by_metric.get(i, [])
+        if not rows:
+            continue
+        sdf = spark.createDataFrame(rows)
+        path = os.path.join(ds.index_path, m.name)
+        if BUCKET_COL in sdf.columns:
+            (sdf.repartition(BUCKET_COL).write.mode("overwrite")
+             .partitionBy(BUCKET_COL).parquet(path))
+        else:
+            sdf.coalesce(1).write.mode("overwrite").parquet(path)
+
+    meta = {
+        "version": INDEX_VERSION,
+        "interval": interval,
+        "time_field": ds.time_field,
+        "datasource_filter": ds.filter,
+        "metrics": [m.to_json() for m in metrics],
+    }
+    os.makedirs(ds.index_path, exist_ok=True)
+    with open(os.path.join(ds.index_path, INDEX_META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+COMMANDS = {
+    "datasource-add": cmd_datasource_add,
+    "datasource-list": cmd_datasource_list,
+    "datasource-remove": cmd_datasource_remove,
+    "datasource-update": cmd_datasource_update,
+    "datasource-show": cmd_datasource_show,
+    "metric-add": cmd_metric_add,
+    "metric-list": cmd_metric_list,
+    "metric-remove": cmd_metric_remove,
+    "build": cmd_build,
+    "index-config": cmd_index_config,
+    "index-read": cmd_index_read,
+    "index-scan": cmd_index_scan,
+    "query": cmd_query,
+    "scan": cmd_scan,
+}
+
+
+def main(argv: list[str] | None = None, out=None, config_path: str | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    out = out or sys.stdout
+    if not argv:
+        sys.stderr.write(USAGE + "\n")
+        return 2
+    cmdname, rest = argv[0], argv[1:]
+    if cmdname not in COMMANDS:
+        sys.stderr.write('%s: unknown command: "%s"\n' % (ARG0, cmdname))
+        sys.stderr.write(USAGE + "\n")
+        return 2
+    cat = Catalog.load(config_path or default_config_path())
+    try:
+        COMMANDS[cmdname](rest, cat, out)
+        return 0
+    except UsageError as e:
+        sys.stderr.write("%s: %s\n" % (ARG0, e))
+        sys.stderr.write(USAGE + "\n")
+        return 2
+    except (QueryError, FieldSpecError, KrillError, ConfigError, FatalError) as e:
+        sys.stderr.write("%s: %s\n" % (ARG0, e))
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,7 +31,7 @@ class ConfigError(ValueError):
 class DatasourceConfig:
     name: str
     path: str
-    backend: str = "file"            # file | parquet (manta ≈ any fs Spark reads)
+    backend: str = "file"            # file | parquet | manta (any fs Spark reads)
     data_format: str = "json"        # json | json-skinner | parquet
     index_path: str | None = None
     time_format: str | None = None   # %Y/%m/%d[/%H] subset, for path pruning
@@ -40,7 +40,7 @@ class DatasourceConfig:
     schema: str | None = None        # optional DDL schema (skip inference)
 
     def __post_init__(self):
-        if self.backend not in ("file", "parquet"):
+        if self.backend not in ("file", "parquet", "manta"):
             raise ConfigError(f"unsupported backend: {self.backend}")
         if self.data_format not in ("json", "json-skinner", "parquet"):
             raise ConfigError(f"unsupported data format: {self.data_format}")
@@ -69,6 +69,7 @@ def default_config_path() -> str:
 class Catalog:
     datasources: dict[str, DatasourceConfig] = dc_field(default_factory=dict)
     metrics: dict[str, MetricConfig] = dc_field(default_factory=dict)
+    path: str | None = None  # where this catalog was loaded from
 
     # -- datasource CRUD (reference: dn datasource-add/-list/-remove/-update)
     def datasource_add(self, ds: DatasourceConfig, update: bool = False) -> None:
@@ -86,24 +87,32 @@ class Catalog:
             raise ConfigError(f'unknown datasource: "{name}"')
         return self.datasources[name]
 
-    # -- metric CRUD (reference: dn metric-add/-list/-remove)
+    # -- metric CRUD (reference: dn metric-add/-list/-remove). Metrics
+    # are scoped per datasource (bin/dn:520-572 takes DATASOURCE METRIC
+    # argument pairs), so the storage key is "datasource/name".
+    @staticmethod
+    def _mkey(datasource: str, name: str) -> str:
+        return f"{datasource}/{name}"
+
     def metric_add(self, m: MetricConfig, update: bool = False) -> None:
-        if m.name in self.metrics and not update:
+        key = self._mkey(m.datasource, m.name)
+        if key in self.metrics and not update:
             raise ConfigError(f'metric "{m.name}" already exists')
         self.datasource(m.datasource)  # must exist
-        self.metrics[m.name] = m
+        self.metrics[key] = m
 
-    def metric_remove(self, name: str) -> None:
-        if name not in self.metrics:
+    def metric_remove(self, datasource: str, name: str) -> None:
+        key = self._mkey(datasource, name)
+        if key not in self.metrics:
             raise ConfigError(f'metric "{name}" does not exist')
-        del self.metrics[name]
+        del self.metrics[key]
 
     def metrics_for(self, datasource: str) -> list[MetricConfig]:
         return [m for m in self.metrics.values() if m.datasource == datasource]
 
     # -- persistence
     def save(self, path: str | None = None) -> str:
-        path = path or default_config_path()
+        path = path or self.path or default_config_path()
         obj = {
             "vers": CONFIG_VERSION,
             "datasources": {k: asdict(v) for k, v in self.datasources.items()},
@@ -119,7 +128,7 @@ class Catalog:
     def load(path: str | None = None) -> "Catalog":
         path = path or default_config_path()
         if not os.path.exists(path):
-            return Catalog()
+            return Catalog(path=path)
         with open(path) as f:
             obj = json.load(f)
         if not str(obj.get("vers", "")).startswith("0."):
@@ -129,4 +138,5 @@ class Catalog:
                 k: DatasourceConfig(**v) for k, v in obj.get("datasources", {}).items()
             },
             metrics={k: MetricConfig(**v) for k, v in obj.get("metrics", {}).items()},
+            path=path,
         )

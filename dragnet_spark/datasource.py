@@ -1,0 +1,84 @@
+"""Datasource resolution: config → (DataFrame, resolver, weight column).
+
+The reference's datasource backends (lib/datasource-file.js,
+lib/datasource-manta.js) differ only in listing/transport; the scan
+semantics are identical. Here every backend is "paths Spark can read",
+and the differences collapse into:
+
+* which reader (text→variant for raw NDJSON, schema'd JSON for
+  skinner points, parquet for columnar), and
+* time-partition pruning of the path list when the datasource has a
+  ``time_format`` and the query has bounds (reference S5,
+  lib/path-enum.js — at 100 TB this prunes the listing itself, so
+  out-of-range files are never even stat'd).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dragnet_spark.config import DatasourceConfig
+from dragnet_spark.query import QueryConfig
+from dragnet_spark.scan import SchemaResolver, VariantResolver, VARIANT_COL
+from dragnet_spark.sources.ndjson import read_skinner
+from dragnet_spark.sources.pathenum import prune_paths
+
+
+def resolve_paths(ds: DatasourceConfig, query: QueryConfig) -> list[str]:
+    """The concrete path list for a scan, time-pruned when possible."""
+    if ds.time_format and query.time_after is not None:
+        pruned = prune_paths(
+            ds.path, ds.time_format, query.time_after, query.time_before
+        )
+        if pruned:
+            return pruned
+        return []
+    return [ds.path]
+
+
+def list_files(paths: list[str]) -> list[str]:
+    """Recursive file listing (reference FindStream, lib/fs-find.js) —
+    used by --dry-run to show what a scan would read."""
+    out: list[str] = []
+    for p in paths:
+        if os.path.isfile(p):
+            out.append(p)
+        else:
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def load_datasource(
+    spark: SparkSession, ds: DatasourceConfig, query: QueryConfig
+):
+    """Return (df, resolver, value_col) ready for ``scan()``.
+
+    Returns (None, None, None) when time pruning eliminates every path
+    (the scan is provably empty without touching storage).
+    """
+    paths = resolve_paths(ds, query)
+    if not paths:
+        return None, None, None
+
+    if ds.data_format == "parquet" or ds.backend == "parquet":
+        df = spark.read.parquet(*paths)
+        return df, SchemaResolver(df), None
+
+    if ds.data_format == "json-skinner":
+        df = read_skinner(spark, paths, schema=ds.schema)
+        return df, SchemaResolver(df), "value"
+
+    # raw NDJSON: one-pass text → variant parse; corrupt lines dropped
+    # (counted separately by the CLI's --warnings path)
+    txt = spark.read.option("recursiveFileLookup", "true").text(paths)
+    df = (
+        txt.filter(F.trim(F.col("value")) != "")
+        .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
+        .filter(F.col(VARIANT_COL).isNotNull())
+    )
+    return df, VariantResolver(), None

@@ -77,11 +77,14 @@ class Metric:
         )
 
 
-def bucket_column(time_field: str, interval: str):
+def bucket_column(time_src, interval: str):
     """Partition key for an interval: day → 'YYYY-MM-DD', hour →
     'YYYY-MM-DDTHH' (mirrors the reference's by_day/by_hour file names,
-    lib/dragnet-impl.js:194-236)."""
-    secs = synthetic_date_column(F.col(time_field))
+    lib/dragnet-impl.js:194-236). ``time_src`` is a column name or the
+    Column carrying the raw time value."""
+    if isinstance(time_src, str):
+        time_src = F.col(time_src)
+    secs = synthetic_date_column(time_src)
     ts = F.timestamp_seconds(secs)
     fmt = "yyyy-MM-dd" if interval == "day" else "yyyy-MM-dd'T'HH"
     return F.date_format(ts, fmt)
@@ -96,20 +99,31 @@ def build_index(
     time_field: str | None = None,
     datasource_filter: Any = None,
     mode: str = "overwrite",
+    resolver=None,
 ) -> None:
-    """Materialize every metric as a partitioned parquet view."""
+    """Materialize every metric as a partitioned parquet view.
+
+    ``resolver`` carries the field-access strategy of the raw data
+    (VariantResolver for NDJSON datasources); the injected bucket
+    column shadows it via ColumnOverlayResolver.
+    """
     if interval not in ("hour", "day", "all"):
         raise ValueError(f"invalid interval: {interval}")
     if interval != "all" and not time_field:
         raise ValueError("hour/day intervals require a time_field")
 
+    from dragnet_spark.scan import ColumnOverlayResolver, SchemaResolver
+
     for m in metrics:
         q = QueryConfig(breakdowns=m.breakdowns, filter=m.filter)
         src = df
+        base = resolver or SchemaResolver(df)
+        scan_resolver = base
         if interval != "all":
             src = src.withColumn(
-                BUCKET_COL, bucket_column(time_field, interval)
+                BUCKET_COL, bucket_column(base.raw(time_field), interval)
             ).filter(F.col(BUCKET_COL).isNotNull())  # drop+warn semantics (P2)
+            scan_resolver = ColumnOverlayResolver(base, [BUCKET_COL])
         agg_keys = (
             [Breakdown(BUCKET_COL, BUCKET_COL)] if interval != "all" else []
         )
@@ -118,7 +132,12 @@ def build_index(
         q_with_bucket = QueryConfig(
             breakdowns=tuple(agg_keys) + q.breakdowns, filter=q.filter
         )
-        out = scan(src, q_with_bucket, datasource_filter=datasource_filter)
+        out = scan(
+            src,
+            q_with_bucket,
+            datasource_filter=datasource_filter,
+            resolver=scan_resolver,
+        )
         path = os.path.join(index_path, m.name)
         writer = out
         if interval != "all":

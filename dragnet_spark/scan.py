@@ -104,6 +104,27 @@ class VariantResolver:
         )
 
 
+class ColumnOverlayResolver:
+    """Delegating resolver where a set of real DataFrame columns (e.g.
+    an injected bucket/partition column) shadows the inner resolver —
+    used by the index build, where ``__dn_bucket`` is a computed column
+    on top of variant-parsed raw data."""
+
+    def __init__(self, inner, names):
+        self.inner = inner
+        self.names = set(names)
+
+    def raw(self, path: str) -> Column:
+        if path in self.names:
+            return F.col(path)
+        return self.inner.raw(path)
+
+    def grouped(self, path: str) -> Column:
+        if path in self.names:
+            return F.coalesce(F.col(path).cast("string"), F.lit("null"))
+        return self.inner.grouped(path)
+
+
 def synthetic_date_column(col: Column) -> Column:
     """Parse an ISO-8601 string or numeric epoch to floored unix seconds.
 
@@ -114,7 +135,7 @@ def synthetic_date_column(col: Column) -> Column:
     num = col.try_cast("double")
     return (
         F.when(num.isNotNull(), F.floor(num).cast("long"))
-        .otherwise(F.unix_timestamp(F.to_timestamp(col.cast("string"))))
+        .otherwise(F.unix_timestamp(F.try_to_timestamp(col.cast("string"))))
     )
 
 
@@ -214,7 +235,7 @@ def scan_ndjson(
     replaces schema inference (which would be a second full read of the
     data — untenable at 100 TB).
     """
-    txt = spark.read.text(paths)
+    txt = spark.read.option("recursiveFileLookup", "true").text(paths)
     df = (
         txt.filter(F.trim(F.col("value")) != "")
         .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))

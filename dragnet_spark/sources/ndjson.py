@@ -40,7 +40,7 @@ def read_ndjson(
     query restriction).
     """
     if keep_corrupt:
-        reader = spark.read.option("mode", "PERMISSIVE").option(
+        reader = spark.read.option("recursiveFileLookup", "true").option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", CORRUPT_COL
         )
         if schema is not None:
@@ -50,7 +50,7 @@ def read_ndjson(
             df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
         return df
 
-    reader = spark.read.option("mode", "DROPMALFORMED")
+    reader = spark.read.option("recursiveFileLookup", "true").option("mode", "DROPMALFORMED")
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.json(paths)
@@ -62,7 +62,7 @@ def read_ndjson(
 def corrupt_line_count(spark: SparkSession, paths: str | list[str]) -> int:
     """Count unparseable lines (a diagnostic action, not part of the
     scan plan): non-blank text lines minus parsed records."""
-    txt = spark.read.text(paths)
+    txt = spark.read.option("recursiveFileLookup", "true").text(paths)
     total = txt.filter(F.trim(F.col("value")) != "").count()
     return total - read_ndjson(spark, paths).count()
 

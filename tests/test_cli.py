@@ -1,0 +1,186 @@
+"""CLI tests: config CRUD output parity (tests/dn/local/tst.config.sh
+formats), scan/build/query lifecycle over the reference fixture tree,
+and the distributed index-scan → index-read plumbing."""
+
+import io
+import json
+import os
+import sys
+
+import pytest
+
+from dragnet_spark.cli import main
+
+REF_DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture
+def cfg(tmp_path, monkeypatch):
+    path = str(tmp_path / "dnconfig.json")
+    monkeypatch.setenv("DRAGNET_CONFIG", path)
+    return path
+
+
+def run(args, cfg_path=None):
+    out = io.StringIO()
+    err = io.StringIO()
+    old = sys.stderr
+    sys.stderr = err
+    try:
+        rc = main(args, out=out, config_path=cfg_path)
+    finally:
+        sys.stderr = old
+    return rc, out.getvalue(), err.getvalue()
+
+
+def test_config_crud_output_parity(cfg):
+    rc, out, _ = run(["datasource-list"], cfg)
+    assert rc == 0
+    assert out == "%-20s %-59s\n" % ("DATASOURCE", "LOCATION")
+
+    rc, _, err = run(["datasource-add", "junk3"], cfg)
+    assert rc == 2
+    assert err.splitlines()[0] == 'dn: "path" option is required'
+    assert "usage: dn SUBCOMMAND" in err
+
+    rc, _, _ = run(["datasource-add", "junk", "--path=/junk"], cfg)
+    assert rc == 0
+    rc, _, _ = run(
+        ["datasource-add", "junk2", "--path=/junk",
+         "--filter", '{ "eq": [ "req.method", "GET" ] }'], cfg
+    )
+    assert rc == 0
+
+    rc, out, _ = run(["datasource-list", "-v"], cfg)
+    lines = out.splitlines()
+    assert lines[1].startswith("junk                 file://junk")
+    assert lines[2] == '    dataFormat: "json"'
+    assert lines[4] == '    filter:     {"eq":["req.method","GET"]}'
+
+    rc, _, err = run(["datasource-add", "junk", "--path=/junk"], cfg)
+    assert rc == 1
+    assert err == 'dn: datasource "junk" already exists\n'
+
+    rc, _, _ = run(
+        ["datasource-update", "junk2", "--backend=manta", "--path=/foo/bar",
+         "--index-path=/bar/foo", "--data-format=json-skinner",
+         "--time-format=%Y", "--time-field=foo"], cfg
+    )
+    assert rc == 0
+    rc, out, _ = run(["datasource-show", "-v", "junk2"], cfg)
+    lines = out.splitlines()
+    assert lines[1].startswith("junk2                manta://us-east.manta.joyent.com/foo/bar")
+    assert '    dataFormat: "json-skinner"' in lines
+    assert '    indexPath:  "/bar/foo"' in lines
+    assert '    timeFormat: "%Y"' in lines
+    assert '    timeField:  "foo"' in lines
+
+    rc, _, _ = run(
+        ["metric-add", "junk", "reqs", "-b", "req.method,host",
+         "-f", '{"eq":["audit","true"]}'], cfg
+    )
+    assert rc == 0
+    rc, out, _ = run(["metric-list", "-v", "junk"], cfg)
+    lines = out.splitlines()
+    assert lines[1].startswith("junk                 reqs")
+    assert '    filter:     {"eq":["audit","true"]}' in lines
+    assert "    breakdowns: req.method, host" in lines
+
+    rc, out, _ = run(["index-config", "junk"], cfg)
+    got = json.loads(out)
+    assert got["metrics"][0]["name"] == "reqs"
+
+    rc, _, _ = run(["metric-remove", "junk", "reqs"], cfg)
+    assert rc == 0
+    rc, _, _ = run(["datasource-remove", "junk2"], cfg)
+    assert rc == 0
+
+    rc, _, err = run(["bogus-command"], cfg)
+    assert rc == 2
+    assert 'unknown command: "bogus-command"' in err
+
+
+def test_scan_dry_run_lists_pruned_files(cfg):
+    run(["datasource-add", "logs", f"--path={REF_DATA}",
+         "--time-format=%Y/%m-%d", "--time-field=time"], cfg)
+    rc, out, _ = run(
+        ["scan", "--dry-run", "--after", "2014-05-01", "--before", "2014-05-03",
+         "logs"], cfg
+    )
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0] == "would scan files:"
+    got = [ln.strip() for ln in lines[1:]]
+    assert got == [
+        f"{REF_DATA}/2014/05-01/one.log",
+        f"{REF_DATA}/2014/05-01/two.log",
+        f"{REF_DATA}/2014/05-02/one.log",
+        f"{REF_DATA}/2014/05-02/two.log",
+    ]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="no reference data")
+def test_scan_build_query_lifecycle(cfg, tmp_path, spark):
+    idx = str(tmp_path / "index")
+    run(["datasource-add", "logs", f"--path={REF_DATA}",
+         "--time-format=%Y/%m-%d", "--time-field=time",
+         f"--index-path={idx}"], cfg)
+    run(["metric-add", "logs", "ops",
+         "-b", "operation,timestamp[date,field=time,aggr=lquantize,step=86400]"],
+        cfg)
+
+    rc, scan_out, _ = run(["scan", "-b", "operation", "logs"], cfg)
+    assert rc == 0
+    assert scan_out.splitlines()[0].startswith("OPERATION")
+
+    rc, _, err = run(["build", "logs"], cfg)
+    assert rc == 0, err
+    assert 'indexes for "logs" built' in err
+
+    rc, q_out, _ = run(["query", "-b", "operation", "logs"], cfg)
+    assert rc == 0
+    # scan sees 2252 records; the index drops the 2 with unparseable
+    # dates (same delta as the reference, README.md:394-397)
+    scan_total = sum(int(ln.split()[-1]) for ln in scan_out.splitlines()[1:])
+    q_total = sum(int(ln.split()[-1]) for ln in q_out.splitlines()[1:])
+    assert scan_total == 2252
+    assert q_total == 2250
+
+    # bounded query: one day's worth
+    rc, day_out, _ = run(
+        ["query", "--after", "2014-05-01", "--before", "2014-05-02", "logs"], cfg
+    )
+    assert rc == 0
+    assert day_out.splitlines()[1].strip() == "500"
+
+    # a query no metric can serve
+    rc, _, err = run(["query", "-b", "host", "logs"], cfg)
+    assert rc == 1
+    assert "no metrics available to serve query" in err
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="no reference data")
+def test_index_scan_read_roundtrip(cfg, tmp_path, spark, monkeypatch):
+    """Map/reduce plumbing: index-scan points piped into index-read
+    must build the same queryable index (reference
+    tests/dn/manta/tst.index_manta.sh shape)."""
+    idx = str(tmp_path / "index2")
+    run(["datasource-add", "logs2", f"--path={REF_DATA}",
+         "--time-format=%Y/%m-%d", "--time-field=time",
+         f"--index-path={idx}"], cfg)
+    run(["metric-add", "logs2", "ops",
+         "-b", "operation,timestamp[date,field=time,aggr=lquantize,step=86400]"],
+        cfg)
+
+    rc, points, _ = run(["index-scan", "logs2"], cfg)
+    assert rc == 0
+    assert points.strip()
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO(points))
+    rc, _, err = run(["index-read", "logs2"], cfg)
+    assert rc == 0, err
+
+    rc, q_out, _ = run(["query", "-b", "operation", "logs2"], cfg)
+    assert rc == 0
+    q_total = sum(int(ln.split()[-1]) for ln in q_out.splitlines()[1:])
+    assert q_total == 2250

@@ -100,7 +100,7 @@ def test_catalog_crud_and_persistence(tmp_path):
     assert back.datasource("logs").time_field == "time"
     assert back.metrics_for("logs")[0].name == "requests"
 
-    back.metric_remove("requests")
+    back.metric_remove("logs", "requests")
     back.datasource_remove("logs")
     with pytest.raises(ConfigError, match="does not exist"):
         back.datasource_remove("logs")
