@@ -1,0 +1,185 @@
+"""Streaming variant: the same QueryConfig over Structured Streaming.
+
+The reference is a batch engine over time-partitioned files; its
+incremental story is "rebuild the affected interval" (acknowledged
+future work, lib/datasource-manta.js:258-264). This module is the
+north-star extension: continuous ``dn scan`` / ``dn build`` where new
+NDJSON files landing in the watched tree flow through the *identical*
+filter → breakdown → weighted-count semantics (scan.py is reused
+verbatim — the batch/streaming split is only source/sink wiring,
+SURVEY §7.2 step 8).
+
+Design for scale:
+
+* **Event-time windows, not processing time** — a date breakdown with
+  ``lquantize`` becomes ``window(event_time, step)``; the window start
+  is projected back to floored epoch seconds so streaming output is
+  row-compatible with the batch scan.
+* **Watermarks bound state** — the reference's documented failure mode
+  is the unbounded aggregation hash (README.md:666-698); a watermark
+  lets Spark evict finalized windows, so state ∝ active windows ×
+  group cardinality, not history.
+* **Incremental build appends partial aggregates** — each micro-batch
+  appends its per-window partial counts to the partitioned view. The
+  skinner closure property (aggregated output is valid input,
+  SURVEY §1.1) makes this correct: the query path re-aggregates, so
+  duplicate group rows across micro-batches merge at read time.
+  Compaction = re-aggregate + overwrite, a pure metadata-driven batch
+  job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dragnet_spark.krill import compile_predicate
+from dragnet_spark.query import QueryConfig
+from dragnet_spark.scan import (
+    VALUE_COL,
+    VARIANT_COL,
+    VariantResolver,
+    breakdown_column,
+    synthetic_date_column,
+)
+
+EVENT_TIME_COL = "__dn_event_time"
+
+
+def read_ndjson_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream raw NDJSON files from a directory tree as a variant
+    column — the streaming twin of scan_ndjson's reader (corrupt lines
+    dropped, no schema inference pass)."""
+    reader = (
+        spark.readStream.option("recursiveFileLookup", "true")
+        .format("text")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    txt = reader.load(path)
+    return (
+        txt.filter(F.trim(F.col("value")) != "")
+        .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
+        .filter(F.col(VARIANT_COL).isNotNull())
+    )
+
+
+def stream_scan(
+    sdf: DataFrame,
+    query: QueryConfig,
+    datasource_filter=None,
+    resolver=None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Compile a QueryConfig against a streaming DataFrame.
+
+    Returns a streaming aggregation whose rows match the batch
+    ``scan()`` output (breakdown columns + ``value``). When the query
+    has a date breakdown with lquantize (a tumbling window), the
+    aggregation is windowed on event time with a watermark — append
+    mode works and state is bounded. Otherwise it is a running global
+    aggregation (complete/update mode).
+    """
+    resolver = resolver or VariantResolver()
+    out = sdf
+
+    if datasource_filter:
+        out = out.filter(compile_predicate(datasource_filter, resolver.raw))
+    if query.filter:
+        out = out.filter(compile_predicate(query.filter, resolver.raw))
+
+    # locate a tumbling-window breakdown: date + lquantize
+    window_b = next(
+        (b for b in query.breakdowns if b.date and b.aggr == "lquantize"), None
+    )
+
+    for b in query.synthetic_dates:
+        out = out.filter(synthetic_date_column(resolver.raw(b.field)).isNotNull())
+    for b in query.breakdowns:
+        if b.bucketized and not b.date:
+            out = out.filter(breakdown_column(resolver, b).isNotNull())
+
+    if window_b is None:
+        keys = [breakdown_column(resolver, b).alias(b.name) for b in query.breakdowns]
+        if not keys:
+            return out.agg(
+                F.coalesce(F.sum(F.lit(1)), F.lit(0)).cast("long").alias(VALUE_COL)
+            )
+        return out.groupBy(*keys).agg(
+            F.sum(F.lit(1)).cast("long").alias(VALUE_COL)
+        )
+
+    step = window_b.step or 1
+    secs = synthetic_date_column(resolver.raw(window_b.field))
+    out = (
+        out.withColumn(EVENT_TIME_COL, F.timestamp_seconds(secs))
+        .filter(F.col(EVENT_TIME_COL).isNotNull())
+        .withWatermark(EVENT_TIME_COL, watermark)
+    )
+    other = [b for b in query.breakdowns if b is not window_b]
+    keys = [breakdown_column(resolver, b).alias(b.name) for b in other]
+    win = F.window(F.col(EVENT_TIME_COL), f"{step} seconds")
+    agg = out.groupBy(win.alias("__dn_window"), *keys).agg(
+        F.sum(F.lit(1)).cast("long").alias(VALUE_COL)
+    )
+    # project the window start back to floored epoch seconds so rows
+    # are column-compatible with the batch scan() output
+    cols = []
+    for b in query.breakdowns:
+        if b is window_b:
+            cols.append(
+                F.unix_timestamp(F.col("__dn_window.start")).alias(b.name)
+            )
+        else:
+            cols.append(F.col(b.name))
+    return agg.select(*cols, F.col(VALUE_COL))
+
+
+def stream_build(
+    sdf: DataFrame,
+    metrics,
+    index_path: str,
+    interval: str = "day",
+    time_field: str | None = None,
+    datasource_filter=None,
+    resolver=None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Continuous ``dn build``: append each micro-batch's partial
+    aggregates to the same partitioned parquet views the batch build
+    writes. Correct under re-aggregation (closure property); the query
+    path's groupBy().sum() merges partials from different batches.
+
+    Returns the StreamingQuery handle.
+    """
+    from dragnet_spark.index.build import build_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        r = resolver
+        if r is None and VARIANT_COL in batch_df.columns:
+            r = VariantResolver()
+        build_index(
+            batch_df.sparkSession,
+            batch_df,
+            metrics,
+            index_path,
+            interval=interval,
+            time_field=time_field,
+            datasource_filter=datasource_filter,
+            mode="append",
+            resolver=r,
+        )
+
+    writer = sdf.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
