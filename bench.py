@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "q5_revenue_by_nation",
     "top_customers_per_nation",
     "orders_with_discounted_lines",
+    # training-data pipeline families (first-class at 100 TB)
+    "text_tokens_by_source",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "ann_cosine_topk_blocked",
 ]
 
 

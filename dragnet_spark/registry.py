@@ -466,6 +466,8 @@ def orders_with_discounted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from dragnet_spark.ops import text as _text  # noqa: E402
 from dragnet_spark.ops.dedup import (  # noqa: E402
+    embedding_near_dup_lsh,
+    embedding_near_dup_pairs,
     exact_dup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -617,6 +619,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     return df.select("doc_id", simhash64("text").alias("simhash"))
+
+
+_EMB_T = 0.42  # driver's synthetic embeddings are near-orthogonal (max cos ≈ 0.51)
+_EMB_COS = (
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 6)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_EMB_COS} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_EMB_COS} >= {_EMB_T}
+    """,
+    "embedding-cosine near-dup pairs (exact all-pairs baseline; norms "
+    "precomputed per row so the quadratic stage is one dot per pair)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=_EMB_T
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    None,  # probabilistic recall → rows-only check; pytest asserts
+    # equality with the exact operator at these parameters
+    "same pairs via sign-random-projection LSH candidates + exact "
+    "verification (the 100 TB path: shuffle keys on (band, bucket), "
+    "never the O(n^2) cross product)",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_EMB_T,
+        dims=64,
+        bits_per_band=2,
+        bands=24,
+    ).select("id_a", "id_b", "cosine")
 
 
 _ANN_ORACLE = """

@@ -27,6 +27,17 @@ def get_spark(
     On a real cluster, pass ``master=None`` with spark-submit supplying
     the master URL, and size ``shuffle_partitions`` ~2-3x total cores.
     """
+    # Pandas-UDF closures reference this package by module name; make
+    # sure executor Python workers can import it no matter where the
+    # driver process was launched from (cluster equivalent: ship the
+    # package with --py-files / a venv archive).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"

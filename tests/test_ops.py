@@ -15,7 +15,7 @@ from dragnet_spark.ops.similarity import cosine_topk, cosine_topk_blocked
 from dragnet_spark.ops.text import lang_id, token_count
 from dragnet_spark.sources.tables import load_table
 
-from tests.conftest import rows_set
+from tests.conftest import duck_set, rows_set
 
 
 def test_exact_dedup_finds_planted_dups(spark):
@@ -143,3 +143,48 @@ def test_multimodal_stub_raises_without_decoder(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|decoders"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_embedding_near_dup_exact_matches_oracle(spark, sf_dir, oracle):
+    from dragnet_spark.ops.dedup import embedding_near_dup_pairs
+    from dragnet_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = rows_set(embedding_near_dup_pairs(emb, threshold=0.42))
+    cos = (
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6)"
+    )
+    want = duck_set(
+        oracle,
+        f"""SELECT a.vec_id, b.vec_id, {cos} FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id WHERE {cos} >= 0.42""",
+    )
+    assert got == want and got
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark):
+    """Clustered vectors with small noise: LSH-bucketed candidates +
+    exact verification must reproduce the exact all-pairs result."""
+    import numpy as np
+
+    from dragnet_spark.ops.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((6, 32))
+    rows = []
+    for i in range(60):
+        c = centers[i % 6]
+        v = c + 0.05 * rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = rows_set(embedding_near_dup_pairs(df, threshold=0.9))
+    lsh = rows_set(
+        embedding_near_dup_lsh(df, threshold=0.9, dims=32, bits_per_band=4, bands=16)
+    )
+    assert exact  # clusters genuinely produce near-dups
+    assert lsh == exact
