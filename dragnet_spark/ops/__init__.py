@@ -11,3 +11,21 @@ friendly, no driver-side state); Pandas UDFs appear only where
 vectorized Python is genuinely needed (multimodal decode stubs,
 blocked matrix similarity).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row stages (minhash over shingles, plane
+    signatures, simhash bits) use every core: a small input that
+    arrived as one or two file splits is round-robin repartitioned to
+    the cluster's default parallelism. At real scale inputs already
+    carry more partitions than cores, so this is a no-op — the 100 TB
+    path stays shuffle-free."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

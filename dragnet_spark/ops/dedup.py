@@ -21,10 +21,20 @@ All outputs order pairs as id_a < id_b to keep results canonical.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
-from dragnet_spark.ops.text import fingerprint, minhash_signature, tokens
+from dragnet_spark.ops import spread
+from dragnet_spark.ops.text import (
+    MINHASH_P,
+    fingerprint,
+    minhash_coeffs,
+    shingle_hash,
+    shingles,
+    tokens,
+)
 
 
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -41,10 +51,16 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def token_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def token_sets(
+    df: DataFrame, text_col: str, id_col: str, ngram: int = 1
+) -> DataFrame:
+    """Distinct shingle sets (ngram=1 → plain token sets). Near-dup
+    similarity uses 3-shingles by default: over a small vocabulary,
+    bare token sets saturate (most pairs look alike) while consecutive
+    word n-grams stay discriminative."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens(text_col)).alias("tset"),
+        F.array_distinct(shingles(text_col, ngram)).alias("tset"),
     )
 
 
@@ -55,14 +71,16 @@ def _jaccard(a: Column, b: Column) -> Column:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8,
+    ngram: int = 3,
 ) -> DataFrame:
-    """Exact all-pairs token-set Jaccard ≥ threshold. O(n²) — use only
+    """Exact all-pairs shingle-set Jaccard ≥ threshold. O(n²) — use only
     on small/pre-blocked inputs; the scale path is minhash_lsh_pairs."""
-    a = token_sets(df, text_col, id_col).select(
+    df = spread(df)
+    a = token_sets(df, text_col, id_col, ngram).select(
         F.col("id").alias("id_a"), F.col("tset").alias("ts_a")
     )
-    b = token_sets(df, text_col, id_col).select(
+    b = token_sets(df, text_col, id_col, ngram).select(
         F.col("id").alias("id_b"), F.col("tset").alias("ts_b")
     )
     return (
@@ -80,6 +98,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.8,
+    ngram: int = 3,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact-Jaccard
     verification of candidates only.
@@ -87,45 +106,65 @@ def minhash_lsh_pairs(
     rows-per-band r = num_hashes/bands; a pair collides in some band
     with probability 1-(1-j^r)^bands. Band hash is md5 over the band's
     signature slice.
+
+    Shuffle discipline for 100 TB: the band join carries only
+    (band, bhash, id) — the shingle sets needed for verification are
+    joined back *after* candidate pairs are deduplicated, so the
+    potentially-wide text payload never rides through the bucket
+    shuffle or the pair-dedup shuffle.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
-    base = df.select(
+    df = spread(df)
+    sets = token_sets(df, text_col, id_col, ngram)
+    # signature via explode + groupBy: each shingle is md5-hashed ONCE,
+    # the k permutations are cheap modular arithmetic, and the partial
+    # aggregation means the shuffle carries k longs per document
+    ex = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(tokens(text_col)).alias("tset"),
-        minhash_signature(text_col, num_hashes).alias("sig"),
+        F.explode(F.array_distinct(shingles(text_col, ngram))).alias("sh"),
+    )
+    h = shingle_hash(F.col("sh"))
+    base = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"__m{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
     )
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
                 F.md5(
-                    F.concat_ws("\x1f", *[F.col("sig")[i * r + j] for j in range(r)])
+                    F.concat_ws(
+                        "\x1f", *[F.col(f"__m{i * r + j}") for j in range(r)]
+                    )
                 ).alias("bhash"),
             )
             for i in range(bands)
         ]
     )
-    banded = base.select("id", "tset", F.explode(band_arr).alias("b")).select(
-        "id", "tset", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+    banded = base.select("id", F.explode(band_arr).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
     )
 
-    left = banded.select(
-        F.col("band"), F.col("bhash"), F.col("id").alias("id_a"), F.col("tset").alias("ts_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bhash"), F.col("id").alias("id_b"), F.col("tset").alias("ts_b")
-    )
+    left = banded.select("band", "bhash", F.col("id").alias("id_a"))
+    right = banded.select("band", "bhash", F.col("id").alias("id_b"))
     candidates = (
         left.join(right, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ts_a", "ts_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    with_sets = candidates.join(
+        sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ts_a")), "id_a"
+    ).join(
+        sets.select(F.col("id").alias("id_b"), F.col("tset").alias("ts_b")), "id_b"
+    )
     return (
-        candidates.withColumn("jaccard", _jaccard(F.col("ts_a"), F.col("ts_b")))
+        with_sets.withColumn("jaccard", _jaccard(F.col("ts_a"), F.col("ts_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -210,6 +249,7 @@ def embedding_near_dup_pairs(
     Rounding before the threshold keeps results reproducible across
     engines/summation orders.
     """
+    df = spread(df)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -232,14 +272,47 @@ def hyperplane_signature(
     vec_col, planes: list[list[float]]
 ):
     """Random-hyperplane sign bits (SRP-LSH): bit i = dot(v, plane_i) >= 0.
-    Returns an array<int> of 0/1. Pure expressions — computed per row
-    with no shuffle."""
+    Returns an array<int> of 0/1. Pure expressions — fine for a handful
+    of planes; for full signatures use :func:`_band_buckets_udf` (one
+    BLAS matmul per Arrow batch instead of a planes×dims literal tree)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = [
         F.when(_vdot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1).otherwise(0)
         for p in planes
     ]
     return F.array(*bits)
+
+
+def _band_buckets_udf(planes, bands: int, bits_per_band: int):
+    """Pandas UDF: embedding → array of per-band bucket strings.
+
+    signs = (V @ P.T >= 0) computed as one matmul per Arrow batch; each
+    band's bit-slice is rendered as a '0101…' bucket key. ~100× the
+    scalar-expression throughput and the plan stays small (the plane
+    matrix ships once in the closure, not as 6k literal nodes).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)
+
+    @pandas_udf("array<string>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        out = []
+        if len(vecs) == 0:
+            return pd.Series(out)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (M @ P.T >= 0).astype(np.uint8)  # n × (bands·r)
+        for row in signs:
+            out.append(
+                [
+                    "".join("1" if x else "0"
+                            for x in row[i * bits_per_band:(i + 1) * bits_per_band])
+                    for i in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return buckets
 
 
 def embedding_near_dup_lsh(
@@ -265,8 +338,6 @@ def embedding_near_dup_lsh(
     buckets. ``dims`` defaults to the first row's vector length (one
     driver lookup; pass it explicitly in pipelines).
     """
-    import numpy as np
-
     if dims is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
@@ -275,51 +346,34 @@ def embedding_near_dup_lsh(
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((bands * bits_per_band, dims)).tolist()
 
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        hyperplane_signature(vec_col, planes).alias("__bits"),
-    )
-    # one row per band: bucket key = that band's bit-slice as a string
-    band_rows = sig.select(
-        "__id",
-        "__vec",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.concat_ws(
-                        "",
-                        *[
-                            F.col("__bits")[i * bits_per_band + j].cast("string")
-                            for j in range(bits_per_band)
-                        ],
-                    ).alias("bucket"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("__id", "__vec", "bb.band", "bb.bucket")
+    df = spread(df)
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    buckets_udf = _band_buckets_udf(planes, bands, bits_per_band)
+    # one row per band: (band index, that band's bucket key); vectors
+    # do NOT ride the bucket shuffle — they are joined back onto the
+    # (few) deduplicated candidate pairs for verification
+    band_rows = vecs.select(
+        "__id", buckets_udf(F.col("__vec")).alias("__buckets")
+    ).select("__id", F.posexplode(F.col("__buckets")).alias("band", "bucket"))
 
-    a = band_rows.select(
-        F.col("band"), F.col("bucket"),
-        F.col("__id").alias("id_a"), F.col("__vec").alias("va"),
-    )
-    b = band_rows.select(
-        F.col("band"), F.col("bucket"),
-        F.col("__id").alias("id_b"), F.col("__vec").alias("vb"),
-    )
+    a = band_rows.select("band", "bucket", F.col("__id").alias("id_a"))
+    b = band_rows.select("band", "bucket", F.col("__id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    with_vecs = cand.join(
+        vecs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("va")), "id_a"
+    ).join(
+        vecs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vb")), "id_b"
     )
     cos = F.round(
         _vdot(F.col("va"), F.col("vb"))
         / (_vnorm(F.col("va")) * _vnorm(F.col("vb"))),
         6,
     )
-    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+    return with_vecs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from dragnet_spark.ops import spread
+
 
 def _dot(a, b):
     return F.aggregate(

@@ -38,6 +38,31 @@ def tokens_sql(expr: str) -> str:
     return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
 
 
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Consecutive n-token shingles (w-shingling), the unit of
+    near-dup similarity: random token *sequences* are near-unique even
+    over a tiny vocabulary, where bare token sets saturate (every doc
+    pair looks similar). Shingle separator is 0x1f. Documents shorter
+    than n tokens produce one whole-document shingle."""
+    if n <= 1:
+        return tokens(col)
+    toks = tokens(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(
+        starts, lambda i: F.concat_ws("\x1f", F.slice(toks, i, n))
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    if n <= 1:
+        return tokens_sql(expr)
+    toks = tokens_sql(expr)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), chr(31)))"
+    )
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
@@ -171,20 +196,59 @@ def minhash_signature(col: Column | str, num_hashes: int = 16) -> Column:
     lexicographic min == numeric min, so the same signature is
     computable in any engine.
     """
-    toks = F.array_distinct(tokens(col))
+    return minhash_signature_ngram(col, num_hashes, ngram=1)
+
+
+# universal-hash minhash: each shingle is md5-hashed ONCE to a 28-bit
+# integer h; permutation i is the universal hash (a_i*h + b_i) mod p.
+# 28-bit h keeps a_i*h within int64 under ANSI arithmetic; coefficients
+# are fixed by seed so Spark and the SQL oracle agree literal-for-
+# literal. This replaces k md5 passes per shingle set with one.
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hash(col: Column) -> Column:
+    """28-bit integer hash of one shingle: first 7 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def shingle_hash_sql(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 7) AS BIGINT)"
+
+
+def minhash_signature_ngram(
+    col: Column | str, num_hashes: int = 16, ngram: int = 1
+) -> Column:
+    """MinHash signature as one array expression (small inputs / tests;
+    the scale path is dedup.minhash_lsh_pairs' explode+groupBy shape,
+    which hashes each shingle exactly once)."""
+    hs = F.transform(
+        F.array_distinct(shingles(col, ngram)), lambda t: shingle_hash(t)
+    )
     sig = [
         F.array_min(
-            F.transform(toks, lambda t, i=i: F.md5(F.concat(F.lit(f"{i}\x1f"), t)))
+            F.transform(hs, lambda h, a=a, b=b: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
         )
-        for i in range(num_hashes)
+        for a, b in minhash_coeffs(num_hashes)
     ]
     return F.array(*sig)
 
 
-def minhash_signature_sql(expr: str, num_hashes: int = 16) -> str:
-    toks = f"list_distinct({tokens_sql(expr)})"
+def minhash_signature_sql(expr: str, num_hashes: int = 16, ngram: int = 1) -> str:
+    toks = f"list_distinct({shingles_sql(expr, ngram)})"
+    hs = f"list_transform({toks}, t -> {shingle_hash_sql('t')})"
     parts = ", ".join(
-        f"list_aggregate(list_transform({toks}, t -> md5('{i}' || chr(31) || t)), 'min')"
-        for i in range(num_hashes)
+        f"list_min(list_transform({hs}, h -> (CAST({a} AS BIGINT) * h + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(num_hashes)
     )
     return f"[{parts}]"

