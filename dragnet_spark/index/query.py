@@ -134,20 +134,25 @@ def query_index(
         hi = _bucket_bounds(query.time_before, interval)
         df = df.filter((F.col(BUCKET_COL) >= lo) & (F.col(BUCKET_COL) <= hi))
 
+    # view columns are breakdown NAMES, which may contain dots
+    # (req.caller) — quote them so Spark doesn't parse struct access
+    def vcol(name: str):
+        return F.col("`%s`" % name)
+
     if query.filter is not None and not ignore_filter:
-        df = df.filter(compile_predicate(query.filter))
+        df = df.filter(compile_predicate(query.filter, vcol))
 
     # record-level time bounds on the date breakdown column (the bucket
     # prune above is directory-granular, this is exact)
     if query.time_after is not None:
         date_col = next(b.name for b in metric.breakdowns if b.date)
-        ts = F.col(date_col)
+        ts = vcol(date_col)
         df = df.filter((ts >= query.time_after) & (ts < query.time_before))
 
     if not query.breakdowns:
         return df.agg(
             F.coalesce(F.sum(VALUE_COL), F.lit(0)).cast("long").alias(VALUE_COL)
         )
-    return df.groupBy(*[b.name for b in query.breakdowns]).agg(
-        F.sum(VALUE_COL).cast("long").alias(VALUE_COL)
-    )
+    return df.groupBy(
+        *[vcol(b.name).alias(b.name) for b in query.breakdowns]
+    ).agg(F.sum(VALUE_COL).cast("long").alias(VALUE_COL))
