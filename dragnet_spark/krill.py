@@ -132,7 +132,12 @@ def _leaf_column(
         cmp = F.lit(op == "ne")
     else:
         cmp = _apply_op(col.cast("string"), op, F.lit(str(const)))
-    return col.isNotNull() & F.coalesce(cmp, F.lit(False))
+    # NO coalesce(cmp, false) around cmp: inside a filter, a NULL
+    # predicate already drops the row (identically under AND/OR since
+    # krill has no NOT), and the bare comparison stays pushdown-
+    # eligible — Catalyst elides the no-op string cast on string
+    # columns and pushes EqualTo into the parquet scan.
+    return col.isNotNull() & cmp
 
 
 def _apply_op(lhs: Column, op: str, rhs: Column) -> Column:

@@ -141,3 +141,14 @@ def test_ordered_sorts_column_major(tables):
     rows = ordered(scan(tables["events"], q)).collect()
     keys = [r.event_type for r in rows]
     assert keys == sorted(keys)
+
+
+def test_string_filter_pushes_into_parquet_scan(tables, capsys):
+    """Krill string equality must reach the parquet reader as a pushed
+    filter (scale contract: row-group skipping at 100 TB), and column
+    pruning must reduce ReadSchema to the referenced column."""
+    q = QueryConfig.load("event_type", filter={"eq": ["event_type", "click"]})
+    scan(tables["events"], q).explain("formatted")
+    plan = capsys.readouterr().out
+    assert "EqualTo(event_type,click)" in plan
+    assert "ReadSchema: struct<event_type:string>" in plan
