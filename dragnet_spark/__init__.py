@@ -28,21 +28,33 @@ from dragnet_spark.krill import (
     validate_predicate,
     predicate_fields,
 )
+from dragnet_spark.config import Catalog, DatasourceConfig, MetricConfig
+from dragnet_spark.index.build import Metric, build_index
+from dragnet_spark.index.query import query_index
+from dragnet_spark.output.format import render
 from dragnet_spark.query import QueryConfig
-from dragnet_spark.scan import scan
+from dragnet_spark.scan import scan, scan_ndjson
 from dragnet_spark.session import get_spark
 
 __all__ = [
     "Breakdown",
+    "Catalog",
+    "DatasourceConfig",
     "KrillError",
+    "Metric",
+    "MetricConfig",
     "QueryConfig",
+    "build_index",
     "compile_predicate",
     "compile_predicate_sql",
     "get_spark",
     "parse_breakdown",
     "parse_breakdowns",
     "predicate_fields",
+    "query_index",
+    "render",
     "scan",
+    "scan_ndjson",
     "validate_predicate",
 ]
 

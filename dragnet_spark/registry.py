@@ -630,6 +630,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", simhash64("text").alias("simhash"))
 
 
+from dragnet_spark.ops.skew import (  # noqa: E402
+    salted_count_distinct,
+    salted_top_values,
+)
+
+
+@register(
+    "events_distinct_users_by_type",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    "skew-proof exact distinct count: two-stage (key, hash(v)%salt) "
+    "aggregation — a hot key fans out over salt reducers instead of "
+    "one task deduplicating billions of rows",
+)
+def events_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_count_distinct(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", salt=16
+    )
+
+
+@register(
+    "events_top_users_by_type",
+    """
+    SELECT event_type, value, weight, rank FROM (
+      SELECT event_type, user_id AS value,
+             CAST(COUNT(*) AS BIGINT) AS weight,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY COUNT(*) DESC, user_id) AS INT) AS rank
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rank <= 5
+    """,
+    "skew-proof per-key top-N by weight: algebraic per-value counts, "
+    "candidate pruning per salt bucket, final re-rank "
+    "(the reference's future-work top-N, docs/design-stateful.md:166)",
+)
+def events_top_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_top_values(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", n=5, salt=16
+    )
+
+
 _EMB_T = 0.42  # driver's synthetic embeddings are near-orthogonal (max cos ≈ 0.51)
 _EMB_COS = (
     "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

@@ -184,3 +184,35 @@ def test_index_scan_read_roundtrip(cfg, tmp_path, spark, monkeypatch):
     assert rc == 0
     q_total = sum(int(ln.split()[-1]) for ln in q_out.splitlines()[1:])
     assert q_total == 2250
+
+
+def test_empty_input_semantics(cfg, tmp_path, spark):
+    """tst.empty.sh: zero-breakdown scan of empty input prints a zero
+    VALUE (and one zero point); grouped scans print nothing."""
+    empty = tmp_path / "empty.log"
+    empty.write_text("")
+    run(["datasource-add", "devnull", f"--path={empty}"], cfg)
+
+    rc, out, _ = run(["scan", "devnull"], cfg)
+    assert rc == 0
+    assert out == "VALUE\n    0\n"
+
+    rc, out, _ = run(["scan", "--points", "devnull"], cfg)
+    assert rc == 0
+    assert out == '{"fields":{},"value":0}\n'
+
+    rc, out, _ = run(["scan", "-b", "timestamp", "devnull"], cfg)
+    assert rc == 0
+    assert out == ""
+
+    rc, out, _ = run(
+        ["scan", "-b", "timestamp[aggr=quantize],req.method", "devnull"], cfg
+    )
+    assert rc == 0
+    assert out == ""
+
+    rc, out, _ = run(
+        ["scan", "-f", '{ "eq": [ "audit", true ] }', "devnull"], cfg
+    )
+    assert rc == 0
+    assert out == "VALUE\n    0\n"

@@ -188,3 +188,39 @@ def test_embedding_near_dup_lsh_matches_exact(spark):
     )
     assert exact  # clusters genuinely produce near-dups
     assert lsh == exact
+
+
+def test_salted_count_distinct_matches_exact(spark, sf_dir):
+    from dragnet_spark.ops.skew import salted_count_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    got = rows_set(
+        salted_count_distinct(events, ["event_type"], "user_id", salt=8)
+    )
+    want = rows_set(
+        events.groupBy("event_type").agg(
+            F.count_distinct("user_id").cast("long").alias("n_distinct")
+        )
+    )
+    assert got == want and got
+
+
+def test_salted_top_values_matches_window_topn(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from dragnet_spark.ops.skew import salted_top_values
+
+    events = load_table(spark, sf_dir, "events")
+    got = rows_set(
+        salted_top_values(events, ["event_type"], "user_id", n=5, salt=8)
+    )
+    per = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("weight"), F.asc("user_id"))
+    want = rows_set(
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", F.col("user_id").alias("value"), "weight", "rank")
+    )
+    assert got == want and got
