@@ -3,5 +3,12 @@ from dragnet_spark.streaming.pipeline import (
     stream_build,
     stream_scan,
 )
+from dragnet_spark.streaming.stateful import sessionize, stream_running_counts
 
-__all__ = ["read_ndjson_stream", "stream_build", "stream_scan"]
+__all__ = [
+    "read_ndjson_stream",
+    "sessionize",
+    "stream_build",
+    "stream_running_counts",
+    "stream_scan",
+]

@@ -124,3 +124,48 @@ def test_corrupt_tolerance_fileset(spark):
     q = QueryConfig.load()
     got = scan_ndjson(spark, files, q).collect()[0]["value"]
     assert got == 2252
+
+
+FILESET_GOLDEN = f"{REF}/tests/dn/local/tst.scan_fileset.sh.out"
+
+
+def _gnuplot_blocks():
+    """Extract the two generated-gnuplot blocks from the fileset golden."""
+    with open(FILESET_GOLDEN) as f:
+        lines = f.read().split("\n")
+    blocks, cur = [], None
+    for i, ln in enumerate(lines):
+        if ln == "# This is a GNUplot input file generated automatically":
+            cur = ["#", ln]
+        elif cur is not None:
+            cur.append(ln)
+            if ln == "\te":
+                blocks.append("\n".join(cur) + "\n")
+                cur = None
+    return blocks
+
+
+@pytest.mark.skipif(
+    not os.path.exists(FILESET_GOLDEN), reason="fileset golden not present"
+)
+def test_gnuplot_golden_parity(spark):
+    """Byte-exact gnuplot scripts for the date-window and categorical
+    cases (tst.scan_fileset.sh:29-31)."""
+    from dragnet_spark.output.format import format_gnuplot
+
+    files = sorted(glob_files())
+    want_date, want_cat = _gnuplot_blocks()
+
+    q1 = QueryConfig.load("timestamp[field=time,date,aggr=lquantize,step=86400]")
+    rows1 = [tuple(r) for r in scan_ndjson(spark, files, q1).collect()]
+    assert format_gnuplot(rows1, q1, "test_input") == want_date
+
+    q2 = QueryConfig.load("req.method")
+    rows2 = [tuple(r) for r in scan_ndjson(spark, files, q2).collect()]
+    assert format_gnuplot(rows2, q2, "test_input") == want_cat
+
+
+def glob_files():
+    import glob as g
+
+    return g.glob(f"{REF}/tests/data/2014/*/*.log")

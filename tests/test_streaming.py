@@ -9,6 +9,7 @@ import time
 import glob
 
 import pytest
+from pyspark.sql import functions as F
 
 from dragnet_spark.index.build import Metric
 from dragnet_spark.index.query import query_index
@@ -128,3 +129,70 @@ def test_stream_build_incremental_index_matches_batch(spark, watched_dir, tmp_pa
 
     raw = spark.read.parquet(f"{idx}/ops")
     assert raw.count() >= raw.select("operation", "timestamp").distinct().count()
+
+
+def test_sessionize_batch_semantics(spark):
+    """Gap-based sessions: events within the gap merge, a larger gap
+    splits. Batch mode doubles as the oracle for the streaming path."""
+    from dragnet_spark.streaming.stateful import sessionize
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:10:00"),   # within 30m gap → same session
+        ("u1", "2024-01-01 11:30:00"),   # > 30m after previous → new session
+        ("u2", "2024-01-01 10:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts string").select(
+        "user", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (r["user"], r["session_start"], r["value"])
+        for r in sessionize(df, "ts", ["user"], gap="30 minutes").collect()
+    }
+    import datetime as dt
+
+    def ep(s):
+        return int(
+            dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc).timestamp()
+        )
+
+    assert got == {
+        ("u1", ep("2024-01-01T10:00:00"), 2),
+        ("u1", ep("2024-01-01T11:30:00"), 1),
+        ("u2", ep("2024-01-01T10:05:00"), 1),
+    }
+
+
+def test_stream_running_counts_converge_to_batch(spark, watched_dir):
+    """applyInPandasWithState running totals: after all micro-batches,
+    the latest emission per key equals the batch group count."""
+    from dragnet_spark.streaming import read_ndjson_stream
+    from dragnet_spark.streaming.stateful import stream_running_counts
+    from dragnet_spark.scan import VariantResolver
+
+    sdf = read_ndjson_stream(spark, watched_dir, max_files_per_trigger=3)
+    r = VariantResolver()
+    keyed = sdf.select(r.raw("operation").alias("operation"))
+    res = stream_running_counts(keyed, ["operation"])
+    q = (
+        res.writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # keep only each key's final (maximal) emission
+    final = {
+        r["operation"]: r["n_events"]
+        for r in spark.sql(
+            "select operation, max(n_events) as n_events from running group by operation"
+        ).collect()
+    }
+    batch = {
+        r["operation"]: r["value"]
+        for r in scan_ndjson(
+            spark, watched_dir, QueryConfig.load("operation")
+        ).collect()
+    }
+    assert final == batch
