@@ -311,6 +311,27 @@ def _render_result(df, query, opts, out, title):
     out.write(render(df, query, mode=mode, title=title))
 
 
+def _print_counters(observations: dict, noutputs: int) -> None:
+    """Per-stage counters to stderr (reference: vsDumpCounters shape,
+    'NAME<pad19>label:<right-pad to 21> N'). Observations piggyback on
+    the scan's single pass — no extra jobs."""
+
+    def line(name, label, value):
+        lbl = label + ":"
+        sys.stderr.write("%-19s%s%s\n" % (name, lbl, str(value).rjust(21 - len(lbl))))
+
+    parser = observations.get("json parser")
+    adapter = observations.get("adapter")
+    ninputs = parser.get.get("ninputs", 0) if parser else 0
+    nparsed = adapter.get.get("noutputs", 0) if adapter else 0
+    if parser:
+        line("json parser", "ninputs", ninputs)
+        line("json parser", "noutputs", nparsed)
+        if ninputs > nparsed:
+            line("json parser", "invalid json", ninputs - nparsed)
+    line("Aggregator", "noutputs", noutputs)
+
+
 def cmd_scan(argv, cat: Catalog, out):
     from dragnet_spark.datasource import list_files, load_datasource, resolve_paths
     from dragnet_spark.scan import scan
@@ -329,13 +350,19 @@ def cmd_scan(argv, cat: Catalog, out):
         return
 
     spark = _get_spark()
-    df, resolver, value_col = load_datasource(spark, ds, query)
+    observations = {} if opts.get("counters") else None
+    df, resolver, value_col = load_datasource(
+        spark, ds, query, observations=observations
+    )
     if df is None:
         _render_result([], query, opts, out, dsname)
         return
     res = scan(df, query, datasource_filter=ds.filter,
                value_col=value_col, resolver=resolver)
-    _render_result(res, query, opts, out, dsname)
+    rows = [tuple(r) for r in res.collect()]
+    _render_result(rows, query, opts, out, dsname)
+    if observations:
+        _print_counters(observations, len(rows))
     if opts.get("warnings"):
         from dragnet_spark.sources.ndjson import corrupt_line_count
 

@@ -54,12 +54,20 @@ def list_files(paths: list[str]) -> list[str]:
 
 
 def load_datasource(
-    spark: SparkSession, ds: DatasourceConfig, query: QueryConfig
+    spark: SparkSession,
+    ds: DatasourceConfig,
+    query: QueryConfig,
+    observations: dict | None = None,
 ):
     """Return (df, resolver, value_col) ready for ``scan()``.
 
     Returns (None, None, None) when time pruning eliminates every path
     (the scan is provably empty without touching storage).
+
+    Pass a dict as ``observations`` to get per-stage counters
+    piggybacked on the same single pass (the reference's vstream
+    counters, --counters): it is filled with pyspark Observation
+    objects keyed by stage name; read them after an action runs.
     """
     paths = resolve_paths(ds, query)
     if not paths:
@@ -74,11 +82,24 @@ def load_datasource(
         return df, SchemaResolver(df), "value"
 
     # raw NDJSON: one-pass text → variant parse; corrupt lines dropped
-    # (counted separately by the CLI's --warnings path)
+    # (counted by the observation / the CLI's --warnings path)
     txt = spark.read.option("recursiveFileLookup", "true").text(paths)
+    if observations is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("json parser")
+        observations["json parser"] = obs
+        txt = txt.observe(obs, F.count(F.lit(1)).alias("ninputs"))
+    nonblank = txt.filter(F.trim(F.col("value")) != "")
     df = (
-        txt.filter(F.trim(F.col("value")) != "")
+        nonblank
         .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
         .filter(F.col(VARIANT_COL).isNotNull())
     )
+    if observations is not None:
+        from pyspark.sql import Observation
+
+        obs2 = Observation("adapter")
+        observations["adapter"] = obs2
+        df = df.observe(obs2, F.count(F.lit(1)).alias("noutputs"))
     return df, VariantResolver(), None

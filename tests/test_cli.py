@@ -216,3 +216,18 @@ def test_empty_input_semantics(cfg, tmp_path, spark):
     )
     assert rc == 0
     assert out == "VALUE\n    0\n"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="no reference data")
+def test_scan_counters_one_pass(cfg, spark):
+    """--counters piggybacks Observations on the scan's single pass and
+    reports the reference's parser numbers (2254 lines, 2252 parsed,
+    2 invalid — tst.scan_fileset.sh.out:2475-2477)."""
+    run(["datasource-add", "clogs", f"--path={REF_DATA}"], cfg)
+    rc, out, err = run(["scan", "--counters", "-b", "req.method", "clogs"], cfg)
+    assert rc == 0
+    assert out.splitlines()[0].startswith("REQ.METHOD")
+    assert "json parser        ninputs:         2254" in err
+    assert "json parser        noutputs:        2252" in err
+    assert "json parser        invalid json:       2" in err
+    assert "Aggregator         noutputs:           4" in err
