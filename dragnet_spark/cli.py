@@ -272,16 +272,25 @@ def _get_spark():
 
 
 def _query_from_opts(opts: dict, ds: DatasourceConfig) -> QueryConfig:
-    bds = opts.get("breakdowns") or None
-    if bds is not None and bds and isinstance(bds[0], str):
-        bds = ",".join(bds)
-    return QueryConfig.load(
+    from dragnet_spark.fieldspec import parse_breakdowns
+
+    raw_bds = opts.get("breakdowns") or []
+    for raw in raw_bds:  # attribute grammar errors to the offending -b value
+        try:
+            parse_breakdowns(raw)
+        except FieldSpecError as e:
+            raise UsageError(f'bad value for "breakdowns" ("{raw}"): {e}')
+    bds = ",".join(raw_bds) if raw_bds else None
+    query = QueryConfig.load(
         breakdowns=bds,
         filter=opts.get("filter"),
         time_after=opts.get("after"),
         time_before=opts.get("before"),
         time_field=ds.time_field,
     )
+    if opts.get("gnuplot") and len(query.breakdowns) != 1:
+        raise FatalError("--gnuplot can only be used with exactly one breakdown")
+    return query
 
 
 def _metrics_for_build(cat: Catalog, dsname: str, opts: dict):

@@ -20,6 +20,8 @@ summation orders.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -94,9 +96,6 @@ def cosine_topk_blocked(
     """Same contract as :func:`cosine_topk`, computed as a blocked
     matrix product in a Pandas UDF (mapInPandas over corpus batches ×
     broadcast query matrix). This is the throughput path at scale."""
-    import numpy as np
-    import pandas as pd
-
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -125,6 +124,118 @@ def cosine_topk_blocked(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score_block, schema="query_id long, neighbor_id long, score double"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """K-means centroids from a bounded driver-side sample.
+
+    The sample (not the corpus) fits the driver by construction; at
+    100 TB this is the standard IVF recipe — train on a few thousand
+    vectors, assign distributively. Deterministic for a fixed seed.
+    Returns an (n_centroids, dims) float64 ndarray, L2-normalized.
+    """
+    n = corpus.count()
+    frac = min(1.0, (sample_size * 2.0) / max(n, 1))
+    rows = (
+        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size)
+    ).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on unit vectors
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _nearest_cells_udf(centroids, n_probe: int):
+    """Pandas UDF: vector → array of its n_probe nearest centroid ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(list(vecs), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Each corpus vector is assigned to its nearest centroid cell (one
+    per-row matmul batch, no shuffle); each query probes its n_probe
+    nearest cells; candidates = the probed cells' members, scored
+    exactly and ranked. Same output contract as :func:`cosine_topk`.
+
+    Recall rises with n_probe (n_probe == n_centroids is exhaustive
+    and reproduces the exact result); the scan cost is ~n_probe /
+    n_centroids of the corpus instead of all of it — the 100 TB scale
+    path when even one blocked full pass per query batch is too much.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, vec_col, n_centroids=n_centroids, seed=seed
+        )
+
+    assign1 = _nearest_cells_udf(centroids, 1)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        assign1(F.col(vec_col))[0].alias("cell"),
+    )
+    probe = _nearest_cells_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cand = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "score",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            6,
+        ),
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -780,6 +780,24 @@ def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    None,  # probabilistic recall at n_probe < n_centroids → rows-only;
+    # pytest asserts exact equality when probing every cell
+    "IVF (inverted-file) ANN: k-means cells from a bounded driver "
+    "sample, distributed cell assignment, queries probe n_probe cells "
+    "— scan cost ~n_probe/n_centroids of the corpus (the scale path "
+    "beyond one blocked full pass per query batch)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+    )
+
+
+@register(
     "multimodal_features",
     None,  # sha256-chunk features have no clean SQL twin → rows-only
     "binary-column plumbing: payload bytes → deterministic stub features "

@@ -231,3 +231,50 @@ def test_scan_counters_one_pass(cfg, spark):
     assert "json parser        noutputs:        2252" in err
     assert "json parser        invalid json:       2" in err
     assert "Aggregator         noutputs:           4" in err
+
+
+def test_bad_arguments_parity(cfg, tmp_path):
+    """tst.badargs.sh: breakdown-grammar and filter errors with the
+    reference's message shapes; --gnuplot arity is validated before any
+    scan runs."""
+    f = tmp_path / "x.log"
+    f.write_text("{}\n")
+    run(["datasource-add", "input", f"--path={f}"], cfg)
+
+    rc, _, err = run(["scan", "-b", "host", "-b", "req.method,x[=bar]", "input"], cfg)
+    assert rc == 2
+    assert err.splitlines()[0] == (
+        'dn: bad value for "breakdowns" ("req.method,x[=bar]"): missing attribute name'
+    )
+
+    rc, _, err = run(["scan", "-b", "req.method,[]", "input"], cfg)
+    assert rc == 2
+    assert 'bad value for "breakdowns" ("req.method,[]"): missing field name' in err
+
+    rc, _, err = run(["scan", "-b", "req.method,foo[", "input"], cfg)
+    assert rc == 2
+    assert 'bad value for "breakdowns" ("req.method,foo["): unexpected end of string' in err
+
+    rc, _, err = run(["scan", "-f", "{", "input"], cfg)
+    assert rc == 2
+    assert err.splitlines()[0].startswith("dn: invalid filter:")
+
+    rc, _, err = run(["scan", "-f", '{ "junk": [ "foo", "bar" ] }', "input"], cfg)
+    assert rc == 1
+    assert "unknown predicate operator" in err
+
+    rc, _, err = run(["scan", "--gnuplot", "input"], cfg)
+    assert rc == 1
+    assert err == "dn: --gnuplot can only be used with exactly one breakdown\n"
+
+    rc, _, err = run(
+        ["scan", "-b", "req.method,res.statusCode", "--gnuplot", "input"], cfg
+    )
+    assert rc == 1
+    assert err == "dn: --gnuplot can only be used with exactly one breakdown\n"
+
+    rc, _, err = run(
+        ["datasource-add", "junkfmt", f"--path={f}", "--data-format=junk"], cfg
+    )
+    assert rc == 1
+    assert "unsupported data format: junk" in err

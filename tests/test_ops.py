@@ -224,3 +224,39 @@ def test_salted_top_values_matches_window_topn(spark, sf_dir):
         .select("event_type", F.col("user_id").alias("value"), "weight", "rank")
     )
     assert got == want and got
+
+
+def test_ivf_topk_exhaustive_probes_match_exact(spark, sf_dir):
+    """IVF with n_probe == n_centroids is exhaustive: identical to the
+    brute-force exact top-k."""
+    from dragnet_spark.ops.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = rows_set(cosine_topk(emb, q, k=3))
+    ivf = rows_set(ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8))
+    assert ivf == exact and ivf
+
+
+def test_ivf_topk_high_recall_on_clustered_data(spark):
+    """On genuinely clustered vectors, probing a quarter of the cells
+    recovers nearly all true neighbors (the IVF working regime)."""
+    import numpy as np
+
+    from dragnet_spark.ops.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((8, 32)) * 3
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + 0.2 * rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 8)
+
+    exact = rows_set(cosine_topk(df, q, k=5))
+    ivf = rows_set(ivf_topk(df, q, k=5, n_centroids=8, n_probe=2))
+    exact_pairs = {(r[0], r[1]) for r in exact}
+    ivf_pairs = {(r[0], r[1]) for r in ivf}
+    recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert recall >= 0.9
