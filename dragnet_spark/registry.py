@@ -780,6 +780,47 @@ def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, source, text
+      FROM documents
+      WHERE {_text.quality_sql('text')['n_tokens']} >= 10
+        AND {_text.quality_sql('text')['digit_ratio']} <= 0.3
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept GROUP BY {_text.fingerprint_sql('text')}
+    )
+    SELECT k.source, COUNT(*) AS n_docs,
+           CAST(SUM({_text.token_count_sql('k.text')}) AS BIGINT) AS total_tokens
+    FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+    GROUP BY k.source
+    """,
+    "end-to-end curation composite: quality gate -> exact-dedup "
+    "survivors -> per-source token budget, all in one declarative plan "
+    "(the shape of a real training-data prep job)",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    qc = _text.quality_columns("text")
+    kept = docs.filter((qc["n_tokens"] >= 10) & (qc["digit_ratio"] <= 0.3))
+    survivors = (
+        kept.groupBy(_text.fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        kept.join(survivors, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_text.token_count("text")).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register(
     "ann_ivf_topk",
     None,  # probabilistic recall at n_probe < n_centroids → rows-only;
     # pytest asserts exact equality when probing every cell

@@ -169,3 +169,25 @@ def glob_files():
     import glob as g
 
     return g.glob(f"{REF}/tests/data/2014/*/*.log")
+
+
+def test_date_histogram_golden_parity(spark):
+    """Daily tumbling-window histogram over the whole tree — the
+    date-axis variant (ISO labels, 21-space header, trailing empty
+    bucket) diffed byte-for-byte against the fileset golden
+    (tst.scan_fileset.sh.out:2455-2463)."""
+    q = QueryConfig.load("timestamp[date,field=time,aggr=lquantize,step=86400]")
+    rows = [tuple(r) for r in scan_ndjson(spark, glob_files(), q).collect()]
+    got = render(rows, q, mode="table")
+    want = (
+        "\n"
+        + " " * 21
+        + "value  ------------- Distribution ------------- count\n"
+        "  2014-05-01T00:00:00.000Z |@@@@@@@@@                                500\n"
+        "  2014-05-02T00:00:00.000Z |@@@@@@@@@                                500\n"
+        "  2014-05-03T00:00:00.000Z |@@@@@@@@@                                500\n"
+        "  2014-05-04T00:00:00.000Z |@@@@@@@@@                                500\n"
+        "  2014-05-05T00:00:00.000Z |@@@@                                     250\n"
+        "  2014-05-06T00:00:00.000Z |                                         0\n"
+    )
+    assert got == want

@@ -260,3 +260,34 @@ def test_ivf_topk_high_recall_on_clustered_data(spark):
     ivf_pairs = {(r[0], r[1]) for r in ivf}
     recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
     assert recall >= 0.9
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed by the join key → the join plan contains no
+    shuffle Exchange; results match the plain join."""
+    from dragnet_spark.ops.bucketing import (
+        bucketed_join,
+        exchange_count,
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/wh'")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        write_bucketed(orders, "bdemo.orders_b", "o_orderkey", num_buckets=8)
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bdemo.lineitem_b",
+            "o_orderkey",
+            num_buckets=8,
+        )
+        j = bucketed_join(spark, "bdemo.orders_b", "bdemo.lineitem_b", "o_orderkey")
+        agg = j.groupBy("o_orderkey").count()
+        assert exchange_count(agg) == 0  # join AND keyed agg reuse bucketing
+        want = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        )
+        assert j.count() == want
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
