@@ -131,3 +131,40 @@ def test_empty_interval_yields_zero(spark, index_path):
     )
     rows = query_index(spark, index_path, q).collect()
     assert rows == []
+
+
+def test_hourly_interval_build_and_query(spark, tmp_path):
+    """interval=hour partitions by YYYY-MM-DDTHH and bounded queries
+    prune to the hour (reference by_hour indexes,
+    lib/dragnet-impl.js:204-228)."""
+    import glob
+
+    from dragnet_spark.config import DatasourceConfig
+    from dragnet_spark.datasource import load_datasource
+    from dragnet_spark.index.build import Metric
+    from dragnet_spark.scan import scan_ndjson
+
+    data = "/root/reference/tests/data/2014/05-01/one.log"
+    idx = str(tmp_path / "hourly")
+    ds = DatasourceConfig(name="i", path=data)
+    df, resolver, _ = load_datasource(spark, ds, QueryConfig.load())
+    build_index(
+        spark, df,
+        [Metric.load("ops", "operation,timestamp[date,field=time,aggr=lquantize,step=3600]")],
+        idx, interval="hour", time_field="time", resolver=resolver,
+    )
+    parts = sorted(
+        p.split("=")[-1]
+        for p in glob.glob(f"{idx}/ops/__dn_bucket=*")
+    )
+    assert parts and all("T" in p for p in parts)  # hour-grain partitions
+
+    q = QueryConfig.load(
+        "operation",
+        time_after="2014-05-01T02:00:00Z",
+        time_before="2014-05-01T03:00:00Z",
+        time_field="time",
+    )
+    got = {tuple(r) for r in query_index(spark, idx, q).collect()}
+    want = {tuple(r) for r in scan_ndjson(spark, data, q).collect()}
+    assert got == want and got
