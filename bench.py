@@ -52,8 +52,16 @@ BENCH_QUERIES = [
 
 def main() -> None:
     spark = get_spark(app_name="dragnet_bench")
-    # warm the JVM + parquet footer cache with a trivial action
+    # warm the JVM with a trivial action, and the Python UDF workers
+    # with a no-op pandas UDF across all cores (first-use worker fork +
+    # pandas import would otherwise bill the first UDF query ~6s of
+    # local-only cold start; a long-lived cluster has none)
     spark.range(1).count()
+    from pyspark.sql.functions import col, pandas_udf  # noqa: E402
+
+    _warm = pandas_udf(lambda s: s, "long")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(1024).repartition(cpus).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
