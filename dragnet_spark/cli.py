@@ -426,11 +426,21 @@ def cmd_query(argv, cat: Catalog, out):
     if not ds.index_path:
         raise FatalError(f'datasource "{dsname}" has no index path configured')
     query = _query_from_opts(opts, ds)
+    import os
+
+    if not os.path.exists(ds.index_path):
+        raise FatalError(
+            f'no index found for "{dsname}" (run "dn build {dsname}" first)'
+        )
     spark = _get_spark()
     try:
         res = query_index(spark, ds.index_path, query)
     except NoMetricError:
         raise FatalError("no metrics available to serve query")
+    except FileNotFoundError:
+        raise FatalError(
+            f'no index found for "{dsname}" (run "dn build {dsname}" first)'
+        )
     _render_result(res, query, opts, out, dsname)
 
 
