@@ -307,13 +307,23 @@ def _metrics_for_build(cat: Catalog, dsname: str, opts: dict):
     return out
 
 
+def _index_root(ds: DatasourceConfig, interval: str) -> str:
+    """Per-interval index subtree (reference: by_day/ by_hour/ under
+    indexPath, lib/dragnet-impl.js:194-236) — day and hour indexes for
+    one datasource coexist; --interval selects at query time."""
+    import os
+
+    return os.path.join(ds.index_path, f"by_{interval}")
+
+
 def _render_result(df, query, opts, out, title):
     from dragnet_spark.output.format import render
 
     if opts.get("gnuplot") and len(query.breakdowns) != 1:
         raise FatalError("--gnuplot can only be used with exactly one breakdown")
     mode = (
-        "points" if opts.get("points") or opts.get("raw")
+        "points" if opts.get("points")
+        else "raw" if opts.get("raw")
         else "gnuplot" if opts.get("gnuplot")
         else "table"
     )
@@ -408,7 +418,7 @@ def cmd_build(argv, cat: Catalog, out):
     if df is None:
         raise FatalError("no input files in the requested time range")
     build_index(
-        spark, df, metrics, ds.index_path, interval=interval,
+        spark, df, metrics, _index_root(ds, interval), interval=interval,
         time_field=ds.time_field, datasource_filter=ds.filter,
         resolver=resolver,
     )
@@ -428,13 +438,15 @@ def cmd_query(argv, cat: Catalog, out):
     query = _query_from_opts(opts, ds)
     import os
 
-    if not os.path.exists(ds.index_path):
+    interval = opts.get("interval", "day")
+    idx = _index_root(ds, interval)
+    if not os.path.exists(idx):
         raise FatalError(
             f'no index found for "{dsname}" (run "dn build {dsname}" first)'
         )
     spark = _get_spark()
     try:
-        res = query_index(spark, ds.index_path, query)
+        res = query_index(spark, idx, query)
     except NoMetricError:
         raise FatalError("no metrics available to serve query")
     except FileNotFoundError:
@@ -523,12 +535,13 @@ def cmd_index_read(argv, cat: Catalog, out):
         fields["value"] = pt["value"]
         by_metric.setdefault(idx, []).append(fields)
 
+    root = _index_root(ds, interval)
     for i, m in enumerate(metrics):
         rows = by_metric.get(i, [])
         if not rows:
             continue
         sdf = spark.createDataFrame(rows)
-        path = os.path.join(ds.index_path, m.name)
+        path = os.path.join(root, m.name)
         if BUCKET_COL in sdf.columns:
             (sdf.repartition(BUCKET_COL).write.mode("overwrite")
              .partitionBy(BUCKET_COL).parquet(path))
@@ -542,8 +555,8 @@ def cmd_index_read(argv, cat: Catalog, out):
         "datasource_filter": ds.filter,
         "metrics": [m.to_json() for m in metrics],
     }
-    os.makedirs(ds.index_path, exist_ok=True)
-    with open(os.path.join(ds.index_path, INDEX_META_FILE), "w") as f:
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, INDEX_META_FILE), "w") as f:
         json.dump(meta, f, indent=2)
 
 

@@ -289,6 +289,14 @@ def render(result, query: QueryConfig, mode: str = "table", title: str = "dn") -
         rows = [tuple(r) for r in result]
     if mode == "points":
         return "\n".join(format_points(rows, query)) + "\n"
+    if mode == "raw":
+        # --raw: one JSON array of flattened rows (dnOutputRaw,
+        # bin/dn:972-975); zero-breakdown results flatten to [count]
+        if not query.breakdowns:
+            flat = [rows[0][0] if rows else 0]
+        else:
+            flat = [list(r) for r in sort_rows(rows)]
+        return json.dumps(flat, separators=(",", ":")) + "\n"
     if mode == "gnuplot":
         return format_gnuplot(rows, query, title)
     if not query.breakdowns:

@@ -278,3 +278,36 @@ def test_bad_arguments_parity(cfg, tmp_path):
     )
     assert rc == 1
     assert "unsupported data format: junk" in err
+
+
+def test_raw_output_mode(cfg, spark):
+    """--raw emits one JSON array of flattened rows (distinct from
+    --points NDJSON; reference dnOutputRaw, bin/dn:972-975)."""
+    run(["datasource-add", "r1", "--path=/root/reference/tests/data/2014/05-01/one.log"], cfg)
+    rc, out, _ = run(["scan", "--raw", "-b", "req.method", "r1"], cfg)
+    assert rc == 0
+    got = json.loads(out)
+    assert got == [["DELETE", 74], ["GET", 54], ["HEAD", 61], ["PUT", 61]]
+
+    rc, out, _ = run(["scan", "--raw", "r1"], cfg)
+    assert rc == 0
+    assert json.loads(out) == [250]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="no reference data")
+def test_day_and_hour_indexes_coexist(cfg, tmp_path, spark):
+    """by_day/ and by_hour/ subtrees live under one index path;
+    --interval picks at query time (reference by_day/by_hour layout)."""
+    idx = str(tmp_path / "multi")
+    run(["datasource-add", "ml", "--path=/root/reference/tests/data/2014/05-01/one.log",
+         "--time-field=time", f"--index-path={idx}"], cfg)
+    run(["metric-add", "ml", "ops",
+         "-b", "operation,timestamp[date,field=time,aggr=lquantize,step=3600]"], cfg)
+    assert run(["build", "ml"], cfg)[0] == 0                       # day
+    assert run(["build", "--interval=hour", "ml"], cfg)[0] == 0    # hour
+    assert os.path.isdir(f"{idx}/by_day") and os.path.isdir(f"{idx}/by_hour")
+
+    rc, day_out, _ = run(["query", "ml"], cfg)
+    rc2, hour_out, _ = run(["query", "--interval=hour", "ml"], cfg)
+    assert rc == 0 and rc2 == 0
+    assert day_out.splitlines()[1].strip() == hour_out.splitlines()[1].strip() == "250"
