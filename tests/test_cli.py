@@ -311,3 +311,17 @@ def test_day_and_hour_indexes_coexist(cfg, tmp_path, spark):
     rc2, hour_out, _ = run(["query", "--interval=hour", "ml"], cfg)
     assert rc == 0 and rc2 == 0
     assert day_out.splitlines()[1].strip() == hour_out.splitlines()[1].strip() == "250"
+
+
+def test_parquet_datasource_scan(cfg, spark):
+    """Columnar datasources scan through the same CLI with the schema
+    resolver (events.parquet from the driver testdata)."""
+    run(["datasource-add", "pq", "--path=/root/testdata/sf0.001/events.parquet",
+         "--data-format=parquet"], cfg)
+    rc, out, _ = run(["scan", "-b", "event_type", "pq"], cfg)
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0].startswith("EVENT_TYPE")
+    total = sum(int(ln.split()[-1]) for ln in lines[1:])
+    rc, out2, _ = run(["scan", "pq"], cfg)
+    assert int(out2.splitlines()[1].strip()) == total
