@@ -421,6 +421,7 @@ def cmd_build(argv, cat: Catalog, out):
         spark, df, metrics, _index_root(ds, interval), interval=interval,
         time_field=ds.time_field, datasource_filter=ds.filter,
         resolver=resolver,
+        time_after=query.time_after, time_before=query.time_before,
     )
     sys.stderr.write('indexes for "%s" built\n' % dsname)
 

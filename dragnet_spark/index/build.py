@@ -100,12 +100,23 @@ def build_index(
     datasource_filter: Any = None,
     mode: str = "overwrite",
     resolver=None,
+    time_after: int | None = None,
+    time_before: int | None = None,
 ) -> None:
     """Materialize every metric as a partitioned parquet view.
 
     ``resolver`` carries the field-access strategy of the raw data
     (VariantResolver for NDJSON datasources); the injected bucket
     column shadows it via ColumnOverlayResolver.
+
+    ``time_after``/``time_before`` (epoch seconds, [after, before))
+    bound the build to a time slice — the incremental-rebuild path:
+    records outside the bounds are filtered (path pruning alone can
+    admit partial intervals from overlapping files), and overwrite
+    mode uses *dynamic* partition overwrite, so only the buckets the
+    slice touches are replaced and every other interval's data
+    survives. Rebuilding one late-data day at 100 TB costs one day of
+    input, not the full history.
     """
     if interval not in ("hour", "day", "all"):
         raise ValueError(f"invalid interval: {interval}")
@@ -119,6 +130,13 @@ def build_index(
         src = df
         base = resolver or SchemaResolver(df)
         scan_resolver = base
+        if time_after is not None and time_field:
+            secs = synthetic_date_column(base.raw(time_field))
+            src = src.filter(
+                secs.isNotNull()
+                & (secs >= F.lit(time_after))
+                & (secs < F.lit(time_before))
+            )
         if interval != "all":
             src = src.withColumn(
                 BUCKET_COL, bucket_column(base.raw(time_field), interval)
@@ -146,6 +164,9 @@ def build_index(
             writer = out.repartition(BUCKET_COL)
             (
                 writer.write.mode(mode)
+                # dynamic: an overwrite replaces only the buckets this
+                # build wrote, so bounded rebuilds keep other intervals
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(BUCKET_COL)
                 .parquet(path)
             )

@@ -191,7 +191,21 @@ def _leaf_sql(field: str, op: str, const: Any, ident: Callable[[str], str]) -> s
     f = ident(field)
     sqlop = _SQL_OP[op]
     if isinstance(const, bool):
-        cmp = f"TRY_CAST({f} AS BOOLEAN) {sqlop} {str(const).upper()}"
+        # replicate Spark's boolean cast exactly: numeric types follow
+        # the nonzero rule; strings use the cast vocabulary (t/true/y/
+        # yes/1 and f/false/n/no/0, trimmed, case-insensitive) —
+        # DuckDB's own TRY_CAST accepts neither ('y' → NULL, 2.0 → err)
+        s = f"trim(lower(CAST({f} AS STRING)))"
+        numeric = (
+            f"typeof({f}) IN ('TINYINT','SMALLINT','INTEGER','BIGINT',"
+            f"'HUGEINT','FLOAT','DOUBLE') OR typeof({f}) LIKE 'DECIMAL%'"
+        )
+        b = (
+            f"(CASE WHEN {numeric} THEN TRY_CAST({f} AS DOUBLE) <> 0 "
+            f"WHEN {s} IN ('t','true','y','yes','1') THEN TRUE "
+            f"WHEN {s} IN ('f','false','n','no','0') THEN FALSE END)"
+        )
+        cmp = f"{b} {sqlop} {str(const).upper()}"
     elif isinstance(const, (int, float)):
         cmp = f"TRY_CAST({f} AS DOUBLE) {sqlop} {float(const)!r}"
     elif isinstance(const, str) and _is_numberlike(const):

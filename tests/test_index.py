@@ -168,3 +168,51 @@ def test_hourly_interval_build_and_query(spark, tmp_path):
     got = {tuple(r) for r in query_index(spark, idx, q).collect()}
     want = {tuple(r) for r in scan_ndjson(spark, data, q).collect()}
     assert got == want and got
+
+
+def test_bounded_rebuild_replaces_only_touched_buckets(spark, tmp_path):
+    """Incremental rebuild: a build bounded to one day rewrites only
+    that day's bucket (dynamic partition overwrite); every other
+    interval survives and query results are unchanged."""
+    from dragnet_spark.config import DatasourceConfig
+    from dragnet_spark.datasource import load_datasource
+    from dragnet_spark.index.build import Metric
+
+    data = "/root/reference/tests/data"
+    idx = str(tmp_path / "incr")
+    ds = DatasourceConfig(name="i", path=data)
+    metrics = [
+        Metric.load(
+            "ops", "operation,timestamp[date,field=time,aggr=lquantize,step=86400]"
+        )
+    ]
+
+    df, resolver, _ = load_datasource(spark, ds, QueryConfig.load())
+    build_index(spark, df, metrics, idx, interval="day", time_field="time",
+                resolver=resolver)
+    q = QueryConfig.load("operation")
+    before = {tuple(r) for r in query_index(spark, idx, q).collect()}
+
+    # rebuild ONLY 2014-05-02 from its files (pruned datasource load)
+    bounds = QueryConfig.load(
+        time_after="2014-05-02T00:00:00Z",
+        time_before="2014-05-03T00:00:00Z",
+        time_field="time",
+    )
+    ds2 = DatasourceConfig(name="i", path=data, time_format="%Y/%m-%d",
+                           time_field="time")
+    df2, resolver2, _ = load_datasource(spark, ds2, bounds)
+    build_index(spark, df2, metrics, idx, interval="day", time_field="time",
+                resolver=resolver2,
+                time_after=bounds.time_after, time_before=bounds.time_before)
+
+    after = {tuple(r) for r in query_index(spark, idx, q).collect()}
+    assert after == before  # nothing lost, nothing doubled
+
+    import glob
+
+    days = sorted(
+        p.split("=")[-1] for p in glob.glob(f"{idx}/ops/__dn_bucket=*")
+    )
+    assert days == ["2014-05-01", "2014-05-02", "2014-05-03", "2014-05-04",
+                    "2014-05-05"]
