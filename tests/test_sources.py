@@ -115,3 +115,23 @@ def test_catalog_validates_filters_and_breakdowns():
             datasource="logs",
             breakdowns=[{"name": "x", "aggr": "lquantize"}],  # missing step
         )
+
+
+def test_boolean_filter_on_variant_ndjson(spark, tmp_path):
+    """{"eq": ["audit", true]} over raw NDJSON: JSON booleans arrive as
+    variant 'true'/'false' strings and must match a boolean constant
+    (the reference's tst.empty.sh filter shape on real data)."""
+    p = tmp_path / "a.log"
+    p.write_text(
+        '{"audit": true, "op": "x"}\n'
+        '{"audit": false, "op": "y"}\n'
+        '{"op": "z"}\n'
+        '{"audit": "yes", "op": "w"}\n'
+    )
+    from dragnet_spark.scan import scan_ndjson
+
+    q = QueryConfig.load("op", filter={"eq": ["audit", True]})
+    got = {(r["op"], r["value"]) for r in scan_ndjson(spark, str(p), q).collect()}
+    # true matches; "yes" string-casts to true (Spark vocabulary);
+    # false fails; missing audit drops
+    assert got == {("x", 1), ("w", 1)}
