@@ -216,3 +216,33 @@ def test_bounded_rebuild_replaces_only_touched_buckets(spark, tmp_path):
     )
     assert days == ["2014-05-01", "2014-05-02", "2014-05-03", "2014-05-04",
                     "2014-05-05"]
+
+
+def test_bounded_index_query_prunes_partitions(spark, tmp_path, capsys):
+    """A bounded index query must prune bucket directories
+    (PartitionFilters on __dn_bucket) AND push the record-level
+    timestamp bounds into the parquet scan — the two layers that make
+    interval queries cheap at thousands of buckets."""
+    from dragnet_spark.config import DatasourceConfig
+    from dragnet_spark.datasource import load_datasource
+    from dragnet_spark.index.build import Metric
+
+    idx = str(tmp_path / "prune")
+    ds = DatasourceConfig(name="i", path="/root/reference/tests/data")
+    df, r, _ = load_datasource(spark, ds, QueryConfig.load())
+    build_index(
+        spark, df,
+        [Metric.load("ops", "operation,timestamp[date,field=time,aggr=lquantize,step=86400]")],
+        idx, interval="day", time_field="time", resolver=r,
+    )
+    q = QueryConfig.load(
+        "operation",
+        time_after="2014-05-02T00:00:00Z",
+        time_before="2014-05-03T00:00:00Z",
+        time_field="time",
+    )
+    query_index(spark, idx, q).explain("formatted")
+    plan = capsys.readouterr().out
+    assert "PartitionFilters: [isnotnull(__dn_bucket" in plan
+    assert "GreaterThanOrEqual(timestamp,1398988800)" in plan
+    assert "LessThan(timestamp,1399075200)" in plan
