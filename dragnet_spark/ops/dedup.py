@@ -377,3 +377,54 @@ def embedding_near_dup_lsh(
     return with_vecs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------- winnowing overlap pairs
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Partial-overlap detection via winnowing fingerprints: pairs of
+    documents sharing >= min_shared selected k-gram hashes. Catches a
+    copied paragraph inside otherwise-different documents, which
+    whole-document Jaccard dilutes below any useful threshold.
+
+    Shuffle shape mirrors the LSH ops: explode to (fingerprint, id)
+    rows, self-join on the fingerprint, count shared per pair — never
+    an O(n²) cross product. A fingerprint appearing in > ``max_df``
+    documents is dropped before the join: it carries no overlap signal
+    (boilerplate, common phrases) but would emit O(df²) join rows —
+    the classic hot-key blowup. The cap makes the join cost
+    n_fps × max_df² instead of unbounded, which is what survives a
+    100 TB corpus; pairs whose only evidence is such stop-fingerprints
+    are intentionally not reported.
+    """
+    from dragnet_spark.ops.text import winnow_fingerprints
+
+    df = spread(df)
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, k, window)).alias("fp"),
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+        .filter(F.col("fp_df") <= max_df)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    a = fps.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = fps.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

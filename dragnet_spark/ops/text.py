@@ -252,3 +252,80 @@ def minhash_signature_sql(expr: str, num_hashes: int = 16, ngram: int = 1) -> st
         for a, b in minhash_coeffs(num_hashes)
     )
     return f"[{parts}]"
+
+
+# ----------------------------------------------------- winnowing fingerprints
+
+def _bind_once(expr: Column, f) -> Column:
+    """Evaluate ``expr`` once per row and pass it to ``f`` as a lambda
+    variable. Catalyst inlines a Column referenced from inside a
+    higher-order-function lambda, re-evaluating it per element — for an
+    expensive array expression referenced N times that's an O(N²)
+    blowup. A lambda *variable*, by contrast, is bound once. Wrapping
+    the value in a 1-element array and transforming it gives us a
+    let-binding."""
+    return F.element_at(F.transform(F.array(expr), f), 1)
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every character k-gram of the normalized text (rolling-hash
+    family; here the same portable 28-bit md5-prefix used by minhash),
+    then keep the minimum hash of each ``window`` of consecutive
+    k-gram hashes. Guarantees any shared substring of length
+    >= k + window - 1 contributes a shared fingerprint — so *partial*
+    overlap (a copied paragraph) is detectable where whole-document
+    similarity is low. Pure expressions; returns array<long> of
+    distinct selected hashes. The normalized text and the gram array
+    are let-bound via _bind_once so each md5 is computed exactly once
+    per gram, not once per (gram, window) pair.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    txt = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+    def _grams(t: Column) -> Column:
+        n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n), lambda i: shingle_hash(F.substring(t, i, k))
+        )
+
+    def _wins(g: Column) -> Column:
+        n = F.greatest(F.size(g) - (window - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda j: F.array_min(F.slice(g, j, window)),
+            )
+        )
+
+    return _bind_once(_bind_once(txt, _grams), _wins)
+
+
+def winnow_grams_sql(expr: str, k: int = 8) -> str:
+    """DuckDB expression: the k-gram hash array of ``expr``. Meant to be
+    materialized in a CTE column; inlining it into the window-min
+    expression re-evaluates every md5 per window position (O(N²))."""
+    txt = f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+    return (
+        f"list_transform(range(1, greatest(length({txt}) - {k - 1}, 1) + 1), "
+        f"i -> {shingle_hash_sql(f'substring({txt}, CAST(i AS INT), {k})')})"
+    )
+
+
+def winnow_from_grams_sql(grams_col: str, window: int = 4) -> str:
+    """DuckDB expression: distinct window-min selection over an already
+    materialized gram-array column."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({grams_col}) - {window - 1}, 1) + 1), "
+        f"j -> list_min(list_slice({grams_col}, CAST(j AS INT), "
+        f"CAST(j AS INT) + {window - 1}))))"
+    )
+
+
+def winnow_fingerprints_sql(expr: str, k: int = 8, window: int = 4) -> str:
+    """One-expression form (tests / small inputs). For real tables use
+    winnow_grams_sql in a materialized CTE + winnow_from_grams_sql."""
+    return winnow_from_grams_sql(winnow_grams_sql(expr, k), window)

@@ -472,6 +472,7 @@ from dragnet_spark.ops.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    winnow_overlap_pairs,
 )
 from dragnet_spark.ops.multimodal import (  # noqa: E402
     attach_payloads,
@@ -628,6 +629,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     return df.select("doc_id", simhash64("text").alias("simhash"))
+
+
+_WINNOW_MIN_SHARED = 8
+_WINNOW_MAX_DF = 20  # testdata's 30-word vocabulary makes common k-grams
+# corpus-wide; the cap keeps only discriminative fingerprints (same knob
+# that bounds the self-join at 100 TB)
+
+
+def _winnow_oracle(min_shared: int, max_df: int) -> str:
+    # grams materialized in a CTE: inlining them into the window-min
+    # expression re-evaluates every md5 per window position (O(N²))
+    grams = _text.winnow_grams_sql("text")
+    fps = _text.winnow_from_grams_sql("grams")
+    return f"""
+    WITH g AS MATERIALIZED (SELECT doc_id AS id, {grams} AS grams FROM documents),
+    w AS MATERIALIZED (SELECT id, {fps} AS fps FROM g),
+    f0 AS (SELECT id, u.fp FROM w, UNNEST(fps) AS u(fp)),
+    rare AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= {max_df}),
+    f AS (SELECT f0.id, f0.fp FROM f0 JOIN rare USING (fp))
+    SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@register(
+    "dedup_winnow_overlap",
+    _winnow_oracle(_WINNOW_MIN_SHARED, _WINNOW_MAX_DF),
+    "winnowing-fingerprint partial-overlap pairs (Schleimer et al. "
+    "SIGMOD'03): shared selected k-gram hashes catch a copied paragraph "
+    "inside otherwise-different documents, which whole-document Jaccard "
+    "dilutes; explode→df-cap→fp-join→count, never an O(n²) cross product",
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF,
+    )
 
 
 from dragnet_spark.ops.skew import (  # noqa: E402

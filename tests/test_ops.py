@@ -291,3 +291,64 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         assert j.count() == want
     finally:
         spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
+
+
+def test_winnow_detects_partial_overlap(spark):
+    """A paragraph copied between otherwise-different documents must
+    surface as a high-n_shared pair; unrelated docs must not."""
+    from dragnet_spark.ops.dedup import winnow_overlap_pairs
+
+    para = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"completely original text one about databases. {para}"),
+        (2, f"{para} followed by other unrelated musings on compilers"),
+        (3, "nothing in common with anything else here at all friends"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(df, "text", "doc_id", min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_matches_duckdb_oracle(spark):
+    """Spark winnowing fingerprints agree with the SQL twin pairwise.
+    (Runs on a small diverse corpus: the driver testdata's 30-word
+    vocabulary makes common k-grams collide corpus-wide, which is the
+    operator's documented worst case, not a correctness question.)"""
+    import duckdb
+
+    from dragnet_spark.ops.dedup import winnow_overlap_pairs
+    from dragnet_spark.ops.text import winnow_fingerprints_sql
+
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}{chr(97 + i % 26)}" for i in range(400)]
+    rows = []
+    shared = " ".join(rng.choice(words) for _ in range(12))
+    for i in range(40):
+        body = " ".join(rng.choice(words) for _ in range(30))
+        text = f"{body} {shared}" if i % 5 == 0 else body
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = rows_set(winnow_overlap_pairs(df, "text", "doc_id", min_shared=4))
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fps = winnow_fingerprints_sql("text")
+    want = duck_set(
+        con,
+        f"""
+        WITH f AS (SELECT doc_id AS id, u.fp
+                   FROM documents, UNNEST({fps}) AS u(fp))
+        SELECT a.id, b.id, CAST(COUNT(*) AS BIGINT)
+        FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id HAVING COUNT(*) >= 4
+        """,
+    )
+    assert got == want and got
