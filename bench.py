@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "q5_revenue_by_nation",
     "top_customers_per_nation",
     "orders_with_discounted_lines",
+    "asof_purchase_last_click",
+    "events_value_percentiles",
+    "events_sliding_window_5m",
     # training-data pipeline families (first-class at 100 TB)
     "text_tokens_by_source",
     "dedup_exact",

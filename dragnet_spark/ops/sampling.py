@@ -1,0 +1,106 @@
+"""Deterministic sampling / dataset-split operators.
+
+Training pipelines need splits and samples that are (a) reproducible
+across runs and engines, (b) stable under repartitioning, and (c) free
+of coordination — which rules out `df.sample()` (seed + partition
+dependent) and any RNG. Everything here derives from a 28-bit md5
+prefix of the row's id (same portable hash the dedup family uses:
+identical bytes → identical hex on any engine), so a row's split
+assignment is a pure function of its id: adding or removing other rows
+never moves it, and the DuckDB oracle reproduces it bit-for-bit.
+
+Scale shape: a hash filter is a narrow map — no shuffle, pushes down
+past column pruning, and samples each parquet partition independently
+on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dragnet_spark.ops.text import shingle_hash, shingle_hash_sql
+
+_HASH_SPACE = 1 << 28  # shingle_hash is a 28-bit value
+
+
+def hash_fraction(col: Column | str, salt: str = "") -> Column:
+    """Uniform [0,1) value derived deterministically from a key column.
+    ``salt`` decouples independent decisions on the same key (e.g. the
+    split draw and a downsample draw must not correlate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    key = F.concat(F.lit(salt), c.cast("string"))
+    return shingle_hash(key) / F.lit(float(_HASH_SPACE))
+
+
+def hash_fraction_sql(expr: str, salt: str = "") -> str:
+    h = shingle_hash_sql(f"'{salt}' || CAST({expr} AS STRING)")
+    return f"({h} / {float(_HASH_SPACE)})"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    test_frac: float = 0.1,
+    val_frac: float = 0.0,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column: 'test' for the first ``test_frac`` of
+    hash space, then 'val' for the next ``val_frac``, 'train' for the
+    rest. Membership is a pure function of the id — stable when the
+    corpus grows, which is what prevents train/test leakage across
+    dataset versions."""
+    frac = hash_fraction(id_col, salt)
+    split = (
+        F.when(frac < test_frac, F.lit("test"))
+        .when(frac < test_frac + val_frac, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def hash_split_sql(
+    id_expr: str, test_frac: float = 0.1, val_frac: float = 0.0,
+    salt: str = "split",
+) -> str:
+    frac = hash_fraction_sql(id_expr, salt)
+    return (
+        f"CASE WHEN {frac} < {test_frac} THEN 'test' "
+        f"WHEN {frac} < {test_frac + val_frac} THEN 'val' "
+        f"ELSE 'train' END"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    strata_col: str,
+    default_frac: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsample: keep a row iff its hash
+    fraction is below its stratum's rate. The per-stratum rates are the
+    standard rebalancing knob (e.g. keep 100% of low-resource languages,
+    3% of crawl boilerplate). No shuffle; rates live in the filter
+    expression, not a join."""
+    frac = hash_fraction(id_col, salt)
+    rate = F.lit(default_frac)
+    for value, p in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(rate)
+    return df.filter(frac < rate)
+
+
+def stratified_sample_sql(
+    id_expr: str,
+    fractions: dict[str, float],
+    strata_expr: str,
+    default_frac: float = 0.0,
+    salt: str = "sample",
+) -> str:
+    """WHERE-clause twin of stratified_sample."""
+    frac = hash_fraction_sql(id_expr, salt)
+    rate = str(default_frac)
+    for value, p in sorted(fractions.items()):
+        rate = f"CASE WHEN {strata_expr} = '{value}' THEN {p} ELSE {rate} END"
+    return f"{frac} < {rate}"

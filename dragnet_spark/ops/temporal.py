@@ -1,0 +1,99 @@
+"""Temporal operators: as-of join, sliding windows.
+
+The reference engine has no joins at all (SURVEY §2.5 — explicitly
+future work, docs/design-stateful.md:11-12/163-165); these are the
+time-series joins a metrics/training pipeline reaches for first.
+
+As-of join (left row ← most recent right row at-or-before its
+timestamp) is implemented with the union+window trick rather than a
+range join: tag both inputs, union, sort each key group once by
+(ts, side), and carry the last-seen right payload forward with
+``last(..., ignorenulls=True)``. That is ONE shuffle by key plus a
+partition-local sort — the same cost as a sort-merge join — and never
+materializes the O(left × right-per-key) intermediate a range-join
+condition (l.ts >= r.ts) would produce before its per-row top-1
+reduction. Skewed keys are handled by AQE like any other shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: each left row gains ``payload_cols`` from the
+    latest right row with the same key(s) and right_ts <= left_ts
+    (backward, inclusive — DuckDB ``ASOF LEFT JOIN ... ON l.ts >= r.ts``
+    semantics); null payload when no right row precedes. Payload column
+    names must not collide with left's columns. If several right rows
+    share a key+timestamp the latest in (ts, payload) order wins —
+    pre-aggregate the right side for a different tie rule.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lt = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    rt = right.select(
+        *keys, F.col(right_ts).alias(_TS), *payload_cols
+    ).withColumn(_SIDE, F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows (_SIDE=0) sort before left rows at equal ts → inclusive
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(_TS, _SIDE, *payload_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = u.select(
+        *[c for c in u.columns if c not in payload_cols],
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload_cols],
+    )
+    return u.filter(F.col(_SIDE) == 1).drop(_TS, _SIDE)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    length_sec: int,
+    slide_sec: int,
+    *agg_exprs,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in
+    length/slide overlapping windows) via Spark's built-in window();
+    emits the window start as epoch-second BIGINT ``ws`` so results are
+    timezone-free. Same expression works under Structured Streaming
+    with a watermark."""
+    win = F.window(ts_col, f"{length_sec} seconds", f"{slide_sec} seconds")
+    gcols = group_cols or []
+    return (
+        df.groupBy(win, *gcols)
+        .agg(*agg_exprs)
+        .withColumn("ws", F.unix_timestamp("window.start"))
+        .drop("window")
+    )
+
+
+def sliding_window_count_sql(
+    table: str, ts_expr: str, length_sec: int, slide_sec: int
+) -> str:
+    """DuckDB twin for a count over sliding windows: replicate each row
+    into its length/slide windows with UNNEST(range), then group."""
+    n = length_sec // slide_sec
+    return f"""
+    SELECT ws, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT (CAST(floor({ts_expr}/{slide_sec}) AS BIGINT) - u.k)*{slide_sec} AS ws,
+             {ts_expr} AS e
+      FROM {table}, UNNEST(range(0, {n})) AS u(k)
+    ) WHERE e >= ws AND e < ws + {length_sec}
+    GROUP BY ws
+    """

@@ -329,3 +329,49 @@ def winnow_fingerprints_sql(expr: str, k: int = 8, window: int = 4) -> str:
     """One-expression form (tests / small inputs). For real tables use
     winnow_grams_sql in a materialized CTE + winnow_from_grams_sql."""
     return winnow_from_grams_sql(winnow_grams_sql(expr, k), window)
+
+
+# ------------------------------------------------------------- PII redaction
+
+# patterns restricted to syntax Java regex and RE2 interpret identically
+# (ASCII classes, \b word boundaries, bounded repetition — no lookaround)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed
+    placeholder tokens — the standard scrub pass before a corpus is
+    used for training. Pure chained regexp_replace: JVM-side,
+    whole-stage-codegen'd, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    for pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+def pii_count(col: Column | str) -> Column:
+    """Number of PII spans that redact_pii would replace."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.lit(0)
+    for pat, token in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, token)  # don't double-count IP inside email etc.
+    return n.cast("long")
+
+
+def pii_count_sql(expr: str) -> str:
+    parts = []
+    for pat, token in PII_PATTERNS:
+        parts.append(f"len(regexp_extract_all({expr}, '{pat}'))")
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

@@ -1,0 +1,45 @@
+"""Connected-components semantics on crafted graphs."""
+
+import pytest
+
+from dragnet_spark.ops.graph import connected_components, dedup_cluster_assignments
+
+
+def _cc(spark, n_ids, edges):
+    ids = spark.createDataFrame([(i,) for i in range(n_ids)], "id long")
+    e = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        e = e.limit(0)
+    out = connected_components(ids, e)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+def test_chain_and_singleton(spark):
+    # 0-1-2-3 chain (diameter > 1 forces multiple rounds), 4-5 pair, 6 alone
+    got = _cc(spark, 7, [(0, 1), (1, 2), (2, 3), (4, 5)])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_no_edges_all_singletons(spark):
+    assert _cc(spark, 4, []) == {i: i for i in range(4)}
+
+
+def test_direction_irrelevant(spark):
+    # edge given high→low still pulls the cluster to the low id
+    assert _cc(spark, 3, [(2, 1), (1, 0)]) == {0: 0, 1: 0, 2: 0}
+
+
+def test_nonconvergence_raises(spark):
+    ids = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(ids, e, max_iter=1)
+
+
+def test_cluster_assignments_keeper_flag(spark):
+    df = spark.createDataFrame([(i,) for i in (7, 8, 9, 10)], "doc_id long")
+    pairs = spark.createDataFrame([(8, 9)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in dedup_cluster_assignments(df, "doc_id", pairs).collect()
+    }
+    assert got == {7: (7, True), 8: (8, True), 9: (8, False), 10: (10, True)}

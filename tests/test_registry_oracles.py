@@ -1,0 +1,33 @@
+"""Every oracle-bearing registry entry vs its DuckDB twin at sf0.001.
+
+This mirrors exactly what the round driver grades at sf0.01
+(row-count + schema + value-hash), so a mismatch here is caught before
+the round instead of in CORRECTNESS_r{N}.json. Rows-only entries
+(oracle=None) are smoke-run for schema stability.
+"""
+
+import pytest
+
+from dragnet_spark.registry import REGISTRY
+from tests.conftest import duck_set, rows_set
+
+_WITH_ORACLE = sorted(n for n, e in REGISTRY.items() if e.oracle is not None)
+_ROWS_ONLY = sorted(n for n, e in REGISTRY.items() if e.oracle is None)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_matches_oracle(spark, sf_dir, oracle, name):
+    entry = REGISTRY[name]
+    got = rows_set(entry.spark(spark, sf_dir))
+    want = duck_set(oracle, entry.oracle)
+    assert got == want, (
+        f"{name}: {len(got)} spark rows vs {len(want)} oracle rows; "
+        f"spark-only={sorted(got - want)[:3]} oracle-only={sorted(want - got)[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    entry = REGISTRY[name]
+    df = entry.spark(spark, sf_dir)
+    assert df.count() >= 0 and df.columns

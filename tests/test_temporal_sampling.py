@@ -1,0 +1,95 @@
+"""Unit semantics for the temporal / sampling / PII-scrub operators.
+
+The registry oracle test proves engine parity on the real tables;
+these pin the *semantics* on crafted inputs — tie rules, no-match
+nulls, split stability — which parity alone can't distinguish.
+"""
+
+from pyspark.sql import functions as F
+
+from dragnet_spark.ops.sampling import hash_fraction, hash_split, stratified_sample
+from dragnet_spark.ops.temporal import asof_join
+from dragnet_spark.ops.text import pii_count, redact_pii
+from tests.conftest import rows_set
+
+
+def test_asof_backward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 99), (4, 20, 500)],
+        "id long, k long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (30, 50, 9.0)],
+        "k long, rts long, rval double",
+    )
+    got = {
+        r["id"]: (r["rts"], r["rval"])
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            payload_cols=["rts", "rval"],
+        ).collect()
+    }
+    assert got[1] == (100, 1.0)  # equal ts matches (inclusive)
+    assert got[2] == (200, 2.0)  # latest at-or-before, not first
+    assert got[3] == (None, None)  # before any right row
+    assert got[4] == (None, None)  # key with no right rows at all
+
+
+def test_asof_left_rows_preserved(spark):
+    left = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("lts")
+    )
+    right = spark.createDataFrame([(0, 5, 1.0)], "k long, rts long, rval double")
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["rts", "rval"],
+    )
+    assert out.count() == 100  # left join: nothing dropped, nothing duplicated
+    # k=0 → ids 0,7,...,98 (15 rows); id=0 has lts=0 < rts=5 → no match
+    assert out.filter(F.col("rval").isNotNull()).count() == 14
+
+
+def test_hash_split_is_stable_under_corpus_change(spark):
+    full = hash_split(spark.range(1000), "id", 0.2, 0.1)
+    half = hash_split(spark.range(500), "id", 0.2, 0.1)
+    m_full = {r["id"]: r["split"] for r in full.collect()}
+    m_half = {r["id"]: r["split"] for r in half.collect()}
+    assert all(m_full[i] == m_half[i] for i in m_half)  # no reshuffling on growth
+    counts = {s: sum(1 for v in m_full.values() if v == s) for s in set(m_full.values())}
+    assert 150 < counts["test"] < 250 and 50 < counts["val"] < 150
+
+
+def test_hash_fraction_salt_decorrelates(spark):
+    df = spark.range(2000).select(
+        "id",
+        (hash_fraction("id", "a") < 0.5).alias("da"),
+        (hash_fraction("id", "b") < 0.5).alias("db"),
+    )
+    both = df.filter("da AND db").count()
+    assert 400 < both < 600  # independent draws: ~25% of 2000
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(4000).select(
+        "id", F.when(F.col("id") % 2 == 0, "keep").otherwise("thin").alias("s")
+    )
+    out = stratified_sample(df, "id", {"keep": 1.0, "thin": 0.1}, "s")
+    by = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by["keep"] == 2000 and 120 < by["thin"] < 280
+
+
+def test_redact_pii_rules(spark):
+    rows = [
+        (1, "reach a.b_c+x@foo-bar.io or 555-123-4567 at 10.0.0.1 ok"),
+        (2, "no pii"),
+        (3, "v4.2.1.3 is a version but 8.8.8.8 is an ip"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = rows_set(
+        df.select("id", redact_pii("t").alias("r"), pii_count("t").alias("n"))
+    )
+    assert (1, "reach <EMAIL> or <PHONE> at <IP> ok", 3) in got
+    assert (2, "no pii", 0) in got
+    # \b protects the version-like token: no word boundary inside "v4",
+    # so only the bare dotted quad redacts
+    assert (3, "v4.2.1.3 is a version but <IP> is an ip", 1) in got
