@@ -1079,6 +1079,25 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from dragnet_spark.ops.graph import dedup_cluster_assignments  # noqa: E402
+from dragnet_spark.ops.packing import pack_sequences  # noqa: E402
+
+
+@register(
+    "pack_documents",
+    None,  # greedy bin packing is sequential per bucket — no SQL twin;
+    # invariants (budget ceiling, determinism) are pytest-enforced
+    "sequence packing for training batches: hash-bucketed greedy "
+    "first-fit via applyInPandas — each executor packs its buckets "
+    "with zero coordination; pack assignment is a pure function of "
+    "(id, n_tokens), independent of partitioning",
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", _text.token_count("text")
+    )
+    return pack_sequences(doc, "doc_id", "n_tokens", budget=256).select(
+        "doc_id", "n_tokens", "pack_id"
+    )
 
 
 @register(
