@@ -692,6 +692,49 @@ def events_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_distinct_users_by_type_approx",
+    None,  # HLL sketch values are implementation-defined → rows-only
+    # check; ±2% accuracy vs the exact path is pytest-enforced
+    "HyperLogLog++ distinct count (rsd=0.02): the 100 TB scale path — "
+    "a fixed-size sketch merges map-side, so the shuffle carries one "
+    "sketch per group instead of every distinct value; the exact "
+    "salted path is the verification twin",
+)
+def events_distinct_users_by_type_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02)
+            .cast("long")
+            .alias("n_distinct")
+        )
+    )
+
+
+@register(
+    "events_value_percentiles_approx",
+    None,  # t-digest/GK summaries are implementation-defined → rows-only
+    "approx_percentile(accuracy=10000): bounded-memory mergeable "
+    "quantile summary — at 100 TB the exact sort-based percentile "
+    "shuffles every value, the sketch ships one summary per group",
+)
+def events_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95"),
+        )
+    )
+
+
+@register(
     "events_top_users_by_type",
     """
     SELECT event_type, value, weight, rank FROM (

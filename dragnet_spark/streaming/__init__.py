@@ -1,7 +1,9 @@
 from dragnet_spark.streaming.pipeline import (
     read_ndjson_stream,
     stream_build,
+    stream_dedup,
     stream_scan,
+    stream_sliding_counts,
 )
 from dragnet_spark.streaming.stateful import sessionize, stream_running_counts
 
@@ -9,6 +11,8 @@ __all__ = [
     "read_ndjson_stream",
     "sessionize",
     "stream_build",
+    "stream_dedup",
     "stream_running_counts",
     "stream_scan",
+    "stream_sliding_counts",
 ]

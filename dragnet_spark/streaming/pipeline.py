@@ -183,3 +183,75 @@ def stream_build(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sliding_counts(
+    sdf: DataFrame,
+    time_field: str,
+    length_sec: int,
+    slide_sec: int,
+    keys: list | None = None,
+    resolver=None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows over a variant record stream: count
+    per (window, keys), window start emitted as epoch-second ``ws``.
+    Each event expands into length/slide overlapping windows *before*
+    the shuffle (built-in window() generator); watermarked, so append
+    mode finalizes past windows and state stays bounded. The identical
+    expression over a static DataFrame is the batch twin — tested for
+    equivalence."""
+    resolver = resolver or VariantResolver()
+    secs = synthetic_date_column(resolver.raw(time_field))
+    out = (
+        sdf.withColumn(EVENT_TIME_COL, F.timestamp_seconds(secs))
+        .filter(F.col(EVENT_TIME_COL).isNotNull())
+    )
+    if out.isStreaming:
+        out = out.withWatermark(EVENT_TIME_COL, watermark)
+    key_cols = [
+        breakdown_column(resolver, b).alias(b.name) for b in (keys or [])
+    ]
+    win = F.window(
+        F.col(EVENT_TIME_COL), f"{length_sec} seconds", f"{slide_sec} seconds"
+    )
+    return (
+        out.groupBy(win.alias("__dn_window"), *key_cols)
+        .agg(F.sum(F.lit(1)).cast("long").alias(VALUE_COL))
+        .select(
+            F.unix_timestamp(F.col("__dn_window.start")).alias("ws"),
+            *[F.col(b.name) for b in (keys or [])],
+            F.col(VALUE_COL),
+        )
+    )
+
+
+def stream_dedup(
+    sdf: DataFrame,
+    key_fields: list[str],
+    time_field: str,
+    resolver=None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state:
+    dropDuplicatesWithinWatermark keeps each key's state only for the
+    watermark horizon, so a continuous ingest pipeline can dedup an
+    unbounded stream — the streaming twin of exact_dup_groups'
+    keep-first semantics for keys that repeat within the horizon.
+    Emits the deduplicated records (first arrival wins)."""
+    resolver = resolver or VariantResolver()
+    secs = synthetic_date_column(resolver.raw(time_field))
+    out = (
+        sdf.withColumn(EVENT_TIME_COL, F.timestamp_seconds(secs))
+        .filter(F.col(EVENT_TIME_COL).isNotNull())
+    )
+    for f in key_fields:
+        out = out.withColumn(
+            f"__dn_key_{f.replace('.', '_')}",
+            resolver.raw(f).cast("string"),
+        )
+    key_cols = [f"__dn_key_{f.replace('.', '_')}" for f in key_fields]
+    if out.isStreaming:
+        out = out.withWatermark(EVENT_TIME_COL, watermark)
+        return out.dropDuplicatesWithinWatermark(key_cols)
+    return out.dropDuplicates(key_cols)

@@ -196,3 +196,74 @@ def test_stream_running_counts_converge_to_batch(spark, watched_dir):
         ).collect()
     }
     assert final == batch
+
+
+def _batch_variant(spark, path):
+    from dragnet_spark.scan import VARIANT_COL
+
+    txt = spark.read.option("recursiveFileLookup", "true").text(path)
+    return (
+        txt.filter(F.trim(F.col("value")) != "")
+        .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
+        .filter(F.col(VARIANT_COL).isNotNull())
+    )
+
+
+def test_stream_sliding_counts_match_batch(spark, watched_dir):
+    """Sliding windows (1 day length, 6 h slide) over the stream equal
+    the identical expression over the same data as a batch frame."""
+    from dragnet_spark.streaming import stream_sliding_counts
+
+    sdf = read_ndjson_stream(spark, watched_dir, max_files_per_trigger=3)
+    res = stream_sliding_counts(sdf, "time", 86400, 21600)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from sliding").collect()}
+    want = {
+        tuple(r)
+        for r in stream_sliding_counts(
+            _batch_variant(spark, watched_dir), "time", 86400, 21600
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Records repeating a key within the watermark horizon are
+    dropped; the surviving key set equals batch distinct."""
+    import json
+
+    from dragnet_spark.streaming import stream_dedup
+
+    d = tmp_path / "in"
+    d.mkdir()
+    lines = [
+        {"k": f"key{i % 5}", "time": f"2024-01-01T10:{i:02d}:00.000Z"}
+        for i in range(20)
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(x) for x in lines[:10]) + "\n")
+    (d / "b.json").write_text("\n".join(json.dumps(x) for x in lines[10:]) + "\n")
+
+    sdf = read_ndjson_stream(spark, str(d))
+    res = stream_dedup(sdf, ["k"], "time", watermark="2 hours")
+    q = (
+        res.writeStream.format("memory")
+        .queryName("dedup_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["__dn_key_k"]
+        for r in spark.sql("select * from dedup_s").collect()
+    }
+    assert got == {f"key{i}" for i in range(5)}
+    batch = stream_dedup(_batch_variant(spark, str(d)), ["k"], "time")
+    assert batch.count() == 5

@@ -93,3 +93,40 @@ def test_redact_pii_rules(spark):
     # \b protects the version-like token: no word boundary inside "v4",
     # so only the bare dotted quad redacts
     assert (3, "v4.2.1.3 is a version but <IP> is an ip", 1) in got
+
+
+def test_approx_variants_within_tolerance(spark, sf_dir):
+    """Sketch results track their exact twins: HLL within the 2% rsd
+    (with slack), approx_percentile within the neighboring-value gap."""
+    from dragnet_spark.registry import REGISTRY
+
+    approx_d = {
+        r["event_type"]: r["n_distinct"]
+        for r in REGISTRY["events_distinct_users_by_type_approx"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    exact_d = {
+        r["event_type"]: r["n_distinct"]
+        for r in REGISTRY["events_distinct_users_by_type"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert approx_d.keys() == exact_d.keys()
+    for k, exact in exact_d.items():
+        assert abs(approx_d[k] - exact) <= max(3, 0.06 * exact), (k, approx_d[k], exact)
+
+    approx_p = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in REGISTRY["events_value_percentiles_approx"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    exact_p = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in REGISTRY["events_value_percentiles"].spark(spark, sf_dir).collect()
+    }
+    for k, (e50, e95) in exact_p.items():
+        a50, a95 = approx_p[k]
+        assert abs(a50 - e50) <= 0.05 * max(abs(e50), 1), (k, a50, e50)
+        assert abs(a95 - e95) <= 0.05 * max(abs(e95), 1), (k, a95, e95)
