@@ -130,3 +130,51 @@ def test_approx_variants_within_tolerance(spark, sf_dir):
         a50, a95 = approx_p[k]
         assert abs(a50 - e50) <= 0.05 * max(abs(e50), 1), (k, a50, e50)
         assert abs(a95 - e95) <= 0.05 * max(abs(e95), 1), (k, a95, e95)
+
+
+def test_asof_randomized_parity_with_duckdb(spark):
+    """asof_join agrees with DuckDB's native ASOF LEFT JOIN on random
+    keyed time series (seeded): backward-inclusive semantics, ties,
+    missing keys, empty right groups."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(1234)
+    left = [
+        (i, rng.randrange(8), rng.randrange(100))
+        for i in range(300)
+    ]
+    right = [
+        (rng.randrange(10), rng.randrange(100), float(i))
+        for i in range(200)
+    ]
+    # dedup right on (k, rts): keep max payload — same rule both engines
+    rmap = {}
+    for k, rts, v in right:
+        rmap[(k, rts)] = max(rmap.get((k, rts), float("-inf")), v)
+    right = [(k, rts, v) for (k, rts), v in rmap.items()]
+
+    ldf = spark.createDataFrame(left, "id long, k long, lts long")
+    rdf = spark.createDataFrame(right, "k long, rts long, rval double")
+    got = rows_set(
+        asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            payload_cols=["rts", "rval"],
+        )
+    )
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(left, columns=["id", "k", "lts"]))
+    con.register("r", pd.DataFrame(right, columns=["k", "rts", "rval"]))
+    want = {
+        tuple(t)
+        for t in con.execute(
+            """
+            SELECT l.id, l.k, l.lts, r.rts, r.rval
+            FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts
+            """
+        ).fetchall()
+    }
+    assert got == want
