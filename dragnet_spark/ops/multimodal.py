@@ -95,6 +95,70 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     )
 
 
+def resize_media(
+    media: DataFrame,
+    target_width: int,
+    target_height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize via mapInPandas: payload → resized payload with
+    updated meta. The real implementation decodes with Pillow, resizes,
+    re-encodes; here the stub emits a deterministic content-derived
+    payload of plausible size (scaled by target/source pixel ratio) so
+    downstream size accounting is testable. Aspect-ratio metadata and
+    the Arrow batch shape are production-real.
+
+    Scale shape: a pure map — no shuffle, binary columns never leave
+    their partition, output parquet keeps payloads columnar.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real decoders (Pillow) are not available in this "
+                    "environment; run with decode_stub=True"
+                )
+            payloads, widths, heights = [], [], []
+            for p, w, h in zip(
+                pdf["payload"], pdf["meta_width"], pdf["meta_height"]
+            ):
+                src = bytes(p)
+                ratio = (target_width * target_height) / max(int(w) * int(h), 1)
+                n_out = max(int(len(src) * min(ratio, 1.0)), 1)
+                seed = hashlib.sha256(
+                    src + f"{target_width}x{target_height}".encode()
+                ).digest()
+                payloads.append((seed * (n_out // len(seed) + 1))[:n_out])
+                widths.append(target_width)
+                heights.append(target_height)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    flat = media.filter(F.col("media_type") == "image/png").select(
+        "id",
+        "media_type",
+        "payload",
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.height").alias("meta_height"),
+    )
+    return flat.mapInPandas(
+        run,
+        schema=(
+            "id long, media_type string, payload binary, "
+            "width int, height int"
+        ),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     index (the decode itself is the stubbed step). Demonstrates the

@@ -478,6 +478,7 @@ from dragnet_spark.ops.multimodal import (  # noqa: E402
     attach_payloads,
     extract_features,
     frame_sample_plan,
+    resize_media,
 )
 from dragnet_spark.ops.similarity import cosine_topk, cosine_topk_blocked  # noqa: E402
 
@@ -952,6 +953,24 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.col("frame_index").cast("long").alias("frame_index"),
         F.col("pixels").cast("long").alias("pixels"),
+    )
+
+
+@register(
+    "multimodal_resize",
+    None,  # stubbed re-encode payload has no SQL twin → rows-only;
+    # size/meta invariants are pytest-enforced
+    "image resize plumbing: pure map over binary columns via "
+    "mapInPandas (decode stubbed, Arrow batch shape + meta update "
+    "real); payloads never cross a shuffle boundary",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs, "text", "doc_id")
+    out = resize_media(media, target_width=64, target_height=64)
+    return out.select(
+        "id", "media_type", F.length("payload").cast("long").alias("n_bytes"),
+        "width", "height",
     )
 
 

@@ -352,3 +352,36 @@ def test_winnow_matches_duckdb_oracle(spark):
         """,
     )
     assert got == want and got
+
+
+def test_multimodal_resize_invariants(spark):
+    """Resize stub: only images pass through, meta reflects the target,
+    payload size shrinks by the pixel ratio (never grows), output is
+    deterministic."""
+    from dragnet_spark.ops.multimodal import attach_payloads, resize_media
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (100 + i)) for i in range(12)], "doc_id long, text string"
+    )
+    media = attach_payloads(docs, "text", "doc_id")
+    out = resize_media(media, target_width=10, target_height=1)
+    rows = out.collect()
+    n_images = media.filter("media_type = 'image/png'").count()
+    assert len(rows) == n_images and n_images > 0
+    for r in rows:
+        assert (r["width"], r["height"]) == (10, 1)
+        src_len = 100 + r["id"]
+        assert 1 <= len(r["payload"]) <= src_len
+    again = {r["id"]: bytes(r["payload"]) for r in out.collect()}
+    assert again == {r["id"]: bytes(r["payload"]) for r in rows}
+
+
+def test_multimodal_resize_without_stub_raises(spark):
+    from dragnet_spark.ops.multimodal import attach_payloads, resize_media
+
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    media = attach_payloads(docs, "text", "doc_id")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="decoders"):
+        resize_media(media, 8, 8, decode_stub=False).collect()
