@@ -60,6 +60,47 @@ def asof_join(
     return u.filter(F.col(_SIDE) == 1).drop(_TS, _SIDE)
 
 
+def range_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    value_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval join: every (fact, dim) pair with
+    start <= value < end (half-open; overlapping intervals yield one
+    output row per covering interval).
+
+    A naive range condition forces BroadcastNestedLoopJoin — O(n×m)
+    compares even when almost nothing matches. Instead each dim
+    interval explodes to the fixed-width buckets it covers and each
+    fact row computes its single bucket, turning the range join into an
+    equi-join on bucket + a residual filter. A (fact, dim) pair shares
+    exactly one bucket — the fact's — so no dedup is needed. Cost is
+    |dim| × (interval_len / bucket_width) replicated dim rows (choose
+    bucket_width near the median interval length) against a hash or
+    broadcast equi-join that scales to arbitrarily large fact sides.
+    Values must be integral (epoch days/seconds); convert dates first.
+    """
+    v = F.col(value_col)
+    fact2 = fact.withColumn("__rjb", F.floor(v / bucket_width).cast("long"))
+    dim2 = dim.withColumn(
+        "__rjb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor((F.col(end_col) - 1) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        fact2.join(dim2, "__rjb")
+        .filter((v >= F.col(start_col)) & (v < F.col(end_col)))
+        .drop("__rjb")
+    )
+
+
 def sliding_window_agg(
     df: DataFrame,
     ts_col: str,

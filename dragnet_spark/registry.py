@@ -996,6 +996,7 @@ from dragnet_spark.ops.sampling import (  # noqa: E402
 )
 from dragnet_spark.ops.temporal import (  # noqa: E402
     asof_join,
+    range_join,
     sliding_window_count_sql,
 )
 
@@ -1099,6 +1100,55 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         left, right, on="user_id", left_ts="lts", right_ts="rts",
         payload_cols=["rts", "rval"],
+    )
+
+
+# promo windows as (name, start_day, end_day) epoch-day half-open
+# intervals; overlap96 deliberately overlaps summer96 so one order can
+# match two intervals (real range-join semantics, not bucketing)
+_PROMOS = [
+    ("launch95", "1995-02-01", "1995-04-01"),
+    ("summer96", "1996-06-01", "1996-09-01"),
+    ("overlap96", "1996-08-15", "1996-10-01"),
+    ("y2k", "1999-11-01", "2000-02-01"),
+]
+
+
+@register(
+    "orders_in_promo_windows",
+    f"""
+    WITH promos(name, start_day, end_day) AS (VALUES {", ".join(
+        f"('{n}', DATEDIFF('day', DATE '1970-01-01', DATE '{s}'), "
+        f"DATEDIFF('day', DATE '1970-01-01', DATE '{e}'))" for n, s, e in _PROMOS
+    )}),
+    fact AS (SELECT o_orderkey, o_totalprice,
+                    DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+             FROM orders)
+    SELECT p.name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM fact f JOIN promos p ON f.day >= p.start_day AND f.day < p.end_day
+    GROUP BY p.name
+    """,
+    "range join (interval containment, overlapping intervals allowed): "
+    "dim intervals explode to fixed-width buckets, fact rows equi-join "
+    "on their single bucket, residual filter — never the "
+    "BroadcastNestedLoopJoin a raw range condition forces",
+)
+def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit("1970-01-01").cast("date")
+    fact = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("day"),
+    )
+    dim = spark.createDataFrame(_PROMOS, "name string, s string, e string").select(
+        "name",
+        F.datediff(F.col("s").cast("date"), epoch).alias("start_day"),
+        F.datediff(F.col("e").cast("date"), epoch).alias("end_day"),
+    )
+    joined = range_join(fact, dim, "day", "start_day", "end_day", bucket_width=30)
+    return joined.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_dec4("o_totalprice")).cast("double").alias("revenue"),
     )
 
 

@@ -178,3 +178,50 @@ def test_asof_randomized_parity_with_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_range_join_semantics(spark):
+    """Half-open boundaries, overlap multiplicity, and bucket-width
+    independence."""
+    from dragnet_spark.ops.temporal import range_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 19), (3, 20), (4, 25), (5, 99)], "fid long, v long"
+    )
+    dim = spark.createDataFrame(
+        [("a", 10, 20), ("b", 15, 30)], "name string, s long, e long"
+    )
+    for width in (1, 7, 100):
+        got = {
+            (r["fid"], r["name"])
+            for r in range_join(fact, dim, "v", "s", "e", width).collect()
+        }
+        assert got == {
+            (1, "a"),            # v=10: start inclusive
+            (2, "a"), (2, "b"),  # v=19: overlap → two rows
+            (3, "b"),            # v=20: end exclusive for a
+            (4, "b"),
+        }, f"width={width}"
+
+
+def test_plan_shapes_stay_scalable(spark, sf_dir):
+    """Plan-quality regression net: the joins that must never be
+    nested-loop stay hash/sort-merge, and sampling stays a narrow
+    filter (no shuffle)."""
+    from dragnet_spark.registry import REGISTRY
+
+    def plan_of(name):
+        return (
+            REGISTRY[name]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    for name in ("asof_purchase_last_click", "orders_in_promo_windows"):
+        p = plan_of(name)
+        assert "BroadcastNestedLoop" not in p and "Cartesian" not in p, name
+
+    p = plan_of("sample_stratified_by_lang")
+    assert "Exchange" not in p  # pure filter+project: no shuffle at all
