@@ -41,7 +41,11 @@ BENCH_QUERIES = [
     "q5_revenue_by_nation",
     "top_customers_per_nation",
     "orders_with_discounted_lines",
+    "q13_customer_order_distribution",
+    "q18_large_volume_orders",
     "asof_purchase_last_click",
+    "orders_in_promo_windows",
+    "events_user_sessions",
     "events_value_percentiles",
     "events_sliding_window_5m",
     # training-data pipeline families (first-class at 100 TB)

@@ -1280,3 +1280,365 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.redact_pii(t).alias("redacted"),
         _text.pii_count(t).alias("n_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics breadth (beyond reference §2.5 future work): outer/anti
+# joins, scalar subqueries, HAVING, conditional aggregation — the
+# TPC-H shapes q13/q14/q18/q22 that exercise join strategies the
+# earlier q1/q3/q5 family does not.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY n_orders
+    """,
+    "TPC-H Q13 shape: left outer join preserving order-less customers, "
+    "then a distribution over the per-customer counts (two-level agg; "
+    "first agg is pre-shuffled by the join key so it adds no exchange)",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_INACTIVE_YEAR = ("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+
+
+@register(
+    "customers_inactive_1997",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_INACTIVE_YEAR[0]}'
+                        AND o_orderdate <  TIMESTAMP '{_INACTIVE_YEAR[1]}')
+    GROUP BY c_mktsegment
+    """,
+    "NOT EXISTS as left-anti join: customers with no orders in 1997 "
+    "(the filter narrows the right side before the anti join so only "
+    "the relevant year's orderkeys shuffle)",
+)
+def customers_inactive_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders97 = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_INACTIVE_YEAR[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_INACTIVE_YEAR[1]).cast("timestamp"))
+    )
+    return (
+        cust.join(orders97, cust.c_custkey == orders97.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec4("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    "TPC-H Q14 shape: conditional aggregation over a fact-dim join; "
+    "part is broadcast so the lineitem side never shuffles",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    disc_price = (_dec4("l_extendedprice") * (one - _dec4("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q18_MIN_QTY = 150
+
+
+@register(
+    "q18_large_volume_orders",
+    f"""
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > {_Q18_MIN_QTY}
+    """,
+    "TPC-H Q18 shape: HAVING on a grouped sum across a 3-way join; "
+    "aggregating lineitem by orderkey *before* joining orders/customer "
+    "shrinks the probe side to the few qualifying orders",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # pre-aggregate + HAVING first: the join then only sees qualifying
+    # orderkeys instead of every lineitem row
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec4("l_quantity")).alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > _Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q22_idle_high_balance",
+    f"""
+    WITH stats AS (SELECT COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s
+                   FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer, stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_INACTIVE_YEAR[0]}'
+                        AND o_orderdate <  TIMESTAMP '{_INACTIVE_YEAR[1]}')
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22 shape: scalar-subquery threshold (above-average balance) "
+    "+ anti join. The average is compared as balance*count > sum — all "
+    "decimal-exact, no float division to disagree on — and the 1-row "
+    "stats side is a broadcast cross join",
+)
+def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec4("c_acctbal")).alias("s")
+    )
+    orders97 = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_INACTIVE_YEAR[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_INACTIVE_YEAR[1]).cast("timestamp"))
+    )
+    return (
+        cust.join(F.broadcast(stats))
+        .filter(_dec4("c_acctbal") * F.col("n") > F.col("s"))
+        .join(orders97, F.col("c_custkey") == orders97.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec4("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics over the event stream: window chains,
+# gap-based sessionization, cohort retention, funnels. All time math
+# is integer microseconds (unix_micros / epoch_us) so both engines
+# compare the identical integers — no float-epoch rounding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_history",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS running_total,
+           CAST(DATEDIFF('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+                         CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window-function chain (running sum + row_number + lag delta) in a "
+    "single per-customer sort: one shuffle on custkey serves all three; "
+    "the orderkey tiebreaker makes RANGE and ROWS frames agree",
+)
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    odate = F.col("o_orderdate").cast("date")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        odate.alias("orderdate"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+        F.sum(_dec4("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.datediff(odate, F.lag(odate).over(w)).cast("int").alias("days_since_prev"),
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "events_user_sessions",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN prev IS NULL OR tus - prev > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), s AS (
+      SELECT user_id, SUM(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY tus, event_id) AS sess_id
+      FROM m
+    ), per_sess AS (
+      SELECT user_id, sess_id, COUNT(*) AS sess_events
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(sess_events) AS BIGINT) AS n_events,
+           CAST(MAX(sess_events) AS BIGINT) AS max_session_events
+    FROM per_sess GROUP BY user_id
+    """,
+    "batch sessionization via lag-gap detection (30 min): the lag, the "
+    "running session-id sum, and the per-session rollup all reuse one "
+    "user_id shuffle; the streaming twin is streaming/stateful.sessionize",
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    prev = F.lag("tus").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("tus") - prev > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "sess_id", F.sum("is_new").over(w)
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("sess_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("sess_events").cast("long").alias("n_events"),
+        F.max("sess_events").cast("long").alias("max_session_events"),
+    )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "user_weekly_retention",
+    f"""
+    WITH wk AS (SELECT DISTINCT user_id,
+                CAST(FLOOR(epoch_us(ts) / {_WEEK_US}.0) AS BIGINT) AS week
+                FROM events)
+    SELECT a.week AS week, COUNT(*) AS n_retained
+    FROM wk a JOIN wk b ON a.user_id = b.user_id AND b.week = a.week + 1
+    GROUP BY a.week
+    """,
+    "cohort retention: users active in week w AND w+1 via distinct "
+    "(user, week) self-join — the distinct and both join sides share "
+    "the user_id hash partitioning, so the self-join adds no exchange",
+)
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wk = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / _WEEK_US).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.week") == F.col("a.week") + 1),
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t0
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t1
+          GROUP BY e.user_id)
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT 'click', COUNT(*) FROM c
+    UNION ALL SELECT 'purchase', COUNT(*) FROM p
+    """,
+    "ordered funnel (view -> click after view -> purchase after click): "
+    "each stage is a per-user MIN-timestamp aggregate broadcast into "
+    "the next stage's filter, so the big events table never shuffles",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+
+    def stage(etype: str, prev: DataFrame | None, prev_t: str, out_t: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(F.broadcast(prev), "user_id").filter(
+                F.col("tus") > F.col(prev_t)
+            )
+        return s.groupBy("user_id").agg(F.min("tus").alias(out_t))
+
+    v = stage("view", None, "", "t0")
+    c = stage("click", v, "t0", "t1")
+    p = stage("purchase", c, "t1", "t2")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        ).select("stage", "n_users")
+
+    return cnt(v, "view").unionByName(cnt(c, "click")).unionByName(cnt(p, "purchase"))
