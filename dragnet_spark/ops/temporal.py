@@ -67,6 +67,7 @@ def range_join(
     start_col: str,
     end_col: str,
     bucket_width: int,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Interval join: every (fact, dim) pair with
     start <= value < end (half-open; overlapping intervals yield one
@@ -82,6 +83,14 @@ def range_join(
     bucket_width near the median interval length) against a hash or
     broadcast equi-join that scales to arbitrarily large fact sides.
     Values must be integral (epoch days/seconds); convert dates first.
+
+    broadcast_dim pins the build side: interval dims are usually tiny
+    but often reach Spark as createDataFrame/RDD relations with no
+    stats, and without the hint Catalyst may instead broadcast the
+    *fact* side — fine in a local test, fatal when the fact is the
+    100 TB table. Pass False only when the exploded dim is genuinely
+    too big to broadcast; the join then shuffles both sides on the
+    bucket key.
     """
     v = F.col(value_col)
     fact2 = fact.withColumn("__rjb", F.floor(v / bucket_width).cast("long"))
@@ -94,6 +103,12 @@ def range_join(
             )
         ),
     )
+    if broadcast_dim:
+        dim2 = F.broadcast(dim2)
+    else:
+        # pin a shuffle hash join so Catalyst can't flip to
+        # broadcasting whichever side happens to have small stats
+        dim2 = dim2.hint("shuffle_hash")
     return (
         fact2.join(dim2, "__rjb")
         .filter((v >= F.col(start_col)) & (v < F.col(end_col)))

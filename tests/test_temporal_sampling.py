@@ -223,5 +223,11 @@ def test_plan_shapes_stay_scalable(spark, sf_dir):
         p = plan_of(name)
         assert "BroadcastNestedLoop" not in p and "Cartesian" not in p, name
 
+    # the range join must broadcast the interval dim, never the fact:
+    # BuildLeft here would mean Catalyst picked the orders table as the
+    # broadcast side (fatal when the fact is the 100 TB table)
+    p = plan_of("orders_in_promo_windows")
+    assert "BuildRight" in p and "BuildLeft" not in p
+
     p = plan_of("sample_stratified_by_lang")
     assert "Exchange" not in p  # pure filter+project: no shuffle at all
