@@ -104,3 +104,84 @@ def stratified_sample_sql(
     for value, p in sorted(fractions.items()):
         rate = f"CASE WHEN {strata_expr} = '{value}' THEN {p} ELSE {rate} END"
     return f"{frac} < {rate}"
+
+
+# ----------------------------------------- cross-split contamination
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_frac: float = 0.1,
+    val_frac: float = 0.0,
+    salt: str = "split",
+    ngram: int = 3,
+    min_shared: int = 3,
+    max_df: int = 20,
+) -> DataFrame:
+    """Train/test leakage report: (test_doc, train_doc, n_shared) pairs
+    where a test-split document shares >= min_shared rare n-gram
+    shingles with a train-split document.
+
+    Exact-duplicate leakage checks miss the common real-world case —
+    near-duplicates that straddle the split — so this uses the shared-
+    rare-shingle signal (the winnowing discipline): shingles with
+    document frequency > max_df are dropped *before* the self-join,
+    which bounds the join fanout per shingle to max_df² instead of
+    letting a stopword run produce a corpus-sized bucket. The join
+    carries only (shingle, id, split); text never rides the shuffle.
+    """
+    from dragnet_spark.ops.text import shingles
+
+    tagged = hash_split(df, id_col, test_frac, val_frac, salt)
+    ex = tagged.select(
+        F.col(id_col).alias("id"),
+        F.col("split"),
+        F.explode(F.array_distinct(shingles(text_col, ngram))).alias("sh"),
+    )
+    rare = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    ex = ex.join(rare.select("sh"), "sh")
+    test = ex.filter(F.col("split") == "test").select(
+        "sh", F.col("id").alias("test_doc")
+    )
+    train = ex.filter(F.col("split") == "train").select(
+        "sh", F.col("id").alias("train_doc")
+    )
+    return (
+        test.join(train, "sh")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def cross_split_contamination_sql(
+    text_expr: str,
+    test_frac: float = 0.1,
+    val_frac: float = 0.0,
+    salt: str = "split",
+    ngram: int = 3,
+    min_shared: int = 3,
+    max_df: int = 20,
+) -> str:
+    """DuckDB twin of cross_split_contamination over documents."""
+    from dragnet_spark.ops.text import shingles_sql
+
+    return f"""
+    WITH ex AS (
+      SELECT doc_id AS id,
+             {hash_split_sql('doc_id', test_frac, val_frac, salt)} AS split,
+             s.sh
+      FROM documents,
+           UNNEST(list_distinct({shingles_sql(text_expr, ngram)})) AS s(sh)
+    ),
+    rare AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= {max_df}),
+    fex AS (SELECT ex.* FROM ex JOIN rare USING (sh))
+    SELECT a.id AS test_doc, b.id AS train_doc, COUNT(*) AS n_shared
+    FROM fex a JOIN fex b ON a.sh = b.sh AND a.split = 'test' AND b.split = 'train'
+    GROUP BY a.id, b.id
+    HAVING COUNT(*) >= {min_shared}
+    """

@@ -375,3 +375,118 @@ def pii_count_sql(expr: str) -> str:
         parts.append(f"len(regexp_extract_all({expr}, '{pat}'))")
         expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+# ------------------------------------------------------------- tf-idf
+
+
+def tfidf_top_terms(
+    df, text_col: str, id_col: str, k: int = 3,
+):
+    """Top-k distinguishing terms per document, scored tf/df — term
+    frequency weighted by linear inverse document frequency.
+
+    Linear (not log) idf keeps the score a single IEEE division of two
+    integers, which every engine rounds identically — the ranking is
+    therefore bit-reproducible across engines and runs, where a
+    log-idf tie near the row_number boundary could flip on a ulp
+    difference between libm implementations. Ties break on the term.
+
+    Scale shape: tf is a (doc, term) groupBy whose partial aggregation
+    collapses repeats map-side; df reuses tf (no second pass over the
+    corpus); the df join shuffles on term; the top-k window shuffles on
+    doc. No driver-side state, no UDF.
+
+    Returns (doc_id, term, tf, df, score, rank).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def tfidf_top_terms_sql(text_expr: str, k: int = 3) -> str:
+    """DuckDB twin of tfidf_top_terms over the documents table."""
+    return f"""
+    WITH tok AS (SELECT doc_id, t.term
+                 FROM documents, UNNEST({tokens_sql(text_expr)}) AS t(term)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                      CAST(tf.tf AS DOUBLE) / dfreq.df AS score
+               FROM tf JOIN dfreq USING (term))
+    SELECT * FROM (
+      SELECT doc_id, term, tf, df, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# ----------------------------------------------------- inverted index
+
+
+def shingle_postings(
+    df, text_col: str, id_col: str, ngram: int = 3,
+    min_df: int = 2, max_df: int = 5,
+):
+    """Inverted index over rare n-gram shingles: for each shingle whose
+    document frequency is in [min_df, max_df], the sorted posting list
+    of containing documents (joined with '|' — a string, not an array,
+    so result comparison stays hashable).
+
+    The df band is the scale guard: common shingles (stopword runs)
+    would dominate the index and carry posting lists proportional to
+    the corpus, while df-banded postings are bounded by max_df — the
+    same df-capping discipline as winnow_overlap_pairs. collect_list
+    runs after a (shingle) shuffle whose values are just ids.
+
+    Returns (shingle, df, postings).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, ngram))).alias("sh"),
+    )
+    return (
+        ex.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws("|", F.sort_array(F.collect_list(F.col("id").cast("string")))).alias(
+                "postings"
+            ),
+        )
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select(F.col("sh").alias("shingle"), "df", "postings")
+    )
+
+
+def shingle_postings_sql(
+    text_expr: str, ngram: int = 3, min_df: int = 2, max_df: int = 5
+) -> str:
+    """DuckDB twin of shingle_postings over the documents table.
+
+    Sorts ids as *strings* to match Spark's sort_array over the cast
+    ids (digit-count differences would otherwise reorder)."""
+    return f"""
+    WITH ex AS (SELECT DISTINCT doc_id, s.sh
+                FROM documents,
+                     UNNEST(list_distinct({shingles_sql(text_expr, ngram)})) AS s(sh))
+    SELECT sh AS shingle, COUNT(*) AS df,
+           string_agg(CAST(doc_id AS STRING), '|'
+                      ORDER BY CAST(doc_id AS STRING)) AS postings
+    FROM ex GROUP BY sh
+    HAVING COUNT(*) BETWEEN {min_df} AND {max_df}
+    """
