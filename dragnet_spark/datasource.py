@@ -81,6 +81,21 @@ def load_datasource(
         df = read_skinner(spark, paths, schema=ds.schema)
         return df, SchemaResolver(df), "value"
 
+    if ds.data_format == "csv":
+        # header row names the fields; with no declared schema one
+        # inference pass types them (cluster note: supply ds.schema to
+        # skip that extra read over large trees)
+        reader = (
+            spark.read.option("header", "true")
+            .option("recursiveFileLookup", "true")
+        )
+        if ds.schema:
+            reader = reader.schema(ds.schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        df = reader.csv(paths)
+        return df, SchemaResolver(df), None
+
     # raw NDJSON: one-pass text → variant parse; corrupt lines dropped
     # (counted by the observation / the CLI's --warnings path)
     txt = spark.read.option("recursiveFileLookup", "true").text(paths)

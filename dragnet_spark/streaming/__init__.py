@@ -2,6 +2,7 @@ from dragnet_spark.streaming.pipeline import (
     read_ndjson_stream,
     stream_build,
     stream_dedup,
+    stream_enrich,
     stream_scan,
     stream_sliding_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "sessionize",
     "stream_build",
     "stream_dedup",
+    "stream_enrich",
     "stream_running_counts",
     "stream_scan",
     "stream_sliding_counts",

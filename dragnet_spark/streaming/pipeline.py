@@ -255,3 +255,28 @@ def stream_dedup(
         out = out.withWatermark(EVENT_TIME_COL, watermark)
         return out.dropDuplicatesWithinWatermark(key_cols)
     return out.dropDuplicates(key_cols)
+
+
+def stream_enrich(
+    sdf: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    fields: list[str] | None = None,
+    resolver=None,
+) -> DataFrame:
+    """Stream-static enrichment join (the reference's future-work
+    "replacing one set of ids for another",
+    docs/design-stateful.md:163-165, as a continuous operator).
+
+    ``fields`` projects the named variant fields out of a raw record
+    stream first (strings), so callers can join a dimension onto raw
+    NDJSON without a schema. The static side is broadcast: each
+    micro-batch then enriches map-side — no per-batch shuffle of the
+    stream, no state. Works identically on a static ``sdf`` (batch
+    twin for equivalence tests).
+    """
+    resolver = resolver or VariantResolver()
+    if fields:
+        sdf = sdf.select(*[resolver.raw(f).alias(f) for f in fields])
+    return sdf.join(F.broadcast(dim), on, how)

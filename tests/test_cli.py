@@ -325,3 +325,23 @@ def test_parquet_datasource_scan(cfg, spark):
     total = sum(int(ln.split()[-1]) for ln in lines[1:])
     rc, out2, _ = run(["scan", "pq"], cfg)
     assert int(out2.splitlines()[1].strip()) == total
+
+
+def test_csv_datasource_scan(cfg, spark, tmp_path):
+    """CSV trees scan through the same CLI: header names the fields,
+    filters and breakdowns work unchanged."""
+    d = tmp_path / "csv" / "sub"
+    d.mkdir(parents=True)
+    (d / "a.csv").write_text("op,code\nGET,200\nGET,404\nPUT,204\n")
+    (d / "b.csv").write_text("op,code\nGET,200\nDELETE,204\n")
+    run(["datasource-add", "cs", f"--path={tmp_path / 'csv'}",
+         "--data-format=csv"], cfg)
+    rc, out, _ = run(["scan", "-b", "op", "cs"], cfg)
+    assert rc == 0
+    rows = {tuple(ln.split()) for ln in out.splitlines()[1:]}
+    assert rows == {("DELETE", "1"), ("GET", "3"), ("PUT", "1")}
+    # loose-equality filter on the inferred numeric column
+    rc, out, _ = run(["scan", "-b", "op",
+                      "-f", '{"eq": ["code", "200"]}', "cs"], cfg)
+    assert rc == 0
+    assert {tuple(ln.split()) for ln in out.splitlines()[1:]} == {("GET", "2")}

@@ -267,3 +267,31 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got == {f"key{i}" for i in range(5)}
     batch = stream_dedup(_batch_variant(spark, str(d)), ["k"], "time")
     assert batch.count() == 5
+
+
+def test_stream_enrich_matches_batch(spark, watched_dir):
+    """Stream-static broadcast enrichment: map each record's operation
+    to a category from a static dim, count per category; streaming
+    result must equal the same expression over a batch read."""
+    from dragnet_spark.streaming import stream_enrich
+    from dragnet_spark.sources.ndjson import read_ndjson
+
+    dim = spark.createDataFrame(
+        [("GET", "read"), ("PUT", "write"), ("DELETE", "write")],
+        "operation string, category string",
+    )
+
+    def counts(df, resolver=None):
+        return stream_enrich(
+            df, dim, "operation", fields=["operation"], resolver=resolver
+        ).groupBy("category").agg(F.sum(F.lit(1)).cast("long").alias("n"))
+
+    sdf = read_ndjson_stream(spark, watched_dir)
+    got = _run_to_memory(spark, counts(sdf), "s_enrich", "complete")
+    from dragnet_spark.scan import SchemaResolver
+
+    batch = read_ndjson(spark, [watched_dir])
+    want = counts(batch, resolver=SchemaResolver(batch))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    # left join keeps un-mapped operations (category null)
+    assert any(r["category"] is None for r in got.collect())
