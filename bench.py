@@ -75,12 +75,20 @@ def main() -> None:
         e = registry.REGISTRY.get(name)
         if e is None:
             continue
-        t0 = time.perf_counter()
-        df = e.spark(spark, SF_DIR)
-        # noop sink executes the full plan (no column pruning shortcut,
-        # nothing shipped to the driver)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # steady-state: min of 2 runs. Run 1 pays one-time Catalyst
+        # analysis + whole-stage codegen compilation (amortized to zero
+        # on a long-lived cluster); run 2 is the recurring cost of the
+        # query. Data is re-read both times — only compilation is warm.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = e.spark(spark, SF_DIR)
+            # noop sink executes the full plan (no column pruning
+            # shortcut, nothing shipped to the driver)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)

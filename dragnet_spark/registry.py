@@ -1732,3 +1732,36 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_split_contamination(
         _t(spark, sf_dir, "documents"), "text", "doc_id", _SPLIT_TEST, _SPLIT_VAL
     )
+
+
+@register(
+    "index_month_rollup_cascade",
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           COUNT(*) AS value
+    FROM events GROUP BY 1
+    """,
+    "cascading time rollup (hypertable continuous-aggregate pattern): "
+    "monthly counts derived by re-aggregating the *materialized* daily "
+    "view — the raw table is never rescanned; correctness comes from "
+    "the weighted-count closure (A5/A6). Oracle is the raw-scan "
+    "equivalent, proving the cascade loses nothing.",
+)
+def index_month_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.index import query_index
+
+    day = query_index(
+        spark,
+        _indexed(spark, sf_dir),
+        QueryConfig.load("day[date,field=ts,aggr=lquantize,step=86400]"),
+    )
+    return (
+        day.select(
+            F.date_trunc("month", F.timestamp_seconds(F.col("day")))
+            .cast("date")
+            .alias("month"),
+            "value",
+        )
+        .groupBy("month")
+        .agg(F.sum("value").cast("long").alias("value"))
+    )

@@ -231,3 +231,41 @@ def test_plan_shapes_stay_scalable(spark, sf_dir):
 
     p = plan_of("sample_stratified_by_lang")
     assert "Exchange" not in p  # pure filter+project: no shuffle at all
+
+
+def test_range_join_randomized_parity_with_duckdb(spark):
+    """range_join agrees with a plain BETWEEN join on random intervals
+    (seeded): zero-width and huge intervals, negative values, heavy
+    overlap — across bucket widths."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from dragnet_spark.ops.temporal import range_join
+
+    rng = random.Random(99)
+    fact = [(i, rng.randrange(-50, 150)) for i in range(400)]
+    dim = []
+    for j in range(60):
+        s = rng.randrange(-60, 140)
+        dim.append((j, s, s + rng.choice([0, 1, 3, 10, 80])))
+
+    fdf = spark.createDataFrame(fact, "fid long, v long")
+    ddf = spark.createDataFrame(dim, "did long, s long, e long")
+
+    con = duckdb.connect()
+    con.register("f", pd.DataFrame(fact, columns=["fid", "v"]))
+    con.register("d", pd.DataFrame(dim, columns=["did", "s", "e"]))
+    want = {
+        tuple(t)
+        for t in con.execute(
+            "SELECT fid, did FROM f JOIN d ON v >= s AND v < e"
+        ).fetchall()
+    }
+    for width in (1, 7, 64):
+        got = {
+            (r["fid"], r["did"])
+            for r in range_join(fdf, ddf, "v", "s", "e", width).collect()
+        }
+        assert got == want, f"width={width}"
