@@ -1765,3 +1765,100 @@ def index_month_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month")
         .agg(F.sum("value").cast("long").alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping family: pivot (long→wide) and unpivot (wide→long), plus
+# percentile-threshold outlier counts. Pivot values are pinned
+# explicitly — never inferred — so the plan skips the extra distinct
+# pass and the output schema is stable at any scale.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_type_by_day",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           {", ".join(
+               f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS n_{t}"
+               for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+    "pivot (long→wide): one row per day, one column per event type. "
+    "Explicit pivot values skip the inference pass and make this a "
+    "single groupBy — map-side partial aggregation, one shuffle",
+)
+def events_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    )
+    piv = (
+        e.groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "events_unpivot_daily_metrics",
+    f"""
+    WITH wide AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1
+    )
+    SELECT day, 'n_events' AS metric, n_events AS n FROM wide
+    UNION ALL
+    SELECT day, 'n_users', n_users FROM wide
+    """,
+    "unpivot/melt (wide→long): per-day metric columns melted to "
+    "(day, metric, n) rows — the built-in unpivot generator, no join, "
+    "no extra shuffle beyond the one aggregation",
+)
+def events_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return wide.unpivot("day", ["n_events", "n_users"], "metric", "n")
+
+
+@register(
+    "events_p99_outliers",
+    """
+    WITH thr AS (SELECT event_type, quantile_cont(value, 0.99) AS p99
+                 FROM events GROUP BY event_type)
+    SELECT e.event_type, CAST(thr.p99 AS DOUBLE) AS p99,
+           COUNT(*) AS n_outliers
+    FROM events e JOIN thr ON e.event_type = thr.event_type
+    WHERE e.value > thr.p99
+    GROUP BY e.event_type, thr.p99
+    """,
+    "percentile-threshold outliers: per-type exact p99 (interpolated — "
+    "both engines use the same formula, proven by the percentile "
+    "oracle) broadcast back as the filter threshold; the events table "
+    "never shuffles, only the tiny threshold dim does",
+)
+def events_p99_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    thr = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.99)).alias("p99")
+    )
+    return (
+        e.join(F.broadcast(thr), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .groupBy("event_type", F.col("p99").cast("double").alias("p99"))
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )

@@ -229,6 +229,14 @@ def test_plan_shapes_stay_scalable(spark, sf_dir):
     p = plan_of("orders_in_promo_windows")
     assert "BuildRight" in p and "BuildLeft" not in p
 
+    # star joins keep their dims broadcast (no lineitem-side shuffle
+    # for the dim join) and never degenerate to nested-loop
+    for name in ("q5_revenue_by_nation", "q14_promo_revenue_share",
+                 "events_p99_outliers"):
+        p = plan_of(name)
+        assert "BroadcastHashJoin" in p, name
+        assert "BroadcastNestedLoop" not in p and "Cartesian" not in p, name
+
     p = plan_of("sample_stratified_by_lang")
     assert "Exchange" not in p  # pure filter+project: no shuffle at all
 
