@@ -1862,3 +1862,81 @@ def events_p99_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("p99").cast("double").alias("p99"))
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )
+
+
+@register(
+    "daily_activity_full_outer",
+    """
+    WITH od AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1),
+         ev AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1)
+    SELECT COALESCE(od.m, ev.m) AS month,
+           COALESCE(od.n_orders, 0) AS n_orders,
+           COALESCE(ev.n_events, 0) AS n_events
+    FROM od FULL OUTER JOIN ev ON od.m = ev.m
+    """,
+    "full outer join of two pre-aggregated monthly series (order months "
+    "and event months are disjoint here, so both null sides are "
+    "exercised); aggregating before the join keeps the outer join over "
+    "months, not raw rows",
+)
+def daily_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("month", "ts").cast("date").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = od.join(ev, od.m == ev.m, "full_outer")
+    return j.select(
+        F.coalesce(od.m, ev.m).alias("month"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "users_clicked_never_purchased",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    """,
+    "set difference (EXCEPT): distinct high-value clickers minus "
+    "high-value purchasers — "
+    "Catalyst plans except as a left-anti join over the distinct sets, "
+    "one hash shuffle per side",
+)
+def users_clicked_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    clickers = e.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 90)
+    ).select("user_id")
+    buyers = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    ).select("user_id")
+    return clickers.subtract(buyers)  # EXCEPT DISTINCT
+
+
+@register(
+    "users_both_signup_and_error",
+    """
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "set intersection (INTERSECT): users appearing in both event "
+    "populations — planned as a left-semi join over distinct sets",
+)
+def users_both_signup_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "signup").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
