@@ -3,6 +3,7 @@ from dragnet_spark.streaming.pipeline import (
     stream_build,
     stream_dedup,
     stream_enrich,
+    stream_interval_join,
     stream_scan,
     stream_sliding_counts,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "stream_build",
     "stream_dedup",
     "stream_enrich",
+    "stream_interval_join",
     "stream_running_counts",
     "stream_scan",
     "stream_sliding_counts",

@@ -280,3 +280,45 @@ def stream_enrich(
     if fields:
         sdf = sdf.select(*[resolver.raw(f).alias(f) for f in fields])
     return sdf.join(F.broadcast(dim), on, how)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag_sec: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the
+    right events of the same key whose timestamp falls in
+    ``[left_ts - max_lag_sec, left_ts]`` — e.g. purchases joined to
+    the clicks that preceded them (attribution).
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, which is exactly what lets Spark evict right-side state
+    older than ``watermark + max_lag_sec`` instead of buffering the
+    stream forever — the two requirements for a stream-stream inner
+    join to run with bounded state. On static inputs the same
+    expression is the batch twin (watermarks skipped), so equivalence
+    is testable.
+
+    Timestamp columns must already be TIMESTAMP type; the key column
+    name must be identical on both sides (output carries it once).
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    lcol = f"__l_{on}"
+    left = left.withColumnRenamed(on, lcol)
+    cond = (
+        (F.col(lcol) == F.col(on))
+        & (
+            F.col(right_ts)
+            >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag_sec} SECONDS")
+        )
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return left.join(right, cond).drop(lcol)

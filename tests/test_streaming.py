@@ -295,3 +295,70 @@ def test_stream_enrich_matches_batch(spark, watched_dir):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     # left join keeps un-mapped operations (category null)
     assert any(r["category"] is None for r in got.collect())
+
+
+def test_stream_interval_join_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (purchase ← clicks within 10 min):
+    watermarked self-join over a file stream equals the same join over
+    a batch read."""
+    import json
+    import random
+
+    from dragnet_spark.streaming import stream_interval_join
+
+    rng = random.Random(7)
+    d = tmp_path / "attr"
+    d.mkdir()
+    base = 1_700_000_000
+    rows = []
+    for i in range(400):
+        rows.append(
+            {
+                "id": i,
+                "user": rng.randrange(12),
+                "type": rng.choice(["click", "click", "purchase"]),
+                "time": base + rng.randrange(3600),
+            }
+        )
+    for part in range(4):
+        with open(d / f"p{part}.ndjson", "w") as f:
+            for r in rows[part * 100 : (part + 1) * 100]:
+                f.write(json.dumps(r) + "\n")
+
+    def typed(df):
+        from dragnet_spark.scan import VariantResolver
+
+        r = VariantResolver()
+        return df.select(
+            r._get("id", "long").alias("id"),
+            r._get("user", "long").alias("user"),
+            r.raw("type").alias("type"),
+            F.timestamp_seconds(r._get("time", "long")).alias("ts"),
+        )
+
+    def attributed(df):
+        purchases = df.filter(F.col("type") == "purchase").select(
+            F.col("id").alias("purchase_id"), "user", F.col("ts").alias("pts")
+        )
+        clicks = df.filter(F.col("type") == "click").select(
+            F.col("id").alias("click_id"), "user", F.col("ts").alias("cts")
+        )
+        return stream_interval_join(
+            purchases, clicks, "user", "pts", "cts", max_lag_sec=600
+        ).select("purchase_id", "click_id")
+
+    sdf = typed(read_ndjson_stream(spark, str(d), max_files_per_trigger=1))
+    got = _run_to_memory(spark, attributed(sdf), "s_attr", "append")
+
+    from dragnet_spark.scan import scan_ndjson  # noqa: F401  (batch twin below)
+
+    txt = spark.read.option("recursiveFileLookup", "true").text(str(d))
+    batch = typed(
+        txt.filter(F.trim("value") != "").select(
+            F.try_parse_json("value").alias("__dn_v")
+        )
+    )
+    want = attributed(batch)
+    gs = {tuple(r) for r in got.collect()}
+    ws = {tuple(r) for r in want.collect()}
+    assert gs == ws and len(gs) > 50
