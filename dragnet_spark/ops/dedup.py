@@ -428,3 +428,58 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def simhash_md5(df: DataFrame, text_col: str, id_col: str, bits: int = 56) -> DataFrame:
+    """Portable SimHash: like :func:`simhash64` but the token hash is
+    an md5 prefix (56 bits), so the signature is bit-identical on any
+    engine — this variant is oracle-checkable where the xxhash64 one
+    is JVM-only. Scale shape differs from the expression version too:
+    tokens explode to rows and each is hashed ONCE, the per-bit ±1
+    sums ride the partial aggregation, and the signature is assembled
+    from the 56 sign columns after the shuffle — one groupBy, no
+    per-row 64-iteration expression tree.
+
+    Returns (id_col, simhash).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+    )
+    h = F.conv(F.substring(F.md5("__t"), 1, 14), 16, 10).cast("long")
+    ex = ex.select("__id", h.alias("__h"))
+    agg = ex.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_md5_sql(text_expr: str, bits: int = 56) -> str:
+    """DuckDB twin of simhash_md5 over the documents table."""
+    from dragnet_spark.ops.text import tokens_sql
+
+    bsums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH ex AS (SELECT doc_id AS id,
+                       CAST('0x' || substring(md5(t.tok), 1, 14) AS BIGINT) AS h
+                FROM documents, UNNEST({tokens_sql(text_expr)}) AS t(tok)),
+    agg AS (SELECT id, {bsums} FROM ex GROUP BY id)
+    SELECT id AS doc_id, {assemble} AS simhash FROM agg
+    """

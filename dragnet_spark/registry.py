@@ -1940,3 +1940,18 @@ def users_both_signup_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("event_type") == "signup").select("user_id")
     b = e.filter(F.col("event_type") == "error").select("user_id")
     return a.intersect(b)
+
+
+from dragnet_spark.ops.dedup import simhash_md5, simhash_md5_sql  # noqa: E402
+
+
+@register(
+    "dedup_simhash_md5",
+    simhash_md5_sql("text"),
+    "portable 56-bit SimHash (md5 token hashes): bit-identical on any "
+    "engine, so unlike the xxhash64 variant it is oracle-checked; "
+    "tokens hashed once via explode+groupBy, signature assembled from "
+    "per-bit sign sums after the shuffle",
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_md5(_t(spark, sf_dir, "documents"), "text", "doc_id")
