@@ -1955,3 +1955,75 @@ from dragnet_spark.ops.dedup import simhash_md5, simhash_md5_sql  # noqa: E402
 )
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_md5(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "events_daily_gapfilled",
+    """
+    WITH b AS (SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+                      CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+               FROM events),
+    cal AS (SELECT CAST(u.d AS DATE) AS day
+            FROM b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS u(d)),
+    cnt AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+            FROM events WHERE event_type = 'purchase' AND value > 250
+            GROUP BY 1)
+    SELECT cal.day, COALESCE(cnt.n, 0) AS n
+    FROM cal LEFT JOIN cnt ON cal.day = cnt.day
+    """,
+    "time-series gap filling: a generated calendar dim (sequence + "
+    "explode, one row per day of the observed range) left-joins the "
+    "sparse per-day counts so missing days surface as explicit zeros — "
+    "the calendar side is rows-per-day tiny and broadcast",
+)
+def events_daily_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("lo"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("hi"),
+    )
+    cal = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    cnt = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 250))
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # a left join can only broadcast its non-preserved side; the
+    # aggregated counts are <= one row per day, so broadcast those
+    return cal.join(F.broadcast(cnt), "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+@register(
+    "events_value_mad_by_type",
+    """
+    WITH med AS (SELECT event_type,
+                        quantile_cont(value, 0.5) AS median
+                 FROM events GROUP BY event_type)
+    SELECT e.event_type, CAST(med.median AS DOUBLE) AS median,
+           CAST(quantile_cont(ABS(e.value - med.median), 0.5) AS DOUBLE) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type, med.median
+    """,
+    "robust dispersion (median absolute deviation): per-type median "
+    "broadcast back for the residual pass — two exact interpolated "
+    "percentiles (identical formula in both engines), fact table "
+    "scanned twice but never shuffled by row",
+)
+def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.col("median").cast("double").alias("median"))
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("median")), F.lit(0.5))
+            .cast("double")
+            .alias("mad")
+        )
+    )
