@@ -483,3 +483,50 @@ def simhash_md5_sql(text_expr: str, bits: int = 56) -> str:
     agg AS (SELECT id, {bsums} FROM ex GROUP BY id)
     SELECT id AS doc_id, {assemble} AS simhash FROM agg
     """
+
+
+def fuzzy_key_pairs(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Entity resolution: pairs of rows whose string keys are within
+    Levenshtein distance 1, without the O(n²) cross product.
+
+    Candidate generation is the SymSpell deletion neighborhood: each
+    key emits itself plus every single-character deletion; two keys at
+    edit distance <= 1 always share a variant (substitution → same
+    deletion position; insert/delete → the shorter IS a deletion of
+    the longer), so the blocking is lossless for distance 1. Shared
+    variants can also pair distance-2 keys (e.g. transpositions), so
+    candidates are verified with the exact levenshtein.
+
+    Scale shape: |key|+1 variants per row ride one equi-join shuffle
+    keyed on the variant string; a variant's bucket is the set of keys
+    that collide on it — bounded by key-neighborhood density, never
+    the corpus. Returns (id_a, id_b, dist).
+    """
+    k = F.col(key_col)
+    n = F.length(k)
+    variants = F.array_union(
+        F.array(k),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(k.substr(F.lit(1), i - 1), k.substr(i + 1, n)),
+        ),
+    )
+    # reserved alias: aliasing the key to its own name would make the
+    # explode's column reference resolve laterally (Spark internal
+    # error) when key_col is literally named "key"
+    v = df.select(
+        F.col(id_col).alias("id"), k.alias("__fk"), F.explode(variants).alias("var")
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("__fk").alias("ka"), "var")
+    b = v.select(F.col("id").alias("id_b"), F.col("__fk").alias("kb"), "var")
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ka", "kb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("ka", "kb").cast("int"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

@@ -2027,3 +2027,33 @@ def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mad")
         )
     )
+
+
+from dragnet_spark.ops.dedup import fuzzy_key_pairs  # noqa: E402
+
+
+@register(
+    "customers_fuzzy_name_pairs",
+    """
+    WITH v AS (
+      SELECT c_custkey AS id, c_name AS key,
+             UNNEST(list_append(
+               list_transform(range(1, len(c_name) + 1),
+                              i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+               c_name)) AS var
+      FROM customer
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.key AS ka, b.key AS kb
+      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS INT) AS dist
+    FROM cand WHERE levenshtein(ka, kb) <= 1
+    """,
+    "entity resolution via SymSpell deletion-neighborhood blocking: "
+    "edit-distance-1 key pairs from an equi-join on deletion variants "
+    "(lossless for distance 1) + exact levenshtein verification — "
+    "never the O(n^2) cross product",
+)
+def customers_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_key_pairs(_t(spark, sf_dir, "customer"), "c_name", "c_custkey")

@@ -385,3 +385,39 @@ def test_multimodal_resize_without_stub_raises(spark):
 
     with _pytest.raises(Exception, match="decoders"):
         resize_media(media, 8, 8, decode_stub=False).collect()
+
+
+def test_fuzzy_key_pairs_edit_cases(spark):
+    """Deletion-neighborhood blocking finds exactly the distance<=1
+    pairs: substitution, insertion, deletion, identical — and rejects
+    distance-2 lookalikes (incl. transpositions, which DO share a
+    deletion variant and must die in verification)."""
+    from dragnet_spark.ops.dedup import fuzzy_key_pairs
+
+    keys = ["kitten", "mitten", "kitte", "kittens", "kitten",
+            "iktten", "banana", ""]
+    rows = [(i, k) for i, k in enumerate(keys)]
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i_, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i_
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (i, j): lev(a, b)
+        for i, a in enumerate(keys)
+        for j, b in enumerate(keys)
+        if i < j and lev(a, b) <= 1
+    }
+    assert ("kitten", "iktten") not in want  # transposition is dist 2
+
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_key_pairs(df, "key", "id").collect()
+    }
+    assert got == want
