@@ -48,11 +48,16 @@ BENCH_QUERIES = [
     "events_user_sessions",
     "events_value_percentiles",
     "events_sliding_window_5m",
+    "events_pivot_type_by_day",
+    "events_p99_outliers",
     # training-data pipeline families (first-class at 100 TB)
     "text_tokens_by_source",
+    "text_tfidf_top_terms",
+    "split_leakage_report",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "customers_fuzzy_name_pairs",
     "ann_cosine_topk_blocked",
 ]
 

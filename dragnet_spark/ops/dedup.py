@@ -442,6 +442,7 @@ def simhash_md5(df: DataFrame, text_col: str, id_col: str, bits: int = 56) -> Da
 
     Returns (id_col, simhash).
     """
+    df = spread(df)
     ex = df.select(
         F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
     )
@@ -502,6 +503,7 @@ def fuzzy_key_pairs(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
     that collide on it — bounded by key-neighborhood density, never
     the corpus. Returns (id_a, id_b, dist).
     """
+    df = spread(df)
     k = F.col(key_col)
     n = F.length(k)
     variants = F.array_union(

@@ -131,10 +131,15 @@ def cross_split_contamination(
     which bounds the join fanout per shingle to max_df² instead of
     letting a stopword run produce a corpus-sized bucket. The join
     carries only (shingle, id, split); text never rides the shuffle.
+
+    The input is spread() first: shingle md5-hashing is the CPU cost,
+    and a few large input files would otherwise serialize it on a few
+    cores (measured 5x on a single-file local input).
     """
+    from dragnet_spark.ops import spread
     from dragnet_spark.ops.text import shingles
 
-    tagged = hash_split(df, id_col, test_frac, val_frac, salt)
+    tagged = hash_split(spread(df), id_col, test_frac, val_frac, salt)
     ex = tagged.select(
         F.col(id_col).alias("id"),
         F.col("split"),

@@ -401,7 +401,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    from dragnet_spark.ops import spread
+
+    tok = spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -456,7 +458,9 @@ def shingle_postings(
 
     Returns (shingle, df, postings).
     """
-    ex = df.select(
+    from dragnet_spark.ops import spread
+
+    ex = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, ngram))).alias("sh"),
     )

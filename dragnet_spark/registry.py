@@ -1694,7 +1694,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dragnet_spark.ops.text import shingles
 
-    doc = _t(spark, sf_dir, "documents")
+    from dragnet_spark.ops import spread
+
+    doc = spread(_t(spark, sf_dir, "documents"))
     cnt = (
         doc.select("lang", F.explode(shingles("text", 2)).alias("bigram"))
         .groupBy("lang", "bigram")
