@@ -2059,3 +2059,64 @@ from dragnet_spark.ops.dedup import fuzzy_key_pairs  # noqa: E402
 )
 def customers_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_key_pairs(_t(spark, sf_dir, "customer"), "c_name", "c_custkey")
+
+
+from dragnet_spark.ops.sampling import hash_fraction, hash_fraction_sql  # noqa: E402
+
+
+@register(
+    "sample_quota_per_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {hash_fraction_sql('doc_id', 'quota')},
+                                         doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    "fixed-size quota sample: exactly 20 docs per language, chosen by "
+    "deterministic hash order (stable across runs/engines, no RNG). "
+    "Complements fractional stratified sampling when the curation "
+    "budget is per-group counts, not rates; one shuffle on lang",
+)
+def sample_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        hash_fraction("doc_id", "quota"), F.asc("doc_id")
+    )
+    return (
+        doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "docs_length_deciles_by_lang",
+    """
+    WITH q AS (
+      SELECT lang, n_chars,
+             NTILE(4) OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS quartile
+      FROM documents
+    )
+    SELECT lang, CAST(quartile AS INT) AS quartile, COUNT(*) AS n,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM q GROUP BY lang, quartile
+    """,
+    "length-quartile balance check: NTILE within each language (doc_id "
+    "tiebreak makes the total order — and thus the tile boundaries — "
+    "deterministic across engines); the follow-up rollup shares the "
+    "lang shuffle",
+)
+def docs_length_deciles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    q = doc.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    return q.groupBy("lang", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
