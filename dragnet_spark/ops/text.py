@@ -494,3 +494,66 @@ def shingle_postings_sql(
     FROM ex GROUP BY sh
     HAVING COUNT(*) BETWEEN {min_df} AND {max_df}
     """
+
+
+# ------------------------------------------------------------ chunking
+
+
+def chunk_token_windows(
+    df, text_col: str, id_col: str, size: int = 50, stride: int = 40,
+):
+    """Split documents into overlapping token windows — the unit a
+    training pipeline feeds a fixed context: chunk i covers tokens
+    [i*stride, i*stride + size). Every document yields at least one
+    chunk; the final chunk may be short. Returns
+    (doc_id, chunk_id, n_tokens, chunk).
+
+    Pure array expressions (slice over the token array inside a
+    transform+explode) — each row expands independently, so the
+    operator is a narrow map: no shuffle, parallel per input split,
+    and the expansion factor is len/stride, known in advance.
+    """
+    from dragnet_spark.ops import spread
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)).cast("long") + 1, F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, size).alias("toks"),
+        ),
+    )
+    ex = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.toks").cast("long").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk"),
+    )
+
+
+def chunk_token_windows_sql(
+    text_expr: str, size: int = 50, stride: int = 40
+) -> str:
+    """DuckDB twin of chunk_token_windows over the documents table."""
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 GREATEST(CAST(CEIL((len(toks) - {size}) / {stride}.0) AS BIGINT) + 1,
+                          1) AS n_chunks
+          FROM t),
+    ex AS (SELECT doc_id, u.i AS chunk_id,
+                  toks[u.i * {stride} + 1 : u.i * {stride} + {size}] AS ctoks
+           FROM n, UNNEST(range(0, n.n_chunks)) AS u(i))
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(ctoks) AS BIGINT) AS n_tokens,
+           array_to_string(ctoks, ' ') AS chunk
+    FROM ex
+    """

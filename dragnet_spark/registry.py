@@ -2120,3 +2120,23 @@ def docs_length_deciles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+from dragnet_spark.ops.text import (  # noqa: E402
+    chunk_token_windows,
+    chunk_token_windows_sql,
+)
+
+
+@register(
+    "docs_chunk_windows",
+    chunk_token_windows_sql("text", size=50, stride=40),
+    "document chunking into overlapping token windows (50 tokens, "
+    "stride 40 — 10-token overlap): the context-window unit a training "
+    "pipeline consumes. A narrow map (slice inside transform+explode), "
+    "no shuffle, expansion factor len/stride known in advance",
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_token_windows(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", size=50, stride=40
+    )

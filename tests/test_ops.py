@@ -421,3 +421,25 @@ def test_fuzzy_key_pairs_edit_cases(spark):
         for r in fuzzy_key_pairs(df, "key", "id").collect()
     }
     assert got == want
+
+
+def test_chunk_token_windows_boundaries(spark):
+    """Short docs give one chunk; longer docs overlap by size-stride;
+    the tail chunk may be short but is never empty or duplicated."""
+    from dragnet_spark.ops.text import chunk_token_windows
+
+    words = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, words)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"])
+        for r in chunk_token_windows(df, "text", "doc_id", size=5, stride=4).collect()
+    }
+    assert got[(1, 0)] == (3, "only three words")
+    assert (1, 1) not in got
+    # doc 2: 12 tokens, size 5, stride 4 → chunks at 0,4,8 (ceil((12-5)/4)+1 = 3)
+    assert got[(2, 0)] == (5, "w0 w1 w2 w3 w4")
+    assert got[(2, 1)] == (5, "w4 w5 w6 w7 w8")   # 1-token overlap
+    assert got[(2, 2)] == (4, "w8 w9 w10 w11")    # short tail
+    assert (2, 3) not in got
