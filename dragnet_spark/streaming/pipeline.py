@@ -290,11 +290,19 @@ def stream_interval_join(
     right_ts: str,
     max_lag_sec: int,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event pairs with the
     right events of the same key whose timestamp falls in
     ``[left_ts - max_lag_sec, left_ts]`` — e.g. purchases joined to
     the clicks that preceded them (attribution).
+
+    ``how="left_outer"`` keeps unmatched left events (purchase with no
+    qualifying click → right columns null). In streaming, an unmatched
+    left row is only emitted once the watermark has passed its match
+    window — rows near the head of the stream stay buffered until
+    later data advances event time, so an availableNow run reports
+    null-extended rows only for lefts older than the final watermark.
 
     Both sides are watermarked and the join condition bounds event-time
     distance, which is exactly what lets Spark evict right-side state
@@ -321,4 +329,4 @@ def stream_interval_join(
         )
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return left.join(right, cond).drop(lcol)
+    return left.join(right, cond, how).drop(lcol)

@@ -362,3 +362,69 @@ def test_stream_interval_join_attribution_matches_batch(spark, tmp_path):
     gs = {tuple(r) for r in got.collect()}
     ws = {tuple(r) for r in want.collect()}
     assert gs == ws and len(gs) > 50
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: purchases with no qualifying
+    click emit null-extended once the watermark passes them. A
+    far-future sentinel file advances the watermark so every real
+    purchase finalizes."""
+    import json
+
+    from dragnet_spark.streaming import stream_interval_join
+    from dragnet_spark.scan import VariantResolver
+
+    base = 1_700_000_000
+    d = tmp_path / "louter"
+    d.mkdir()
+    rows = [
+        {"id": 1, "user": 1, "type": "click", "time": base + 100},
+        {"id": 2, "user": 1, "type": "purchase", "time": base + 200},  # matched
+        {"id": 3, "user": 2, "type": "purchase", "time": base + 300},  # no click
+        {"id": 4, "user": 3, "type": "click", "time": base + 900},
+        {"id": 5, "user": 3, "type": "purchase", "time": base + 5000},  # click too old
+    ]
+    with open(d / "a.ndjson", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    # sentinels must advance BOTH inputs: the stream-stream join's
+    # global watermark is the MIN over the two sides, so a click-only
+    # sentinel would leave the purchase-side watermark (and the
+    # buffered unmatched purchases) frozen. Two rounds because a
+    # watermark computed at the end of one batch only takes effect in
+    # the next.
+    for i, t in enumerate([100_000, 200_000]):
+        with open(d / f"z_sentinel{i}.ndjson", "w") as f:
+            f.write(json.dumps({"id": 90 + i, "user": 9, "type": "click",
+                                "time": base + t}) + "\n")
+            f.write(json.dumps({"id": 95 + i, "user": 8, "type": "purchase",
+                                "time": base + t}) + "\n")
+
+    r = VariantResolver()
+    sdf = read_ndjson_stream(spark, str(d), max_files_per_trigger=1).select(
+        r._get("id", "long").alias("id"),
+        r._get("user", "long").alias("user"),
+        r.raw("type").alias("type"),
+        F.timestamp_seconds(r._get("time", "long")).alias("ts"),
+    )
+    purchases = sdf.filter(F.col("type") == "purchase").select(
+        F.col("id").alias("purchase_id"), "user", F.col("ts").alias("pts")
+    )
+    clicks = sdf.filter(F.col("type") == "click").select(
+        F.col("id").alias("click_id"), "user", F.col("ts").alias("cts")
+    )
+    res = stream_interval_join(
+        purchases, clicks, "user", "pts", "cts",
+        max_lag_sec=600, watermark="10 seconds", how="left_outer",
+    ).select("purchase_id", "click_id")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in _run_to_memory(spark, res, "s_louter", "append").collect()
+    }
+    # every real purchase must be accounted for exactly once — matched
+    # (2→1) or null-extended (3, 5). The sentinel purchases' own flush
+    # depends on whether the runner applies the final watermark in a
+    # trailing batch, which varies run to run; allow them, require
+    # nothing else
+    core = {(2, 1), (3, None), (5, None)}
+    assert core <= got <= core | {(95, None), (96, None)}
