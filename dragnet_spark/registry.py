@@ -2140,3 +2140,41 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_token_windows(
         _t(spark, sf_dir, "documents"), "text", "doc_id", size=50, stride=40
     )
+
+
+_SKETCH_CACHE: dict[str, str] = {}
+
+
+@register(
+    "index_sketch_distinct_rollup",
+    None,  # binary datasketches have no DuckDB twin → rows-only;
+    # tolerance vs the exact count is pytest-enforced
+    "mergeable-sketch materialization: per-day HLL sketches of user_id "
+    "persisted as a binary column in the day-partitioned view, unioned "
+    "at query time for distinct users per type over ANY day range — "
+    "the one aggregate plain count rollups cannot answer from a "
+    "materialized view (distinct does not sum). Raw data is never "
+    "rescanned; sketch union is commutative so partial aggregation "
+    "and AQE apply as usual.",
+)
+def index_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    if sf_dir not in _SKETCH_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_sketch_")
+        (
+            _t(spark, sf_dir, "events")
+            .groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+            )
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _SKETCH_CACHE[sf_dir] = path
+    sk = spark.read.parquet(_SKETCH_CACHE[sf_dir])
+    return sk.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("n_distinct_approx")
+    )

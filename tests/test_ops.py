@@ -443,3 +443,21 @@ def test_chunk_token_windows_boundaries(spark):
     assert got[(2, 1)] == (5, "w4 w5 w6 w7 w8")   # 1-token overlap
     assert got[(2, 2)] == (4, "w8 w9 w10 w11")    # short tail
     assert (2, 3) not in got
+
+
+def test_sketch_rollup_tracks_exact_distinct(spark, sf_dir):
+    """Per-day HLL sketches unioned at query time estimate the same
+    distinct-user counts as the exact query (HLL++ rsd ~2%, slack 6%)."""
+    from dragnet_spark.registry import REGISTRY
+
+    approx = {
+        r["event_type"]: r["n_distinct_approx"]
+        for r in REGISTRY["index_sketch_distinct_rollup"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_distinct"]
+        for r in REGISTRY["events_distinct_users_by_type"].spark(spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(3, 0.06 * ex), (k, approx[k], ex)
