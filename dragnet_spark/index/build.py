@@ -183,3 +183,49 @@ def build_index(
     os.makedirs(index_path, exist_ok=True)
     with open(os.path.join(index_path, INDEX_META_FILE), "w") as f:
         json.dump(meta, f, indent=2)
+
+
+def compact_index(spark: SparkSession, index_path: str) -> None:
+    """Compact a view tree that accumulated appended partial aggregates
+    (the continuous-build path): re-aggregate each metric's rows to one
+    row per group and rewrite, bucket partition by bucket partition.
+
+    Correctness rests on the weighted-count closure — the query path
+    re-aggregates anyway, so compaction changes row counts, never
+    answers. The rewrite uses dynamic partition overwrite computed from
+    a staged aggregate (never read-and-overwrite the same files in one
+    job), and per-bucket output stays one file. At scale this is the
+    periodic maintenance job that keeps a streaming view's file count
+    and query-side merge work bounded.
+    """
+    import tempfile
+
+    from dragnet_spark.index.query import load_index_meta
+
+    meta = load_index_meta(index_path)
+    interval = meta.get("interval", "day")
+    for m in (Metric.from_json(j) for j in meta["metrics"]):
+        path = os.path.join(index_path, m.name)
+        df = spark.read.parquet(path)
+        group_cols = [c for c in df.columns if c != "value"]
+        compacted = df.groupBy(*group_cols).agg(
+            F.sum("value").cast("long").alias("value")
+        )
+        # stage to a tmp dir first: Spark cannot overwrite the parquet
+        # tree it is currently reading
+        stage = tempfile.mkdtemp(prefix="dragnet_compact_")
+        if interval != "all" and BUCKET_COL in df.columns:
+            compacted.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
+                BUCKET_COL
+            ).parquet(stage)
+            (
+                spark.read.parquet(stage)
+                .repartition(BUCKET_COL)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(path)
+            )
+        else:
+            compacted.coalesce(1).write.mode("overwrite").parquet(stage)
+            spark.read.parquet(stage).coalesce(1).write.mode("overwrite").parquet(path)

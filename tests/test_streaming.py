@@ -428,3 +428,40 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     # nothing else
     core = {(2, 1), (3, None), (5, None)}
     assert core <= got <= core | {(95, None), (96, None)}
+
+
+def test_compact_index_after_stream_build(spark, watched_dir, tmp_path):
+    """Compaction collapses the appended per-micro-batch partials to
+    one row per group; every query answer is unchanged."""
+    from dragnet_spark.index import compact_index
+
+    idx = str(tmp_path / "c_index")
+    metrics = [
+        Metric.load(
+            "ops",
+            "operation,timestamp[date,field=time,aggr=lquantize,step=86400]",
+        )
+    ]
+    sdf = read_ndjson_stream(spark, watched_dir, max_files_per_trigger=3)
+    q = stream_build(
+        sdf, metrics, idx, interval="day", time_field="time",
+        checkpoint=str(tmp_path / "c_ckpt"), trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    raw = spark.read.parquet(f"{idx}/ops")
+    groups = raw.select([c for c in raw.columns if c != "value"]).distinct().count()
+    assert raw.count() > groups  # partials actually accumulated
+
+    before = {
+        tuple(r)
+        for r in query_index(spark, idx, QueryConfig.load("operation")).collect()
+    }
+    compact_index(spark, idx)
+    after_raw = spark.read.parquet(f"{idx}/ops")
+    assert after_raw.count() == groups  # one row per group now
+    after = {
+        tuple(r)
+        for r in query_index(spark, idx, QueryConfig.load("operation")).collect()
+    }
+    assert before == after
