@@ -561,6 +561,30 @@ def cmd_index_read(argv, cat: Catalog, out):
         json.dump(meta, f, indent=2)
 
 
+def cmd_compact(argv, cat: Catalog, out):
+    """dn compact <datasource> [--interval=day]: re-aggregate a view
+    tree that accumulated appended partials (continuous builds) down to
+    one row per group — answers unchanged, file count bounded."""
+    import os
+
+    from dragnet_spark.index.build import compact_index
+
+    opts = _parse_args(argv, ["interval", "dry-run"])
+    (dsname,) = _nargs(opts, 1)
+    ds = cat.datasource(dsname)
+    if not ds.index_path:
+        raise FatalError(f'datasource "{dsname}" has no index path configured')
+    interval = opts.get("interval", "day")
+    root = _index_root(ds, interval)
+    if opts.get("dry_run"):
+        out.write('would compact %s index for "%s"\n' % (interval, dsname))
+        return
+    if not os.path.isdir(root):
+        raise FatalError(f"no {interval} index at {root}")
+    compact_index(_get_spark(), root)
+    out.write('compacted %s index for "%s"\n' % (interval, dsname))
+
+
 COMMANDS = {
     "datasource-add": cmd_datasource_add,
     "datasource-list": cmd_datasource_list,
@@ -571,6 +595,7 @@ COMMANDS = {
     "metric-list": cmd_metric_list,
     "metric-remove": cmd_metric_remove,
     "build": cmd_build,
+    "compact": cmd_compact,
     "index-config": cmd_index_config,
     "index-read": cmd_index_read,
     "index-scan": cmd_index_scan,

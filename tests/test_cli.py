@@ -345,3 +345,21 @@ def test_csv_datasource_scan(cfg, spark, tmp_path):
                       "-f", '{"eq": ["code", "200"]}', "cs"], cfg)
     assert rc == 0
     assert {tuple(ln.split()) for ln in out.splitlines()[1:]} == {("GET", "2")}
+
+
+def test_compact_cli_preserves_answers(cfg, spark, tmp_path):
+    """dn build (twice, append via second build) then dn compact: query
+    output is identical, the view shrinks."""
+    idx = str(tmp_path / "cidx")
+    run(["datasource-add", "cm", "--path=/root/reference/tests/data",
+         "--time-field=time", f"--index-path={idx}"], cfg)
+    run(["metric-add", "cm", "ops",
+         "-b", "operation,timestamp[date,field=time,aggr=lquantize,step=86400]"], cfg)
+    assert run(["build", "cm"], cfg)[0] == 0
+    rc, before, _ = run(["query", "cm", "-b", "operation"], cfg)
+    assert rc == 0
+    rows_before = spark.read.parquet(f"{idx}/by_day/ops").count()
+    assert run(["compact", "cm"], cfg)[0] == 0
+    rc, after, _ = run(["query", "cm", "-b", "operation"], cfg)
+    assert rc == 0 and after == before
+    assert spark.read.parquet(f"{idx}/by_day/ops").count() <= rows_before
