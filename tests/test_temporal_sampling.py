@@ -237,6 +237,15 @@ def test_plan_shapes_stay_scalable(spark, sf_dir):
         assert "BroadcastHashJoin" in p, name
         assert "BroadcastNestedLoop" not in p and "Cartesian" not in p, name
 
+    # the candidate-generation self-joins (LSH bands, deletion
+    # variants, shared fingerprints) must stay equi-joins — a
+    # nested-loop here is the O(n²) cross product they exist to avoid
+    for name in ("dedup_minhash_lsh", "dedup_embedding_lsh",
+                 "customers_fuzzy_name_pairs", "split_leakage_report",
+                 "dedup_winnow_overlap"):
+        p = plan_of(name)
+        assert "BroadcastNestedLoop" not in p and "Cartesian" not in p, name
+
     p = plan_of("sample_stratified_by_lang")
     assert "Exchange" not in p  # pure filter+project: no shuffle at all
 
