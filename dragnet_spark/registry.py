@@ -2178,3 +2178,36 @@ def index_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_distinct_approx")
     )
+
+
+@register(
+    "events_ctr_by_day",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_clicks,
+           COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_views,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS DOUBLE)
+             / NULLIF(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0), 0)
+             AS ctr
+    FROM events GROUP BY 1
+    """,
+    "dividing one series by another (reference future-work dashboard "
+    "post-processing, docs/design-stateful.md:154-171): per-day "
+    "click-through rate as conditional counts in ONE aggregation pass "
+    "— never two scans joined; the ratio is a single integer division "
+    "(deterministic), NULL on zero-view days",
+)
+def events_ctr_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    clicks = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "click", 1)), F.lit(0)
+    )
+    views = F.coalesce(F.sum(F.when(F.col("event_type") == "view", 1)), F.lit(0))
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            clicks.alias("n_clicks"),
+            views.alias("n_views"),
+            (clicks.cast("double") / F.nullif(views, F.lit(0))).alias("ctr"),
+        )
+    )
