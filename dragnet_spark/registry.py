@@ -2211,3 +2211,60 @@ def events_ctr_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             (clicks.cast("double") / F.nullif(views, F.lit(0))).alias("ctr"),
         )
     )
+
+
+@register(
+    "events_cube_type_uid_bucket",
+    """
+    SELECT event_type, CAST(FLOOR(user_id / 50) * 50 AS BIGINT) AS uid_bucket,
+           CAST(GROUPING(event_type) AS BIGINT)*2
+             + CAST(GROUPING(CAST(FLOOR(user_id / 50) * 50 AS BIGINT)) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY CUBE(event_type, CAST(FLOOR(user_id / 50) * 50 AS BIGINT))
+    """,
+    "full cube over (type, user bucket): all four grouping sets in one "
+    "pass — the cross-tab the reference would need four separate index "
+    "metrics to serve; grouping_id disambiguates the NULL semantics",
+)
+def events_cube_type_uid_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "uid_bucket", (F.floor(F.col("user_id") / 50) * 50).cast("long")
+    )
+    return ev.cube("event_type", "uid_bucket").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_custkey, COUNT(*) AS n_above
+    FROM (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                   OVER (PARTITION BY o_custkey) AS s,
+                 COUNT(*) OVER (PARTITION BY o_custkey) AS n
+          FROM orders)
+    WHERE p * n > s
+    GROUP BY o_custkey
+    """,
+    "correlated-subquery shape (orders above their own customer's "
+    "average) flattened to one window pass — no per-row subquery, one "
+    "custkey shuffle; the comparison is price*n > sum, decimal-exact, "
+    "so no float-average threshold can disagree between engines",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        _dec4("o_totalprice").alias("p"),
+        F.sum(_dec4("o_totalprice")).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        o.filter(F.col("p") * F.col("n") > F.col("s"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
