@@ -2268,3 +2268,39 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_above"))
     )
+
+
+@register(
+    "events_daily_moving_stats",
+    """
+    WITH d AS (SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1)
+    SELECT day, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS sum_7d,
+           CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+    FROM d
+    WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "moving 7-day window with an explicit RANGE frame (value-based, so "
+    "calendar gaps shrink the frame rather than sliding over them); "
+    "runs on the pre-aggregated daily series — one row per day — so "
+    "the global ordering the frame needs is over days, never raw rows",
+)
+def events_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("long").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy("day").rangeBetween(-6, 0)
+    return d.select(
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("sum_7d"),
+        (F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "avg_7d"
+        ),
+    )
