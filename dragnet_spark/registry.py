@@ -2304,3 +2304,42 @@ def events_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_7d"
         ),
     )
+
+
+from dragnet_spark.buckets import quantize, quantize_sql  # noqa: E402
+
+
+@register(
+    "events_interarrival_histogram",
+    f"""
+    WITH g AS (
+      SELECT user_id,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               - epoch_us(ts) AS gap_us
+      FROM events
+    )
+    SELECT {quantize_sql('(gap_us / 1000000)')} AS gap_bucket_s,
+           COUNT(*) AS n
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    "inter-arrival time distribution: lead() gap per user, bucketed "
+    "with the reference's power-of-two quantize — composes the DTrace "
+    "histogram semantics (A3) with a window function; one user_id "
+    "shuffle then a tiny bucket aggregation",
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    g = e.withColumn("gap_us", F.lead("tus").over(w) - F.col("tus")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        g.groupBy(
+            quantize(F.col("gap_us") / 1_000_000).alias("gap_bucket_s")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
