@@ -564,7 +564,9 @@ def cmd_index_read(argv, cat: Catalog, out):
 def cmd_compact(argv, cat: Catalog, out):
     """dn compact <datasource> [--interval=day]: re-aggregate a view
     tree that accumulated appended partials (continuous builds) down to
-    one row per group — answers unchanged, file count bounded."""
+    one row per group — answers unchanged, file count bounded. Stop
+    any continuous build writing this tree first (overwrite-based
+    maintenance is not concurrent-writer safe)."""
     import os
 
     from dragnet_spark.index.build import compact_index
@@ -576,11 +578,11 @@ def cmd_compact(argv, cat: Catalog, out):
         raise FatalError(f'datasource "{dsname}" has no index path configured')
     interval = opts.get("interval", "day")
     root = _index_root(ds, interval)
+    if not os.path.isdir(root):
+        raise FatalError(f"no {interval} index at {root}")
     if opts.get("dry_run"):
         out.write('would compact %s index for "%s"\n' % (interval, dsname))
         return
-    if not os.path.isdir(root):
-        raise FatalError(f"no {interval} index at {root}")
     compact_index(_get_spark(), root)
     out.write('compacted %s index for "%s"\n' % (interval, dsname))
 

@@ -197,8 +197,18 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
     job), and per-bucket output stays one file. At scale this is the
     periodic maintenance job that keeps a streaming view's file count
     and query-side merge work bounded.
+
+    NOT safe to run concurrently with an active writer: rows appended
+    to a bucket between the snapshot read and that bucket's overwrite
+    would be replaced by the stale aggregate. Stop (or pause the
+    trigger of) the continuous build for the compacted tree first —
+    the same contract as any overwrite-based maintenance job.
+
+    Staging lives beside the view (``<metric>.compact_tmp``), so it is
+    on the same filesystem as the index (works on shared storage) and
+    is removed afterwards.
     """
-    import tempfile
+    import shutil
 
     from dragnet_spark.index.query import load_index_meta
 
@@ -211,21 +221,26 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
         compacted = df.groupBy(*group_cols).agg(
             F.sum("value").cast("long").alias("value")
         )
-        # stage to a tmp dir first: Spark cannot overwrite the parquet
-        # tree it is currently reading
-        stage = tempfile.mkdtemp(prefix="dragnet_compact_")
-        if interval != "all" and BUCKET_COL in df.columns:
-            compacted.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
-                BUCKET_COL
-            ).parquet(stage)
-            (
-                spark.read.parquet(stage)
-                .repartition(BUCKET_COL)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(BUCKET_COL)
-                .parquet(path)
-            )
-        else:
-            compacted.coalesce(1).write.mode("overwrite").parquet(stage)
-            spark.read.parquet(stage).coalesce(1).write.mode("overwrite").parquet(path)
+        # stage first: Spark cannot overwrite the parquet tree it is
+        # currently reading
+        stage = path + ".compact_tmp"
+        try:
+            if interval != "all" and BUCKET_COL in df.columns:
+                compacted.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
+                    BUCKET_COL
+                ).parquet(stage)
+                (
+                    spark.read.parquet(stage)
+                    .repartition(BUCKET_COL)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(BUCKET_COL)
+                    .parquet(path)
+                )
+            else:
+                compacted.coalesce(1).write.mode("overwrite").parquet(stage)
+                spark.read.parquet(stage).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(path)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)

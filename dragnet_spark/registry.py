@@ -2093,7 +2093,7 @@ def sample_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "docs_length_deciles_by_lang",
+    "docs_length_quartiles_by_lang",
     """
     WITH q AS (
       SELECT lang, n_chars,
@@ -2111,7 +2111,7 @@ def sample_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic across engines); the follow-up rollup shares the "
     "lang shuffle",
 )
-def docs_length_deciles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents")
     w = W.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
     q = doc.withColumn("quartile", F.ntile(4).over(w).cast("int"))

@@ -313,8 +313,16 @@ def stream_interval_join(
     is testable.
 
     Timestamp columns must already be TIMESTAMP type; the key column
-    name must be identical on both sides (output carries it once).
+    name must be identical on both sides (output carries it once), and
+    the two timestamp columns must be named differently — project/alias
+    before joining (a shared name would make every condition reference
+    ambiguous).
     """
+    if left_ts == right_ts:
+        raise ValueError(
+            f"left_ts and right_ts must have distinct names, got {left_ts!r}"
+            " on both sides — alias one before joining"
+        )
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
@@ -329,4 +337,8 @@ def stream_interval_join(
         )
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return left.join(right, cond, how).drop(lcol)
+    joined = left.join(right, cond, how)
+    # restore the key from the left copy: on null-extended left-outer
+    # rows the right side's key is NULL, and the left key is exactly
+    # what identifies the unmatched row
+    return joined.withColumn(on, F.coalesce(F.col(lcol), F.col(on))).drop(lcol)

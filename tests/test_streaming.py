@@ -416,11 +416,12 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     res = stream_interval_join(
         purchases, clicks, "user", "pts", "cts",
         max_lag_sec=600, watermark="10 seconds", how="left_outer",
-    ).select("purchase_id", "click_id")
-    got = {
-        (r["purchase_id"], r["click_id"])
-        for r in _run_to_memory(spark, res, "s_louter", "append").collect()
-    }
+    ).select("purchase_id", "click_id", "user")
+    rows = _run_to_memory(spark, res, "s_louter", "append").collect()
+    # the join key is restored from the left copy: even null-extended
+    # rows carry the purchase's user, never NULL
+    assert all(r["user"] is not None for r in rows)
+    got = {(r["purchase_id"], r["click_id"]) for r in rows}
     # every real purchase must be accounted for exactly once — matched
     # (2→1) or null-extended (3, 5). The sentinel purchases' own flush
     # depends on whether the runner applies the final watermark in a
