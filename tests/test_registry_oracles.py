@@ -31,3 +31,18 @@ def test_rows_only_runs(spark, sf_dir, name):
     entry = REGISTRY[name]
     df = entry.spark(spark, sf_dir)
     assert df.count() >= 0 and df.columns
+
+
+def test_bench_queries_all_registered():
+    """bench.py silently skips unknown names; a typo would quietly
+    shrink the benchmark. Pin every headline query to the registry."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
+    assert not missing, missing
