@@ -117,7 +117,14 @@ def query_index(
     query: QueryConfig,
     meta: dict | None = None,
 ) -> DataFrame:
-    """Answer a QueryConfig from the cheapest covering view."""
+    """Answer a QueryConfig from the cheapest covering view.
+
+    Time bounds are interpreted at the index's bucket granularity, as
+    in the reference: the bound compares against each row's bucket
+    minimum, so an ``after`` falling mid-bucket excludes that whole
+    partial bucket (the index has no finer data to answer with). Use
+    ``dn scan`` when bounds must be record-exact.
+    """
     meta = meta or load_index_meta(index_path)
     if not str(meta.get("version", "")).startswith("2."):
         raise ValueError(f"unsupported index version: {meta.get('version')}")

@@ -64,7 +64,10 @@ def pack_sequences(
             assignment.append(f"{b}/{placed}")
         return pd.DataFrame({"id": pdf["id"], "pack_id": assignment})
 
-    packed = slim.groupBy("__bucket").applyInPandas(_pack, "id long, pack_id string")
+    id_dt = dict(df.dtypes)[id_col]
+    packed = slim.groupBy("__bucket").applyInPandas(
+        _pack, f"id {id_dt}, pack_id string"
+    )
     return df.join(
         packed.withColumnRenamed("id", id_col), id_col
     )

@@ -46,6 +46,11 @@ def _norm(a):
     )
 
 
+def _safe_norm(c):
+    n = _norm(c)
+    return F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,9 +74,12 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "score",
+            # zero-norm guard (norm 0 -> 1, score 0): without it a zero
+            # vector scores NaN, which desc-sorts FIRST and tops every
+            # ranking; the blocked path guards the same way
             F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                / (_safe_norm(F.col("qvec")) * _safe_norm(F.col("cvec"))),
                 6,
             ),
         )
@@ -97,7 +105,8 @@ def cosine_topk_blocked(
     matrix product in a Pandas UDF (mapInPandas over corpus batches ×
     broadcast query matrix). This is the throughput path at scale."""
     qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    id_dt = dict(queries.dtypes)[id_col]
+    qids = np.array([r[0] for r in qrows])  # dtype from the data
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
     qnorm[qnorm == 0] = 1.0
@@ -107,7 +116,7 @@ def cosine_topk_blocked(
     def score_block(it):
         qids_, qmat_, qnorm_ = bq.value
         for pdf in it:
-            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cids = pdf[id_col].to_numpy()
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cnorm = np.linalg.norm(cmat, axis=1)
             cnorm[cnorm == 0] = 1.0
@@ -122,7 +131,8 @@ def cosine_topk_blocked(
             )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score_block, schema="query_id long, neighbor_id long, score double"
+        score_block,
+        schema=f"query_id {id_dt}, neighbor_id {id_dt}, score double",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

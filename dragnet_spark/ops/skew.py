@@ -70,10 +70,13 @@ def salted_top_values(
     before the final per-key rank, so no single task ever ranks a hot
     key's full value set.
     """
-    w = F.col(weight_col) if weight_col else F.lit(1)
+    # keep the summed weight in its natural type: casting doubles to
+    # long before ranking would truncate 1.9 vs 1.2 to a tie and can
+    # reorder (or drop) the true top-N. Counts still come out long.
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     per_value = (
         df.groupBy(*keys, F.col(col).alias("__dn_value"))
-        .agg(F.sum(w).cast("long").alias("__dn_weight"))
+        .agg(F.sum(w).alias("__dn_weight"))
     )
     bucket = F.pmod(F.xxhash64(F.col("__dn_value")), F.lit(salt))
     win_b = W.partitionBy(*keys, "__dn_bucket").orderBy(

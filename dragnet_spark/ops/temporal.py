@@ -40,24 +40,35 @@ def asof_join(
     names must not collide with left's columns. If several right rows
     share a key+timestamp the latest in (ts, payload) order wins —
     pre-aggregate the right side for a different tie rule.
+
+    Payloads carry forward as ONE struct, so a right row whose payload
+    value is NULL still "wins" as the latest row (matching ASOF):
+    per-column last(ignorenulls) would instead skip the NULL and mix
+    columns from different right rows.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    pl = "__asof_pl"
     lt = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
     rt = right.select(
-        *keys, F.col(right_ts).alias(_TS), *payload_cols
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.struct(*payload_cols).alias(pl),
     ).withColumn(_SIDE, F.lit(0))
     u = lt.unionByName(rt, allowMissingColumns=True)
     # right rows (_SIDE=0) sort before left rows at equal ts → inclusive
     w = (
         W.partitionBy(*keys)
-        .orderBy(_TS, _SIDE, *payload_cols)
+        .orderBy(_TS, _SIDE, pl)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    u = u.select(
-        *[c for c in u.columns if c not in payload_cols],
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload_cols],
+    u = u.withColumn(pl, F.last(pl, ignorenulls=True).over(w))
+    return (
+        u.filter(F.col(_SIDE) == 1)
+        .select(
+            *[c for c in u.columns if c not in (pl, _TS, _SIDE)],
+            *[F.col(f"{pl}.{p}").alias(p) for p in payload_cols],
+        )
     )
-    return u.filter(F.col(_SIDE) == 1).drop(_TS, _SIDE)
 
 
 def range_join(
@@ -144,7 +155,7 @@ def sliding_window_count_sql(
 ) -> str:
     """DuckDB twin for a count over sliding windows: replicate each row
     into its length/slide windows with UNNEST(range), then group."""
-    n = length_sec // slide_sec
+    n = -(-length_sec // slide_sec)  # ceil: partial last window still covers the event
     return f"""
     SELECT ws, CAST(COUNT(*) AS BIGINT) AS n FROM (
       SELECT (CAST(floor({ts_expr}/{slide_sec}) AS BIGINT) - u.k)*{slide_sec} AS ws,

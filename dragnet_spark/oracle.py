@@ -86,6 +86,12 @@ def scan_oracle_sql(
         )
     for b in query.synthetic_dates:
         where.append(f"{_date_sql(ident(b.field))} IS NOT NULL")
+    # scan() drops rows whose bucketized non-date breakdown is
+    # non-numeric/missing (reference warn+drop) — mirror it, or the
+    # twin would emit a NULL-bucket group Spark never produces
+    for b in query.breakdowns:
+        if b.bucketized and not b.date:
+            where.append(f"TRY_CAST({ident(b.field)} AS DOUBLE) IS NOT NULL")
 
     where_sql = (" WHERE " + " AND ".join(where)) if where else ""
     weight = f"SUM({value_col})" if value_col else "COUNT(*)"

@@ -205,8 +205,10 @@ def _distribution(distr, qcol) -> str:
     pairs = [(to_ord(m), c) for m, c in distr if m is not None]
     total = sum(c for _, c in pairs) or 1
 
-    # skip leading empty buckets for large values like timestamps
-    bi = pairs[0][0] if pairs[0][0] > 100 else 0
+    # skip leading empty buckets for large values like timestamps;
+    # negative minima (lquantize of negative values) must start at the
+    # first ordinal or the zero-fill loop below would never reach them
+    bi = pairs[0][0] if (pairs[0][0] > 100 or pairs[0][0] < 0) else 0
     di = 0
     while di < len(pairs) + 1:
         if di == len(pairs):

@@ -191,3 +191,14 @@ def test_date_histogram_golden_parity(spark):
         "  2014-05-06T00:00:00.000Z |                                         0\n"
     )
     assert got == want
+
+
+def test_distribution_negative_buckets_terminate():
+    """lquantize of negative values yields negative bucket minima; the
+    histogram zero-fill must render them, not loop forever."""
+    from dragnet_spark.output.format import format_histogram
+    from dragnet_spark.query import QueryConfig
+
+    q = QueryConfig.load("val[field=v,aggr=lquantize,step=10]")
+    out = format_histogram([(-20, 2), (0, 1), (10, 3)], q)
+    assert "-20" in out and out.count("|") >= 4

@@ -461,3 +461,25 @@ def test_sketch_rollup_tracks_exact_distinct(spark, sf_dir):
     assert approx.keys() == exact.keys()
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(3, 0.06 * ex), (k, approx[k], ex)
+
+
+def test_cosine_topk_zero_vector_agrees_with_blocked(spark):
+    """A zero vector must not NaN-sort to rank 1: the exact path guards
+    norms like the blocked path, and the two stay result-identical."""
+    from dragnet_spark.ops.similarity import cosine_topk, cosine_topk_blocked
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(df, q, k=2).collect()
+    }
+    blocked = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_blocked(df, q, k=2).collect()
+    }
+    assert exact == blocked
+    assert (0, 2, 1) not in exact  # the zero vector is not rank 1

@@ -286,3 +286,45 @@ def test_range_join_randomized_parity_with_duckdb(spark):
             for r in range_join(fdf, ddf, "v", "s", "e", width).collect()
         }
         assert got == want, f"width={width}"
+
+
+def test_asof_null_payload_carries_row_not_column(spark):
+    """A right row whose payload is NULL still wins as the latest row
+    (ASOF semantics): payload columns must come from ONE right row,
+    never mixed across rows by per-column null-skipping."""
+    left = spark.createDataFrame([(1, 10, 100)], "id long, k long, lts long")
+    right = spark.createDataFrame(
+        [(10, 50, 5.0), (10, 80, None)], "k long, rts long, rval double"
+    )
+    [row] = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["rts", "rval"],
+    ).collect()
+    assert (row["rts"], row["rval"]) == (80, None)  # not (80, 5.0)
+
+
+def test_sliding_twin_non_divisible_window(spark):
+    """The DuckDB sliding-count twin matches Spark when length is not
+    a multiple of slide (ceil windows, partial last window)."""
+    import duckdb
+    import pandas as pd
+
+    from dragnet_spark.ops.temporal import sliding_window_agg, sliding_window_count_sql
+
+    ts = [0, 1, 2, 5, 9, 10, 29, 30]
+    df = spark.createDataFrame([(t,) for t in ts], "e long").select(
+        F.timestamp_seconds("e").alias("ts"), "e"
+    )
+    got = {
+        (r["ws"], r["n"])
+        for r in sliding_window_agg(
+            df, "ts", 10, 3, F.count(F.lit(1)).cast("long").alias("n")
+        ).select("ws", "n").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"e": ts}))
+    want = {
+        tuple(r)
+        for r in con.execute(sliding_window_count_sql("t", "e", 10, 3)).fetchall()
+    }
+    assert got == want
