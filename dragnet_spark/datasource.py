@@ -27,11 +27,35 @@ from dragnet_spark.sources.ndjson import read_skinner
 from dragnet_spark.sources.pathenum import prune_paths
 
 
-def resolve_paths(ds: DatasourceConfig, query: QueryConfig) -> list[str]:
-    """The concrete path list for a scan, time-pruned when possible."""
+def hadoop_exists(spark: SparkSession):
+    """Existence predicate over Spark's Hadoop filesystems — works for
+    any scheme the cluster can read (s3a://, hdfs://, file:), unlike a
+    driver-local os.path.exists."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _exists(path: str) -> bool:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf).exists(p)
+
+    return _exists
+
+
+def resolve_paths(
+    ds: DatasourceConfig, query: QueryConfig, spark: SparkSession | None = None
+) -> list[str]:
+    """The concrete path list for a scan, time-pruned when possible.
+    With ``spark`` given, URI roots are pruned through the Hadoop
+    filesystem; without it they are enumerated unpruned (a driver-local
+    stat on s3://... is always False and would silently empty the scan).
+    """
     if ds.time_format and query.time_after is not None:
+        exists = (
+            hadoop_exists(spark) if spark is not None and "://" in ds.path else None
+        )
         pruned = prune_paths(
-            ds.path, ds.time_format, query.time_after, query.time_before
+            ds.path, ds.time_format, query.time_after, query.time_before,
+            exists=exists,
         )
         if pruned:
             return pruned
@@ -69,7 +93,7 @@ def load_datasource(
     counters, --counters): it is filled with pyspark Observation
     objects keyed by stage name; read them after an action runs.
     """
-    paths = resolve_paths(ds, query)
+    paths = resolve_paths(ds, query, spark)
     if not paths:
         return None, None, None
 

@@ -214,22 +214,13 @@ def simhash_hamming(a: Column, b: Column) -> Column:
 
 # ------------------------------------------------- embedding-cosine near-dup
 
-def _vdot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _vnorm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+# one shared implementation of dot/norm (similarity.py): a zero vector
+# must score 0, not NaN — NaN satisfies >= threshold in Spark and
+# desc-sorts first, so an unguarded norm emits junk pairs/ranks
+from dragnet_spark.ops.similarity import (  # noqa: E402
+    _dot as _vdot,
+    _safe_norm as _vnorm,
+)
 
 
 def embedding_near_dup_pairs(

@@ -72,7 +72,14 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels
+                # hand back a lineage-truncated copy and release the
+                # cache: returning the persisted frame would leak one
+                # cached labeling per call (DataFrame caches are never
+                # GC-collected; localCheckpoint blocks are)
+                out = labels.localCheckpoint(eager=True)
+                labels.unpersist()
+                return out
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )

@@ -242,7 +242,7 @@ def ivf_topk(
         "score",
         F.round(
             _dot(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            / (_safe_norm(F.col("qvec")) * _safe_norm(F.col("cvec"))),
             6,
         ),
     )

@@ -49,11 +49,18 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     pl = "__asof_pl"
     lt = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
-    rt = right.select(
-        *keys,
-        F.col(right_ts).alias(_TS),
-        F.struct(*payload_cols).alias(pl),
-    ).withColumn(_SIDE, F.lit(0))
+    # a NULL right_ts can never satisfy right_ts <= left_ts; without
+    # this filter the NULL row sorts FIRST (nulls-first asc) and its
+    # non-NULL payload struct would carry into every left row
+    rt = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            *keys,
+            F.col(right_ts).alias(_TS),
+            F.struct(*payload_cols).alias(pl),
+        )
+        .withColumn(_SIDE, F.lit(0))
+    )
     u = lt.unionByName(rt, allowMissingColumns=True)
     # right rows (_SIDE=0) sort before left rows at equal ts → inclusive
     w = (

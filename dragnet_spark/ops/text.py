@@ -303,15 +303,27 @@ def winnow_fingerprints(
     return _bind_once(_bind_once(txt, _grams), _wins)
 
 
-def winnow_grams_sql(expr: str, k: int = 8) -> str:
-    """DuckDB expression: the k-gram hash array of ``expr``. Meant to be
-    materialized in a CTE column; inlining it into the window-min
-    expression re-evaluates every md5 per window position (O(N²))."""
-    txt = f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+def winnow_norm_sql(expr: str) -> str:
+    """DuckDB expression: the whitespace-normalized text. Materialize
+    it in its own CTE column — grams reference it once per gram, so an
+    inlined regex would re-scan the whole document per gram (O(N²))."""
+    return f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+
+
+def winnow_grams_from_norm_sql(norm_col: str, k: int = 8) -> str:
+    """DuckDB expression: k-gram hash array over an already-normalized
+    text column."""
     return (
-        f"list_transform(range(1, greatest(length({txt}) - {k - 1}, 1) + 1), "
-        f"i -> {shingle_hash_sql(f'substring({txt}, CAST(i AS INT), {k})')})"
+        f"list_transform(range(1, greatest(length({norm_col}) - {k - 1}, 1) + 1), "
+        f"i -> {shingle_hash_sql(f'substring({norm_col}, CAST(i AS INT), {k})')})"
     )
+
+
+def winnow_grams_sql(expr: str, k: int = 8) -> str:
+    """One-expression form (tests / small inputs): inlines the
+    normalization per gram — prefer winnow_norm_sql in a CTE +
+    winnow_grams_from_norm_sql on real tables."""
+    return winnow_grams_from_norm_sql(winnow_norm_sql(expr), k)
 
 
 def winnow_from_grams_sql(grams_col: str, window: int = 4) -> str:

@@ -639,12 +639,15 @@ _WINNOW_MAX_DF = 20  # testdata's 30-word vocabulary makes common k-grams
 
 
 def _winnow_oracle(min_shared: int, max_df: int) -> str:
-    # grams materialized in a CTE: inlining them into the window-min
-    # expression re-evaluates every md5 per window position (O(N²))
-    grams = _text.winnow_grams_sql("text")
+    # normalization and grams each materialized in their own CTE:
+    # inlining re-evaluates the whole-document regex per gram and every
+    # md5 per window position (O(N²) both)
+    grams = _text.winnow_grams_from_norm_sql("t")
     fps = _text.winnow_from_grams_sql("grams")
     return f"""
-    WITH g AS MATERIALIZED (SELECT doc_id AS id, {grams} AS grams FROM documents),
+    WITH nrm AS MATERIALIZED (SELECT doc_id AS id,
+                              {_text.winnow_norm_sql("text")} AS t FROM documents),
+    g AS MATERIALIZED (SELECT id, {grams} AS grams FROM nrm),
     w AS MATERIALIZED (SELECT id, {fps} AS fps FROM g),
     f0 AS (SELECT id, u.fp FROM w, UNNEST(fps) AS u(fp)),
     rare AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= {max_df}),

@@ -157,14 +157,27 @@ def enumerate_paths(pattern: str, time_start, time_end) -> list[str]:
 
 
 def prune_paths(
-    root: str, pattern: str, time_start, time_end, suffix: str = ""
+    root: str, pattern: str, time_start, time_end, suffix: str = "",
+    exists=None,
 ) -> list[str]:
     """Concrete existing paths under ``root`` for the time range —
     the list to hand to spark.read (many paths → one DataFrame, one
-    partition per file split)."""
+    partition per file split).
+
+    ``exists`` is the existence predicate. Default: ``os.path.exists``
+    for local roots; for URI roots (``scheme://...``, where a
+    driver-local stat is always False) every enumerated path is kept —
+    pass a filesystem-aware predicate (see
+    ``datasource.hadoop_exists``) to prune remote trees too.
+    """
+    if exists is None:
+        exists = os.path.exists if "://" not in root else (lambda _p: True)
     out = []
     for rel in enumerate_paths(pattern, time_start, time_end):
-        p = os.path.join(root, rel + suffix)
-        if os.path.exists(p):
+        # textual root+format concatenation like the reference
+        # (lib/path-enum.js): os.path.join would DISCARD the root for
+        # the common slash-prefixed formats ("/%Y/%m/%d")
+        p = root.rstrip("/") + "/" + (rel + suffix).lstrip("/")
+        if exists(p):
             out.append(p)
     return out

@@ -91,6 +91,14 @@ def stream_scan(
         out = out.filter(compile_predicate(datasource_filter, resolver.raw))
     if query.filter:
         out = out.filter(compile_predicate(query.filter, resolver.raw))
+    # --after/--before bounds, exactly as the batch scan applies them
+    if query.time_after is not None and query.time_field is not None:
+        secs = synthetic_date_column(resolver.raw(query.time_field))
+        out = out.filter(
+            secs.isNotNull()
+            & (secs >= F.lit(query.time_after))
+            & (secs < F.lit(query.time_before))
+        )
 
     # locate a tumbling-window breakdown: date + lquantize
     window_b = next(

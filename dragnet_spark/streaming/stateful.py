@@ -89,13 +89,15 @@ def stream_running_counts(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, w = state.get if state.exists else (0, 0)
+        n, w = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            w += int(pdf[weight].sum())
+            # accumulate exactly; truncating per micro-batch would make
+            # fractional weights depend on how the stream was sliced
+            w += float(pdf[weight].sum())
         state.update((n, w))
         yield pd.DataFrame(
-            [list(key) + [n, w]],
+            [list(key) + [n, int(round(w))]],
             columns=list(key_cols) + ["n_events", "total_weight"],
         )
 
@@ -106,7 +108,7 @@ def stream_running_counts(
     return keyed.groupBy(*key_cols).applyInPandasWithState(
         update,
         outputStructType=out_schema,
-        stateStructType="n long, w long",
+        stateStructType="n long, w double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

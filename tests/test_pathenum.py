@@ -174,3 +174,37 @@ def test_prune_paths_filters_to_existing(tmp_path):
         str(tmp_path), "%Y/%m-%d", "2014-05-01T00:00:00Z", "2014-05-05T00:00:00Z"
     )
     assert got == [str(tmp_path / "2014" / "05-01"), str(tmp_path / "2014" / "05-03")]
+
+
+def test_prune_paths_uri_root_not_silently_emptied(tmp_path):
+    """A scheme'd root must not be pruned by driver-local stat (always
+    False for s3://...): with no predicate every enumerated path stays;
+    a filesystem-aware predicate can still prune."""
+    from dragnet_spark.sources.pathenum import prune_paths
+
+    got = prune_paths(
+        "s3://bucket/logs", "/%Y/%m/%d", 1714521600, 1714694400
+    )
+    assert len(got) == 2 and got[0].startswith("s3://bucket/logs/2024/05/01")
+
+    # explicit predicate wins (here: a fake remote FS with one day)
+    got = prune_paths(
+        "s3://bucket/logs", "/%Y/%m/%d", 1714521600, 1714694400,
+        exists=lambda p: p.endswith("/2024/05/02"),
+    )
+    assert got == ["s3://bucket/logs/2024/05/02"]
+
+
+def test_hadoop_exists_predicate(spark, tmp_path):
+    """hadoop_exists answers through Spark's filesystems — correct for
+    file: URIs where os.path.exists on the raw URI string is False."""
+    import os
+
+    from dragnet_spark.datasource import hadoop_exists
+
+    d = tmp_path / "x"
+    d.mkdir()
+    uri = f"file://{d}"
+    assert not os.path.exists(uri)  # the raw-URI stat that broke pruning
+    ex = hadoop_exists(spark)
+    assert ex(uri) and not ex(f"file://{d}/missing")

@@ -466,3 +466,26 @@ def test_compact_index_after_stream_build(spark, watched_dir, tmp_path):
         for r in query_index(spark, idx, QueryConfig.load("operation")).collect()
     }
     assert before == after
+
+
+def test_stream_scan_honors_time_bounds(spark, watched_dir):
+    """--after/--before bound the streaming aggregation exactly like
+    the batch scan (they were the one QueryConfig field stream_scan
+    ignored)."""
+    q = QueryConfig.load(
+        "operation",
+        time_after="2014-05-01T00:00:00Z",
+        time_before="2014-05-03T00:00:00Z",
+        time_field="time",
+    )
+    got = _run_to_memory(
+        spark, stream_scan(read_ndjson_stream(spark, watched_dir), q),
+        "s_bounded", "complete",
+    )
+    batch = scan_ndjson(spark, watched_dir, q)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+    # and the bound actually excluded something
+    full = scan_ndjson(spark, watched_dir, QueryConfig.load("operation"))
+    assert sum(r["value"] for r in batch.collect()) < sum(
+        r["value"] for r in full.collect()
+    )

@@ -303,6 +303,21 @@ def test_asof_null_payload_carries_row_not_column(spark):
     assert (row["rts"], row["rval"]) == (80, None)  # not (80, 5.0)
 
 
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL timestamp cannot satisfy rts <= lts; it
+    must not be carried into any left row (it would otherwise sort
+    first and win as the earliest payload)."""
+    left = spark.createDataFrame([(1, 10, 100)], "id long, k long, lts long")
+    right = spark.createDataFrame(
+        [(10, None, 9.0)], "k long, rts long, rval double"
+    )
+    [row] = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["rts", "rval"],
+    ).collect()
+    assert (row["rts"], row["rval"]) == (None, None)
+
+
 def test_sliding_twin_non_divisible_window(spark):
     """The DuckDB sliding-count twin matches Spark when length is not
     a multiple of slide (ceil windows, partial last window)."""
