@@ -2346,3 +2346,28 @@ def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT label, CAST(u.i - 1 AS INT) AS dim,
+           CAST(MIN(embedding[u.i]) AS DOUBLE) AS min_v,
+           CAST(MAX(embedding[u.i]) AS DOUBLE) AS max_v
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY label, u.i
+    """,
+    "per-dimension value ranges per label (feature-drift / "
+    "normalization audit): posexplode keeps (label, dim) keys only in "
+    "the shuffle, and MIN/MAX are order-independent so float parity is "
+    "exact — no summation to disagree on",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return ex.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.min("x").cast("double").alias("min_v"),
+        F.max("x").cast("double").alias("max_v"),
+    )
