@@ -76,6 +76,7 @@ def main() -> None:
     spark.range(1024).repartition(cpus).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         e = registry.REGISTRY.get(name)
         if e is None:
@@ -84,30 +85,36 @@ def main() -> None:
         # analysis + whole-stage codegen compilation (amortized to zero
         # on a long-lived cluster); run 2 is the recurring cost of the
         # query. Data is re-read both times — only compilation is warm.
+        # One broken query must not zero the whole bench: failures are
+        # recorded per-query and the JSON line is always emitted.
         best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = e.spark(spark, SF_DIR)
-            # noop sink executes the full plan (no column pruning
-            # shortcut, nothing shipped to the driver)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = e.spark(spark, SF_DIR)
+                # noop sink executes the full plan (no column pruning
+                # shortcut, nothing shipped to the driver)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001 — degrade, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -497,7 +497,10 @@ def cmd_index_scan(argv, cat: Catalog, out):
         breakdowns = list(m.breakdowns)
         if interval != "all" and ds.time_field:
             src = src.withColumn(
-                BUCKET_COL, bucket_column(r.raw(ds.time_field), interval)
+                BUCKET_COL,
+                bucket_column(
+                    r.raw(ds.time_field), interval, r.dtype(ds.time_field)
+                ),
             ).filter(F.col(BUCKET_COL).isNotNull())
             r = ColumnOverlayResolver(r, [BUCKET_COL])
             breakdowns = [Breakdown(BUCKET_COL, BUCKET_COL)] + breakdowns

@@ -77,14 +77,15 @@ class Metric:
         )
 
 
-def bucket_column(time_src, interval: str):
+def bucket_column(time_src, interval: str, dtype=None):
     """Partition key for an interval: day → 'YYYY-MM-DD', hour →
     'YYYY-MM-DDTHH' (mirrors the reference's by_day/by_hour file names,
     lib/dragnet-impl.js:194-236). ``time_src`` is a column name or the
-    Column carrying the raw time value."""
+    Column carrying the raw time value; ``dtype`` is its schema type
+    when known (see scan.synthetic_date_column)."""
     if isinstance(time_src, str):
         time_src = F.col(time_src)
-    secs = synthetic_date_column(time_src)
+    secs = synthetic_date_column(time_src, dtype)
     ts = F.timestamp_seconds(secs)
     fmt = "yyyy-MM-dd" if interval == "day" else "yyyy-MM-dd'T'HH"
     return F.date_format(ts, fmt)
@@ -131,7 +132,7 @@ def build_index(
         base = resolver or SchemaResolver(df)
         scan_resolver = base
         if time_after is not None and time_field:
-            secs = synthetic_date_column(base.raw(time_field))
+            secs = base.date_seconds(time_field)
             src = src.filter(
                 secs.isNotNull()
                 & (secs >= F.lit(time_after))
@@ -139,7 +140,10 @@ def build_index(
             )
         if interval != "all":
             src = src.withColumn(
-                BUCKET_COL, bucket_column(base.raw(time_field), interval)
+                BUCKET_COL,
+                bucket_column(
+                    base.raw(time_field), interval, base.dtype(time_field)
+                ),
             ).filter(F.col(BUCKET_COL).isNotNull())  # drop+warn semantics (P2)
             scan_resolver = ColumnOverlayResolver(base, [BUCKET_COL])
         agg_keys = (

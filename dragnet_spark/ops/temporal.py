@@ -25,6 +25,21 @@ _TS = "__asof_ts"
 _SIDE = "__asof_side"
 
 
+def ts_micros(col):
+    """Epoch microseconds from any time-shaped column — the one shared
+    recipe for registry queries that need sub-second arithmetic.
+
+    ``F.unix_micros`` alone requires TIMESTAMP and rejects
+    TIMESTAMP_NTZ (UNEXPECTED_INPUT_TYPE); the leading cast makes the
+    expression total over NTZ (interpreted in the session tz, pinned
+    UTC in session.py so it matches DuckDB ``epoch_us(ts)``), ISO-8601
+    strings, and numeric epoch-seconds (cast treats them as seconds).
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -908,8 +908,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    None,  # probabilistic recall at n_probe < n_centroids → rows-only;
-    # pytest asserts exact equality when probing every cell
+    _ANN_ORACLE,  # n_probe == n_centroids is exhaustive, so the full
+    # IVF machinery (centroid training, cell assignment, cell join,
+    # scoring) must reproduce the exact top-k; the pruned-probe
+    # approximate path (n_probe < n_centroids) is pytest-covered
     "IVF (inverted-file) ANN: k-means cells from a bounded driver "
     "sample, distributed cell assignment, queries probe n_probe cells "
     "— scan cost ~n_probe/n_centroids of the corpus (the scale path "
@@ -920,20 +922,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=16
     )
 
 
 @register(
     "multimodal_features",
-    None,  # sha256-chunk features have no clean SQL twin → rows-only
+    """
+    SELECT doc_id AS id,
+           CASE (doc_id % 3 + 1) WHEN 1 THEN 'image/png'
+                WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(t.i AS BIGINT) AS dim,
+           CAST(('0x' || substr(sha256(text), ((4*t.i) % 28)*2 + 1, 8))
+                AS UBIGINT) / 4294967296.0 AS feature
+    FROM documents, range(8) t(i)
+    """,
     "binary-column plumbing: payload bytes → deterministic stub features "
-    "via mapInPandas (decode step stubbed; schema/batching real)",
+    "via mapInPandas (decode step stubbed; schema/batching real). "
+    "Features exploded to (id, dim, feature) — scalar columns hash "
+    "cleanly in the cross-check, and the sha256-chunk formula is exact "
+    "in both engines (uint32/2^32 is lossless in a double)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_payloads(docs, "text", "doc_id")
-    return extract_features(media, decode_stub=True)
+    feats = extract_features(media, decode_stub=True)
+    return feats.select(
+        "id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("features").alias("dim", "feature"),
+    ).withColumn("dim", F.col("dim").cast("long"))
 
 
 @register(
@@ -961,11 +981,19 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    None,  # stubbed re-encode payload has no SQL twin → rows-only;
-    # size/meta invariants are pytest-enforced
+    """
+    SELECT doc_id AS id, 'image/png' AS media_type,
+           GREATEST(CAST(FLOOR(octet_length(encode(text))
+                    * LEAST(4096.0 / GREATEST(length(text), 1), 1.0))
+                    AS BIGINT), 1) AS n_bytes,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height
+    FROM documents WHERE doc_id % 3 + 1 = 1
+    """,
     "image resize plumbing: pure map over binary columns via "
     "mapInPandas (decode stubbed, Arrow batch shape + meta update "
-    "real); payloads never cross a shuffle boundary",
+    "real); payloads never cross a shuffle boundary. The stub's "
+    "output-size formula (src_bytes * min(target_px/src_px, 1), "
+    "floored, min 1) is deterministic, so it oracles exactly",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1001,6 +1029,7 @@ from dragnet_spark.ops.temporal import (  # noqa: E402
     asof_join,
     range_join,
     sliding_window_count_sql,
+    ts_micros,
 )
 
 
@@ -1544,7 +1573,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
 def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("tus", "event_id")
     e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+        "user_id", "event_id", ts_micros("ts").alias("tus")
     )
     prev = F.lag("tus").over(w)
     is_new = F.when(
@@ -1585,7 +1614,7 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .select(
             "user_id",
-            F.floor(F.unix_micros("ts") / _WEEK_US).cast("long").alias("week"),
+            F.floor(ts_micros("ts") / _WEEK_US).cast("long").alias("week"),
         )
         .distinct()
     )
@@ -1624,7 +1653,7 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+        "user_id", "event_type", ts_micros("ts").alias("tus")
     )
 
     def stage(etype: str, prev: DataFrame | None, prev_t: str, out_t: str) -> DataFrame:
@@ -2294,7 +2323,7 @@ def events_daily_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _t(spark, sf_dir, "events")
         .groupBy(
-            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("long").alias("day")
+            F.floor(ts_micros("ts") / 86_400_000_000).cast("long").alias("day")
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2335,7 +2364,7 @@ from dragnet_spark.buckets import quantize, quantize_sql  # noqa: E402
 def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("tus", "event_id")
     e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+        "user_id", "event_id", ts_micros("ts").alias("tus")
     )
     g = e.withColumn("gap_us", F.lead("tus").over(w) - F.col("tus")).filter(
         F.col("gap_us").isNotNull()

@@ -33,6 +33,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DataType,
+    DateType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from dragnet_spark.buckets import lquantize, quantize
 from dragnet_spark.fieldspec import Breakdown
@@ -43,27 +50,50 @@ VALUE_COL = "value"
 VARIANT_COL = "__dn_v"
 
 
-def _has_field(df: DataFrame, path: str) -> bool:
-    """True if a (possibly dotted/nested) field exists in the schema."""
+def _field_type(df: DataFrame, path: str) -> DataType | None:
+    """The (possibly dotted/nested) field's DataType, or None if absent."""
     parts = path.split(".")
     fields = df.schema
+    dt: DataType | None = None
     for i, part in enumerate(parts):
         names = {f.name: f for f in fields.fields} if hasattr(fields, "fields") else {}
         if part not in names:
-            return False
+            return None
         dt = names[part].dataType
         if i < len(parts) - 1:
             if not hasattr(dt, "fields"):
-                return False
+                return None
             fields = dt
-    return True
+    return dt
 
 
-class SchemaResolver:
+def _has_field(df: DataFrame, path: str) -> bool:
+    """True if a (possibly dotted/nested) field exists in the schema."""
+    return _field_type(df, path) is not None
+
+
+class _DateSecondsMixin:
+    """Shared recipe: raw value + schema dtype → floored unix seconds.
+
+    This is the ONE place a time field becomes epoch seconds, so every
+    consumer (scan bounds, date breakdowns, index bucketing, streaming
+    windows) handles native timestamp columns identically."""
+
+    def dtype(self, path: str) -> DataType | None:
+        return None
+
+    def date_seconds(self, path: str) -> Column:
+        return synthetic_date_column(self.raw(path), self.dtype(path))
+
+
+class SchemaResolver(_DateSecondsMixin):
     """Field access for typed DataFrames."""
 
     def __init__(self, df: DataFrame):
         self.df = df
+
+    def dtype(self, path: str) -> DataType | None:
+        return _field_type(self.df, path)
 
     def raw(self, path: str) -> Column:
         """The field's value; NULL when null-or-missing."""
@@ -78,7 +108,7 @@ class SchemaResolver:
         return F.coalesce(F.col(path).cast("string"), F.lit("null"))
 
 
-class VariantResolver:
+class VariantResolver(_DateSecondsMixin):
     """Field access over a VariantType column parsed from raw JSON.
 
     ``try_variant_get`` returns SQL NULL for an absent path but a
@@ -104,7 +134,7 @@ class VariantResolver:
         )
 
 
-class ColumnOverlayResolver:
+class ColumnOverlayResolver(_DateSecondsMixin):
     """Delegating resolver where a set of real DataFrame columns (e.g.
     an injected bucket/partition column) shadows the inner resolver —
     used by the index build, where ``__dn_bucket`` is a computed column
@@ -113,6 +143,11 @@ class ColumnOverlayResolver:
     def __init__(self, inner, names):
         self.inner = inner
         self.names = set(names)
+
+    def dtype(self, path: str) -> DataType | None:
+        if path in self.names:
+            return None
+        return self.inner.dtype(path)
 
     def raw(self, path: str) -> Column:
         if path in self.names:
@@ -125,17 +160,35 @@ class ColumnOverlayResolver:
         return self.inner.grouped(path)
 
 
-def synthetic_date_column(col: Column) -> Column:
-    """Parse an ISO-8601 string or numeric epoch to floored unix seconds.
+def synthetic_date_column(col: Column, dtype: DataType | None = None) -> Column:
+    """Parse a time value to floored unix epoch seconds.
 
-    Reference: lib/stream-synthetic.js:58-79 (numbers pass through
-    floored; strings go through Date.parse; failures yield NULL here —
-    the caller drops those rows, matching the reference's drop+warn).
+    Reference semantics (lib/stream-synthetic.js:58-79): numbers pass
+    through floored; strings go through Date.parse; failures yield NULL
+    here — the caller drops those rows, matching the reference's
+    drop+warn. Beyond the reference (which only ever sees JSON strings
+    and numbers), a column that is *already* timestamp-typed — the
+    natural shape in a parquet lakehouse — converts directly.
+
+    ``dtype`` is the source column's schema type when known; branching
+    on it at plan time keeps each case a single native expression
+    (a timestamp never detours through a string render+reparse, and a
+    numeric column never hits ``try_cast`` — which is an analysis-time
+    error, not a NULL, for non-castable types like TIMESTAMP_NTZ).
+    With the session timezone pinned UTC (session.py), TIMESTAMP_NTZ
+    epochs match DuckDB's ``epoch(ts)``.
     """
-    num = col.try_cast("double")
+    if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
+        return F.unix_timestamp(col)
+    if isinstance(dtype, NumericType):
+        return F.floor(col).cast("long")
+    # string / variant-extracted / unknown: dual try-path. The leading
+    # cast-to-string makes the expression total over any remaining type.
+    s = col.cast("string")
+    num = s.try_cast("double")
     return (
         F.when(num.isNotNull(), F.floor(num).cast("long"))
-        .otherwise(F.unix_timestamp(F.try_to_timestamp(col.cast("string"))))
+        .otherwise(F.unix_timestamp(F.try_to_timestamp(s)))
     )
 
 
@@ -146,7 +199,7 @@ def breakdown_column(resolver, b: Breakdown) -> Column:
     string with null→"null" / missing→"undefined" normalization.
     """
     if b.date:
-        src = synthetic_date_column(resolver.raw(b.field))
+        src = resolver.date_seconds(b.field)
         # a date breakdown may additionally bucketize (per-hour windows:
         # timestamp[date,field=time,aggr=lquantize,step=3600])
         if b.aggr == "quantize":
@@ -191,14 +244,14 @@ def scan(
     # synthetic date columns; unparseable/missing dates are dropped
     # with a warning in the reference (lib/stream-synthetic.js:48-77)
     if query.time_after is not None and query.time_field is not None:
-        ts = synthetic_date_column(resolver.raw(query.time_field))
+        ts = resolver.date_seconds(query.time_field)
         out = out.filter(
             ts.isNotNull()
             & (ts >= F.lit(query.time_after))
             & (ts < F.lit(query.time_before))
         )
     for b in query.synthetic_dates:
-        out = out.filter(synthetic_date_column(resolver.raw(b.field)).isNotNull())
+        out = out.filter(resolver.date_seconds(b.field).isNotNull())
     # a bucketized non-date breakdown on a non-numeric/missing value is
     # dropped with a warning in the reference ("value is not a number",
     # skinner bucketizer) — not grouped as a null bucket

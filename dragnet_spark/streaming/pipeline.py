@@ -40,7 +40,6 @@ from dragnet_spark.scan import (
     VARIANT_COL,
     VariantResolver,
     breakdown_column,
-    synthetic_date_column,
 )
 
 EVENT_TIME_COL = "__dn_event_time"
@@ -93,7 +92,7 @@ def stream_scan(
         out = out.filter(compile_predicate(query.filter, resolver.raw))
     # --after/--before bounds, exactly as the batch scan applies them
     if query.time_after is not None and query.time_field is not None:
-        secs = synthetic_date_column(resolver.raw(query.time_field))
+        secs = resolver.date_seconds(query.time_field)
         out = out.filter(
             secs.isNotNull()
             & (secs >= F.lit(query.time_after))
@@ -106,7 +105,7 @@ def stream_scan(
     )
 
     for b in query.synthetic_dates:
-        out = out.filter(synthetic_date_column(resolver.raw(b.field)).isNotNull())
+        out = out.filter(resolver.date_seconds(b.field).isNotNull())
     for b in query.breakdowns:
         if b.bucketized and not b.date:
             out = out.filter(breakdown_column(resolver, b).isNotNull())
@@ -122,7 +121,7 @@ def stream_scan(
         )
 
     step = window_b.step or 1
-    secs = synthetic_date_column(resolver.raw(window_b.field))
+    secs = resolver.date_seconds(window_b.field)
     out = (
         out.withColumn(EVENT_TIME_COL, F.timestamp_seconds(secs))
         .filter(F.col(EVENT_TIME_COL).isNotNull())
@@ -210,7 +209,7 @@ def stream_sliding_counts(
     expression over a static DataFrame is the batch twin — tested for
     equivalence."""
     resolver = resolver or VariantResolver()
-    secs = synthetic_date_column(resolver.raw(time_field))
+    secs = resolver.date_seconds(time_field)
     out = (
         sdf.withColumn(EVENT_TIME_COL, F.timestamp_seconds(secs))
         .filter(F.col(EVENT_TIME_COL).isNotNull())
@@ -248,7 +247,7 @@ def stream_dedup(
     keep-first semantics for keys that repeat within the horizon.
     Emits the deduplicated records (first arrival wins)."""
     resolver = resolver or VariantResolver()
-    secs = synthetic_date_column(resolver.raw(time_field))
+    secs = resolver.date_seconds(time_field)
     out = (
         sdf.withColumn(EVENT_TIME_COL, F.timestamp_seconds(secs))
         .filter(F.col(EVENT_TIME_COL).isNotNull())
