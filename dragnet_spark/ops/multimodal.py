@@ -3,12 +3,14 @@
 Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct (media_type, width/height/duration, codec). The
 Spark-side machinery — schema, Arrow batch shape, mapInPandas
-signatures, partitioning — is real and tested; the actual decoders
-(Pillow/ffmpeg/torchaudio) are not present in this environment, so
-the decode step is stubbed: ``decode_stub=True`` produces
-deterministic fake features (seeded by content hash), and
-``decode_stub=False`` raises NotImplementedError where the real
-library call belongs.
+signatures, partitioning — is real and tested. Decoding is two-tier:
+``decode_stub=False`` uses real stdlib-only decoders for BMP (24-bit
+uncompressed) and WAV (PCM 8/16-bit) — parse, feature-extract, and
+for BMP also resample + re-encode; formats that need native codec
+libraries (png/jpeg/mp4 via Pillow/ffmpeg, absent in this
+environment) raise NotImplementedError at the record that needs them.
+``decode_stub=True`` produces deterministic fake features (seeded by
+content hash) for any media type, keeping the full pipeline testable.
 
 At 100 TB the pattern matters more than the decoder: binary columns
 stay columnar (parquet keeps them out of unrelated scans), feature
@@ -20,6 +22,9 @@ small feature columns.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,6 +56,106 @@ def attach_payloads(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real decoders — stdlib-only formats (no Pillow/ffmpeg in this
+# environment). BMP (24-bit uncompressed) and WAV (PCM 8/16-bit) are
+# simple enough to parse exactly; they give decode_stub=False a fully
+# real, tested path. Formats needing native codecs (png/jpeg/mp4)
+# remain stubbed.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes):
+    """Parse a 24-bit uncompressed BMP → (width, height, HxWx3 uint8
+    ndarray in BGR order). Pure struct/numpy, no image library."""
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    hh = abs(h)
+    rows = [
+        np.frombuffer(data, np.uint8, count=w * 3, offset=pix_off + r * stride)
+        .reshape(w, 3)
+        for r in range(hh)
+    ]
+    # positive height = bottom-up row order
+    px = np.stack(rows[::-1] if h > 0 else rows)
+    return w, hh, px
+
+
+def encode_bmp(px) -> bytes:
+    """HxWx3 uint8 BGR ndarray → 24-bit uncompressed BMP bytes
+    (the exact inverse of decode_bmp)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for row in px[::-1]:  # bottom-up
+        body += row.tobytes() + pad
+    pix_off = 14 + 40
+    size = pix_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + info + body)
+
+
+def decode_wav(data: bytes):
+    """Parse a PCM WAV → (n_channels, sample_rate, float64 samples in
+    [-1, 1]). stdlib wave module + numpy; 8- and 16-bit PCM."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(data)) as wf:
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported (sampwidth={sw})")
+    return nch, rate, x
+
+
+def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
+    """Decoded feature vector for the formats with real decoders.
+
+    BMP → [width, height, mean B/G/R (0-1), payload bytes, 0, 1];
+    WAV → [channels, sample rate, n samples, RMS, mean, payload bytes,
+    0, 2]. Deterministic, so tests can assert exact values.
+    """
+    if media_type == "image/bmp":
+        w, h, px = decode_bmp(payload)
+        mean = px.reshape(-1, 3).mean(axis=0) / 255.0
+        v = [float(w), float(h), float(mean[0]), float(mean[1]),
+             float(mean[2]), float(len(payload)), 0.0, 1.0]
+    elif media_type == "audio/wav":
+        nch, rate, x = decode_wav(payload)
+        rms = float((x ** 2).mean() ** 0.5) if len(x) else 0.0
+        mean = float(x.mean()) if len(x) else 0.0
+        v = [float(nch), float(rate), float(len(x)), rms, mean,
+             float(len(payload)), 0.0, 2.0]
+    else:
+        raise NotImplementedError(
+            f"no native decoder for {media_type!r}; formats needing "
+            "external codecs (png/jpeg/mp4) run with decode_stub=True"
+        )
+    return (v + [0.0] * dim)[:dim]
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real encoder: dim floats in [0,1)
     derived from the content digest."""
@@ -74,12 +179,15 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decoders (Pillow/ffmpeg) are not available in this "
-                    "environment; run with decode_stub=True"
-                )
-            feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
+            if decode_stub:
+                feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
+            else:
+                # real path: native BMP/WAV decoders (stdlib-only);
+                # formats needing external codecs raise per-record
+                feats = [
+                    _real_features(mt, bytes(p))
+                    for mt, p in zip(pdf["media_type"], pdf["payload"])
+                ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -102,11 +210,12 @@ def resize_media(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Image resize via mapInPandas: payload → resized payload with
-    updated meta. The real implementation decodes with Pillow, resizes,
-    re-encodes; here the stub emits a deterministic content-derived
-    payload of plausible size (scaled by target/source pixel ratio) so
-    downstream size accounting is testable. Aspect-ratio metadata and
-    the Arrow batch shape are production-real.
+    updated meta. ``decode_stub=False`` is a real path for BMP:
+    decode → nearest-neighbor resample → re-encode (pure numpy/struct).
+    The stub path emits a deterministic content-derived payload of
+    plausible size (scaled by target/source pixel ratio) so downstream
+    size accounting is testable for formats without a native decoder.
+    Aspect-ratio metadata and the Arrow batch shape are production-real.
 
     Scale shape: a pure map — no shuffle, binary columns never leave
     their partition, output parquet keeps payloads columnar.
@@ -114,23 +223,32 @@ def resize_media(
     import pandas as pd
 
     def run(batches):
+        import numpy as np
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decoders (Pillow) are not available in this "
-                    "environment; run with decode_stub=True"
-                )
             payloads, widths, heights = [], [], []
-            for p, w, h in zip(
-                pdf["payload"], pdf["meta_width"], pdf["meta_height"]
+            for mt, p, w, h in zip(
+                pdf["media_type"], pdf["payload"],
+                pdf["meta_width"], pdf["meta_height"],
             ):
                 src = bytes(p)
-                ratio = (target_width * target_height) / max(int(w) * int(h), 1)
-                n_out = max(int(len(src) * min(ratio, 1.0)), 1)
-                seed = hashlib.sha256(
-                    src + f"{target_width}x{target_height}".encode()
-                ).digest()
-                payloads.append((seed * (n_out // len(seed) + 1))[:n_out])
+                if not decode_stub:
+                    # real path: decode → nearest-neighbor resample →
+                    # re-encode, all pure numpy/struct (BMP only; other
+                    # image formats need Pillow)
+                    sw, sh, px = decode_bmp(src)
+                    ys = (np.arange(target_height) * sh // target_height)
+                    xs = (np.arange(target_width) * sw // target_width)
+                    payloads.append(encode_bmp(px[ys][:, xs]))
+                else:
+                    ratio = (
+                        (target_width * target_height) / max(int(w) * int(h), 1)
+                    )
+                    n_out = max(int(len(src) * min(ratio, 1.0)), 1)
+                    seed = hashlib.sha256(
+                        src + f"{target_width}x{target_height}".encode()
+                    ).digest()
+                    payloads.append((seed * (n_out // len(seed) + 1))[:n_out])
                 widths.append(target_width)
                 heights.append(target_height)
             yield pd.DataFrame(
@@ -143,7 +261,7 @@ def resize_media(
                 }
             )
 
-    flat = media.filter(F.col("media_type") == "image/png").select(
+    flat = media.filter(F.col("media_type").startswith("image/")).select(
         "id",
         "media_type",
         "payload",

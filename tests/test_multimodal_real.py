@@ -1,0 +1,110 @@
+"""End-to-end decode_stub=False path: real BMP/WAV payloads through
+the Spark mapInPandas pipeline, with exact expected values."""
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from dragnet_spark.ops.multimodal import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    extract_features,
+    resize_media,
+)
+
+
+def _bmp_bytes(px) -> bytes:
+    return encode_bmp(np.asarray(px, dtype=np.uint8))
+
+
+def _wav_bytes(samples, rate=8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_bmp_roundtrip():
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    w, h, out = decode_bmp(encode_bmp(px))
+    assert (w, h) == (4, 3)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_bmp_roundtrip_padded_stride():
+    # width 3 → row stride pads from 9 to 12 bytes
+    px = np.full((2, 3, 3), 7, dtype=np.uint8)
+    _, _, out = decode_bmp(encode_bmp(px))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_wav_roundtrip():
+    nch, rate, x = decode_wav(_wav_bytes([0, 16384, -16384, 32767], rate=44100))
+    assert (nch, rate, len(x)) == (1, 44100, 4)
+    np.testing.assert_allclose(x[:3], [0.0, 0.5, -0.5])
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    bmp = _bmp_bytes(np.full((2, 2, 3), 100, dtype=np.uint8))
+    wav = _wav_bytes([16384] * 8, rate=8000)
+    rows = [
+        (1, "image/bmp", bmp, (2, 2, "bmp")),
+        (2, "audio/wav", wav, (0, 0, "pcm")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+
+
+def test_extract_features_real(media):
+    out = {
+        r["id"]: r
+        for r in extract_features(media, decode_stub=False).collect()
+    }
+    img = out[1]
+    # BMP: [w, h, meanB, meanG, meanR, n_bytes, 0, 1]
+    assert img["features"][:2] == [2.0, 2.0]
+    np.testing.assert_allclose(img["features"][2:5], [100 / 255.0] * 3)
+    assert img["features"][7] == 1.0
+    snd = out[2]
+    # WAV: [channels, rate, n, rms, mean, n_bytes, 0, 2]
+    assert snd["features"][:3] == [1.0, 8000.0, 8.0]
+    np.testing.assert_allclose(snd["features"][3:5], [0.5, 0.5])
+    assert snd["features"][7] == 2.0
+
+
+def test_extract_features_real_unsupported_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "video/mp4", b"xx", (0, 0, "h264"))],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    with pytest.raises(Exception, match="no native decoder"):
+        extract_features(df, decode_stub=False).collect()
+
+
+def test_resize_real_nearest_neighbor(spark):
+    # 2x2 checkerboard upscaled to 4x4: each source pixel becomes 2x2
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 1] = px[1, 0] = 255
+    df = spark.createDataFrame(
+        [(1, "image/bmp", _bmp_bytes(px), (2, 2, "bmp"))],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    (row,) = resize_media(
+        df, target_width=4, target_height=4, decode_stub=False
+    ).collect()
+    w, h, out = decode_bmp(bytes(row["payload"]))
+    assert (w, h) == (4, 4) and (row["width"], row["height"]) == (4, 4)
+    expect = px[np.arange(4) * 2 // 4][:, np.arange(4) * 2 // 4]
+    np.testing.assert_array_equal(out, expect)

@@ -136,12 +136,14 @@ def test_multimodal_features_deterministic(spark):
     assert all(0 <= v < 1 for v in row[1].features)
 
 
-def test_multimodal_stub_raises_without_decoder(spark):
-    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+def test_multimodal_real_raises_for_codec_formats(spark):
+    # doc_id=2 → media_type video/mp4: no stdlib decoder exists, so the
+    # real path must fail loudly, not fabricate features
+    df = spark.createDataFrame([(2, "abc")], "doc_id long, text string")
     media = attach_payloads(df, "text", "doc_id")
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|decoders"):
+    with _pytest.raises(Exception, match="no native decoder"):
         extract_features(media, decode_stub=False).collect()
 
 
@@ -376,14 +378,16 @@ def test_multimodal_resize_invariants(spark):
     assert again == {r["id"]: bytes(r["payload"]) for r in rows}
 
 
-def test_multimodal_resize_without_stub_raises(spark):
+def test_multimodal_resize_real_rejects_non_bmp(spark):
     from dragnet_spark.ops.multimodal import attach_payloads, resize_media
 
+    # real path decodes for real: a payload that isn't a BMP must fail
+    # loudly, not silently produce a fake resized blob
     docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     media = attach_payloads(docs, "text", "doc_id")
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="decoders"):
+    with _pytest.raises(Exception, match="not a BMP"):
         resize_media(media, 8, 8, decode_stub=False).collect()
 
 
