@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "orders_with_discounted_lines",
     "q13_customer_order_distribution",
     "q18_large_volume_orders",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_top_customers",
     "asof_purchase_last_click",
     "orders_in_promo_windows",
     "events_user_sessions",
