@@ -1,11 +1,12 @@
 """Canonical testdata table loader.
 
 The driver's synthetic tables (TESTDATA.md) are single parquet files.
-One quirk: ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's
-parquet reader rejects by default (DuckDB silently truncates it to
-micros). We read nanos as a long (``spark.sql.legacy.parquet
-.nanosAsLong``, set in session.py) and convert to a microsecond
-timestamp, so Spark and the DuckDB oracle see identical values.
+``events.ts`` is TIMESTAMP_MICROS with isAdjustedToUTC=0, which Spark
+reads as TIMESTAMP_NTZ; with the session timezone pinned UTC (here
+and in session.py) its epoch values match DuckDB's ``epoch(ts)``.
+Older data drops wrote TIMESTAMP(NANOS), which Spark's reader rejects
+by default — ``nanosAsLong`` plus the bigint→timestamp conversion
+below keeps those readable too.
 """
 
 from __future__ import annotations
@@ -31,9 +32,14 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Sessions not built by dragnet_spark.session.get_spark (e.g. the
+    # driver harness's own) may carry a machine-local timezone; every
+    # NTZ→epoch conversion (synthetic_date_column, ts_micros) and the
+    # DuckDB oracle comparison assume UTC, so pin it here — the one
+    # chokepoint every query loads tables through. Runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # runtime-settable; required even when the session wasn't built
-        # by dragnet_spark.session.get_spark (e.g. the driver's own)
+        # required for older data drops where ts was TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -87,6 +87,23 @@ def test_time_bounds_date_flavor(tables, day_truth):
     assert got == day_truth["bounds"]
 
 
+def test_non_utc_session_pinned_by_load_table(spark, sf_dir, oracle):
+    """A harness that builds its own SparkSession may carry a local
+    timezone; load_table must pin UTC so NTZ epochs still match the
+    DuckDB oracle."""
+    from dragnet_spark.registry import REGISTRY
+    from tests.conftest import duck_set
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        entry = REGISTRY["scan_day_window"]
+        got = rows_set(entry.spark(spark, sf_dir))
+        want = duck_set(oracle, entry.oracle)
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 @pytest.mark.parametrize("flavor", ["ntz", "iso", "dbl"])
 def test_index_build_query_flavor_equivalence(
     spark, tables, tmp_path_factory, flavor
