@@ -529,6 +529,45 @@ def text_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents,
+           LATERAL (SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS distinct_tokens,
+           round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS top_token_share
+    FROM cnt GROUP BY doc_id
+    """,
+    "per-document token statistics — repetition (top-token share) is "
+    "the cheap boilerplate/spam signal a curation gate filters on; "
+    "one (doc,token) shuffle with map-side partial counts, then a "
+    "doc-keyed rollup that AQE-coalesces (the token explosion never "
+    "leaves its stage uncombined)",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_token_share"),
+    )
+
+
+@register(
     "dedup_exact",
     f"""
     SELECT {_text.fingerprint_sql('text')} AS fp, MIN(doc_id) AS keep_id,
