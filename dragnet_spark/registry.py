@@ -1044,12 +1044,64 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exposure order for harnesses that sample a prefix of queries():
+# one representative per §2 component and per training-pipeline family
+# first, all of them oracle-backed so a sampled prefix is fully
+# hash-checkable. (Entries beyond this list follow in registration
+# order; approximate/order-dependent operators — HLL distinct,
+# approx percentiles, xxhash simhash, greedy packing — keep pytest
+# coverage but don't displace an exactly-checkable entry from a
+# sampled prefix.)
+_EXPOSURE_PRIORITY = [
+    # reference scan surface (S1-A5)
+    "scan_count", "scan_by_type", "scan_multi_breakdown", "scan_filter_eq",
+    "scan_filter_loose_eq", "scan_filter_and_or", "scan_quantize",
+    "scan_lquantize", "scan_day_window", "scan_time_bounds",
+    "scan_datasource_filter", "scan_json_prop", "scan_weighted_reagg",
+    # index build/query (S9/S10/A6/A7, metric routing)
+    "index_rollup_by_type", "index_time_pruned_query",
+    # joins / TPC-H shapes (§2.5)
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_top_customers",
+    "top_customers_per_nation", "orders_with_discounted_lines",
+    # text analysis
+    "text_quality", "text_lang_id", "text_tokens_by_source",
+    "text_token_stats",
+    # dedup family
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_winnow_overlap", "dedup_clusters",
+    # skew-proof event analytics
+    "events_distinct_users_by_type", "events_top_users_by_type",
+    # embeddings: near-dup + ANN
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "ann_cosine_topk",
+    "ann_cosine_topk_blocked", "ann_ivf_topk",
+    # composite + multimodal
+    "curation_pipeline", "multimodal_features", "multimodal_frame_plan",
+    "multimodal_resize",
+    # windows / percentiles / temporal joins
+    "events_value_percentiles", "events_rollup_type_day",
+    "events_sliding_window_5m", "asof_purchase_last_click",
+    "orders_in_promo_windows",
+    # sessionization + sampling
+    "events_user_sessions", "split_train_test",
+]
+
+
+def _ordered_names() -> list[str]:
+    rest = [n for n in REGISTRY if n not in set(_EXPOSURE_PRIORITY)]
+    return [n for n in _EXPOSURE_PRIORITY if n in REGISTRY] + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: e.spark for name, e in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # ---------------------------------------------------------------------------
