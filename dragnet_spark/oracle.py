@@ -25,11 +25,17 @@ VALUE_COL = "value"
 
 def _date_sql(fs: str) -> str:
     """SQL twin of scan.synthetic_date_column: numeric → floored seconds,
-    else ISO-8601 parse."""
+    else ISO-8601 parse. The ±9.2e18 guard mirrors scan._EPOCH_BOUND:
+    beyond int64, Spark's FLOOR clamps and DuckDB's BIGINT cast raises —
+    both sides emit NULL (dropped) instead; NaN/Inf fail BETWEEN the
+    same way."""
     num = f"TRY_CAST({fs} AS DOUBLE)"
+    # TRIM matches Spark try_to_timestamp (and JS Date.parse), which
+    # tolerate surrounding whitespace; DuckDB's TIMESTAMP cast doesn't.
     return (
-        f"CASE WHEN {num} IS NOT NULL THEN CAST(FLOOR({num}) AS BIGINT) "
-        f"ELSE CAST(FLOOR(epoch(TRY_CAST(CAST({fs} AS STRING) AS TIMESTAMP))) AS BIGINT) END"
+        f"CASE WHEN {num} BETWEEN -9.2e18 AND 9.2e18 "
+        f"THEN CAST(FLOOR({num}) AS BIGINT) "
+        f"ELSE CAST(FLOOR(epoch(TRY_CAST(TRIM(CAST({fs} AS STRING)) AS TIMESTAMP))) AS BIGINT) END"
     )
 
 

@@ -181,14 +181,26 @@ def synthetic_date_column(col: Column, dtype: DataType | None = None) -> Column:
     if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
         return F.unix_timestamp(col)
     if isinstance(dtype, NumericType):
-        return F.floor(col).cast("long")
+        return _floor_epoch(col.cast("double"))
     # string / variant-extracted / unknown: dual try-path. The leading
     # cast-to-string makes the expression total over any remaining type.
     s = col.cast("string")
     num = s.try_cast("double")
-    return (
-        F.when(num.isNotNull(), F.floor(num).cast("long"))
-        .otherwise(F.unix_timestamp(F.try_to_timestamp(s)))
+    return F.coalesce(
+        _floor_epoch(num), F.unix_timestamp(F.try_to_timestamp(s))
+    )
+
+
+# int64-representable bound for a floored epoch; beyond it Spark's
+# FLOOR clamps to Long.MaxValue while DuckDB's BIGINT cast raises —
+# both wrong answers. NULL (row dropped as unparseable) on both sides
+# instead. NaN/Inf fail the between() and drop the same way.
+_EPOCH_BOUND = 9.2e18
+
+
+def _floor_epoch(num: Column) -> Column:
+    return F.when(
+        num.between(-_EPOCH_BOUND, _EPOCH_BOUND), F.floor(num).cast("long")
     )
 
 

@@ -87,6 +87,43 @@ def test_time_bounds_date_flavor(tables, day_truth):
     assert got == day_truth["bounds"]
 
 
+MESSY_TIME_VALUES = [
+    "2024-01-15", "2024-01-15 10:30:00", "2024-01-15T10:30:00",
+    "2024-01-15T10:30:00Z", "2024-01-15 10:30:00.123456", "2024-1-5",
+    "1704067200", "1704067200.7", "-86400", "0", "1e9", "not a date",
+    "", "2024-13-45", "  2024-01-15  ", "31/12/2024",
+    "2024-01-15T10:30:00+05:00", "9999999999999999999999", "nan",
+    "inf", "-inf", "1704067200.999999", "2024-01-15 25:00:00",
+    "0001-01-01", "2262-04-11 23:47:16",
+]
+
+
+def test_synthetic_date_matches_sql_twin_on_messy_input(spark):
+    """The Spark date parse and its DuckDB oracle twin must agree on
+    every messy shape raw data throws at them: epoch ints/floats,
+    every ISO variant, overflow (Spark FLOOR clamps, DuckDB BIGINT
+    cast raises — both sides must NULL instead), NaN/Inf, garbage,
+    whitespace padding."""
+    import duckdb
+
+    from dragnet_spark.oracle import _date_sql
+    from dragnet_spark.scan import synthetic_date_column
+
+    df = spark.createDataFrame([(c,) for c in MESSY_TIME_VALUES], "v string")
+    got = {
+        r["v"]: r["s"]
+        for r in df.select(
+            "v", synthetic_date_column(F.col("v")).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(c,) for c in MESSY_TIME_VALUES])
+    want = dict(con.execute(f"SELECT v, {_date_sql('v')} AS s FROM t").fetchall())
+    diffs = {c: (got[c], want[c]) for c in MESSY_TIME_VALUES if got[c] != want[c]}
+    assert not diffs, f"spark vs oracle twin diverged: {diffs}"
+
+
 def test_non_utc_session_pinned_by_load_table(spark, sf_dir, oracle):
     """A harness that builds its own SparkSession may carry a local
     timezone; load_table must pin UTC so NTZ epochs still match the
