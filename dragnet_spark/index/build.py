@@ -126,48 +126,53 @@ def build_index(
 
     from dragnet_spark.scan import ColumnOverlayResolver, SchemaResolver
 
-    for m in metrics:
-        q = QueryConfig(breakdowns=m.breakdowns, filter=m.filter)
-        src = df
-        base = resolver or SchemaResolver(df)
-        scan_resolver = base
-        if time_after is not None and time_field:
-            secs = base.date_seconds(time_field)
-            src = src.filter(
-                secs.isNotNull()
-                & (secs >= F.lit(time_after))
-                & (secs < F.lit(time_before))
-            )
-        if interval != "all":
-            src = src.withColumn(
-                BUCKET_COL,
-                bucket_column(
-                    base.raw(time_field), interval, base.dtype(time_field)
-                ),
-            ).filter(F.col(BUCKET_COL).isNotNull())  # drop+warn semantics (P2)
-            scan_resolver = ColumnOverlayResolver(base, [BUCKET_COL])
-        agg_keys = (
-            [Breakdown(BUCKET_COL, BUCKET_COL)] if interval != "all" else []
+    base = resolver or SchemaResolver(df)
+    src = df
+    if datasource_filter:
+        from dragnet_spark.krill import compile_predicate
+
+        src = src.filter(compile_predicate(datasource_filter, base.raw))
+    if time_after is not None and time_field:
+        secs = base.date_seconds(time_field)
+        src = src.filter(
+            secs.isNotNull()
+            & (secs >= F.lit(time_after))
+            & (secs < F.lit(time_before))
         )
-        # reuse scan() for filter+normalization semantics; prepend the
-        # bucket as an extra breakdown (the reference's __dn_ts, P4)
-        q_with_bucket = QueryConfig(
-            breakdowns=tuple(agg_keys) + q.breakdowns, filter=q.filter
-        )
-        out = scan(
-            src,
-            q_with_bucket,
-            datasource_filter=datasource_filter,
-            resolver=scan_resolver,
-        )
+    scan_resolver = base
+    if interval != "all":
+        src = src.withColumn(
+            BUCKET_COL,
+            bucket_column(
+                base.raw(time_field), interval, base.dtype(time_field)
+            ),
+        ).filter(F.col(BUCKET_COL).isNotNull())  # drop+warn semantics (P2)
+        scan_resolver = ColumnOverlayResolver(base, [BUCKET_COL])
+    agg_keys = (
+        [Breakdown(BUCKET_COL, BUCKET_COL)] if interval != "all" else []
+    )
+
+    # One-pass multiplexed build (the reference's S10 fan-out,
+    # lib/dragnet.js:330-395): every metric whose filter matches a row
+    # emits one (metric_id, key-tuple) record, so N metrics cost ONE
+    # read of the raw data and ONE shuffle — not N of each. At 100 TB
+    # the N× raw re-read is the difference between a nightly build
+    # fitting its window and not. Falls back to per-metric scans only
+    # for the zero-group total shape (whose empty-input semantics —
+    # one 0 row — a group-by can't produce).
+    fanout = [
+        m for m in metrics if (tuple(agg_keys) + m.breakdowns)
+    ]
+    looped = [m for m in metrics if not (tuple(agg_keys) + m.breakdowns)]
+
+    def _write(out: DataFrame, m: Metric) -> None:
         path = os.path.join(index_path, m.name)
-        writer = out
         if interval != "all":
             # one output file per bucket partition; without this every
             # shuffle task writes a sliver into every bucket dir
-            writer = out.repartition(BUCKET_COL)
             (
-                writer.write.mode(mode)
+                out.repartition(BUCKET_COL)
+                .write.mode(mode)
                 # dynamic: an overwrite replaces only the buckets this
                 # build wrote, so bounded rebuilds keep other intervals
                 .option("partitionOverwriteMode", "dynamic")
@@ -175,7 +180,75 @@ def build_index(
                 .parquet(path)
             )
         else:
-            writer.coalesce(1).write.mode(mode).parquet(path)
+            out.coalesce(1).write.mode(mode).parquet(path)
+
+    if fanout:
+        from dragnet_spark.krill import compile_predicate
+        from dragnet_spark.scan import VALUE_COL, breakdown_column
+
+        branches = []
+        per_metric_bds: list[tuple[Metric, tuple[Breakdown, ...]]] = []
+        for i, m in enumerate(fanout):
+            bds = tuple(agg_keys) + m.breakdowns
+            per_metric_bds.append((m, bds))
+            cond = F.lit(True)
+            if m.filter:
+                cond = compile_predicate(m.filter, scan_resolver.raw)
+            for b in bds:
+                # scan()'s drop+warn semantics: unparseable dates and
+                # non-numeric bucketized values drop the row
+                if b.date or (b.bucketized and not b.date):
+                    cond = cond & breakdown_column(
+                        scan_resolver, b
+                    ).isNotNull()
+            keys = F.array(
+                *[
+                    breakdown_column(scan_resolver, b).cast("string")
+                    for b in bds
+                ]
+            )
+            branches.append(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.lit(i).alias("m"), keys.alias("k")
+                    ),
+                )
+            )
+        fan = src.select(
+            F.explode(
+                F.filter(F.array(*branches), lambda x: x.isNotNull())
+            ).alias("f")
+        )
+        agg = (
+            fan.groupBy(F.col("f.m").alias("__m"), F.col("f.k").alias("__k"))
+            .agg(F.sum(F.lit(1)).cast("long").alias(VALUE_COL))
+        )
+        # the aggregate is small (unique tuples); cache it so the
+        # per-metric writes don't re-run the scan+shuffle N times
+        agg = agg.persist()
+        try:
+            for i, (m, bds) in enumerate(per_metric_bds):
+                cols = [
+                    F.col("__k")[j]
+                    .cast("long" if (b.bucketized or b.date) else "string")
+                    .alias(b.name)
+                    for j, b in enumerate(bds)
+                ]
+                _write(
+                    agg.filter(F.col("__m") == i).select(
+                        *cols, F.col(VALUE_COL)
+                    ),
+                    m,
+                )
+        finally:
+            agg.unpersist()
+
+    for m in looped:
+        q_with_bucket = QueryConfig(
+            breakdowns=tuple(agg_keys) + m.breakdowns, filter=m.filter
+        )
+        _write(scan(src, q_with_bucket, resolver=scan_resolver), m)
 
     meta = {
         "version": INDEX_VERSION,
