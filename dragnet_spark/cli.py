@@ -492,25 +492,49 @@ def cmd_index_scan(argv, cat: Catalog, out):
     df, resolver, _vc = load_datasource(spark, ds, query)
     if df is None:
         return
-    for i, m in enumerate(metrics):
-        src, r = df, resolver
-        breakdowns = list(m.breakdowns)
-        if interval != "all" and ds.time_field:
-            src = src.withColumn(
-                BUCKET_COL,
-                bucket_column(
-                    r.raw(ds.time_field), interval, r.dtype(ds.time_field)
-                ),
-            ).filter(F.col(BUCKET_COL).isNotNull())
-            r = ColumnOverlayResolver(r, [BUCKET_COL])
-            breakdowns = [Breakdown(BUCKET_COL, BUCKET_COL)] + breakdowns
-        q = QueryConfig(breakdowns=tuple(breakdowns), filter=m.filter)
-        res = scan(src, q, datasource_filter=ds.filter, resolver=r)
-        rows = [tuple(x) for x in res.collect()]
-        for line in format_points(rows, q):
-            obj = json.loads(line)
-            obj["fields"]["__dn_metric"] = i
-            out.write(json.dumps(obj, separators=(",", ":")) + "\n")
+    # one-pass multiplexed map phase: all metrics share a single read
+    # + shuffle (index/build.fanout_aggregate), like the build path
+    from dragnet_spark.index.build import fanout_aggregate, select_metric
+    from dragnet_spark.krill import compile_predicate
+
+    src, r = df, resolver
+    if ds.filter:
+        src = src.filter(compile_predicate(ds.filter, r.raw))
+    if interval != "all" and ds.time_field:
+        src = src.withColumn(
+            BUCKET_COL,
+            bucket_column(
+                r.raw(ds.time_field), interval, r.dtype(ds.time_field)
+            ),
+        ).filter(F.col(BUCKET_COL).isNotNull())
+        r = ColumnOverlayResolver(r, [BUCKET_COL])
+        prefix = [Breakdown(BUCKET_COL, BUCKET_COL)]
+    else:
+        prefix = []
+    per_metric = [(m, tuple(prefix) + m.breakdowns) for m in metrics]
+    fanned = [(m, bds) for m, bds in per_metric if bds]
+    agg = None
+    if fanned:
+        agg = fanout_aggregate(
+            src, [(m.filter, bds) for m, bds in fanned], r
+        ).persist()
+    try:
+        for i, (m, bds) in enumerate(per_metric):
+            q = QueryConfig(breakdowns=tuple(bds), filter=m.filter)
+            if bds:
+                j = [k for k, (fm, _) in enumerate(fanned) if fm is m][0]
+                res = select_metric(agg, j, bds)
+            else:
+                # zero-group total: keep scan()'s one-0-row shape
+                res = scan(src, q, resolver=r)
+            rows = [tuple(x) for x in res.collect()]
+            for line in format_points(rows, q):
+                obj = json.loads(line)
+                obj["fields"]["__dn_metric"] = i
+                out.write(json.dumps(obj, separators=(",", ":")) + "\n")
+    finally:
+        if agg is not None:
+            agg.unpersist()
 
 
 def cmd_index_read(argv, cat: Catalog, out):

@@ -91,6 +91,61 @@ def bucket_column(time_src, interval: str, dtype=None):
     return F.date_format(ts, fmt)
 
 
+def fanout_aggregate(src, per_metric, resolver) -> DataFrame:
+    """One-pass multiplexed aggregation (the reference's S10 fan-out,
+    lib/dragnet.js:330-395): every row emits one (metric_id,
+    key-tuple) record per metric whose filter matches — each metric's
+    krill filter and scan()'s drop+warn validity (unparseable dates,
+    non-numeric bucketized values) folded into its branch condition —
+    so N metrics cost ONE read of the raw data and ONE shuffle, not N
+    of each. Keys ride as array<string>; :func:`select_metric`
+    restores each metric's typed columns from the (small) aggregate.
+
+    ``per_metric``: list of (krill_filter_or_None, breakdown-tuple).
+    Returns a DataFrame (__m int, __k array<string>, value long).
+    """
+    from dragnet_spark.krill import compile_predicate
+    from dragnet_spark.scan import VALUE_COL, breakdown_column
+
+    branches = []
+    for i, (flt, bds) in enumerate(per_metric):
+        cond = F.lit(True)
+        if flt:
+            cond = compile_predicate(flt, resolver.raw)
+        for b in bds:
+            if b.date or (b.bucketized and not b.date):
+                cond = cond & breakdown_column(resolver, b).isNotNull()
+        keys = F.array(
+            *[breakdown_column(resolver, b).cast("string") for b in bds]
+        )
+        branches.append(
+            F.when(cond, F.struct(F.lit(i).alias("m"), keys.alias("k")))
+        )
+    fan = src.select(
+        F.explode(
+            F.filter(F.array(*branches), lambda x: x.isNotNull())
+        ).alias("f")
+    )
+    return (
+        fan.groupBy(F.col("f.m").alias("__m"), F.col("f.k").alias("__k"))
+        .agg(F.sum(F.lit(1)).cast("long").alias(VALUE_COL))
+    )
+
+
+def select_metric(agg: DataFrame, i: int, bds) -> DataFrame:
+    """Project metric ``i``'s typed result out of a fanout_aggregate:
+    key strings cast back to long for bucketized/date breakdowns."""
+    from dragnet_spark.scan import VALUE_COL
+
+    cols = [
+        F.col("__k")[j]
+        .cast("long" if (b.bucketized or b.date) else "string")
+        .alias(b.name)
+        for j, b in enumerate(bds)
+    ]
+    return agg.filter(F.col("__m") == i).select(*cols, F.col(VALUE_COL))
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -183,64 +238,18 @@ def build_index(
             out.coalesce(1).write.mode(mode).parquet(path)
 
     if fanout:
-        from dragnet_spark.krill import compile_predicate
-        from dragnet_spark.scan import VALUE_COL, breakdown_column
-
-        branches = []
-        per_metric_bds: list[tuple[Metric, tuple[Breakdown, ...]]] = []
-        for i, m in enumerate(fanout):
-            bds = tuple(agg_keys) + m.breakdowns
-            per_metric_bds.append((m, bds))
-            cond = F.lit(True)
-            if m.filter:
-                cond = compile_predicate(m.filter, scan_resolver.raw)
-            for b in bds:
-                # scan()'s drop+warn semantics: unparseable dates and
-                # non-numeric bucketized values drop the row
-                if b.date or (b.bucketized and not b.date):
-                    cond = cond & breakdown_column(
-                        scan_resolver, b
-                    ).isNotNull()
-            keys = F.array(
-                *[
-                    breakdown_column(scan_resolver, b).cast("string")
-                    for b in bds
-                ]
-            )
-            branches.append(
-                F.when(
-                    cond,
-                    F.struct(
-                        F.lit(i).alias("m"), keys.alias("k")
-                    ),
-                )
-            )
-        fan = src.select(
-            F.explode(
-                F.filter(F.array(*branches), lambda x: x.isNotNull())
-            ).alias("f")
-        )
-        agg = (
-            fan.groupBy(F.col("f.m").alias("__m"), F.col("f.k").alias("__k"))
-            .agg(F.sum(F.lit(1)).cast("long").alias(VALUE_COL))
+        per_metric_bds = [
+            (m, tuple(agg_keys) + m.breakdowns) for m in fanout
+        ]
+        agg = fanout_aggregate(
+            src, [(m.filter, bds) for m, bds in per_metric_bds], scan_resolver
         )
         # the aggregate is small (unique tuples); cache it so the
         # per-metric writes don't re-run the scan+shuffle N times
         agg = agg.persist()
         try:
             for i, (m, bds) in enumerate(per_metric_bds):
-                cols = [
-                    F.col("__k")[j]
-                    .cast("long" if (b.bucketized or b.date) else "string")
-                    .alias(b.name)
-                    for j, b in enumerate(bds)
-                ]
-                _write(
-                    agg.filter(F.col("__m") == i).select(
-                        *cols, F.col(VALUE_COL)
-                    ),
-                    m,
-                )
+                _write(select_metric(agg, i, bds), m)
         finally:
             agg.unpersist()
 
