@@ -568,6 +568,50 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rare_token_share",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents,
+           LATERAL (SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           round(CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_share
+    FROM toks JOIN freq USING (tok)
+    GROUP BY doc_id
+    """,
+    "share of a document's tokens that are corpus-rare (df <= 2) — "
+    "the OOV/gibberish/OCR-noise curation signal; corpus frequencies "
+    "and the doc join reuse one token partitioning, and the ratio is "
+    "integer-derived so it is bit-identical across engines",
+)
+def text_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = F.when(F.col("df") <= 2, 1).otherwise(0)
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rare).cast("long").alias("n_rare"),
+            F.round(
+                F.sum(rare).cast("double") / F.count(F.lit(1)), 6
+            ).alias("rare_share"),
+        )
+    )
+
+
+@register(
     "dedup_exact",
     f"""
     SELECT {_text.fingerprint_sql('text')} AS fp, MIN(doc_id) AS keep_id,
