@@ -2241,6 +2241,40 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "per-user event-type transition matrix (lead over one user_id "
+    "sort — the sequence-modeling prep stat); deterministic ordering "
+    "via the (ts, event_id) tie-break, exact integer counts",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ts_micros("ts").alias("tus")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
     "events_funnel_conversion",
     """
     WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
