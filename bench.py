@@ -116,7 +116,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # the headline total excludes the failed queries' time, so it
+        # is NOT comparable against a clean run or BASELINE.md — say so
         out["errors"] = errors
+        out["incomplete"] = True
     print(json.dumps(out))
 
 

@@ -511,19 +511,22 @@ def cmd_index_scan(argv, cat: Catalog, out):
         prefix = [Breakdown(BUCKET_COL, BUCKET_COL)]
     else:
         prefix = []
-    per_metric = [(m, tuple(prefix) + m.breakdowns) for m in metrics]
-    fanned = [(m, bds) for m, bds in per_metric if bds]
+    per_metric = []
+    fanned = []
+    for m in metrics:
+        bds = tuple(prefix) + m.breakdowns
+        fan_idx = len(fanned) if bds else None
+        per_metric.append((m, bds, fan_idx))
+        if bds:
+            fanned.append((m.filter, bds))
     agg = None
     if fanned:
-        agg = fanout_aggregate(
-            src, [(m.filter, bds) for m, bds in fanned], r
-        ).persist()
+        agg = fanout_aggregate(src, fanned, r).persist()
     try:
-        for i, (m, bds) in enumerate(per_metric):
+        for i, (m, bds, fan_idx) in enumerate(per_metric):
             q = QueryConfig(breakdowns=tuple(bds), filter=m.filter)
-            if bds:
-                j = [k for k, (fm, _) in enumerate(fanned) if fm is m][0]
-                res = select_metric(agg, j, bds)
+            if fan_idx is not None:
+                res = select_metric(agg, fan_idx, bds)
             else:
                 # zero-group total: keep scan()'s one-0-row shape
                 res = scan(src, q, resolver=r)

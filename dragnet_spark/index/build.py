@@ -113,7 +113,9 @@ def fanout_aggregate(src, per_metric, resolver) -> DataFrame:
         if flt:
             cond = compile_predicate(flt, resolver.raw)
         for b in bds:
-            if b.date or (b.bucketized and not b.date):
+            # date and bucketized breakdowns both carry scan()'s
+            # drop+warn guard (unparseable date / non-numeric value)
+            if b.date or b.bucketized:
                 cond = cond & breakdown_column(resolver, b).isNotNull()
         keys = F.array(
             *[breakdown_column(resolver, b).cast("string") for b in bds]

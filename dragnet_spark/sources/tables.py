@@ -36,7 +36,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver harness's own) may carry a machine-local timezone; every
     # NTZ→epoch conversion (synthetic_date_column, ts_micros) and the
     # DuckDB oracle comparison assume UTC, so pin it here — the one
-    # chokepoint every query loads tables through. Runtime-settable.
+    # chokepoint every query loads tables through. DELIBERATELY
+    # permanent, not save/restore: conversions execute lazily, long
+    # after this call returns, so a scoped pin cannot protect them.
+    # UTC-everywhere is the engine's documented contract (session.py).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # required for older data drops where ts was TIMESTAMP(NANOS)

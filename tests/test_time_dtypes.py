@@ -56,13 +56,8 @@ def _flavored(events, flavor):
 def day_truth(tables):
     """The NTZ flavor is the blessed baseline; every other flavor must
     reproduce it exactly."""
-    ev = _flavored(tables["events"], "date")
     return {
         "day": rows_set(scan(_flavored(tables["events"], "ntz"), DAY_Q)),
-        # DATE truncates time-of-day, so its own day rollup is the
-        # baseline for itself only when events never straddle midnight
-        # sub-second — which floor-to-day guarantees. Same truth set.
-        "day_date": rows_set(scan(ev, DAY_Q)),
         "bounds": rows_set(scan(_flavored(tables["events"], "ntz"), BOUNDS_Q)),
     }
 
