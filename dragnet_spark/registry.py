@@ -2241,6 +2241,32 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_heatmap",
+    """
+    SELECT CAST((FLOOR(epoch_us(ts) / 86400000000) + 4) % 7 AS BIGINT) AS dow,
+           CAST(FLOOR((epoch_us(ts) % 86400000000) / 3600000000) AS BIGINT) AS hod,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    "day-of-week x hour-of-day activity heatmap; bucketing is pure "
+    "integer epoch arithmetic (1970-01-01 was a Thursday, hence +4) — "
+    "no calendar functions whose week-start conventions differ "
+    "between engines",
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tus = ts_micros("ts")
+    day_us = 86_400_000_000
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            ((F.floor(tus / day_us) + 4) % 7).cast("long").alias("dow"),
+            F.floor((tus % day_us) / 3_600_000_000).cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
     "events_markov_transitions",
     """
     WITH ordered AS (
