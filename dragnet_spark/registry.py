@@ -2280,6 +2280,37 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_first_seen_cohorts",
+    f"""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(FLOOR(MIN(epoch_us(ts)) / {_WEEK_US}.0) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week, COUNT(*) AS cohort_size
+    FROM first_seen GROUP BY cohort_week
+    """,
+    "acquisition cohorts: each user's first-activity week and the "
+    "cohort sizes — the companion primitive to user_weekly_retention; "
+    "the per-user MIN and the cohort rollup are two partial-agg "
+    "phases, integer microsecond math throughout",
+)
+def events_first_seen_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_seen = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.floor(F.min(ts_micros("ts")) / _WEEK_US)
+            .cast("long")
+            .alias("cohort_week")
+        )
+    )
+    return first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+
+
+@register(
     "events_hourly_heatmap",
     """
     SELECT CAST((FLOOR(epoch_us(ts) / 86400000000) + 4) % 7 AS BIGINT) AS dow,
