@@ -1,0 +1,90 @@
+"""Randomized index-routing equivalence: for random metric
+definitions and random queries those metrics can serve, answering
+from the materialized view must equal the raw scan row-for-row.
+
+The fixed corpus in test_equivalence covers one wide metric; this
+exercises the router (§2.8) and the build/query round-trip across
+many metric shapes — filtered metrics (identical-filter routing),
+bucketized columns, date buckets, and day-aligned time bounds (which
+are record-exact at day granularity).
+"""
+
+import random
+
+import pytest
+
+from dragnet_spark.index.build import Metric, build_index
+from dragnet_spark.index.query import query_index
+from dragnet_spark.query import QueryConfig
+from dragnet_spark.scan import scan
+from tests.conftest import rows_set
+
+# breakdown spec pool: (spec string, needs nothing else). Names are
+# stable so query specs can reference a metric's columns exactly.
+_SPECS = [
+    "event_type",
+    "uid[field=user_id,aggr=lquantize,step=100]",
+    "vq[field=value,aggr=quantize]",
+    "day[date,field=ts,aggr=lquantize,step=86400]",
+]
+
+_FILTERS = [
+    {"eq": ["event_type", "click"]},
+    {"ne": ["event_type", "error"]},
+    {"or": [{"eq": ["event_type", "view"]}, {"eq": ["event_type", "signup"]}]},
+]
+
+
+def _day(n: int) -> int:
+    return 1704067200 + n * 86400  # 2024-01-01 + n days
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_metric_roundtrip(spark, tables, tmp_path_factory, seed):
+    rng = random.Random(seed)
+    specs = rng.sample(_SPECS, rng.randint(1, 3))
+    mfilter = rng.choice([None, None, rng.choice(_FILTERS)])
+    metric = Metric.load(f"m{seed}", ",".join(specs), mfilter)
+
+    idx = str(tmp_path_factory.mktemp(f"fuzz{seed}"))
+    build_index(
+        spark, tables["events"], [metric], idx, interval="day", time_field="ts"
+    )
+
+    # a query the metric can serve: subset of its breakdowns, the
+    # metric's own filter (or an indexed-field filter when unfiltered),
+    # day-aligned bounds only when a date column exists
+    q_specs = rng.sample(specs, rng.randint(0, len(specs))) or [specs[0]]
+    if mfilter is not None:
+        qfilter = mfilter if rng.random() < 0.8 else None
+        if qfilter is None and rng.random() < 0.5:
+            pytest.skip("filtered metric can't serve unfiltered query")
+    else:
+        qfilter = (
+            rng.choice(_FILTERS)
+            if "event_type" in q_specs and rng.random() < 0.5
+            else None
+        )
+    kwargs = {}
+    if "day[date,field=ts,aggr=lquantize,step=86400]" in specs and rng.random() < 0.5:
+        lo = _day(rng.randint(0, 10))
+        kwargs = {
+            "time_after": lo,
+            "time_before": _day(rng.randint(11, 25)),
+            "time_field": "ts",
+        }
+    q = QueryConfig.load(",".join(q_specs), filter=qfilter, **kwargs)
+
+    if mfilter is not None and qfilter is None:
+        with pytest.raises(Exception):
+            query_index(spark, idx, q)
+        return
+
+    got = rows_set(query_index(spark, idx, q))
+    want = rows_set(scan(tables["events"], q))
+    assert got == want, (
+        f"seed {seed}: index answer diverged from raw scan\n"
+        f"metric={specs} mfilter={mfilter}\n"
+        f"query={q_specs} qfilter={qfilter} bounds={kwargs}\n"
+        f"index-only={sorted(got - want)[:3]}\nscan-only={sorted(want - got)[:3]}"
+    )
