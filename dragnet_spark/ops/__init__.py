@@ -23,9 +23,25 @@ def spread(df: DataFrame) -> DataFrame:
     arrived as one or two file splits is round-robin repartitioned to
     the cluster's default parallelism. At real scale inputs already
     carry more partitions than cores, so this is a no-op — the 100 TB
-    path stays shuffle-free."""
+    path stays shuffle-free.
+
+    The probe reads the file list off the source relation
+    (``df.inputFiles()``) instead of materializing ``df.rdd`` — the
+    RDD conversion forced a per-call driver-side plan translation,
+    which adds latency on every query at scale. A file-backed input
+    with >= target files already parallelizes (Spark splits large
+    files further by maxPartitionBytes, so this underestimates, never
+    overestimates, the real split count); a non-file input (in-memory
+    test frames, streaming micro-batches) is repartitioned
+    unconditionally — those are exactly the small inputs the helper
+    exists for.
+    """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if nfiles >= target:
+        return df
+    return df.repartition(target)

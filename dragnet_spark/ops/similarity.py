@@ -100,11 +100,23 @@ def cosine_topk_blocked(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Same contract as :func:`cosine_topk`, computed as a blocked
     matrix product in a Pandas UDF (mapInPandas over corpus batches ×
-    broadcast query matrix). This is the throughput path at scale."""
-    qrows = queries.select(id_col, vec_col).collect()
+    broadcast query matrix). This is the throughput path at scale.
+
+    The query side is collected to the driver and broadcast, so its
+    size is a hard contract: more than ``max_queries`` rows raises
+    instead of silently OOMing the driver. (65536 × 768-dim float64
+    ≈ 400 MB broadcast — about the ceiling a healthy driver absorbs.)
+    """
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_blocked: query side exceeds max_queries="
+            f"{max_queries}; shard the queries or raise the cap explicitly"
+        )
     id_dt = dict(queries.dtypes)[id_col]
     qids = np.array([r[0] for r in qrows])  # dtype from the data
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -156,7 +168,17 @@ def train_centroids(
     100 TB this is the standard IVF recipe — train on a few thousand
     vectors, assign distributively. Deterministic for a fixed seed.
     Returns an (n_centroids, dims) float64 ndarray, L2-normalized.
+
+    ``sample_size`` is the enforced driver-memory contract: the
+    collect is capped by ``limit(sample_size)`` regardless of corpus
+    size, and a nonsensical cap (<= 0 or large enough to endanger the
+    driver) raises up front instead of OOMing mid-job.
     """
+    if not (0 < sample_size <= 1_000_000):
+        raise ValueError(
+            f"train_centroids: sample_size={sample_size} outside the "
+            "supported (0, 1e6] driver-sample range"
+        )
     n = corpus.count()
     frac = min(1.0, (sample_size * 2.0) / max(n, 1))
     rows = (

@@ -487,3 +487,29 @@ def test_cosine_topk_zero_vector_agrees_with_blocked(spark):
     }
     assert exact == blocked
     assert (0, 2, 1) not in exact  # the zero vector is not rank 1
+
+
+def test_blocked_topk_oversized_query_side_fails_fast(spark):
+    """The driver-side collect in the blocked path is a checked
+    contract: an oversized query side raises instead of OOMing."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_blocked(df, df, k=2, max_queries=3)
+    # at the cap (not over it) the call still works
+    assert cosine_topk_blocked(df, df.limit(3), k=2, max_queries=3).count() > 0
+
+
+def test_train_centroids_rejects_unbounded_sample(spark):
+    """sample_size is the enforced driver-memory contract."""
+    import pytest
+    from dragnet_spark.ops.similarity import train_centroids
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="sample_size"):
+        train_centroids(df, n_centroids=2, sample_size=0)
+    with pytest.raises(ValueError, match="sample_size"):
+        train_centroids(df, n_centroids=2, sample_size=10_000_000)
