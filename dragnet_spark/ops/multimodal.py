@@ -4,11 +4,13 @@ Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct (media_type, width/height/duration, codec). The
 Spark-side machinery — schema, Arrow batch shape, mapInPandas
 signatures, partitioning — is real and tested. Decoding is two-tier:
-``decode_stub=False`` uses real stdlib-only decoders for BMP (24-bit
-uncompressed) and WAV (PCM 8/16-bit) — parse, feature-extract, and
-for BMP also resample + re-encode; formats that need native codec
-libraries (png/jpeg/mp4 via Pillow/ffmpeg, absent in this
-environment) raise NotImplementedError at the record that needs them.
+``decode_stub=False`` uses real stdlib-only decoders for PNG (8-bit
+grey/RGB/RGBA, zlib inflate + full None/Sub/Up/Average/Paeth
+unfilter), BMP (24-bit uncompressed), and WAV (PCM 8/16-bit) —
+parse, feature-extract, and for PNG/BMP also resample + re-encode;
+formats that need native codec libraries (jpeg/mp4 via Pillow/ffmpeg,
+absent in this environment) raise NotImplementedError at the record
+that needs them.
 ``decode_stub=True`` produces deterministic fake features (seeded by
 content hash) for any media type, keeping the full pipeline testable.
 
@@ -111,6 +113,149 @@ def encode_bmp(px) -> bytes:
     return bytes(header + info + body)
 
 
+def decode_png(data: bytes):
+    """Parse an 8-bit non-interlaced PNG (greyscale / RGB / RGBA) →
+    (width, height, HxWxC uint8 ndarray). Pure zlib/struct/numpy:
+    chunk walk → IDAT concat → inflate → per-scanline unfilter
+    (None/Sub/Up/Average/Paeth, PNG spec §9 reconstruction).
+
+    Sub/Average/Paeth reconstruct left-to-right (each byte depends on
+    the reconstructed byte bpp positions earlier), so those rows run a
+    per-byte loop; None/Up are vectorized. PNG is the format a real
+    image corpus actually contains, so this is the primary real-decode
+    path; jpeg/mp4 still need external codecs.
+    """
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + crc
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (bit_depth={bit_depth})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data truncated")
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        )
+        if f == 0:
+            rec = line.copy()
+        elif f == 2:  # Up — uint8 addition wraps mod 256, per spec
+            rec = line + prev
+        elif f in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {r}")
+        out[r] = rec
+        prev = rec
+    return w, h, out.reshape(h, w, channels)
+
+
+def encode_png(px, filter_type: int = 0) -> bytes:
+    """HxWxC uint8 ndarray (C ∈ {1,3,4}) → 8-bit PNG bytes, with one
+    filter type (0-4) applied to every scanline — the exact inverse of
+    decode_png. A fixed filter keeps the encoder deterministic and
+    lets tests exercise each reconstruction branch explicitly."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    zeros = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    raw = bytearray()
+    for r in range(h):
+        line = flat[r]
+        left = np.concatenate([zeros, line[:-bpp]]) if w * ch > bpp else np.zeros_like(line)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - left
+        elif filter_type == 2:
+            filt = line - prev
+        elif filter_type == 3:
+            filt = line - (left + prev) // 2
+        elif filter_type == 4:
+            ul = np.concatenate([zeros, prev[:-bpp]]) if w * ch > bpp else np.zeros_like(line)
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        raw.append(filter_type)
+        raw += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(data: bytes):
     """Parse a PCM WAV → (n_channels, sample_rate, float64 samples in
     [-1, 1]). stdlib wave module + numpy; 8- and 16-bit PCM."""
@@ -135,9 +280,17 @@ def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
 
     BMP → [width, height, mean B/G/R (0-1), payload bytes, 0, 1];
     WAV → [channels, sample rate, n samples, RMS, mean, payload bytes,
-    0, 2]. Deterministic, so tests can assert exact values.
+    0, 2]; PNG → [width, height, first-3-channel means (0-1; greyscale
+    repeats its single mean), payload bytes, 0, 3]. Deterministic, so
+    tests can assert exact values.
     """
-    if media_type == "image/bmp":
+    if media_type == "image/png":
+        w, h, px = decode_png(payload)
+        ch_means = (px.reshape(-1, px.shape[2]).mean(axis=0) / 255.0).tolist()
+        m = (ch_means * 3)[:3]  # greyscale → repeat; RGBA → drop alpha
+        v = [float(w), float(h), m[0], m[1], m[2],
+             float(len(payload)), 0.0, 3.0]
+    elif media_type == "image/bmp":
         w, h, px = decode_bmp(payload)
         mean = px.reshape(-1, 3).mean(axis=0) / 255.0
         v = [float(w), float(h), float(mean[0]), float(mean[1]),
@@ -151,7 +304,7 @@ def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
     else:
         raise NotImplementedError(
             f"no native decoder for {media_type!r}; formats needing "
-            "external codecs (png/jpeg/mp4) run with decode_stub=True"
+            "external codecs (jpeg/mp4) run with decode_stub=True"
         )
     return (v + [0.0] * dim)[:dim]
 
@@ -210,11 +363,12 @@ def resize_media(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Image resize via mapInPandas: payload → resized payload with
-    updated meta. ``decode_stub=False`` is a real path for BMP:
-    decode → nearest-neighbor resample → re-encode (pure numpy/struct).
-    The stub path emits a deterministic content-derived payload of
-    plausible size (scaled by target/source pixel ratio) so downstream
-    size accounting is testable for formats without a native decoder.
+    updated meta. ``decode_stub=False`` is a real path for PNG and
+    BMP: decode → nearest-neighbor resample → re-encode (pure
+    zlib/numpy/struct). The stub path emits a deterministic
+    content-derived payload of plausible size (scaled by target/source
+    pixel ratio) so downstream size accounting is testable for formats
+    without a native decoder.
     Aspect-ratio metadata and the Arrow batch shape are production-real.
 
     Scale shape: a pure map — no shuffle, binary columns never leave
@@ -234,12 +388,19 @@ def resize_media(
                 src = bytes(p)
                 if not decode_stub:
                     # real path: decode → nearest-neighbor resample →
-                    # re-encode, all pure numpy/struct (BMP only; other
-                    # image formats need Pillow)
-                    sw, sh, px = decode_bmp(src)
+                    # re-encode, all pure zlib/numpy/struct (PNG and
+                    # BMP; jpeg needs Pillow)
+                    if mt == "image/png":
+                        sw, sh, px = decode_png(src)
+                    else:
+                        sw, sh, px = decode_bmp(src)
                     ys = (np.arange(target_height) * sh // target_height)
                     xs = (np.arange(target_width) * sw // target_width)
-                    payloads.append(encode_bmp(px[ys][:, xs]))
+                    resampled = px[ys][:, xs]
+                    if mt == "image/png":
+                        payloads.append(encode_png(resampled))
+                    else:
+                        payloads.append(encode_bmp(resampled))
                 else:
                     ratio = (
                         (target_width * target_height) / max(int(w) * int(h), 1)

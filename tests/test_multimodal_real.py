@@ -108,3 +108,101 @@ def test_resize_real_nearest_neighbor(spark):
     assert (w, h) == (4, 4) and (row["width"], row["height"]) == (4, 4)
     expect = px[np.arange(4) * 2 // 4][:, np.arange(4) * 2 // 4]
     np.testing.assert_array_equal(out, expect)
+
+
+# --- PNG: stdlib decoder (zlib inflate + per-scanline unfilter) ---------
+
+
+def _rand_px(h, w, ch, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(filter_type):
+    from dragnet_spark.ops.multimodal import decode_png, encode_png
+
+    px = _rand_px(5, 7, 3, seed=10 + filter_type)
+    w, h, out = decode_png(encode_png(px, filter_type=filter_type))
+    assert (w, h) == (7, 5)
+    np.testing.assert_array_equal(out, px)
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_channel_counts(ch, filter_type):
+    from dragnet_spark.ops.multimodal import decode_png, encode_png
+
+    px = _rand_px(4, 3, ch, seed=100 + ch * 10 + filter_type)
+    _, _, out = decode_png(encode_png(px, filter_type=filter_type))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_png_one_pixel_wide():
+    # stride == bpp: the left-neighbor slice is empty on every row
+    from dragnet_spark.ops.multimodal import decode_png, encode_png
+
+    px = _rand_px(6, 1, 3, seed=3)
+    for ft in range(5):
+        _, _, out = decode_png(encode_png(px, filter_type=ft))
+        np.testing.assert_array_equal(out, px)
+
+
+def test_png_rejects_non_png_and_interlace():
+    from dragnet_spark.ops.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BMnotapng")
+
+
+def test_extract_features_real_png(spark):
+    from dragnet_spark.ops.multimodal import encode_png, extract_features
+
+    px = np.full((3, 4, 3), 51, dtype=np.uint8)  # 51/255 = 0.2
+    png = encode_png(px, filter_type=4)
+    df = spark.createDataFrame(
+        [(7, "image/png", png, (4, 3, "png"))],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    (row,) = extract_features(df, decode_stub=False).collect()
+    # PNG: [w, h, meanR, meanG, meanB, n_bytes, 0, 3]
+    assert row["features"][:2] == [4.0, 3.0]
+    np.testing.assert_allclose(row["features"][2:5], [0.2] * 3)
+    assert row["features"][5] == float(len(png))
+    assert row["features"][7] == 3.0
+
+
+def test_extract_features_real_mixed_formats(spark):
+    """BMP + WAV + PNG through one decode_stub=False pass."""
+    from dragnet_spark.ops.multimodal import encode_png, extract_features
+
+    rows = [
+        (1, "image/bmp", _bmp_bytes(np.full((2, 2, 3), 100, np.uint8)), (2, 2, "bmp")),
+        (2, "audio/wav", _wav_bytes([16384] * 8), (0, 0, "pcm")),
+        (3, "image/png", encode_png(_rand_px(2, 2, 3, seed=9), filter_type=2), (2, 2, "png")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    out = {r["id"]: r["features"][7] for r in extract_features(df, decode_stub=False).collect()}
+    assert out == {1: 1.0, 2: 2.0, 3: 3.0}  # each format hit its decoder
+
+
+def test_resize_real_png(spark):
+    from dragnet_spark.ops.multimodal import decode_png, encode_png, resize_media
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 1] = px[1, 0] = 255
+    df = spark.createDataFrame(
+        [(1, "image/png", encode_png(px, filter_type=1), (2, 2, "png"))],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    (row,) = resize_media(df, target_width=4, target_height=4, decode_stub=False).collect()
+    w, h, out = decode_png(bytes(row["payload"]))
+    assert (w, h) == (4, 4)
+    expect = px[np.arange(4) * 2 // 4][:, np.arange(4) * 2 // 4]
+    np.testing.assert_array_equal(out, expect)
