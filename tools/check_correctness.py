@@ -9,6 +9,7 @@ value hash (columns sorted by name, rows sorted, values stringified).
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -21,6 +22,9 @@ from dragnet_spark.session import get_spark  # noqa: E402
 from dragnet_spark.sources.tables import TABLES  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional second arg: write a driver-format JSON report here
+# (rows_match/schema_match/hash_match/spark_rows/oracle_rows/err per query)
+OUT_JSON = sys.argv[2] if len(sys.argv) > 2 else None
 
 
 def norm_cell(v):
@@ -45,6 +49,61 @@ def value_hash(cols, rows):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+def check_one(spark, con, name, fn, oracles):
+    """Run one registry query against its oracle. Returns a
+    driver-format record (rows_match/schema_match/hash_match/
+    spark_rows/oracle_rows/err; no_oracle=True for rows-only)."""
+    rec = {
+        "rows_match": False,
+        "schema_match": False,
+        "hash_match": False,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
+    try:
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        rec["spark_rows"] = len(srows)
+    except Exception as e:
+        rec["err"] = f"spark error: {e}"
+        return rec, None
+    if name not in oracles:
+        rec["no_oracle"] = True
+        return rec, None
+    try:
+        cur = con.execute(oracles[name])
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        rec["oracle_rows"] = len(drows)
+    except Exception as e:
+        rec["err"] = f"duckdb error: {e}"
+        return rec, None
+    rec["schema_match"] = sorted(scols) == sorted(dcols)
+    rec["rows_match"] = len(srows) == len(drows)
+    detail = []
+    if rec["rows_match"] and rec["schema_match"]:
+        h1 = value_hash(scols, srows)
+        h2 = value_hash(dcols, drows)
+        rec["hash_match"] = h1 == h2
+        if not rec["hash_match"]:
+            # show a sample difference for debugging
+            s = {tuple(norm_cell(v) for v in r) for r in srows}
+            d = {tuple(norm_cell(v) for v in r) for r in drows}
+            detail.append(f"valuehash {h1} != {h2}")
+            if s - d:
+                detail.append(f"spark-only: {list(s - d)[:3]}")
+            if d - s:
+                detail.append(f"duck-only: {list(d - s)[:3]}")
+    else:
+        if not rec["schema_match"]:
+            detail.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not rec["rows_match"]:
+            detail.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    return rec, "; ".join(detail) if detail else None
+
+
 def main():
     spark = get_spark(app_name="check_correctness")
     con = duckdb.connect()
@@ -53,53 +112,27 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    report = {}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
-        try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            failures += 1
-            continue
-        if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle)")
-            continue
-        try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
-            failures += 1
-            continue
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            h1 = value_hash(scols, srows)
-            h2 = value_hash(dcols, drows)
-            if h1 != h2:
-                problems.append(f"valuehash {h1} != {h2}")
-                # show a sample difference for debugging
-                s = {tuple(norm_cell(v) for v in r) for r in srows}
-                d = {tuple(norm_cell(v) for v in r) for r in drows}
-                only_s = list(s - d)[:3]
-                only_d = list(d - s)[:3]
-                if only_s:
-                    problems.append(f"spark-only: {only_s}")
-                if only_d:
-                    problems.append(f"duck-only: {only_d}")
+        rec, detail = check_one(spark, con, name, fn, oracles)
+        report[name] = rec
         dt = time.time() - t0
-        if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
+        if rec["err"]:
+            print(f"FAIL  {name}: {rec['err']}")
             failures += 1
+        elif rec.get("no_oracle"):
+            print(f"rows  {name}: {rec['spark_rows']} rows (no oracle)")
+        elif rec["rows_match"] and rec["schema_match"] and rec["hash_match"]:
+            print(f"OK    {name}: {rec['spark_rows']} rows, {dt:.1f}s")
         else:
-            print(f"OK    {name}: {len(srows)} rows, {dt:.1f}s")
+            print(f"FAIL  {name}: {detail}")
+            failures += 1
+    if OUT_JSON:
+        with open(OUT_JSON, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {OUT_JSON}")
     print(f"\n{len(qs)} queries, {failures} failures")
     sys.exit(1 if failures else 0)
 
