@@ -65,6 +65,37 @@ BENCH_QUERIES = [
 ]
 
 
+HISTORY = Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl"
+
+
+def _loadavg():
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover — non-POSIX
+        return None
+
+
+def _trailing_medians() -> dict[str, float]:
+    """Per-query median of past recorded mins, from BENCH_HISTORY.jsonl.
+    This is the baseline that separates machine load (everything slow
+    at once) from a plan regression (one query slow, history still)."""
+    series: dict[str, list[float]] = {}
+    if not HISTORY.exists():
+        return {}
+    for line in HISTORY.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        for q, v in rec.get("queries", {}).items():
+            series.setdefault(q, []).append(v)
+    out = {}
+    for q, vals in series.items():
+        vals = sorted(vals)
+        out[q] = vals[len(vals) // 2]
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="dragnet_bench")
     # warm the JVM with a trivial action, and the Python UDF workers
@@ -78,28 +109,45 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(1024).repartition(cpus).select(_warm(col("id"))).count()
 
+    load_start = _loadavg()
+    medians = _trailing_medians()
+
+    def run_once(e) -> float:
+        t0 = time.perf_counter()
+        df = e.spark(spark, SF_DIR)
+        # noop sink executes the full plan (no column pruning
+        # shortcut, nothing shipped to the driver)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    retried: list[str] = []
     for name in BENCH_QUERIES:
         e = registry.REGISTRY.get(name)
         if e is None:
             continue
-        # steady-state: min of 2 runs. Run 1 pays one-time Catalyst
+        # steady-state: min of 2 runs; a 3rd only when the first two
+        # disagree by >25% (load noise). Run 1 pays one-time Catalyst
         # analysis + whole-stage codegen compilation (amortized to zero
-        # on a long-lived cluster); run 2 is the recurring cost of the
-        # query. Data is re-read both times — only compilation is warm.
+        # on a long-lived cluster); later runs are the recurring cost.
+        # Data is re-read each time — only compilation is warm.
         # One broken query must not zero the whole bench: failures are
         # recorded per-query and the JSON line is always emitted.
-        best = None
         try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df = e.spark(spark, SF_DIR)
-                # noop sink executes the full plan (no column pruning
-                # shortcut, nothing shipped to the driver)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            runs = [run_once(e), run_once(e)]
+            if max(runs) > 1.25 * min(runs):
+                runs.append(run_once(e))
+            best = min(runs)
+            # load gate: a trivial query far above its trailing median
+            # means the box is busy, not that the plan regressed —
+            # retry instead of recording a number that muddies the
+            # round-over-round signal
+            med = medians.get(name)
+            if med and best > 2 * med:
+                retried.append(name)
+                runs.append(run_once(e))
+                best = min(runs)
         except Exception as exc:  # noqa: BLE001 — degrade, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
@@ -108,18 +156,39 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    load_end = _loadavg()
+    probe = timings.get("scan_count")
+    probe_med = medians.get("scan_count")
+    note = (
+        f"loadavg start={load_start} end={load_end} (cpus={cpus}); "
+        f"scan_count={probe}s vs trailing_median="
+        f"{round(probe_med, 3) if probe_med else None}s"
+    )
+    if retried:
+        note += f"; load-retried: {','.join(retried)}"
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_note": note,
     }
     if errors:
         # the headline total excludes the failed queries' time, so it
         # is NOT comparable against a clean run or BASELINE.md — say so
         out["errors"] = errors
         out["incomplete"] = True
+    try:
+        with HISTORY.open("a") as f:
+            f.write(json.dumps({
+                "ts": time.time(),
+                "sf": out["sf"],
+                "loadavg": [load_start, load_end],
+                "queries": timings,
+            }) + "\n")
+    except OSError as exc:  # pragma: no cover — read-only checkout
+        print(f"bench: history append failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -3140,3 +3140,272 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").cast("double").alias("min_v"),
         F.max("x").cast("double").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q2/q11/q20/q21, adapted to the slimmed schema (COVERAGE.md):
+# there is no partsupp table, so the lineitem fact's (l_partkey,
+# l_suppkey) pairs stand in as the part-supplier relation (as q16
+# already does), with MIN(l_extendedprice) as the "supply cost" and
+# shipped quantity as the "stock"; q21's late predicate becomes
+# l_shipdate > o_orderdate + 60 days (no commit/receipt dates). The
+# join topology of each original — correlated per-group min, scalar
+# HAVING subquery, nested semi-joins, exists/not-exists — is kept.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT pk, sk, cost, s_acctbal, s_name, n_name
+      FROM ps
+        JOIN supplier ON sk = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), ranked AS (
+      SELECT e.*, p_partkey, p_name,
+             MIN(cost) OVER (PARTITION BY pk) AS mincost
+      FROM eligible e JOIN part ON pk = p_partkey
+      WHERE p_size = 15 AND p_type = 'STANDARD'
+    )
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, CAST(cost AS DOUBLE) AS supply_cost
+    FROM ranked WHERE cost = mincost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, sk
+    LIMIT 100
+    """,
+    "TPC-H Q2 shape (lineitem-derived part-supplier relation, "
+    "MIN(extendedprice) as supply cost): cheapest EUROPE supplier per "
+    "size-15 STANDARD part via a per-part window min — the correlated "
+    "subquery of the original without a second scan; dims broadcast, "
+    "the one shuffle is the (pk,sk) pre-aggregation",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(_dec4("l_extendedprice")).alias("cost"))
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    ranked = (
+        ps.join(F.broadcast(sup), ps.sk == sup.s_suppkey)
+        .join(F.broadcast(part), ps.pk == part.p_partkey)
+        .withColumn("mincost", F.min("cost").over(W.partitionBy("pk")))
+    )
+    return (
+        ranked.filter(F.col("cost") == F.col("mincost"))
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "sk"
+        )
+        .limit(100)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH val AS (
+      SELECT l_partkey, SUM({_DISC_PRICE_SQL}) AS part_value
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE part_value * 1000 > (SELECT SUM(part_value) FROM val)
+    """,
+    "TPC-H Q11 shape (lineitem revenue as the stock value): parts "
+    "whose NATION_7-supplied value exceeds 1/1000 of the nation "
+    "total; the threshold comparison is value*1000 > total in exact "
+    "decimal (no engine-dependent decimal-division scale), and the "
+    "scalar subquery is a window sum over the already-aggregated "
+    "frame — one lineitem shuffle total",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).groupBy(
+        "l_partkey"
+    ).agg(F.sum(_disc_price()).alias("part_value"))
+    # scalar total as a broadcast cross-join, not a global window — a
+    # partition-less window would drag every aggregated row to one
+    # partition; the agg reduces map-side to a single row instead
+    total = val.agg(F.sum("part_value").alias("__total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("__total"))
+        .select(
+            "l_partkey", F.col("part_value").cast("double").alias("part_value")
+        )
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    WITH shipped AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty95,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_all
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT sk FROM shipped
+        WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+          AND qty95 * 2 > qty_all
+      )
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3'
+      )
+    """,
+    "TPC-H Q20 shape (shipped quantity as the stock signal): NATION_3 "
+    "suppliers who moved more than half of a 'small %' part's "
+    "all-time volume during 1995 — the original's nested semi-join "
+    "chain, expressed as left-semi joins so the supplier table never "
+    "fans out; the conditional + total sums share one (pk,sk) shuffle",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    in95 = (
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(F.when(in95, _dec4("l_quantity")).otherwise(zero)).alias("qty95"),
+        F.sum(_dec4("l_quantity")).alias("qty_all"),
+    )
+    small_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")
+    )
+    movers = (
+        shipped.join(
+            F.broadcast(small_parts), shipped.pk == small_parts.p_partkey, "left_semi"
+        )
+        .filter(F.col("qty95") * 2 > F.col("qty_all"))
+        .select("sk")
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return sup.join(
+        movers, sup.s_suppkey == movers.sk, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH l1 AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ), supp_cnt AS (
+      SELECT l_orderkey AS ok2, COUNT(DISTINCT l_suppkey) AS nsupp
+      FROM lineitem GROUP BY 1
+    ), late_cnt AS (
+      SELECT ok AS ok3, COUNT(DISTINCT sk) AS nlate FROM l1 GROUP BY 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l1
+      JOIN supp_cnt ON ok = ok2
+      JOIN late_cnt ON ok = ok3
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE nsupp > 1 AND nlate = 1 AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    "TPC-H Q21 shape (late := shipped >60 days after order date — no "
+    "commit/receipt columns): suppliers who were the ONLY late "
+    "supplier on a multi-supplier finished order. The exists / "
+    "not-exists pair becomes two order-grain aggregates (distinct "
+    "suppliers, distinct late suppliers) joined back on the order key "
+    "— three aggregations over the same l_orderkey shuffle key, no "
+    "per-row subquery execution",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+    )
+    supp_cnt = li.groupBy(F.col("l_orderkey").alias("ok2")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp")
+    )
+    late_cnt = l1.groupBy(F.col("ok").alias("ok3")).agg(
+        F.countDistinct("sk").alias("nlate")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(supp_cnt, F.col("ok") == F.col("ok2"))
+        .join(late_cnt, F.col("ok") == F.col("ok3"))
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(sup), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
