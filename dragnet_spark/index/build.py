@@ -107,6 +107,27 @@ def fanout_aggregate(src, per_metric, resolver) -> DataFrame:
     from dragnet_spark.krill import compile_predicate
     from dragnet_spark.scan import VALUE_COL, breakdown_column
 
+    # each distinct breakdown expression is computed ONCE into a named
+    # projection; branches reference the name from both the null guard
+    # and the key array. Inlining the expression at every use (the
+    # previous shape) doubled per-breakdown codegen and re-evaluated
+    # shared breakdowns per metric on wide metric sets.
+    uniq: dict[tuple, object] = {}
+    for _flt, bds in per_metric:
+        for b in bds:
+            uniq.setdefault((b.name, b.field, b.date, b.aggr, b.step), b)
+    names = {k: f"__dn_bc{j}" for j, k in enumerate(uniq)}
+    proj = src.select(
+        "*",
+        *[
+            breakdown_column(resolver, b).alias(names[k])
+            for k, b in uniq.items()
+        ],
+    )
+
+    def bc(b):
+        return F.col(names[(b.name, b.field, b.date, b.aggr, b.step)])
+
     branches = []
     for i, (flt, bds) in enumerate(per_metric):
         cond = F.lit(True)
@@ -116,14 +137,12 @@ def fanout_aggregate(src, per_metric, resolver) -> DataFrame:
             # date and bucketized breakdowns both carry scan()'s
             # drop+warn guard (unparseable date / non-numeric value)
             if b.date or b.bucketized:
-                cond = cond & breakdown_column(resolver, b).isNotNull()
-        keys = F.array(
-            *[breakdown_column(resolver, b).cast("string") for b in bds]
-        )
+                cond = cond & bc(b).isNotNull()
+        keys = F.array(*[bc(b).cast("string") for b in bds])
         branches.append(
             F.when(cond, F.struct(F.lit(i).alias("m"), keys.alias("k")))
         )
-    fan = src.select(
+    fan = proj.select(
         F.explode(
             F.filter(F.array(*branches), lambda x: x.isNotNull())
         ).alias("f")

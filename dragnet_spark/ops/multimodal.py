@@ -311,7 +311,14 @@ def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real encoder: dim floats in [0,1)
-    derived from the content digest."""
+    derived from the content digest.
+
+    The ``(4*i) % 28`` wrap is INTENTIONAL and mirrored byte-for-byte
+    by the ``multimodal_features`` SQL oracle in registry.py (dim 7
+    reuses digest bytes 0-3; bytes 28-31 are never read). It looks
+    like an off-by-one but is the frozen cross-engine contract —
+    change both sides together or neither.
+    """
     out = []
     digest = hashlib.sha256(payload).digest()
     for i in range(dim):

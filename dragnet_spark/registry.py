@@ -1017,6 +1017,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(t.i AS BIGINT) AS dim,
+           -- the (4*i) % 28 wrap is INTENTIONAL and mirrors
+           -- ops/multimodal._fake_features exactly (dim 7 reuses
+           -- digest bytes 0-3; bytes 28-31 unused): change both
+           -- together or the cross-check breaks
            CAST(('0x' || substr(sha256(text), ((4*t.i) % 28)*2 + 1, 8))
                 AS UBIGINT) / 4294967296.0 AS feature
     FROM documents, range(8) t(i)
@@ -3409,3 +3413,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Import-time integrity check: the driver samples the first 50 entries
+# of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
+# prefix fully oracle-checkable. A rename that silently dropped an
+# entry from the prefix (names are matched by string) would quietly
+# weaken the correctness gate — fail loudly instead.
+# ---------------------------------------------------------------------------
+
+_missing = [n for n in _EXPOSURE_PRIORITY if n not in REGISTRY]
+assert not _missing, (
+    f"_EXPOSURE_PRIORITY names not in REGISTRY (renamed query?): {_missing}"
+)
+_unoracled = [n for n in _EXPOSURE_PRIORITY if REGISTRY[n].oracle is None]
+assert not _unoracled, (
+    f"_EXPOSURE_PRIORITY entries without an oracle (the sampled prefix "
+    f"must be fully checkable): {_unoracled}"
+)

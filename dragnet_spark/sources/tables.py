@@ -30,6 +30,9 @@ TABLES = (
 )
 
 
+_warned_tz_override = False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Sessions not built by dragnet_spark.session.get_spark (e.g. the
@@ -39,7 +42,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # chokepoint every query loads tables through. DELIBERATELY
     # permanent, not save/restore: conversions execute lazily, long
     # after this call returns, so a scoped pin cannot protect them.
-    # UTC-everywhere is the engine's documented contract (session.py).
+    # UTC-everywhere is the engine's documented contract (session.py,
+    # README). Warn once if the pin actually overrides a different
+    # timezone a host application had set — the change is global for
+    # the shared session, and silent retiming of the host's own
+    # queries is the one surprise worth a message.
+    global _warned_tz_override
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev not in (None, "UTC") and not _warned_tz_override:
+        import warnings
+
+        warnings.warn(
+            f"dragnet_spark pins spark.sql.session.timeZone=UTC for the "
+            f"whole session (was {prev!r}); NTZ→epoch conversions and "
+            f"oracle comparisons require it",
+            stacklevel=2,
+        )
+        _warned_tz_override = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # required for older data drops where ts was TIMESTAMP(NANOS)
