@@ -88,3 +88,55 @@ def test_random_metric_roundtrip(spark, tables, tmp_path_factory, seed):
         f"query={q_specs} qfilter={qfilter} bounds={kwargs}\n"
         f"index-only={sorted(got - want)[:3]}\nscan-only={sorted(want - got)[:3]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# The three-way corner of find_metric's conservative subsumption
+# (lib/index-query.js:178-207 → index/query.py): a FILTERED metric
+# serving a TIME-BOUNDED query from an HOURLY index exercises filter
+# identity, date-breakdown requirement, and interval pruning in one
+# routing decision. Every one of the 2^3 on/off combinations must
+# round-trip exactly against the raw scan.
+# ---------------------------------------------------------------------------
+
+import itertools
+
+
+@pytest.mark.parametrize(
+    "filtered,bounded,hourly", list(itertools.product([False, True], repeat=3))
+)
+def test_router_three_way_interactions(
+    spark, tables, tmp_path_factory, filtered, bounded, hourly
+):
+    step = 3600 if hourly else 86400
+    specs = ["event_type", f"t[date,field=ts,aggr=lquantize,step={step}]"]
+    mfilter = {"eq": ["event_type", "click"]} if filtered else None
+    metric = Metric.load("m3w", ",".join(specs), mfilter)
+
+    idx = str(
+        tmp_path_factory.mktemp(f"r3w_{int(filtered)}{int(bounded)}{int(hourly)}")
+    )
+    build_index(
+        spark,
+        tables["events"],
+        [metric],
+        idx,
+        interval="hour" if hourly else "day",
+        time_field="ts",
+    )
+
+    kwargs = {}
+    if bounded:
+        # bounds aligned to the breakdown step, so the pruned index
+        # answer is record-exact vs the raw scan
+        lo = _day(5) + (7 * 3600 if hourly else 0)
+        hi = _day(12) + (5 * 3600 if hourly else 0)
+        kwargs = {"time_after": lo, "time_before": hi, "time_field": "ts"}
+    q = QueryConfig.load(",".join(specs), filter=mfilter, **kwargs)
+
+    got = rows_set(query_index(spark, idx, q))
+    want = rows_set(scan(tables["events"], q))
+    assert got == want, (
+        f"filtered={filtered} bounded={bounded} hourly={hourly}: "
+        f"index-only={sorted(got - want)[:3]} scan-only={sorted(want - got)[:3]}"
+    )
