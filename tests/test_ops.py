@@ -378,17 +378,23 @@ def test_multimodal_resize_invariants(spark):
     assert again == {r["id"]: bytes(r["payload"]) for r in rows}
 
 
-def test_multimodal_resize_real_rejects_non_bmp(spark):
+def test_multimodal_resize_real_rejects_undecodable(spark):
     from dragnet_spark.ops.multimodal import attach_payloads, resize_media
 
-    # real path decodes for real: a payload that isn't a BMP must fail
-    # loudly, not silently produce a fake resized blob
+    # real path decodes for real: a payload that isn't actually the
+    # declared format must fail loudly, not silently produce a fake
+    # resized blob. attach_payloads tags doc 0 image/png → the PNG
+    # decoder rejects its utf-8 text payload; a bogus image/bmp row
+    # hits the BMP decoder the same way.
     docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     media = attach_payloads(docs, "text", "doc_id")
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="not a BMP"):
+    with _pytest.raises(Exception, match="not a PNG"):
         resize_media(media, 8, 8, decode_stub=False).collect()
+    bmp_claim = media.withColumn("media_type", F.lit("image/bmp"))
+    with _pytest.raises(Exception, match="not a BMP"):
+        resize_media(bmp_claim, 8, 8, decode_stub=False).collect()
 
 
 def test_fuzzy_key_pairs_edit_cases(spark):
