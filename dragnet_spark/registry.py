@@ -3415,6 +3415,111 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_mixture_weights",
+    f"""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM({_text.token_count_sql('text')}) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ), powed AS (
+      SELECT *, POWER(total_tokens, 0.7) AS p FROM per_source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(p / (SELECT SUM(p) FROM powed), 9) AS weight,
+           ROUND((p / (SELECT SUM(p) FROM powed))
+                 / (CAST(total_tokens AS DOUBLE)
+                    / (SELECT SUM(CAST(total_tokens AS DOUBLE)) FROM powed)),
+                 9) AS oversample
+    FROM powed
+    """,
+    "temperature-based data-mixing weights (T=0.7, the standard "
+    "multilingual/multi-source rebalance): per-source sampling weight "
+    "∝ tokens^T, plus the oversample factor vs natural frequency. "
+    "Inputs to POWER are exact integers on both engines, so the "
+    "doubles agree; weights round to 9 dp before hashing. One "
+    "source-grain aggregate + a broadcast scalar — no second corpus "
+    "scan at 100 TB",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", _text.token_count("text").alias("tc")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").cast("long").alias("total_tokens"),
+    )
+    powed = per.withColumn("p", F.pow(F.col("total_tokens"), F.lit(0.7)))
+    totals = powed.agg(
+        F.sum("p").alias("__psum"),
+        F.sum(F.col("total_tokens").cast("double")).alias("__tsum"),
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("p") / F.col("__psum"), 9).alias("weight"),
+            F.round(
+                (F.col("p") / F.col("__psum"))
+                / (F.col("total_tokens").cast("double") / F.col("__tsum")),
+                9,
+            ).alias("oversample"),
+        )
+    )
+
+
+@register(
+    "pack_efficiency_stats",
+    f"""
+    WITH t AS (
+      SELECT source, {_text.token_count_sql('text')} AS tok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(CEIL(tok / 256.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+           CAST(SUM(CAST(CEIL(tok / 256.0) AS BIGINT)) * 256
+                - SUM(tok) AS BIGINT) AS padding_tokens,
+           ROUND(CAST(SUM(tok) AS DOUBLE)
+                 / (SUM(CAST(CEIL(tok / 256.0) AS BIGINT)) * 256), 9)
+             AS packing_efficiency
+    FROM t GROUP BY source
+    """,
+    "sequence-packing efficiency audit at max_seq_len=256: per source, "
+    "how many training chunks naive per-doc chunking yields and what "
+    "fraction is padding — the number a packing strategy (ops/"
+    "packing.pack_documents) is judged against. Integer arithmetic "
+    "until the final ratio; single aggregation, no shuffle beyond the "
+    "source key",
+)
+def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = _text.token_count("text")
+    chunks = F.ceil(tok / 256.0).cast("long")
+    per = docs.select(
+        "source", tok.alias("tok"), chunks.alias("chunks")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum("chunks").cast("long").alias("n_chunks"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_chunks",
+        (F.col("n_chunks") * 256 - F.col("total_tokens"))
+        .cast("long")
+        .alias("padding_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double") / (F.col("n_chunks") * 256),
+            9,
+        ).alias("packing_efficiency"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
