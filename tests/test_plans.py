@@ -66,3 +66,24 @@ def test_fanout_build_scans_source_once(spark, sf_dir):
         .collect()
     }
     assert got == {(events.count(),)}
+
+
+def test_adapted_tpch_plans_broadcast_dims_no_cartesian(spark, sf_dir):
+    """q2/q20/q21: dims ride broadcast joins; the only shuffles are
+    the fact-side aggregations. A cartesian/BNLJ anywhere in these
+    plans would be a 100 TB scale-killer (q11's single-row scalar
+    cross-join is the one sanctioned BNLJ — 1 row by construction)."""
+    for name in ("q2_min_cost_supplier", "q20_potential_promotion",
+                 "q21_waiting_suppliers"):
+        plan = _plan(REGISTRY[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+
+
+def test_q11_single_sanctioned_scalar_cross_join(spark, sf_dir):
+    plan = _plan(REGISTRY["q11_important_parts"].spark(spark, sf_dir))
+    # exactly one BNLJ node (tree line; formatted explain prints each
+    # node again as a detail header), and it is the 1-row scalar total
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+    assert "CartesianProduct" not in plan
