@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_top_customers",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
     "asof_purchase_last_click",
     "orders_in_promo_windows",
     "events_user_sessions",

@@ -146,8 +146,7 @@ def stream_scan(
     return agg.select(*cols, F.col(VALUE_COL))
 
 
-def stream_build(
-    sdf: DataFrame,
+def make_batch_appender(
     metrics,
     index_path: str,
     interval: str = "day",
@@ -155,18 +154,40 @@ def stream_build(
     datasource_filter=None,
     resolver=None,
     checkpoint: str | None = None,
-    trigger_available_now: bool = False,
 ):
-    """Continuous ``dn build``: append each micro-batch's partial
-    aggregates to the same partitioned parquet views the batch build
-    writes. Correct under re-aggregation (closure property); the query
-    path's groupBy().sum() merges partials from different batches.
+    """The foreachBatch body of :func:`stream_build`, factored out so
+    its replay behavior is directly testable.
 
-    Returns the StreamingQuery handle.
+    ``foreachBatch`` parquet appends are at-least-once: Spark commits
+    a batch to the checkpoint only AFTER the function returns, so a
+    failure between the append and the commit replays the batch on
+    restart and would double-count. The ledger closes the common
+    window: after a successful append, a marker file named by batch id
+    is written under the index; a replayed batch whose marker exists
+    is skipped. (A crash strictly inside build_index can still leave a
+    partial append — closing that too needs a transactional table
+    format; the ledger reduces the exposure from 'any restart with an
+    in-flight batch' to 'crash mid-write'.) The ledger is keyed by a
+    digest of the checkpoint path because batch ids restart from 0
+    with every fresh checkpoint; without a checkpoint there is no
+    replay, so no ledger is kept.
     """
+    import hashlib
+    import os
+
     from dragnet_spark.index.build import build_index
 
+    ledger = None
+    if checkpoint:
+        key = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+        ledger = os.path.join(index_path, "_dn_batch_ledger", key)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = None
+        if ledger is not None:
+            marker = os.path.join(ledger, f"{batch_id:012d}")
+            if os.path.exists(marker):
+                return  # replayed batch, already appended
         if batch_df.isEmpty():
             return
         r = resolver
@@ -183,7 +204,43 @@ def stream_build(
             mode="append",
             resolver=r,
         )
+        if marker is not None:
+            os.makedirs(ledger, exist_ok=True)
+            with open(marker, "w"):
+                pass
 
+    return write_batch
+
+
+def stream_build(
+    sdf: DataFrame,
+    metrics,
+    index_path: str,
+    interval: str = "day",
+    time_field: str | None = None,
+    datasource_filter=None,
+    resolver=None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Continuous ``dn build``: append each micro-batch's partial
+    aggregates to the same partitioned parquet views the batch build
+    writes. Correct under re-aggregation (closure property); the query
+    path's groupBy().sum() merges partials from different batches.
+    Batch replays after a restart are deduplicated by a marker ledger
+    (see :func:`make_batch_appender`).
+
+    Returns the StreamingQuery handle.
+    """
+    write_batch = make_batch_appender(
+        metrics,
+        index_path,
+        interval=interval,
+        time_field=time_field,
+        datasource_filter=datasource_filter,
+        resolver=resolver,
+        checkpoint=checkpoint,
+    )
     writer = sdf.writeStream.foreachBatch(write_batch).outputMode("append")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)

@@ -489,3 +489,31 @@ def test_stream_scan_honors_time_bounds(spark, watched_dir):
     assert sum(r["value"] for r in batch.collect()) < sum(
         r["value"] for r in full.collect()
     )
+
+
+def test_batch_replay_is_deduplicated_by_ledger(spark, watched_dir, tmp_path):
+    """foreachBatch appends are at-least-once; the marker ledger makes
+    a replayed batch id a no-op so a restart after a hard stop cannot
+    double-count (see make_batch_appender)."""
+    from dragnet_spark.streaming.pipeline import make_batch_appender
+
+    idx = str(tmp_path / "replay_index")
+    metrics = [Metric.load("ops", "operation")]
+    src = spark.read.format("text").load(watched_dir)
+    from pyspark.sql.functions import try_parse_json, col, trim
+    batch_df = (
+        src.filter(trim(col("value")) != "")
+        .select(try_parse_json(col("value")).alias("__dn_variant"))
+        .filter(col("__dn_variant").isNotNull())
+    )
+    append = make_batch_appender(
+        metrics, idx, interval="all", checkpoint=str(tmp_path / "ck")
+    )
+    append(batch_df, 0)
+    once = {tuple(r) for r in query_index(spark, idx, QueryConfig.load("operation")).collect()}
+    append(batch_df, 0)  # replay of the same batch id: must be a no-op
+    twice = {tuple(r) for r in query_index(spark, idx, QueryConfig.load("operation")).collect()}
+    assert once == twice
+    append(batch_df, 1)  # a NEW batch id appends for real
+    doubled = {tuple(r) for r in query_index(spark, idx, QueryConfig.load("operation")).collect()}
+    assert doubled == {(op, n * 2) for (op, n) in once}
