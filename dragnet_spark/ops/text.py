@@ -569,3 +569,68 @@ def chunk_token_windows_sql(
            array_to_string(ctoks, ' ') AS chunk
     FROM ex
     """
+
+
+def unigram_logprob(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """CCNet-style corpus-LM quality score: each document's mean token
+    log-probability under the corpus's own unigram distribution. Docs
+    far below the corpus mean are gibberish / OOV-heavy / wrong-
+    language — the standard cheap LM gate before an expensive model
+    ever sees the text.
+
+    Exactness across engines: per-token logp is rounded to 9 dp and
+    summed as DECIMAL(18,9) (order-independent), then the mean is one
+    double division at the end — no float summation order anywhere.
+
+    Scale shape: one (doc, token) explode feeding two aggregations —
+    the vocabulary count (token-key shuffle) and the per-doc sum
+    (doc-key shuffle after the vocab join). The vocab side is
+    runtime-sized: AQE broadcasts it when it is small; at web-corpus
+    vocab sizes it degrades to a plain shuffle join, never a driver
+    collect. The corpus total rides a 1-row broadcast cross-join.
+    """
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops import spread
+
+    tok = spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    probs = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("c").cast("double") / F.col("t")), 9)
+        .cast("decimal(18,9)")
+        .alias("logp"),
+    )
+    return (
+        tok.join(probs, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("logp").cast("double") / F.count(F.lit(1)), 9
+            ).alias("mean_logp"),
+        )
+    )
+
+
+def unigram_logprob_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of unigram_logprob over the documents table."""
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({tokens_sql(text_expr)}) AS tok
+                 FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t FROM cnt),
+    p AS (SELECT tok,
+                 CAST(ROUND(LN(CAST(c AS DOUBLE) / t), 9)
+                      AS DECIMAL(18,9)) AS logp
+          FROM cnt, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 9) AS mean_logp
+    FROM tok JOIN p USING (tok)
+    GROUP BY doc_id
+    """

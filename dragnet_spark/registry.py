@@ -3416,6 +3416,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    _text.unigram_logprob_sql("text"),  # oracle lives beside the op
+    "CCNet-style corpus-LM quality gate: per-doc mean token log-prob "
+    "under the corpus unigram distribution; per-token logp rounded to "
+    "9 dp and summed in exact decimal so both engines hash-match. One "
+    "(doc,token) explode, vocab join sized by AQE, no driver-side "
+    "state",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "source_mixture_weights",
     f"""
     WITH per_source AS (

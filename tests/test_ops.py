@@ -519,3 +519,16 @@ def test_train_centroids_rejects_unbounded_sample(spark):
         train_centroids(df, n_centroids=2, sample_size=0)
     with pytest.raises(ValueError, match="sample_size"):
         train_centroids(df, n_centroids=2, sample_size=10_000_000)
+
+
+def test_unigram_logprob_flags_gibberish(spark):
+    """The corpus-LM gate: a doc of corpus-unseen junk tokens scores a
+    sharply lower mean log-prob than docs made of common tokens."""
+    from dragnet_spark.ops.text import unigram_logprob
+
+    common = "the data table scan join filter group sort merge window"
+    rows = [(i, common) for i in range(9)] + [(9, "zxqv jkwp qqzz vvkk xxyy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["doc_id"]: r["mean_logp"] for r in unigram_logprob(df).collect()}
+    normal = [v for k, v in scores.items() if k != 9]
+    assert scores[9] < min(normal) - 1.0  # well separated, not a tie
