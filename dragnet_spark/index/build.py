@@ -243,11 +243,22 @@ def build_index(
 
     def _write(out: DataFrame, m: Metric) -> None:
         path = os.path.join(index_path, m.name)
+        # cluster rows by the leading breakdowns inside each output
+        # file: sorted runs dictionary/RLE-encode tighter AND give each
+        # parquet row group disjoint min/max stats, so a query-path
+        # filter on a breakdown (krill → pushed predicate) skips whole
+        # row groups at 100 TB instead of decoding them. Sort cost is
+        # per-partition on the already-small aggregate — no extra
+        # shuffle (sortWithinPartitions, not orderBy).
+        # breakdown names may contain dots (req.caller): backtick-quote
+        # so the sort resolves the literal column, not a struct path
+        sort_cols = [F.col(f"`{b.name}`") for b in m.breakdowns]
         if interval != "all":
             # one output file per bucket partition; without this every
             # shuffle task writes a sliver into every bucket dir
             (
                 out.repartition(BUCKET_COL)
+                .sortWithinPartitions(F.col(BUCKET_COL), *sort_cols)
                 .write.mode(mode)
                 # dynamic: an overwrite replaces only the buckets this
                 # build wrote, so bounded rebuilds keep other intervals
@@ -256,7 +267,12 @@ def build_index(
                 .parquet(path)
             )
         else:
-            out.coalesce(1).write.mode(mode).parquet(path)
+            sorted_out = (
+                out.coalesce(1).sortWithinPartitions(*sort_cols)
+                if m.breakdowns
+                else out.coalesce(1)
+            )
+            sorted_out.write.mode(mode).parquet(path)
 
     if fanout:
         per_metric_bds = [
@@ -333,12 +349,19 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
         stage = path + ".compact_tmp"
         try:
             if interval != "all" and BUCKET_COL in df.columns:
-                compacted.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
-                    BUCKET_COL
-                ).parquet(stage)
+                # keep the build path's row clustering (row-group
+                # stats pruning + RLE) through compaction; names may
+                # contain dots → backtick-quote for literal resolution
+                sort_cols = [
+                    F.col(f"`{c}`") for c in group_cols if c != BUCKET_COL
+                ]
+                compacted.repartition(BUCKET_COL).sortWithinPartitions(
+                    F.col(BUCKET_COL), *sort_cols
+                ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
                 (
                     spark.read.parquet(stage)
                     .repartition(BUCKET_COL)
+                    .sortWithinPartitions(F.col(BUCKET_COL), *sort_cols)
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy(BUCKET_COL)
