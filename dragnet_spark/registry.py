@@ -3416,6 +3416,37 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_EMB_COS} >= {_EMB_T}
+    ),
+    ids AS (SELECT vec_id AS id FROM embeddings),
+    reach(id, r) AS (
+      SELECT id, id FROM ids
+      UNION
+      SELECT reach.id, CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
+      FROM reach JOIN pairs e ON reach.r = e.id_a OR reach.r = e.id_b
+    )
+    SELECT id AS vec_id, MIN(r) AS canonical_id,
+           (id = MIN(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    "SemDeDup-style semantic dedup: connected components over the "
+    "embedding-cosine near-dup graph (A~B, B~C ⇒ one semantic group "
+    "even if A~C scores under threshold); same min-label propagation "
+    "as the text-shingle clusters — O(diameter) join rounds, no "
+    "driver-side graph state; canonical = min vec_id",
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=_EMB_T)
+    return dedup_cluster_assignments(emb, "vec_id", pairs)
+
+
+@register(
     "text_unigram_logprob",
     _text.unigram_logprob_sql("text"),  # oracle lives beside the op
     "CCNet-style corpus-LM quality gate: per-doc mean token log-prob "
