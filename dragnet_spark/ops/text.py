@@ -634,3 +634,82 @@ def unigram_logprob_sql(text_expr: str = "text") -> str:
     FROM tok JOIN p USING (tok)
     GROUP BY doc_id
     """
+
+
+def duplicate_spans(
+    df, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+):
+    """Exact duplicate-span detection (the fixed-n variant of
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): a position is
+    duplicated when its n-token gram also appears in ANOTHER document.
+    Per doc: gram count, duplicated-gram count, duplicated fraction —
+    the copy-paste contamination measure that drives span-level
+    removal.
+
+    Scale shape: grams ride the shuffle as md5 hashes (16 bytes,
+    never the text); the gram-frequency aggregate and the per-doc
+    rollup are two shuffles over the same exploded relation. Counts
+    are exact integers; the fraction is one double division at the
+    end.
+    """
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops import spread
+
+    toks = tokens(text_col)
+    d = spread(df).select(
+        F.col(id_col), toks.alias("__toks")
+    ).withColumn(
+        "__grams",
+        F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.md5(
+                    F.array_join(F.slice("__toks", i + 1, n), " ")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    pos = d.select(F.col(id_col), F.explode("__grams").alias("gh"))
+    freq = pos.groupBy("gh").agg(
+        F.count_distinct(id_col).alias("ndocs")
+    )
+    flagged = pos.join(freq, "gh").select(
+        id_col, (F.col("ndocs") > 1).cast("int").alias("is_dup")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("is_dup").cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 9
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def duplicate_spans_sql(text_expr: str = "text", n: int = 8) -> str:
+    """DuckDB twin of duplicate_spans over the documents table."""
+    return f"""
+    WITH t AS (SELECT doc_id, {tokens_sql(text_expr)} AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 md5(array_to_string(toks[u.i + 1 : u.i + {n}], ' ')) AS gh
+          FROM t, UNNEST(range(0, GREATEST(len(toks) - {n} + 1, 0))) AS u(i)),
+    freq AS (SELECT gh, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gh)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS dup_frac
+    FROM g JOIN freq USING (gh)
+    GROUP BY doc_id
+    """

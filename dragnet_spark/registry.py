@@ -3460,6 +3460,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_duplicate_spans",
+    _text.duplicate_spans_sql("text", n=8),
+    "exact duplicate-span detection (fixed-n variant of Lee et al. "
+    "suffix-array dedup): per-doc fraction of 8-token grams that also "
+    "appear in another document — the copy-paste contamination "
+    "measure driving span-level removal. Grams shuffle as md5 hashes "
+    "(16 bytes, never text); exact integer counts, one final double "
+    "division",
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+@register(
     "source_mixture_weights",
     f"""
     WITH per_source AS (

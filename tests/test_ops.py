@@ -532,3 +532,23 @@ def test_unigram_logprob_flags_gibberish(spark):
     scores = {r["doc_id"]: r["mean_logp"] for r in unigram_logprob(df).collect()}
     normal = [v for k, v in scores.items() if k != 9]
     assert scores[9] < min(normal) - 1.0  # well separated, not a tie
+
+
+def test_duplicate_spans_flags_copy_paste(spark):
+    """Two docs sharing a long verbatim run are flagged; a fully
+    unique doc has dup_frac 0."""
+    from dragnet_spark.ops.text import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(20))  # 20-token shared run
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, shared + " one two three four five six seven eight"),
+        (3, " ".join(f"u{i}" for i in range(28))),  # all unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(df, n=8).collect()}
+    # 28-token docs → 21 grams each; the shared 20-token run yields 13
+    # fully-shared 8-grams per doc
+    assert out[3]["dup_frac"] == 0.0
+    assert out[1]["n_dup_grams"] == 13 and out[2]["n_dup_grams"] == 13
+    assert out[1]["n_grams"] == 21
