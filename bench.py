@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     # training-data pipeline families (first-class at 100 TB)
     "text_tokens_by_source",
     "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_duplicate_spans",
     "split_leakage_report",
     "dedup_exact",
     "dedup_minhash_lsh",
