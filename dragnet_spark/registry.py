@@ -3460,6 +3460,53 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             {_text.token_count_sql('text')} AS n_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 9)
+             AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+    "tokenizer fertility audit: chars-per-token by language — the "
+    "number that decides whether a tokenizer under- or over-spends "
+    "sequence budget on a language (multilingual mixing input). "
+    "Integer sums, one final double division; single source-grain "
+    "aggregation",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.length("text").cast("long").alias("n_chars"),
+            _text.token_count("text").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("total_tokens"), 9
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@register(
     "text_duplicate_spans",
     _text.duplicate_spans_sql("text", n=8),
     "exact duplicate-span detection (fixed-n variant of Lee et al. "
