@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "text_tfidf_top_terms",
     "text_unigram_logprob",
     "text_duplicate_spans",
+    "text_repetition_stats",
+    "decontam_benchmark_overlap",
     "split_leakage_report",
     "dedup_exact",
     "dedup_minhash_lsh",

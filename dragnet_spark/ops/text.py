@@ -678,11 +678,14 @@ def duplicate_spans(
         .filter(F.col("__full"))
         .drop("__full")
     )
+    # "appears in ANOTHER document" ⟺ the gram's min and max doc ids
+    # differ — exactly count_distinct(id) > 1, but min/max partial-
+    # aggregate in a few bytes where count_distinct carries a set
     freq = pos.groupBy("gh").agg(
-        F.count_distinct(id_col).alias("ndocs")
+        (F.min(id_col) != F.max(id_col)).alias("xdoc")
     )
     flagged = pos.join(freq, "gh").select(
-        id_col, (F.col("ndocs") > 1).cast("int").alias("is_dup")
+        id_col, F.col("xdoc").cast("int").alias("is_dup")
     )
     return (
         flagged.groupBy(id_col)
@@ -717,4 +720,273 @@ def duplicate_spans_sql(text_expr: str = "text", n: int = 8) -> str:
                  / COUNT(*), 9) AS dup_frac
     FROM g JOIN freq USING (gh)
     GROUP BY doc_id
+    """
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style within-document repetition measures (Rae et al.
+    2021, Table A1 "repetition filters"): per document,
+
+    * ``top_2gram_frac`` — fraction of the normalized character
+      stream covered by occurrences of the single most frequent
+      2-gram (tie broken by lexicographically smallest gram);
+    * ``dup_5gram_frac`` — fraction covered by all 5-grams that occur
+      more than once within the document (occurrence-weighted: each
+      occurrence contributes the gram's characters);
+    * ``repetition_flag`` — 1 when either exceeds the Gopher
+      thresholds (0.20 / 0.15), the drop decision.
+
+    Character coverage is occurrence-weighted (overlaps counted per
+    occurrence), the standard reimplementation of the paper's rule;
+    the denominator is the single-spaced normalized token stream so
+    both engines measure the same string.
+
+    Scale shape: one posexplode of (doc, pos, token), grams assembled
+    with ``lead()`` over the per-doc window (one doc-key shuffle; the
+    2-gram and 5-gram are stacked into one long-form explode so the
+    expensive position pass happens once), then (doc, n, gram) counts.
+    Everything per-doc — no global state, no skew beyond document
+    length. Exact integer counts; two double divisions at the end.
+    """
+    from pyspark.sql import Window as W
+
+    from dragnet_spark.ops import spread
+
+    toks = tokens(text_col)
+    base = spread(df).select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.length(F.array_join(toks, " ")).cast("long").alias("n_norm_chars"),
+    )
+    pos = base.select(
+        id_col, "n_norm_chars", F.posexplode("__toks").alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    # window exprs can't live inside a generator — materialize the
+    # leads once, then explode the two gram sizes from plain columns
+    led = pos.select(
+        id_col,
+        "n_norm_chars",
+        "tok",
+        *[F.lead("tok", k).over(w).alias(f"__l{k}") for k in range(1, 5)],
+    )
+    gram2 = F.when(
+        F.col("__l1").isNotNull(),
+        F.concat_ws(" ", F.col("tok"), F.col("__l1")),
+    )
+    gram5 = F.when(
+        F.col("__l4").isNotNull(),
+        F.concat_ws(
+            " ", F.col("tok"), *[F.col(f"__l{k}") for k in range(1, 5)]
+        ),
+    )
+    long = (
+        led.select(
+            id_col,
+            "n_norm_chars",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(2).alias("n"), gram2.alias("gram")),
+                    F.struct(F.lit(5).alias("n"), gram5.alias("gram")),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "n_norm_chars", "g.n", "g.gram")
+        .filter(F.col("gram").isNotNull())
+    )
+    counts = long.groupBy(id_col, "n_norm_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top2 = (
+        counts.filter(F.col("n") == 2)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(
+                    F.col("cnt").desc(), F.col("gram").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("gram").alias("top_2gram"),
+            (F.col("cnt") * F.length("gram")).cast("long").alias("__t2chars"),
+        )
+    )
+    dup5 = (
+        counts.filter((F.col("n") == 5) & (F.col("cnt") > 1))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.length("gram"))
+            .cast("long")
+            .alias("__d5chars")
+        )
+    )
+    per_doc = base.select(id_col, "n_norm_chars")
+    out = (
+        per_doc.join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+        .select(
+            id_col,
+            "n_norm_chars",
+            "top_2gram",
+            F.round(
+                F.coalesce(F.col("__t2chars"), F.lit(0)).cast("double")
+                / F.col("n_norm_chars"),
+                9,
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("__d5chars"), F.lit(0)).cast("double")
+                / F.col("n_norm_chars"),
+                9,
+            ).alias("dup_5gram_frac"),
+        )
+        .withColumn(
+            "repetition_flag",
+            (
+                (F.col("top_2gram_frac") > 0.20)
+                | (F.col("dup_5gram_frac") > 0.15)
+            ).cast("int"),
+        )
+    )
+    return out
+
+
+def repetition_stats_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of repetition_stats over the documents table."""
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    base AS (SELECT doc_id,
+                    CAST(length(array_to_string(toks, ' ')) AS BIGINT)
+                      AS n_norm_chars,
+                    toks
+             FROM t),
+    g2 AS (SELECT doc_id,
+                  array_to_string(toks[u.i + 1 : u.i + 2], ' ') AS gram
+           FROM base, UNNEST(range(0, GREATEST(len(toks) - 1, 0))) AS u(i)),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+    top2 AS (SELECT doc_id, gram AS top_2gram,
+                    CAST(cnt * length(gram) AS BIGINT) AS t2chars
+             FROM (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY cnt DESC, gram ASC) AS rn
+                   FROM c2)
+             WHERE rn = 1),
+    g5 AS (SELECT doc_id,
+                  array_to_string(toks[u.i + 1 : u.i + 5], ' ') AS gram
+           FROM base, UNNEST(range(0, GREATEST(len(toks) - 4, 0))) AS u(i)),
+    c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+    dup5 AS (SELECT doc_id,
+                    CAST(SUM(cnt * length(gram)) AS BIGINT) AS d5chars
+             FROM c5 WHERE cnt > 1 GROUP BY 1),
+    j AS (SELECT b.doc_id, b.n_norm_chars, top2.top_2gram,
+                 ROUND(CAST(COALESCE(top2.t2chars, 0) AS DOUBLE)
+                       / b.n_norm_chars, 9) AS top_2gram_frac,
+                 ROUND(CAST(COALESCE(dup5.d5chars, 0) AS DOUBLE)
+                       / b.n_norm_chars, 9) AS dup_5gram_frac
+          FROM base b
+          LEFT JOIN top2 ON b.doc_id = top2.doc_id
+          LEFT JOIN dup5 ON b.doc_id = dup5.doc_id)
+    SELECT doc_id, n_norm_chars, top_2gram, top_2gram_frac, dup_5gram_frac,
+           CAST(top_2gram_frac > 0.20 OR dup_5gram_frac > 0.15 AS INTEGER)
+             AS repetition_flag
+    FROM j
+    """
+
+
+def benchmark_overlap(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_mod: int = 97,
+):
+    """Benchmark decontamination audit: flag training documents that
+    share an n-token gram with any held-out evaluation document. The
+    eval set here is the deterministic slice ``doc_id % bench_mod ==
+    0`` — a stand-in for a real benchmark table (swap the slice for a
+    `spark.read` of the eval corpus; the plan shape is identical).
+
+    Per training doc: total grams, grams that hit the eval gram set
+    (occurrence-weighted, so long verbatim overlaps score higher),
+    hit fraction, and the contaminated flag used for removal.
+
+    Scale shape: eval docs are a tiny fraction, so their distinct
+    gram-hash set is broadcast — the 100-TB training side never
+    shuffles for the probe; grams ride as md5 hashes. Gram assembly
+    is the same lead()-window pass as duplicate_spans (one doc-key
+    shuffle). Docs shorter than n tokens have no grams and are
+    definitionally clean (absent from the report on both engines).
+    """
+    from pyspark.sql import Window as W
+
+    from dragnet_spark.ops import spread
+
+    tok = spread(df).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", k).over(w) for k in range(1, n)]
+    )
+    pos = (
+        tok.select(
+            F.col(id_col),
+            F.md5(gram).alias("gh"),
+            F.lead("tok", n - 1).over(w).isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full")
+    )
+    is_bench = F.col(id_col) % bench_mod == 0
+    bench_grams = (
+        pos.filter(is_bench).select("gh").distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+    )
+    train = pos.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench_grams), "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit_grams",
+            F.round(
+                F.col("n_hit_grams").cast("double") / F.col("n_grams"), 9
+            ).alias("hit_frac"),
+            (F.col("n_hit_grams") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def benchmark_overlap_sql(
+    text_expr: str = "text", n: int = 8, bench_mod: int = 97
+) -> str:
+    """DuckDB twin of benchmark_overlap over the documents table."""
+    return f"""
+    WITH t AS (SELECT doc_id, {tokens_sql(text_expr)} AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 md5(array_to_string(toks[u.i + 1 : u.i + {n}], ' ')) AS gh
+          FROM t, UNNEST(range(0, GREATEST(len(toks) - {n} + 1, 0))) AS u(i)),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % {bench_mod} = 0),
+    train AS (SELECT * FROM g WHERE doc_id % {bench_mod} <> 0)
+    SELECT train.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_grams,
+           ROUND(CAST(SUM(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 9) AS hit_frac,
+           CAST(SUM(CASE WHEN bench.gh IS NOT NULL THEN 1 ELSE 0 END) > 0
+                AS INTEGER) AS contaminated
+    FROM train LEFT JOIN bench ON train.gh = bench.gh
+    GROUP BY train.doc_id
     """

@@ -3625,6 +3625,37 @@ def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_stats",
+    _text.repetition_stats_sql("text"),
+    "Gopher-style repetition filters (Rae et al. 2021): per-doc "
+    "top-2-gram character fraction and duplicate-5-gram character "
+    "fraction over the normalized token stream, plus the 0.20/0.15 "
+    "drop flag. One position explode, grams assembled with lead() "
+    "over the per-doc window, both gram sizes stacked into one "
+    "long-form pass; everything keyed per-doc so there is no global "
+    "shuffle state at 100 TB",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontam_benchmark_overlap",
+    _text.benchmark_overlap_sql("text", n=8, bench_mod=97),
+    "benchmark decontamination: training docs sharing an 8-token gram "
+    "with the held-out eval slice (doc_id % 97 == 0 stands in for the "
+    "benchmark table) — per-doc hit count, occurrence-weighted hit "
+    "fraction, contaminated flag. The eval gram-hash set is broadcast "
+    "so the training side never shuffles for the probe; grams ride "
+    "as md5 hashes",
+)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.benchmark_overlap(
+        _t(spark, sf_dir, "documents"), n=8, bench_mod=97
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that

@@ -552,3 +552,56 @@ def test_duplicate_spans_flags_copy_paste(spark):
     assert out[3]["dup_frac"] == 0.0
     assert out[1]["n_dup_grams"] == 13 and out[2]["n_dup_grams"] == 13
     assert out[1]["n_grams"] == 21
+
+
+def test_repetition_stats_gopher_rules(spark):
+    """The Gopher repetition measures: a doc that is one 2-gram
+    repeated trips the 0.20 top-2-gram rule; a doc with a repeated
+    5-gram run trips the 0.15 dup-5-gram rule; varied text passes."""
+    from dragnet_spark.ops.text import repetition_stats
+
+    looping = " ".join(["spam ham"] * 10)  # 'spam ham' dominates
+    run5 = " ".join(["a b c d e"] * 3) + " tail words here now extra"
+    varied = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, looping), (2, run5), (3, varied)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["repetition_flag"] == 1
+    assert out[1]["top_2gram"] in ("ham spam", "spam ham")
+    assert out[1]["top_2gram_frac"] > 0.4
+    assert out[2]["repetition_flag"] == 1 and out[2]["dup_5gram_frac"] > 0.15
+    assert out[3]["repetition_flag"] == 0
+    assert out[3]["top_2gram_frac"] < 0.2 and out[3]["dup_5gram_frac"] == 0.0
+
+
+def test_repetition_stats_includes_short_docs(spark):
+    """A one-token doc has no 2-grams — it must still appear, with
+    zero fractions, not vanish from the audit."""
+    from dragnet_spark.ops.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "a b a b a b a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_2gram_frac"] == 0.0 and out[1]["dup_5gram_frac"] == 0.0
+    assert out[1]["top_2gram"] is None
+    assert out[2]["repetition_flag"] == 1
+
+
+def test_benchmark_overlap_flags_contaminated(spark):
+    """A training doc embedding a verbatim eval span is contaminated;
+    one sharing nothing is clean with n_hit_grams 0."""
+    from dragnet_spark.ops.text import benchmark_overlap
+
+    eval_text = " ".join(f"e{i}" for i in range(12))
+    rows = [
+        (0, eval_text),  # doc_id % 97 == 0 → eval slice
+        (1, "lead in words " + eval_text + " trailing words"),
+        (2, " ".join(f"c{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in benchmark_overlap(df, n=8).collect()}
+    assert 0 not in out  # eval docs are not reported as training docs
+    assert out[1]["contaminated"] == 1 and out[1]["n_hit_grams"] == 5
+    assert out[2]["contaminated"] == 0 and out[2]["n_hit_grams"] == 0
