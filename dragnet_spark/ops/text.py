@@ -680,12 +680,17 @@ def duplicate_spans(
     )
     # "appears in ANOTHER document" ⟺ the gram's min and max doc ids
     # differ — exactly count_distinct(id) > 1, but min/max partial-
-    # aggregate in a few bytes where count_distinct carries a set
-    freq = pos.groupBy("gh").agg(
-        (F.min(id_col) != F.max(id_col)).alias("xdoc")
-    )
-    flagged = pos.join(freq, "gh").select(
-        id_col, F.col("xdoc").cast("int").alias("is_dup")
+    # aggregate in a few bytes where count_distinct carries a set.
+    # Computed as a window over gh rather than groupBy+join-back: the
+    # join form evaluates the expensive gram-assembly lineage twice
+    # (once per join side); the window shuffles the positions by gh
+    # once and flags them in place.
+    wg = W.partitionBy("gh")
+    flagged = pos.select(
+        id_col,
+        (F.min(id_col).over(wg) != F.max(id_col).over(wg))
+        .cast("int")
+        .alias("is_dup"),
     )
     return (
         flagged.groupBy(id_col)
@@ -797,36 +802,42 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     counts = long.groupBy(id_col, "n_norm_chars", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    top2 = (
-        counts.filter(F.col("n") == 2)
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                W.partitionBy(id_col).orderBy(
-                    F.col("cnt").desc(), F.col("gram").asc()
+    # linear chain — a filter-and-rejoin per gram size would evaluate
+    # the explode lineage once per branch. argmax-with-tiebreak is
+    # min(struct(-cnt, gram)): highest count, then smallest gram.
+    agg = (
+        counts.groupBy(id_col)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("n") == 2,
+                    F.struct(
+                        (-F.col("cnt")).alias("negc"),
+                        F.col("gram").alias("gram"),
+                    ),
                 )
-            ),
+            ).alias("__top2"),
+            F.sum(
+                F.when(
+                    (F.col("n") == 5) & (F.col("cnt") > 1),
+                    F.col("cnt") * F.length("gram"),
+                )
+            )
+            .cast("long")
+            .alias("__d5chars"),
         )
-        .filter(F.col("__rn") == 1)
         .select(
             id_col,
-            F.col("gram").alias("top_2gram"),
-            (F.col("cnt") * F.length("gram")).cast("long").alias("__t2chars"),
-        )
-    )
-    dup5 = (
-        counts.filter((F.col("n") == 5) & (F.col("cnt") > 1))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("cnt") * F.length("gram"))
+            F.col("__top2.gram").alias("top_2gram"),
+            (-F.col("__top2.negc") * F.length("__top2.gram"))
             .cast("long")
-            .alias("__d5chars")
+            .alias("__t2chars"),
+            "__d5chars",
         )
     )
     per_doc = base.select(id_col, "n_norm_chars")
     out = (
-        per_doc.join(top2, id_col, "left")
-        .join(dup5, id_col, "left")
+        per_doc.join(agg, id_col, "left")
         .select(
             id_col,
             "n_norm_chars",
