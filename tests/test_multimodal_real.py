@@ -206,3 +206,73 @@ def test_resize_real_png(spark):
     assert (w, h) == (4, 4)
     expect = px[np.arange(4) * 2 // 4][:, np.arange(4) * 2 // 4]
     np.testing.assert_array_equal(out, expect)
+
+
+# ------------------------------------------------- header-only metadata probe
+
+
+def _jpeg_header_bytes(w, h):
+    """Minimal JPEG prefix: SOI, APP0 stub, SOF0 with dimensions."""
+    import struct as _s
+
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + _s.pack(">H", 11)
+        + b"\x08"
+        + _s.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_sniff_media_formats():
+    import struct as _s
+
+    from dragnet_spark.ops.multimodal import encode_png, sniff_media
+
+    px = _rand_px(5, 7, 3, seed=3)
+    assert sniff_media(encode_png(px))[:3] == ("png", 7, 5)
+    assert sniff_media(_bmp_bytes(_rand_px(4, 6, 3, seed=4)))[:3] == ("bmp", 6, 4)
+    assert sniff_media(_jpeg_header_bytes(640, 480))[:3] == ("jpeg", 640, 480)
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert sniff_media(gif)[:3] == ("gif", 320, 200)
+    fmt, _, _, dur = sniff_media(_wav_bytes([0] * 8000, rate=8000))
+    assert fmt == "wav" and dur == 1000  # 8000 frames at 8 kHz mono 16-bit
+    mp4 = _s.pack(">I", 20) + b"ftypisom" + b"\x00" * 12
+    assert sniff_media(mp4)[0] == "mp4"
+    assert sniff_media(b"plain text payload")[0] == "unknown"
+    assert sniff_media(b"")[0] == "unknown"
+    # truncated headers must not raise
+    assert sniff_media(b"\x89PNG\r\n\x1a\n" + b"IH")[0] == "unknown"
+    assert sniff_media(b"\xff\xd8\xff\xc0\x00")[0] == "jpeg"
+
+
+def test_probe_media_metadata(spark):
+    from dragnet_spark.ops.multimodal import encode_png, probe_media_metadata
+
+    png = bytes(encode_png(_rand_px(5, 7, 3, seed=5)))
+    wav = _wav_bytes([100, -100] * 4000, rate=8000)
+    rows = [
+        (1, "image/png", png, None),
+        (2, "audio/wav", wav, None),
+        (3, "image/png", wav, None),  # mislabeled: wav bytes as png
+        (4, "video/mp4", b"garbage", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    out = {r["id"]: r for r in probe_media_metadata(df).collect()}
+    assert out[1]["detected_format"] == "png"
+    assert (out[1]["width"], out[1]["height"]) == (7, 5)
+    assert out[1]["type_mismatch"] == 0
+    assert out[2]["detected_format"] == "wav"
+    assert out[2]["duration_ms"] == 1000
+    assert out[2]["type_mismatch"] == 0
+    assert out[3]["detected_format"] == "wav"
+    assert out[3]["type_mismatch"] == 1
+    assert out[4]["detected_format"] == "unknown"
+    assert out[4]["type_mismatch"] == 1
+    assert out[4]["n_bytes"] == 7
