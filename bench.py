@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "text_duplicate_spans",
     "text_repetition_stats",
     "decontam_benchmark_overlap",
+    "dedup_cross_source_matrix",
+    "source_unigram_kl",
     "split_leakage_report",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -3656,6 +3656,121 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cross_source_matrix",
+    """
+    WITH t AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+    f AS (SELECT md5(array_to_string(toks[1:8], ' ')) AS fp, source FROM t),
+    d AS (SELECT DISTINCT fp, source FROM f),
+    cx AS (SELECT a.source AS source_a, b.source AS source_b,
+                  COUNT(*) AS n_shared_fps
+           FROM d a JOIN d b USING (fp)
+           WHERE a.source < b.source GROUP BY 1, 2),
+    dg AS (SELECT source AS source_a, source AS source_b,
+                  COUNT(*) AS n_shared_fps
+           FROM (SELECT fp, source FROM f
+                 GROUP BY fp, source HAVING COUNT(*) >= 2)
+           GROUP BY 1, 2)
+    SELECT * FROM cx UNION ALL SELECT * FROM dg
+    """,
+    "cross-source duplication matrix: for every source pair, how many "
+    "8-token-prefix fingerprints they share (boilerplate/template "
+    "detection — which sources copy from which); the diagonal counts "
+    "within-source prefix duplicates. Distinct (fp, source) pairs "
+    "self-join on the fingerprint, so fanout is bounded by sources-"
+    "per-fingerprint, never docs²",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = _text.tokens("text")
+    fp = docs.select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp"), "source"
+    )
+    d = fp.distinct()
+    cx = (
+        d.alias("a")
+        .join(d.alias("b"), "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    dg = (
+        fp.groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .select(
+            "source_a",
+            F.col("source_a").alias("source_b"),
+            "n_shared_fps",
+        )
+    )
+    return cx.unionByName(dg)
+
+
+@register(
+    "source_unigram_kl",
+    f"""
+    WITH tok AS (SELECT source, UNNEST({_text.tokens_sql('text')}) AS tok
+                 FROM documents),
+    cs AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ct AS (SELECT tok, SUM(c) AS ct FROM cs GROUP BY 1),
+    ns AS (SELECT source, SUM(c) AS ns FROM cs GROUP BY 1),
+    n AS (SELECT SUM(c) AS n FROM cs),
+    terms AS (
+      SELECT cs.source, cs.tok,
+             CAST(ROUND(
+               (CAST(cs.c AS DOUBLE) / ns.ns)
+               * LN((CAST(cs.c AS DOUBLE) / ns.ns)
+                    / (CAST(ct.ct AS DOUBLE) / n.n)), 9)
+             AS DECIMAL(18,9)) AS term
+      FROM cs JOIN ct USING (tok) JOIN ns USING (source), n)
+    SELECT terms.source,
+           CAST(MIN(ns.ns) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_vocab,
+           ROUND(CAST(SUM(term) AS DOUBLE), 9) AS kl_to_corpus
+    FROM terms JOIN ns ON terms.source = ns.source
+    GROUP BY terms.source
+    """,
+    "per-source unigram KL divergence to the corpus distribution — "
+    "the mixture-balance signal that flags a source whose token "
+    "distribution drifts from the blend (wrong language, boilerplate, "
+    "spam). Per-token terms are rounded to 9 dp and summed as "
+    "DECIMAL(18,9) (order-independent); one (source, token) "
+    "aggregation feeds everything, the source totals broadcast",
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_text.tokens("text")).alias("tok"))
+    cs = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ct = cs.groupBy("tok").agg(F.sum("c").alias("ct"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("ns"))
+    n = ns.agg(F.sum("ns").alias("n"))
+    q = F.col("c").cast("double") / F.col("ns")
+    p = F.col("ct").cast("double") / F.col("n")
+    terms = (
+        cs.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "ns",
+            F.round(q * F.log(q / p), 9).cast("decimal(18,9)").alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.min("ns").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.round(F.sum("term").cast("double"), 9).alias("kl_to_corpus"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
