@@ -3378,20 +3378,39 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-row subquery execution",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one pass over lineitem⋈orders(F): per order, the distinct
+    # supplier count, the distinct LATE supplier count, the (unique
+    # when nlate==1) late supplier, and the late row count — the
+    # exists/not-exists pair collapses into conditional aggregates,
+    # so lineitem is scanned once instead of three times. When
+    # nlate==1 every late row belongs to late_sk, so sum(late_rows)
+    # equals the original per-late-row count.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # two-level: (order, supplier) grain first, then order grain —
+    # two ordinary hash aggregations instead of a countDistinct
+    # expand (which would triple the rows through the aggregate)
+    per_supp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        .select("l_orderkey", "l_suppkey", late.cast("int").alias("is_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("is_late").alias("any_late"),
+            F.sum("is_late").alias("late_rows"),
         )
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
     )
-    supp_cnt = li.groupBy(F.col("l_orderkey").alias("ok2")).agg(
-        F.countDistinct("l_suppkey").alias("nsupp")
-    )
-    late_cnt = l1.groupBy(F.col("ok").alias("ok3")).agg(
-        F.countDistinct("sk").alias("nlate")
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("nsupp"),
+            F.sum("any_late").alias("nlate"),
+            F.max(
+                F.when(F.col("any_late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
+            F.sum("late_rows").alias("late_rows"),
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
     )
     sup = (
         _t(spark, sf_dir, "supplier")
@@ -3404,12 +3423,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        l1.join(supp_cnt, F.col("ok") == F.col("ok2"))
-        .join(late_cnt, F.col("ok") == F.col("ok3"))
-        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
-        .join(F.broadcast(sup), F.col("sk") == F.col("s_suppkey"))
+        per_order.join(F.broadcast(sup), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
