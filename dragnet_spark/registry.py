@@ -3192,7 +3192,18 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.groupBy(
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    # the part predicate commutes with the (partkey, suppkey) grain:
+    # semi-join the (selective) part filter below the aggregation so
+    # only matching lineitems ride the shuffle
+    li_p = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("__ppk"))),
+        li.l_partkey == F.col("__ppk"),
+        "left_semi",
+    )
+    ps = li_p.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(F.min(_dec4("l_extendedprice")).alias("cost"))
     sup = (
@@ -3208,9 +3219,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
-    )
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
     ranked = (
         ps.join(F.broadcast(sup), ps.sk == sup.s_suppkey)
@@ -3319,21 +3327,25 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
     ) & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
     zero = F.lit(0).cast("decimal(18,4)")
-    shipped = li.groupBy(
+    small_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")
+    )
+    # the part predicate commutes with the (partkey, suppkey) grain, so
+    # semi-join BEFORE aggregating: only small-part lineitems ride the
+    # aggregation shuffle instead of the whole table
+    li_small = li.join(
+        F.broadcast(small_parts.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    shipped = li_small.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(
         F.sum(F.when(in95, _dec4("l_quantity")).otherwise(zero)).alias("qty95"),
         F.sum(_dec4("l_quantity")).alias("qty_all"),
     )
-    small_parts = _t(spark, sf_dir, "part").filter(
-        F.col("p_name").like("small %")
-    )
     movers = (
-        shipped.join(
-            F.broadcast(small_parts), shipped.pk == small_parts.p_partkey, "left_semi"
-        )
-        .filter(F.col("qty95") * 2 > F.col("qty_all"))
-        .select("sk")
+        shipped.filter(F.col("qty95") * 2 > F.col("qty_all")).select("sk")
     )
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     sup = _t(spark, sf_dir, "supplier").join(
