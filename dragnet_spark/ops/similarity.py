@@ -274,3 +274,54 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k most similar corpus vectors with a DIFFERENT label — the
+    negatives an embedding model learns the most from (the easy,
+    far-away ones contribute ~zero gradient).
+
+    Same shape as :func:`cosine_topk` — the (small) query side is
+    broadcast and the corpus streams, so no corpus self-join — with
+    the label inequality applied before ranking. Output: (query_id,
+    neighbor_id, neighbor_label, score, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("qlabel"))
+        )
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_safe_norm(F.col("qvec")) * _safe_norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "score", "rank")
+    )

@@ -3799,6 +3799,85 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                      label AS neighbor_label
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id, c.neighbor_label,
+                  round(list_cosine_similarity(q.qv, c.cv), 6) AS score
+           FROM q, c
+           WHERE q.query_id <> c.neighbor_id AND q.qlabel <> c.neighbor_label
+         ),
+         ranked AS (
+           SELECT query_id, neighbor_id, neighbor_label, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                       AS INT) AS rank
+           FROM scored
+         )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+    "hard-negative mining for contrastive training: per query vector, "
+    "the 5 most similar corpus vectors with a DIFFERENT label — the "
+    "high-gradient negatives. Query side broadcast, corpus streams, "
+    "label inequality applied before ranking",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "docs_quality_rank",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             ROUND(
+               0.3 * LEAST(CAST({_Q['n_tokens']} AS DOUBLE) / 100, 1.0)
+               + 0.3 * (1.0 - LEAST({_Q['punct_ratio']} * 4, 1.0))
+               + 0.2 * (1.0 - LEAST({_Q['digit_ratio']} * 4, 1.0))
+               + 0.2 * LEAST({_Q['stopword_ratio']} * 2, 1.0), 9)
+               AS quality_score
+      FROM documents)
+    SELECT doc_id, lang, quality_score,
+           CAST(NTILE(10) OVER (ORDER BY quality_score DESC, doc_id)
+                AS INT) AS quality_decile
+    FROM s
+    """,
+    "composite curation score + global decile: the linear blend of "
+    "length / punctuation / digit / stopword signals every pipeline "
+    "ends with, plus NTILE(10) for budget-based keep-top-N%% "
+    "decisions. Scoring is a narrow map; the single global sort is "
+    "over (score, doc_id) scalars only — at 100 TB swap NTILE for "
+    "approx-percentile thresholds (events_p99_outliers shows the "
+    "broadcast-threshold shape)",
+)
+def docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = _text.quality_columns("text")
+    one = F.lit(1.0)
+    score = F.round(
+        F.lit(0.3) * F.least(cols["n_tokens"].cast("double") / 100, one)
+        + F.lit(0.3) * (one - F.least(cols["punct_ratio"] * 4, one))
+        + F.lit(0.2) * (one - F.least(cols["digit_ratio"] * 4, one))
+        + F.lit(0.2) * F.least(cols["stopword_ratio"] * 2, one),
+        9,
+    )
+    w = W.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", score.alias("quality_score"))
+        .withColumn("quality_decile", F.ntile(10).over(w))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
