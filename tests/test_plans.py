@@ -87,3 +87,42 @@ def test_q11_single_sanctioned_scalar_cross_join(spark, sf_dir):
     # node again as a detail header), and it is the 1-row scalar total
     assert plan.count("BroadcastNestedLoopJoin Cross") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_curation_ops_plan_shapes(spark, sf_dir):
+    """The round-4 curation additions keep their scale-critical
+    shapes: no cartesian products or nested-loop joins anywhere, the
+    decontamination probe and hard-negative mining broadcast their
+    small sides, and the gram ops read `documents` exactly once
+    (the window-over-gram form exists precisely to avoid the
+    join-back double evaluation of gram assembly)."""
+    for name in (
+        "text_repetition_stats",
+        "decontam_benchmark_overlap",
+        "text_duplicate_spans",
+        "dedup_cross_source_matrix",
+        "source_unigram_kl",
+        "ann_hard_negatives",
+        "docs_quality_rank",
+    ):
+        plan = _plan(REGISTRY[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        # sanctioned BNLJs: the 1-row corpus total (unigram_kl) and the
+        # brute-force score of every (corpus, query) pair against the
+        # bounded broadcast query set (hard negatives — same shape as
+        # cosine_topk; the corpus side never shuffles)
+        bnlj_ok = name in ("source_unigram_kl", "ann_hard_negatives")
+        if not bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+    for name in ("decontam_benchmark_overlap", "ann_hard_negatives"):
+        plan = _plan(REGISTRY[name].spark(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+            f"{name}: small side not broadcast"
+        )
+    for name in ("text_duplicate_spans", "text_repetition_stats"):
+        plan = _plan(REGISTRY[name].spark(spark, sf_dir))
+        n_scans = plan.count("Location:")
+        limit = 1 if name == "text_duplicate_spans" else 2
+        assert n_scans <= limit, (
+            f"{name}: {n_scans} scans of documents, wanted <= {limit}"
+        )
