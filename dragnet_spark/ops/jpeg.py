@@ -1,0 +1,527 @@
+"""Baseline JPEG codec — stdlib + numpy only, no codec libraries.
+
+Completes the real-decode path for the multimodal operators
+(reference parity target: the engine must ingest what a real image
+corpus contains; PNG/BMP/WAV live in ``ops/multimodal.py``).
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+sampling factors 1 or 2 per axis (4:4:4 / 4:2:2 / 4:2:0), restart
+markers, Huffman and quantization tables read from the stream.
+Progressive (SOF2) and arithmetic coding are rejected with a clear
+error. Encoder: 4:4:4 baseline with the JPEG Annex-K example tables
+(quality-scaled the way libjpeg does), which is all the roundtrip
+needs — any spec-valid tables work because the decoder trusts the
+stream, not these constants.
+
+Everything operates on numpy arrays; the DCT is an 8×8 matrix
+product (T @ B @ T.T), exact enough that roundtrip error is bounded
+by quantization alone.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+QUANT_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.float64,
+)
+
+# Annex-K example Huffman tables: (bits[1..16], values)
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+     0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+     0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+     0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+     0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+     0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+     0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+     0xf9, 0xfa],
+)
+AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+     0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+     0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+     0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+     0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+     0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+     0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+     0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+     0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+     0xf9, 0xfa],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    T = np.zeros((8, 8))
+    for k in range(8):
+        c = np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8)
+        for n in range(8):
+            T[k, n] = c * np.cos((2 * n + 1) * k * np.pi / 16)
+    return T
+
+
+_T = _dct_matrix()
+
+
+# ------------------------------------------------------------------ Huffman
+
+
+def _canonical_codes(bits, values):
+    """bits[1..16] counts + values → {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _Bits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing and RSTn handling (reset() is called by the scan loop)."""
+
+    def __init__(self, data: bytes, start: int):
+        self.d = data
+        self.i = start
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            if self.i >= len(self.d):
+                self.acc = (self.acc << 8) | 0
+                self.n += 8
+                continue
+            b = self.d[self.i]
+            if b == 0xFF:
+                nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.i += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    # marker: stop feeding real bits (pad with zeros);
+                    # the scan loop consumes RSTs via skip_rst()
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+                else:
+                    self.i += 2  # stray marker inside scan — skip
+                    continue
+            else:
+                self.i += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def peek16(self) -> int:
+        self._fill()
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def take(self, k: int) -> int:
+        self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def skip_rst(self):
+        """Byte-align and consume an RSTn marker if present."""
+        self.acc = 0
+        self.n = 0
+        while self.i + 1 < len(self.d) and self.d[self.i] == 0xFF and (
+            0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            self.i += 2
+            return
+
+
+def _build_decode_table(bits, values):
+    """symbol lookup keyed by (length, code)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _Bits, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.take(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG: bad Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ------------------------------------------------------------------ decoder
+
+
+def decode_jpeg(data: bytes):
+    """JPEG bytes → (width, height, pixels) — pixels is a uint8 numpy
+    array of shape (h, w) for grayscale or (h, w, 3) RGB. Baseline
+    sequential only; progressive/arithmetic raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    j += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[j : j + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    j += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nvals])
+                tbl = _build_decode_table(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = tbl
+                j += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("invalid JPEG: SOS before SOF")
+            ns = seg[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_sel.append((cs, tt >> 4, tt & 0xF))
+            return _decode_scan(
+                data, i + 2 + seglen, frame, scan_sel, qt, huff_dc,
+                huff_ac, restart_interval,
+            )
+        i += 2 + seglen
+    raise ValueError("invalid JPEG: no scan data")
+
+
+def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors > 2 not supported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    sel = {cs: (td, ta) for cs, td, ta in scan_sel}
+    planes = []
+    for cid, ch, cv, tq in comps:
+        pw, ph = mcux * ch * 8, mcuy * cv * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    br = _Bits(data, start)
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                br.skip_rst()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                td, ta = sel[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = np.zeros(64, dtype=np.float64)
+                        s = _read_symbol(br, huff_dc[td])
+                        diff = _extend(br.take(s), s) if s else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, huff_ac[ta])
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("invalid JPEG: AC overrun")
+                            blk[k] = _extend(br.take(size), size)
+                            k += 1
+                        blk *= qt[tq]
+                        sq = np.zeros(64)
+                        sq[ZIGZAG] = blk
+                        px = _T.T @ sq.reshape(8, 8) @ _T + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample each component to full resolution and crop
+    full = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return w, h, np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    Y, Cb, Cr = full
+    R = Y + 1.402 * (Cr - 128)
+    G = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
+    B = Y + 1.772 * (Cb - 128)
+    rgb = np.stack([R, G, B], axis=-1)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            # pad with 1-bits to a byte boundary
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            b = self.acc & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * scale + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(bw, blk, qtab, dc_codes, ac_codes, pred):
+    coef = _T @ (blk - 128.0) @ _T.T
+    zz = np.round(coef.reshape(64)[ZIGZAG] / qtab).astype(np.int64)
+    diff = int(zz[0]) - pred
+    s = _size_cat(diff)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _size_cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        bw.put(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(px, quality: int = 90) -> bytes:
+    """uint8 array (h, w) or (h, w, 3) RGB → baseline JFIF bytes
+    (4:4:4, Annex-K tables scaled by quality)."""
+    px = np.asarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if not gray and px.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h,w) or (h,w,3)")
+    qlum = _scaled_quant(QUANT_LUM, quality)
+    qchrom = _scaled_quant(QUANT_CHROM, quality)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    zl = qlum.reshape(64)[ZIGZAG].astype(np.uint8)  # stored in zigzag order
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(zl)
+    if not gray:
+        zc = qchrom.reshape(64)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(zc)
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof += bytes((1, 0x11, 0))
+    if not gray:
+        sof += bytes((2, 0x11, 1)) + bytes((3, 0x11, 1))
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, th, (bits, vals) in (
+        (0, 0, DC_LUM), (1, 0, AC_LUM), (0, 1, DC_CHROM), (1, 1, AC_CHROM)
+    ):
+        if gray and th == 1:
+            continue
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([nc, 1, 0x00])
+    if not gray:
+        sos += bytes((2, 0x11, 3, 0x11))
+    sos += bytes((0, 63, 0))
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    if gray:
+        planes = [px]
+        tabs = [(qlum, _canonical_codes(*DC_LUM), _canonical_codes(*AC_LUM))]
+    else:
+        R, G, B = px[..., 0], px[..., 1], px[..., 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128
+        planes = [Y, Cb, Cr]
+        dcl, acl = _canonical_codes(*DC_LUM), _canonical_codes(*AC_LUM)
+        dcc, acc = _canonical_codes(*DC_CHROM), _canonical_codes(*AC_CHROM)
+        tabs = [(qlum, dcl, acl), (qchrom, dcc, acc), (qchrom, dcc, acc)]
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    qz = [t[0].reshape(64)[ZIGZAG] for t in tabs]  # divide in zigzag domain
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci, p in enumerate(padded):
+                blk = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                pred[ci] = _encode_block(
+                    bw, blk, qz[ci], tabs[ci][1], tabs[ci][2], pred[ci]
+                )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -4,13 +4,14 @@ Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct (media_type, width/height/duration, codec). The
 Spark-side machinery — schema, Arrow batch shape, mapInPandas
 signatures, partitioning — is real and tested. Decoding is two-tier:
-``decode_stub=False`` uses real stdlib-only decoders for PNG (8-bit
+``decode_stub=False`` uses real stdlib+numpy decoders for PNG (8-bit
 grey/RGB/RGBA, zlib inflate + full None/Sub/Up/Average/Paeth
-unfilter), BMP (24-bit uncompressed), and WAV (PCM 8/16-bit) —
-parse, feature-extract, and for PNG/BMP also resample + re-encode;
-formats that need native codec libraries (jpeg/mp4 via Pillow/ffmpeg,
-absent in this environment) raise NotImplementedError at the record
-that needs them.
+unfilter), baseline JPEG (``ops/jpeg``: Huffman + IDCT, 4:4:4 to
+4:2:0, restart markers; progressive rejected), BMP (24-bit
+uncompressed), and WAV (PCM 8/16-bit) — parse, feature-extract, and
+for the image formats also resample + re-encode; video formats that
+need native codec libraries (mp4 via ffmpeg, absent in this
+environment) raise NotImplementedError at the record that needs them.
 ``decode_stub=True`` produces deterministic fake features (seeded by
 content hash) for any media type, keeping the full pipeline testable.
 
@@ -61,9 +62,8 @@ def attach_payloads(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Real decoders — stdlib-only formats (no Pillow/ffmpeg in this
 # environment). BMP (24-bit uncompressed) and WAV (PCM 8/16-bit) are
-# simple enough to parse exactly; they give decode_stub=False a fully
-# real, tested path. Formats needing native codecs (png/jpeg/mp4)
-# remain stubbed.
+# simple enough to parse exactly; PNG lives below and baseline JPEG
+# in ops/jpeg.py. Only video (mp4) remains stubbed.
 # ---------------------------------------------------------------------------
 
 
@@ -123,7 +123,8 @@ def decode_png(data: bytes):
     the reconstructed byte bpp positions earlier), so those rows run a
     per-byte loop; None/Up are vectorized. PNG is the format a real
     image corpus actually contains, so this is the primary real-decode
-    path; jpeg/mp4 still need external codecs.
+    path; baseline JPEG is in ops/jpeg.py, mp4 still needs external
+    codecs.
     """
     import zlib
 
@@ -295,6 +296,15 @@ def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
         mean = px.reshape(-1, 3).mean(axis=0) / 255.0
         v = [float(w), float(h), float(mean[0]), float(mean[1]),
              float(mean[2]), float(len(payload)), 0.0, 1.0]
+    elif media_type == "image/jpeg":
+        from dragnet_spark.ops.jpeg import decode_jpeg
+
+        w, h, px = decode_jpeg(payload)
+        flat = px.reshape(-1, px.shape[2]) if px.ndim == 3 else px.reshape(-1, 1)
+        ch_means = (flat.mean(axis=0) / 255.0).tolist()
+        m = (ch_means * 3)[:3]
+        v = [float(w), float(h), m[0], m[1], m[2],
+             float(len(payload)), 0.0, 4.0]
     elif media_type == "audio/wav":
         nch, rate, x = decode_wav(payload)
         rms = float((x ** 2).mean() ** 0.5) if len(x) else 0.0
@@ -304,7 +314,7 @@ def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
     else:
         raise NotImplementedError(
             f"no native decoder for {media_type!r}; formats needing "
-            "external codecs (jpeg/mp4) run with decode_stub=True"
+            "external codecs (mp4/video) run with decode_stub=True"
         )
     return (v + [0.0] * dim)[:dim]
 
@@ -395,10 +405,14 @@ def resize_media(
                 src = bytes(p)
                 if not decode_stub:
                     # real path: decode → nearest-neighbor resample →
-                    # re-encode, all pure zlib/numpy/struct (PNG and
-                    # BMP; jpeg needs Pillow)
+                    # re-encode, all pure zlib/numpy/struct (PNG, BMP,
+                    # and baseline JPEG via ops/jpeg)
                     if mt == "image/png":
                         sw, sh, px = decode_png(src)
+                    elif mt == "image/jpeg":
+                        from dragnet_spark.ops.jpeg import decode_jpeg
+
+                        sw, sh, px = decode_jpeg(src)
                     else:
                         sw, sh, px = decode_bmp(src)
                     ys = (np.arange(target_height) * sh // target_height)
@@ -406,6 +420,10 @@ def resize_media(
                     resampled = px[ys][:, xs]
                     if mt == "image/png":
                         payloads.append(encode_png(resampled))
+                    elif mt == "image/jpeg":
+                        from dragnet_spark.ops.jpeg import encode_jpeg
+
+                        payloads.append(encode_jpeg(resampled))
                     else:
                         payloads.append(encode_bmp(resampled))
                 else:
