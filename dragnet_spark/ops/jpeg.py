@@ -4,10 +4,11 @@ Completes the real-decode path for the multimodal operators
 (reference parity target: the engine must ingest what a real image
 corpus contains; PNG/BMP/WAV live in ``ops/multimodal.py``).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
-sampling factors 1 or 2 per axis (4:4:4 / 4:2:2 / 4:2:0), restart
-markers, Huffman and quantization tables read from the stream.
-Progressive (SOF2) and arithmetic coding are rejected with a clear
+Decoder: baseline sequential (SOF0) and progressive (SOF2 — spectral
+selection, successive approximation, EOB runs) DCT, 8-bit, grayscale
+or YCbCr, sampling factors 1 or 2 per axis (4:4:4 / 4:2:2 / 4:2:0),
+restart markers, Huffman and quantization tables read from the
+stream. Lossless/arithmetic variants are rejected with a clear
 error. Encoder: 4:4:4 baseline with the JPEG Annex-K example tables
 (quality-scaled the way libjpeg does), which is all the roundtrip
 needs — any spec-valid tables work because the decoder trusts the
@@ -160,14 +161,12 @@ class _Bits:
                 nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0xD9
                 if nxt == 0x00:
                     self.i += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # marker: stop feeding real bits (pad with zeros);
-                    # the scan loop consumes RSTs via skip_rst()
+                else:
+                    # any real marker ends this scan's entropy data:
+                    # pad with zero bits, leave i pointing at the
+                    # marker (skip_rst / _find_next_marker consume it)
                     self.acc = (self.acc << 8) | 0
                     self.n += 8
-                    continue
-                else:
-                    self.i += 2  # stray marker inside scan — skip
                     continue
             else:
                 self.i += 1
@@ -288,9 +287,13 @@ def decode_jpeg(data: bytes):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # progressive DCT
+            return _decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError(
+                "only baseline/progressive DCT JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -525,3 +528,273 @@ def encode_jpeg(px, quality: int = 90) -> bytes:
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ------------------------------------------------------- progressive decoder
+
+
+def _find_next_marker(data: bytes, i: int) -> int:
+    """First offset >= i of a segment marker (0xFF + non-stuffing,
+    non-RST byte)."""
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return len(data)
+
+
+def _decode_progressive(data: bytes):
+    """Progressive (SOF2) decode: coefficients accumulate across
+    scans — DC first/refine, AC first (with EOB runs), AC refine
+    (correction bits) — then one dequantize+IDCT pass at the end.
+    Mirrors the successive-approximation control flow of the spec
+    (G.2) and libjpeg's jdphuff."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    dri = 0
+    coef = None  # per component: (bh, bw, 8, 8) int32
+    geom = None
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        seg[j : j + 64], dtype=np.uint8
+                    ).astype(np.float64)
+                    j += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[j : j + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    j += 128
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nvals])
+                (huff_ac if tc else huff_dc)[th] = _build_decode_table(bits, vals)
+                j += 17 + nvals
+        elif marker == 0xC2:
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise ValueError("sampling factors > 2 not supported")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            frame = (w, h, comps, hmax, vmax, mcux, mcuy)
+            coef = [
+                np.zeros((mcuy * cv, mcux * ch, 8, 8), dtype=np.int32)
+                for _, ch, cv, _ in comps
+            ]
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("invalid JPEG: SOS before SOF")
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel.append((cs, tt >> 4, tt & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            end = _decode_progressive_scan(
+                data, i + 2 + seglen, frame, coef, sel, huff_dc, huff_ac,
+                ss, se, ah, al, dri,
+            )
+            i = end
+            continue
+        i += 2 + seglen
+    if frame is None or coef is None:
+        raise ValueError("invalid JPEG: no frame")
+    return _render_coefficients(frame, coef, qt)
+
+
+def _decode_progressive_scan(
+    data, start, frame, coef, sel, huff_dc, huff_ac, ss, se, ah, al, dri
+):
+    w, h, comps, hmax, vmax, mcux, mcuy = frame
+    byid = {c[0]: (ci, c) for ci, c in enumerate(comps)}
+    br = _Bits(data, start)
+    eobrun = 0
+    pred = {cs: 0 for cs, _, _ in sel}
+
+    def dc_first(ci, by, bx, td, cs):
+        s = _read_symbol(br, huff_dc[td])
+        diff = _extend(br.take(s), s) if s else 0
+        pred[cs] += diff
+        coef[ci][by, bx, 0, 0] = pred[cs] << al
+
+    def dc_refine(ci, by, bx):
+        if br.take(1):
+            coef[ci][by, bx, 0, 0] |= 1 << al
+
+    def ac_first(ci, by, bx, ta):
+        nonlocal eobrun
+        blk = coef[ci][by, bx].reshape(64)
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _read_symbol(br, huff_ac[ta])
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("invalid JPEG: AC overrun")
+                blk[ZIGZAG[k]] = _extend(br.take(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.take(r)
+                    break
+                k += 16
+        coef[ci][by, bx] = blk.reshape(8, 8)
+
+    def ac_refine(ci, by, bx, ta):
+        nonlocal eobrun
+        blk = coef[ci][by, bx].reshape(64)
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(pos):
+            if br.take(1) and (blk[pos] & p1) == 0:
+                blk[pos] += p1 if blk[pos] >= 0 else m1
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_symbol(br, huff_ac[ta])
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s:
+                    newval = p1 if br.take(1) else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.take(r)
+                    break
+                while k <= se:
+                    pos = ZIGZAG[k]
+                    if blk[pos] != 0:
+                        correct(pos)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[ZIGZAG[k]] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                pos = ZIGZAG[k]
+                if blk[pos] != 0:
+                    correct(pos)
+                k += 1
+            eobrun -= 1
+        coef[ci][by, bx] = blk.reshape(8, 8)
+
+    def do_block(ci, by, bx, td, ta, cs):
+        if ss == 0 and se == 0:
+            if ah == 0:
+                dc_first(ci, by, bx, td, cs)
+            else:
+                dc_refine(ci, by, bx)
+        else:
+            if ah == 0:
+                ac_first(ci, by, bx, ta)
+            else:
+                ac_refine(ci, by, bx, ta)
+
+    n_unit = 0
+
+    def maybe_rst():
+        nonlocal n_unit, eobrun
+        if dri and n_unit and n_unit % dri == 0:
+            br.skip_rst()
+            eobrun = 0
+            for cs in pred:
+                pred[cs] = 0
+
+    if len(sel) == 1:
+        cs, td, ta = sel[0]
+        ci, (_, ch, cv, _) = byid[cs]
+        bw = (-(-(w * ch) // hmax) + 7) // 8
+        bh = (-(-(h * cv) // vmax) + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_rst()
+                n_unit += 1
+                do_block(ci, by, bx, td, ta, cs)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_rst()
+                n_unit += 1
+                for cs, td, ta in sel:
+                    ci, (_, ch, cv, _) = byid[cs]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            do_block(
+                                ci, my * cv + by, mx * ch + bx, td, ta, cs
+                            )
+    return _find_next_marker(data, br.i)
+
+
+def _render_coefficients(frame, coef, qt):
+    w, h, comps, hmax, vmax, mcux, mcuy = frame
+    full = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        qnat = np.zeros(64)
+        qnat[ZIGZAG] = qt[tq]
+        qnat = qnat.reshape(8, 8)
+        blocks = coef[ci].astype(np.float64) * qnat  # broadcast per block
+        bh, bw = blocks.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8))
+        # IDCT all blocks with one einsum: T.T @ B @ T
+        px = np.einsum("ij,abjk,kl->abil", _T.T, blocks, _T) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return w, h, np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    Y, Cb, Cr = full
+    R = Y + 1.402 * (Cr - 128)
+    G = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
+    B = Y + 1.772 * (Cb - 128)
+    rgb = np.stack([R, G, B], axis=-1)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -56,21 +56,21 @@ def test_jpeg_odd_dimensions():
     assert (w, h) == (29, 37) and dec.shape == (37, 29, 3)
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_lossless_and_garbage():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"nope")
-    # hand-built SOF2 (progressive) header
+    # hand-built SOF3 (lossless) header — out of scope, clear error
     import struct
 
     data = (
         b"\xff\xd8"
-        + b"\xff\xc2"
+        + b"\xff\xc3"
         + struct.pack(">H", 11)
         + b"\x08"
         + struct.pack(">HH", 8, 8)
         + b"\x01\x01\x11\x00"
     )
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="JPEG supported"):
         decode_jpeg(data)
 
 
@@ -118,3 +118,101 @@ def test_jpeg_spark_features_and_resize(spark):
     assert (out["width"], out["height"]) == (8, 6)
     w2, h2, px2 = decode_jpeg(bytes(out["payload"]))
     assert (w2, h2) == (8, 6) and px2.shape == (6, 8, 3)
+
+
+# ---------------------------------------------------------------- progressive
+
+
+_PROGRESSIVE_REAL = [
+    "/usr/share/doc/nodejs/full-white-stripe.jpg",
+    "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+]
+
+
+@pytest.mark.parametrize("path", _PROGRESSIVE_REAL)
+def test_jpeg_decodes_real_progressive(path):
+    """Real progressive JPEGs with known content: the 'white stripe'
+    images must decode to mostly-white pixels with the SOF dims."""
+    if not os.path.exists(path):
+        pytest.skip("nodejs doc images not present")
+    from dragnet_spark.ops.multimodal import sniff_media
+
+    data = open(path, "rb").read()
+    fmt, sw, sh, _ = sniff_media(data)
+    assert fmt == "jpeg"
+    w, h, px = decode_jpeg(data)
+    assert (w, h) == (sw, sh) and px.shape == (h, w, 3)
+    assert px.mean() > 200  # the image is, in fact, a white stripe
+
+
+def test_jpeg_progressive_successive_approximation_exact():
+    """Hand-assembled 8x8 grayscale progressive stream with all four
+    scan kinds (DC first al=1, DC refine, AC first al=1 + EOB, AC
+    refine correction bit). With an all-ones quant table the decoded
+    block must equal IDCT of the hand-chosen coefficients exactly:
+    DC first sets 6<<1=12, its refine bit makes 13; AC[k=1] first
+    sets 3<<1=6, its refine correction makes 7."""
+    import struct
+
+    import numpy as np
+
+    from dragnet_spark.ops.jpeg import (
+        AC_LUM, DC_LUM, ZIGZAG, _BitWriter, _canonical_codes, _T,
+    )
+
+    dc = _canonical_codes(*DC_LUM)
+    ac = _canonical_codes(*AC_LUM)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0))
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    body = b"\x00" + bytes(DC_LUM[0]) + bytes(DC_LUM[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    body = b"\x10" + bytes(AC_LUM[0]) + bytes(AC_LUM[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def scan(ss, se, ah, al, payload: bytes):
+        nonlocal out
+        sos = bytes((1, 1, 0x00, ss, se, (ah << 4) | al))
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += payload
+
+    # scan 1: DC first, al=1, diff=6 (category 3, bits '110')
+    bw = _BitWriter()
+    code, ln = dc[3]
+    bw.put(code, ln)
+    bw.put(0b110, 3)
+    bw.flush()
+    scan(0, 0, 0, 1, bytes(bw.out))
+    # scan 2: DC refine — one raw bit, set
+    bw = _BitWriter()
+    bw.put(1, 1)
+    bw.flush()
+    scan(0, 0, 1, 0, bytes(bw.out))
+    # scan 3: AC first, al=1 — (run 0, size 2) value 3 at k=1, then EOB
+    bw = _BitWriter()
+    code, ln = ac[0x02]
+    bw.put(code, ln)
+    bw.put(0b11, 2)
+    code, ln = ac[0x00]
+    bw.put(code, ln)
+    bw.flush()
+    scan(1, 63, 0, 1, bytes(bw.out))
+    # scan 4: AC refine — EOB1 then the correction bit for AC[1]
+    bw = _BitWriter()
+    code, ln = ac[0x00]
+    bw.put(code, ln)
+    bw.put(1, 1)  # correction: 6 -> 7
+    bw.flush()
+    scan(1, 63, 1, 0, bytes(bw.out))
+    out += b"\xff\xd9"
+
+    w, h, px = decode_jpeg(bytes(out))
+    assert (w, h) == (8, 8)
+    want = np.zeros((8, 8))
+    want[0, 0] = 13.0
+    pos = int(ZIGZAG[1])
+    want[pos // 8, pos % 8] = 7.0
+    expect = np.clip(np.round(_T.T @ want @ _T + 128.0), 0, 255)
+    assert np.array_equal(px.astype(float), expect)
