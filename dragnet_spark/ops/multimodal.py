@@ -6,8 +6,8 @@ Spark-side machinery — schema, Arrow batch shape, mapInPandas
 signatures, partitioning — is real and tested. Decoding is two-tier:
 ``decode_stub=False`` uses real stdlib+numpy decoders for PNG (8-bit
 grey/RGB/RGBA, zlib inflate + full None/Sub/Up/Average/Paeth
-unfilter), baseline JPEG (``ops/jpeg``: Huffman + IDCT, 4:4:4 to
-4:2:0, restart markers; progressive rejected), BMP (24-bit
+unfilter), JPEG (``ops/jpeg``: baseline and progressive, Huffman +
+IDCT, 4:4:4 to 4:2:0, restart markers), BMP (24-bit
 uncompressed), and WAV (PCM 8/16-bit) — parse, feature-extract, and
 for the image formats also resample + re-encode; video formats that
 need native codec libraries (mp4 via ffmpeg, absent in this
