@@ -491,14 +491,66 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _mp4_metadata(data: bytes):
+    """(width, height, duration_ms) from the MP4/ISO-BMFF container
+    boxes — moov/mvhd for duration, the video trak's tkhd for
+    dimensions (16.16 fixed point). Pure box walking, no codec; the
+    media samples themselves are never touched. Returns (None, None,
+    None) when moov is absent (e.g. streaming-style files with moov
+    at the tail beyond the probed bytes)."""
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", data[i : i + 4])[0]
+            btype = data[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit box size
+                size = struct.unpack(">Q", data[i + 8 : i + 16])[0]
+                body = i + 16
+            if size == 0:
+                size = hi - i
+            yield btype, body, min(i + size, hi)
+            i += max(size, 8)
+
+    dur_ms = None
+    w = h = None
+    for btype, lo, hi in walk(0, len(data)):
+        if btype != b"moov":
+            continue
+        for b2, lo2, hi2 in walk(lo, hi):
+            if b2 == b"mvhd":
+                ver = data[lo2]
+                if ver == 1:
+                    scale = struct.unpack(">I", data[lo2 + 20 : lo2 + 24])[0]
+                    dur = struct.unpack(">Q", data[lo2 + 24 : lo2 + 32])[0]
+                else:
+                    scale = struct.unpack(">I", data[lo2 + 12 : lo2 + 16])[0]
+                    dur = struct.unpack(">I", data[lo2 + 16 : lo2 + 20])[0]
+                if scale:
+                    dur_ms = int(dur * 1000 / scale)
+            elif b2 == b"trak":
+                for b3, lo3, hi3 in walk(lo2, hi2):
+                    if b3 != b"tkhd":
+                        continue
+                    ver = data[lo3]
+                    off = lo3 + (84 if ver == 0 else 96)
+                    tw = struct.unpack(">I", data[off : off + 4])[0] >> 16
+                    th = struct.unpack(">I", data[off + 4 : off + 8])[0] >> 16
+                    if tw and th and w is None:
+                        w, h = tw, th
+    return w, h, dur_ms
+
+
 def sniff_media(data: bytes):
     """(detected_format, width, height, duration_ms) from headers only.
 
     Formats: png (IHDR), bmp (BITMAPINFOHEADER), gif (logical screen
     descriptor), jpeg (marker walk to SOF0/1/2 — no Huffman/IDCT
     needed for dimensions), wav (fmt + data chunks → duration), mp4
-    (ftyp box, dimensions unknown without moov parse). Anything else
-    → ('unknown', None, None, None). Never raises on garbage input.
+    (container box walk: mvhd duration, video trak tkhd dimensions —
+    no codec touched). Anything else → ('unknown', None, None, None).
+    Never raises on garbage input.
     """
     try:
         if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
@@ -542,7 +594,11 @@ def sniff_media(data: bytes):
                 return "wav", None, None, int(nbytes * 1000 / (rate * block))
             return "wav", None, None, None
         if len(data) >= 12 and data[4:8] == b"ftyp":
-            return "mp4", None, None, None
+            try:
+                w, h, dur = _mp4_metadata(data)
+            except (struct.error, IndexError):  # truncated boxes
+                w = h = dur = None
+            return "mp4", w, h, dur
     except (struct.error, IndexError):  # truncated header
         pass
     return "unknown", None, None, None

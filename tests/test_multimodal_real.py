@@ -276,3 +276,39 @@ def test_probe_media_metadata(spark):
     assert out[4]["detected_format"] == "unknown"
     assert out[4]["type_mismatch"] == 1
     assert out[4]["n_bytes"] == 7
+
+
+def _mp4_bytes(w=640, h=360, timescale=1000, duration=5500):
+    """Minimal ISO-BMFF container: ftyp + moov(mvhd + trak(tkhd))."""
+    import struct as _s
+
+    def box(t, body):
+        return _s.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isommp41")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + _s.pack(">I", timescale) + _s.pack(">I", duration) + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 80
+        + _s.pack(">II", w << 16, h << 16),
+    )
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
+def test_sniff_mp4_container_metadata():
+    from dragnet_spark.ops.multimodal import sniff_media
+
+    fmt, w, h, dur = sniff_media(_mp4_bytes(1280, 720, 600, 3600))
+    assert (fmt, w, h, dur) == ("mp4", 1280, 720, 6000)
+    # moov-less (streaming-style) file: format detected, no metadata
+    import struct as _s
+
+    bare = _s.pack(">I", 20) + b"ftypisom" + b"\x00" * 12
+    assert sniff_media(bare) == ("mp4", None, None, None)
+    # truncated moov must not raise
+    trunc = _mp4_bytes()[:40]
+    assert sniff_media(trunc)[0] == "mp4"
