@@ -1,6 +1,7 @@
 from dragnet_spark.streaming.pipeline import (
     read_ndjson_stream,
     stream_build,
+    stream_curate,
     stream_dedup,
     stream_enrich,
     stream_interval_join,
@@ -13,6 +14,7 @@ __all__ = [
     "read_ndjson_stream",
     "sessionize",
     "stream_build",
+    "stream_curate",
     "stream_dedup",
     "stream_enrich",
     "stream_interval_join",

@@ -406,3 +406,64 @@ def stream_interval_join(
     # rows the right side's key is NULL, and the left key is exactly
     # what identifies the unmatched row
     return joined.withColumn(on, F.coalesce(F.col(lcol), F.col(on))).drop(lcol)
+
+
+def stream_curate(
+    sdf: DataFrame,
+    text_field: str,
+    time_field: str,
+    fields: list[str] | None = None,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    watermark: str = "1 hour",
+    resolver=None,
+) -> DataFrame:
+    """Continuous-ingest curation gate: the streaming counterpart of
+    the batch pipeline in PIPELINE.md, restricted to bounded-state
+    constructs.
+
+    Stages: (1) variant-field projection, (2) stateless quality
+    expressions (token count, punctuation ratio — the cheap gates),
+    (3) exact-duplicate suppression on the whitespace/case-normalized
+    content fingerprint via dropDuplicatesWithinWatermark — state is
+    one fingerprint per surviving doc per horizon, bounded by the
+    watermark regardless of stream length. Corpus-level NEAR-dedup
+    (MinHash-LSH, embedding) stays a batch/compaction-time pass over
+    the curated store — it needs cross-document shuffles no streaming
+    state budget survives.
+
+    Works identically on a static DataFrame (batch twin for
+    equivalence tests). Output: projected fields + __dn_fp +
+    event-time column; first arrival of each fingerprint wins.
+    """
+    from dragnet_spark.ops.text import fingerprint, token_count
+
+    resolver = resolver or VariantResolver()
+    secs = resolver.date_seconds(time_field)
+    text = resolver.raw(text_field).cast("string")
+    cols = [
+        resolver.raw(f).cast("string").alias(f)
+        for f in (fields or [text_field])
+    ]
+    out = (
+        sdf.select(
+            *cols,
+            text.alias("__dn_text"),
+            F.timestamp_seconds(secs).alias(EVENT_TIME_COL),
+        )
+        .filter(F.col(EVENT_TIME_COL).isNotNull())
+    )
+    n_chars = F.length("__dn_text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace("__dn_text", r"[^\w\s]", "")
+    )
+    out = out.filter(
+        (token_count("__dn_text") >= min_tokens)
+        & (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+           < max_punct_ratio)
+    )
+    out = out.withColumn("__dn_fp", fingerprint("__dn_text")).drop("__dn_text")
+    if out.isStreaming:
+        out = out.withWatermark(EVENT_TIME_COL, watermark)
+        return out.dropDuplicatesWithinWatermark(["__dn_fp"])
+    return out.dropDuplicates(["__dn_fp"])

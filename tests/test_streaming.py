@@ -517,3 +517,56 @@ def test_batch_replay_is_deduplicated_by_ledger(spark, watched_dir, tmp_path):
     append(batch_df, 1)  # a NEW batch id appends for real
     doubled = {tuple(r) for r in query_index(spark, idx, QueryConfig.load("operation")).collect()}
     assert doubled == {(op, n * 2) for (op, n) in once}
+
+
+def test_stream_curate_matches_batch(spark, tmp_path):
+    """The continuous curation gate: quality-filtered, fingerprint-
+    deduplicated stream output matches the batch twin on the same
+    files — including case/whitespace-normalized duplicate detection
+    and the short-doc / punctuation-heavy drops."""
+    import json
+
+    from dragnet_spark.streaming import read_ndjson_stream, stream_curate
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    good = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        {"id": 1, "text": good, "time": "2024-01-01T10:00:00.000Z"},
+        # duplicate after normalization (case + runs of spaces)
+        {"id": 2, "text": good.upper().replace(" ", "  "),
+         "time": "2024-01-01T10:01:00.000Z"},
+        {"id": 3, "text": "too short", "time": "2024-01-01T10:02:00.000Z"},
+        {"id": 4, "text": "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))",
+         "time": "2024-01-01T10:03:00.000Z"},
+        {"id": 5, "text": "a genuinely different document with enough tokens",
+         "time": "2024-01-01T10:04:00.000Z"},
+    ]
+    (d / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[:3]) + "\n"
+    )
+    (d / "b.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[3:]) + "\n"
+    )
+
+    sdf = read_ndjson_stream(spark, str(d))
+    res = stream_curate(
+        sdf, "text", "time", fields=["id", "text"], min_tokens=5
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("curate_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in spark.sql("select * from curate_s").collect()}
+    # 1 survives (first fingerprint arrival), 2 is its normalized dup,
+    # 3 too short, 4 all punctuation, 5 survives
+    assert got == {"1", "5"}
+    batch = stream_curate(
+        _batch_variant(spark, str(d)), "text", "time",
+        fields=["id", "text"], min_tokens=5,
+    )
+    assert {r["id"] for r in batch.collect()} == {"1", "5"}
