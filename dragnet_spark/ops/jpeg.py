@@ -231,7 +231,22 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(data: bytes):
     """JPEG bytes → (width, height, pixels) — pixels is a uint8 numpy
     array of shape (h, w) for grayscale or (h, w, 3) RGB. Baseline
-    sequential only; progressive/arithmetic raise ValueError."""
+    and progressive DCT; lossless/arithmetic raise ValueError.
+
+    Error contract for corpus ingestion: every malformed input raises
+    ValueError (internal KeyError/struct.error/etc are normalized), so
+    an error-tolerant pipeline pass needs exactly one except clause.
+    """
+    try:
+        return _decode_jpeg_impl(data)
+    except ValueError:
+        raise
+    except (KeyError, IndexError, TypeError, ZeroDivisionError,
+            struct.error) as e:
+        raise ValueError(f"invalid JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(data: bytes):
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}

@@ -337,28 +337,49 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, decode_stub: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """binary payload → feature vector, via mapInPandas.
 
     Output: (id, media_type, n_bytes, features array<double>). The
     real implementation replaces _fake_features with a model/codec
     call; everything around it (batching, schema, partition layout)
     is production-shaped.
+
+    ``on_error`` (real path): a 100-TB corpus WILL contain corrupt
+    payloads, and one bad record must not kill a week-long job —
+    "raise" fails fast (default, right for tests and small runs),
+    "null" keeps the record with features=NULL (count the damage with
+    one aggregation), "skip" drops it. Decoders normalize malformed
+    input to ValueError, so the tolerance boundary is exactly
+    (ValueError, NotImplementedError).
     """
+    if on_error not in ("raise", "null", "skip"):
+        raise ValueError(f"on_error must be raise|null|skip, got {on_error!r}")
     import pandas as pd
 
     def run(batches):
         for pdf in batches:
             if decode_stub:
                 feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
-            else:
-                # real path: native BMP/WAV decoders (stdlib-only);
-                # formats needing external codecs raise per-record
+                keep = None
+            elif on_error == "raise":
                 feats = [
                     _real_features(mt, bytes(p))
                     for mt, p in zip(pdf["media_type"], pdf["payload"])
                 ]
-            yield pd.DataFrame(
+                keep = None
+            else:
+                feats, keep = [], []
+                for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                    try:
+                        feats.append(_real_features(mt, bytes(p)))
+                        keep.append(True)
+                    except (ValueError, NotImplementedError):
+                        feats.append(None)
+                        keep.append(on_error == "null")
+            out = pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "media_type": pdf["media_type"],
@@ -366,6 +387,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     "features": feats,
                 }
             )
+            yield out if keep is None else out[pd.Series(keep).values]
 
     return media.mapInPandas(
         run,

@@ -216,3 +216,55 @@ def test_jpeg_progressive_successive_approximation_exact():
     want[pos // 8, pos % 8] = 7.0
     expect = np.clip(np.round(_T.T @ want @ _T + 128.0), 0, 255)
     assert np.array_equal(px.astype(float), expect)
+
+
+def test_jpeg_corruption_fuzz_raises_only_valueerror():
+    """Corpus-robustness contract: byte-corrupted JPEGs either decode
+    (damage in entropy data often still parses) or raise ValueError —
+    never KeyError/IndexError/struct.error leaking out of the
+    internals. Seeded positions, deterministic."""
+    import random
+
+    base = bytearray(encode_jpeg(_gradient(24, 24), 90))
+    rng = random.Random(42)
+    for _ in range(60):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            pos = rng.randrange(2, len(data))
+            data[pos] = rng.randrange(256)
+        try:
+            w, h, px = decode_jpeg(bytes(data))
+            assert px.shape[0] > 0
+        except ValueError:
+            pass
+    # truncations at every interesting boundary
+    for cut in (1, 2, 3, 10, 20, 50, len(base) // 2, len(base) - 2):
+        try:
+            decode_jpeg(bytes(base[:cut]))
+        except ValueError:
+            pass
+
+
+def test_extract_features_on_error_modes(spark):
+    from dragnet_spark.ops.multimodal import extract_features
+
+    good = encode_jpeg(_gradient(16, 16), 90)
+    rows = [
+        (1, "image/jpeg", bytes(good), None),
+        (2, "image/jpeg", b"\xff\xd8garbage", None),  # corrupt
+        (3, "video/mp4", b"\x00\x00\x00\x14ftypisom", None),  # no codec
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    skipped = extract_features(df, decode_stub=False, on_error="skip")
+    assert [r["id"] for r in skipped.collect()] == [1]
+    nulled = {r["id"]: r["features"]
+              for r in extract_features(df, decode_stub=False,
+                                        on_error="null").collect()}
+    assert set(nulled) == {1, 2, 3}
+    assert nulled[1] is not None and nulled[2] is None and nulled[3] is None
+    with pytest.raises(Exception):
+        extract_features(df, decode_stub=False).collect()
