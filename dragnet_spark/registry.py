@@ -3878,6 +3878,80 @@ def docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_probe_roundtrip",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bmp'
+           END AS detected_format,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(3 + doc_id % 7 AS INTEGER) AS height,
+           0 AS type_mismatch
+    FROM documents
+    """,
+    "multimodal encode→header-probe roundtrip with a SQL oracle: each "
+    "doc id deterministically picks a format (png/jpeg/bmp) and "
+    "dimensions (4+id%13 × 3+id%7); the Spark side REALLY encodes a "
+    "flat image of those dimensions with the stdlib codecs and REALLY "
+    "sniffs the bytes back (mapInPandas, payloads never shuffle) — "
+    "the oracle is the arithmetic the probe must recover, so the "
+    "whole encoder+prober chain is driver-graded without DuckDB "
+    "touching a byte of image data",
+)
+def multimodal_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dragnet_spark.ops.jpeg import encode_jpeg
+    from dragnet_spark.ops.multimodal import (
+        encode_bmp, encode_png, sniff_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            fmts, ws, hs, mism = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                shade = did % 256
+                px = np.full((h, w, 3), shade, dtype=np.uint8)
+                kind = did % 3
+                if kind == 0:
+                    payload = encode_png(px)
+                    declared = "png"
+                elif kind == 1:
+                    payload = encode_jpeg(px, quality=90)
+                    declared = "jpeg"
+                else:
+                    payload = encode_bmp(px)
+                    declared = "bmp"
+                f, sw, sh, _ = sniff_media(bytes(payload))
+                fmts.append(f)
+                ws.append(sw)
+                hs.append(sh)
+                mism.append(int(f != declared or sw != w or sh != h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "detected_format": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "type_mismatch": mism,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, detected_format string, width int, height int, "
+            "type_mismatch int"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
