@@ -3952,6 +3952,92 @@ def multimodal_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_label_outliers",
+    """
+    WITH x AS (
+      SELECT vec_id, label, u.i AS dim,
+             CAST(embedding[u.i + 1] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)),
+    cent AS (
+      SELECT label, dim,
+             ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS c
+      FROM x GROUP BY label, dim),
+    terms AS (
+      SELECT x.vec_id, x.label,
+             CAST(ROUND(x.v * cent.c, 9) AS DECIMAL(28,9)) AS xc,
+             CAST(ROUND(x.v * x.v, 9) AS DECIMAL(28,9)) AS xx,
+             CAST(ROUND(cent.c * cent.c, 9) AS DECIMAL(28,9)) AS cc
+      FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim),
+    per_vec AS (
+      SELECT vec_id, label,
+             ROUND(1.0 - CAST(SUM(xc) AS DOUBLE)
+                   / (SQRT(CAST(SUM(xx) AS DOUBLE))
+                      * SQRT(CAST(SUM(cc) AS DOUBLE))), 6) AS centroid_dist
+      FROM terms GROUP BY vec_id, label),
+    ranked AS (
+      SELECT vec_id, label, centroid_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY centroid_dist DESC, vec_id)
+                  AS INT) AS rank
+      FROM per_vec)
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+    "embedding-quality audit: per-label centroid (exact decimal mean "
+    "per dimension) and the 3 vectors farthest from their own label's "
+    "centroid by cosine distance — the mislabeled/noisy candidates a "
+    "curation pass prunes. Every sum that crosses rows is 9-dp-rounded "
+    "terms in DECIMAL, so both engines hash-match despite float "
+    "summation order; one (label,dim) aggregation + one vec-grain "
+    "aggregation, centroids broadcast by AQE",
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cent = x.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("v"), 9).cast("decimal(18,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    )
+    terms = x.join(cent, ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        F.round(F.col("v") * F.col("c"), 9).cast("decimal(28,9)").alias("xc"),
+        F.round(F.col("v") * F.col("v"), 9).cast("decimal(28,9)").alias("xx"),
+        F.round(F.col("c") * F.col("c"), 9).cast("decimal(28,9)").alias("cc"),
+    )
+    per_vec = terms.groupBy("vec_id", "label").agg(
+        F.round(
+            1.0
+            - F.sum("xc").cast("double")
+            / (
+                F.sqrt(F.sum("xx").cast("double"))
+                * F.sqrt(F.sum("cc").cast("double"))
+            ),
+            6,
+        ).alias("centroid_dist")
+    )
+    w = W.partitionBy("label").orderBy(
+        F.desc("centroid_dist"), F.asc("vec_id")
+    )
+    return (
+        per_vec.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "label", "centroid_dist", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
