@@ -4038,6 +4038,34 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_training_order",
+    """
+    SELECT doc_id,
+           md5('order-v1' || CAST(doc_id AS STRING)) AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('order-v1' || CAST(doc_id AS STRING)), doc_id)
+             AS BIGINT) AS train_pos
+    FROM documents
+    """,
+    "deterministic training-order shuffle: a reproducible global "
+    "permutation keyed by md5(salt || id) — same order on any cluster "
+    "size, any partitioning, any rerun (RNG-free, the property that "
+    "makes a training run replayable). One global sort of (16-byte "
+    "key, id) scalars; at 100 TB the same key sorts per-shard with "
+    "range partitioning — the keys, not the documents, define the "
+    "order",
+)
+def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("order-v1"), F.col("doc_id").cast("string")))
+    w = W.orderBy(F.col("shuffle_key"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("train_pos", F.row_number().over(w).cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
