@@ -4066,6 +4066,80 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_version_diff",
+    f"""
+    WITH v1 AS (SELECT doc_id, {_text.fingerprint_sql('text')} AS fp
+                FROM documents),
+    v2 AS (SELECT doc_id,
+                  {_text.fingerprint_sql("CASE WHEN doc_id % 7 = 0 "
+                                         "THEN text || ' edited' "
+                                         "ELSE text END")} AS fp
+           FROM documents
+           WHERE doc_id % 11 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  {_text.fingerprint_sql("text || ' new'")} AS fp
+           FROM documents WHERE doc_id % 13 = 1),
+    j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                 CASE WHEN v1.doc_id IS NULL THEN 'added'
+                      WHEN v2.doc_id IS NULL THEN 'removed'
+                      WHEN v1.fp = v2.fp THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT status, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM j GROUP BY status
+    """,
+    "corpus version diff — the incremental-maintenance audit between "
+    "two snapshots: added/removed/changed/unchanged by id with "
+    "content equality via the normalized fingerprint (v2 is derived "
+    "deterministically from v1 in-query: doc_id%7 edited, doc_id%11=3 "
+    "dropped, so both engines see identical snapshots). One full "
+    "outer join on the id, fingerprints computed before the shuffle "
+    "so text never rides it",
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", _text.fingerprint("text").alias("fp"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            "doc_id",
+            _text.fingerprint(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" edited")),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                _text.fingerprint(
+                    F.concat(F.col("text"), F.lit(" new"))
+                ).alias("fp"),
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") == F.col("b.fp"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
