@@ -114,10 +114,12 @@ def encode_bmp(px) -> bytes:
 
 
 def decode_png(data: bytes):
-    """Parse an 8-bit non-interlaced PNG (greyscale / RGB / RGBA) →
-    (width, height, HxWxC uint8 ndarray). Pure zlib/struct/numpy:
-    chunk walk → IDAT concat → inflate → per-scanline unfilter
-    (None/Sub/Up/Average/Paeth, PNG spec §9 reconstruction).
+    """Parse an 8-bit PNG (greyscale / RGB / RGBA, plain or Adam7
+    interlaced) → (width, height, HxWxC uint8 ndarray). Pure
+    zlib/struct/numpy: chunk walk → IDAT concat → inflate →
+    per-scanline unfilter (None/Sub/Up/Average/Paeth, PNG spec §9
+    reconstruction); Adam7 unfilters the seven sub-images and
+    scatters them onto the output grid (spec §8.2).
 
     Sub/Average/Paeth reconstruct left-to-right (each byte depends on
     the reconstructed byte bpp positions earlier), so those rows run a
@@ -153,23 +155,58 @@ def decode_png(data: bytes):
         raise ValueError("PNG missing IHDR")
     if bit_depth != 8:
         raise ValueError(f"only 8-bit PNG supported (bit_depth={bit_depth})")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
     channels = {0: 1, 2: 3, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG pixel data truncated")
+        out = _png_unfilter(raw, 0, w, h, channels)
+        return w, h, out.reshape(h, w, channels)
+    if interlace != 1:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    # Adam7: seven independently-filtered sub-images (PNG spec §8.2),
+    # each unfiltered like a normal image then scattered onto the
+    # output grid at its pass origin/stride
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        sub = _png_unfilter(raw, off, wp, hp, channels)
+        off += (wp * channels + 1) * hp
+        out[y0::dy, x0::dx] = sub.reshape(hp, wp, channels)
+    if off != len(raw):
+        raise ValueError("PNG pixel data truncated")
+    return w, h, out
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int, channels: int):
+    """Unfilter one (sub-)image of filtered scanlines starting at
+    ``offset`` in ``raw`` → (h, w*channels) uint8 array (the shared
+    core of plain and Adam7 decoding)."""
+    import numpy as np
+
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    if len(raw) < offset + (stride + 1) * h:
         raise ValueError("PNG pixel data truncated")
     bpp = channels
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
-        f = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
-        )
+        base = offset + r * (stride + 1)
+        f = raw[base]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=base + 1)
         if f == 0:
             rec = line.copy()
         elif f == 2:  # Up — uint8 addition wraps mod 256, per spec
@@ -193,7 +230,7 @@ def decode_png(data: bytes):
             raise ValueError(f"bad PNG filter type {f} on row {r}")
         out[r] = rec
         prev = rec
-    return w, h, out.reshape(h, w, channels)
+    return out
 
 
 def encode_png(px, filter_type: int = 0) -> bytes:

@@ -312,3 +312,70 @@ def test_sniff_mp4_container_metadata():
     # truncated moov must not raise
     trunc = _mp4_bytes()[:40]
     assert sniff_media(trunc)[0] == "mp4"
+
+
+# ------------------------------------------------------------- Adam7 PNG
+
+
+def _png_chunks(w, h, channels, interlace, raw):
+    """Assemble a PNG from already-filtered raw scanline data."""
+    import struct as _s
+    import zlib
+
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(tag, body):
+        c = tag + body
+        return _s.pack(">I", len(body)) + c + _s.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_hand_computed_2x2():
+    """2x2 RGB Adam7 stream assembled by hand from the spec's pass
+    table (pass 1 holds (0,0), pass 6 holds (1,0), pass 7 holds the
+    y=1 row; passes 2-5 are empty at this size), every scanline
+    filter 0. Fully independent of the decoder's own geometry."""
+    from dragnet_spark.ops.multimodal import decode_png
+
+    p00, p10 = b"\x10\x20\x30", b"\x40\x50\x60"
+    p01, p11 = b"\x70\x80\x90", b"\xa0\xb0\xc0"
+    raw = (b"\x00" + p00) + (b"\x00" + p10) + (b"\x00" + p01 + p11)
+    w, h, px = decode_png(_png_chunks(2, 2, 3, 1, raw))
+    assert (w, h) == (2, 2)
+    assert bytes(px[0, 0]) == p00 and bytes(px[0, 1]) == p10
+    assert bytes(px[1, 0]) == p01 and bytes(px[1, 1]) == p11
+
+
+@pytest.mark.parametrize("wh", [(9, 5), (3, 7), (16, 16), (1, 1), (8, 1)])
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_adam7_roundtrip_geometry(wh, ch):
+    """Adam7 streams built by a test-side pass splitter (spec pass
+    table, filter 0) must decode to the original pixels for dims that
+    cross every pass-boundary case, including empty passes."""
+    from dragnet_spark.ops.multimodal import decode_png
+
+    w, h = wh
+    px = _rand_px(h, w, ch, seed=w * 100 + h * 10 + ch)
+    if ch == 1:
+        px = px.reshape(h, w, 1)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    got_w, got_h, out = decode_png(_png_chunks(w, h, ch, 1, bytes(raw)))
+    assert (got_w, got_h) == (w, h)
+    assert (out.reshape(h, w, ch) == px).all()
