@@ -342,6 +342,11 @@ def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
         m = (ch_means * 3)[:3]
         v = [float(w), float(h), m[0], m[1], m[2],
              float(len(payload)), 0.0, 4.0]
+    elif media_type == "image/gif":
+        w, h, px = decode_gif(payload)
+        mean = px.reshape(-1, 3).mean(axis=0) / 255.0
+        v = [float(w), float(h), float(mean[0]), float(mean[1]),
+             float(mean[2]), float(len(payload)), 0.0, 5.0]
     elif media_type == "audio/wav":
         nch, rate, x = decode_wav(payload)
         rms = float((x ** 2).mean() ** 0.5) if len(x) else 0.0
@@ -714,3 +719,140 @@ def probe_media_metadata(media: DataFrame) -> DataFrame:
             "type_mismatch int"
         ),
     )
+
+
+def decode_gif(data: bytes):
+    """First-frame GIF decode (87a/89a) → (width, height, HxWx3 uint8
+    RGB). Pure struct/numpy: logical screen descriptor, global/local
+    color tables, full LZW decompression (variable code width, CLEAR/
+    END handling, 12-bit dictionary), 4-pass GIF interlace, frame
+    composited onto the background-filled logical screen. Animation
+    frames after the first are ignored (a feature-extraction pass
+    wants the poster frame); malformed input raises ValueError.
+    """
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_impl(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"invalid GIF: {type(e).__name__}: {e}") from e
+
+
+def _gif_lzw(min_code: int, data: bytes, n_out: int) -> list[int]:
+    """GIF-variant LZW: codes are packed LSB-first; width starts at
+    min_code+1 and grows when the next dictionary index reaches
+    2^width (cap 12 bits)."""
+    clear = 1 << min_code
+    end = clear + 1
+    acc = n = pos = 0
+    width = min_code + 1
+    dict_ = {i: (i,) for i in range(clear)}
+    next_idx = end + 1
+    prev = None
+    out: list[int] = []
+    while len(out) < n_out:
+        while n < width:
+            if pos >= len(data):
+                return out  # truncated stream: best-effort
+            acc |= data[pos] << n
+            n += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            width = min_code + 1
+            dict_ = {i: (i,) for i in range(clear)}
+            next_idx = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = dict_[code]
+        elif code in dict_:
+            entry = dict_[code]
+            if next_idx < 4096:
+                dict_[next_idx] = prev + (entry[0],)
+                next_idx += 1
+        elif code == next_idx:
+            entry = prev + (prev[0],)
+            if next_idx < 4096:
+                dict_[next_idx] = entry
+                next_idx += 1
+        else:
+            raise ValueError("invalid GIF: LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if next_idx == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _decode_gif_impl(data: bytes):
+    import numpy as np
+
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    bg = data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, count=n * 3, offset=pos)
+        gct = gct.reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"invalid GIF: unknown block 0x{b:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+        ipacked = data[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(data, np.uint8, count=n * 3, offset=pos)
+            ct = ct.reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("invalid GIF: no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw(min_code, bytes(lzw), iw * ih)
+        if len(idx) < iw * ih:
+            idx += [0] * (iw * ih - len(idx))
+        frame = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if ipacked & 0x40:  # 4-pass GIF interlace row order
+            de = np.empty_like(frame)
+            rows = (
+                list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            )
+            de[rows] = frame
+            frame = de
+        canvas = np.zeros((h, w), dtype=np.int64)
+        if gct is not None and bg < len(gct):
+            canvas[:] = bg
+        canvas[top : top + ih, left : left + iw] = frame
+        canvas = np.clip(canvas, 0, len(ct) - 1)
+        return w, h, ct[canvas].astype(np.uint8)
+    raise ValueError("invalid GIF: no image data")
