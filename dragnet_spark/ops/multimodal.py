@@ -5,13 +5,15 @@ a metadata struct (media_type, width/height/duration, codec). The
 Spark-side machinery — schema, Arrow batch shape, mapInPandas
 signatures, partitioning — is real and tested. Decoding is two-tier:
 ``decode_stub=False`` uses real stdlib+numpy decoders for PNG (8-bit
-grey/RGB/RGBA, zlib inflate + full None/Sub/Up/Average/Paeth
-unfilter), JPEG (``ops/jpeg``: baseline and progressive, Huffman +
-IDCT, 4:4:4 to 4:2:0, restart markers), BMP (24-bit
-uncompressed), and WAV (PCM 8/16-bit) — parse, feature-extract, and
-for the image formats also resample + re-encode; video formats that
-need native codec libraries (mp4 via ffmpeg, absent in this
-environment) raise NotImplementedError at the record that needs them.
+grey/RGB/RGBA, all five filters, plain + Adam7 interlaced), JPEG
+(``ops/jpeg``: baseline and progressive, Huffman + IDCT, 4:4:4 to
+4:2:0, restart markers), GIF (full LZW, interlace, palettes), BMP
+(24-bit uncompressed), and WAV (PCM 8/16-bit) — parse,
+feature-extract, and for PNG/JPEG/BMP also resample + re-encode;
+video formats that need native codec libraries (mp4 via ffmpeg,
+absent in this environment) raise NotImplementedError at the record
+that needs them, though MP4 container metadata (dims/duration) is
+parsed by the header probe.
 ``decode_stub=True`` produces deterministic fake features (seeded by
 content hash) for any media type, keeping the full pipeline testable.
 
