@@ -69,6 +69,32 @@ def attach_payloads(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _normalize_decode_errors(kind):
+    """Decorator: malformed input raises ValueError whatever the
+    internal failure (zlib/struct/wave/index/...) — the same one-
+    except-clause contract decode_jpeg keeps, applied to every format
+    so an error-tolerant corpus pass needs exactly one except."""
+    import functools
+    import zlib
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(data, *a, **kw):
+            try:
+                return fn(data, *a, **kw)
+            except ValueError:
+                raise
+            except (KeyError, IndexError, TypeError, EOFError,
+                    ZeroDivisionError, struct.error, zlib.error,
+                    wave.Error) as e:
+                raise ValueError(
+                    f"invalid {kind}: {type(e).__name__}: {e}"
+                ) from e
+        return wrapper
+    return deco
+
+
+@_normalize_decode_errors("BMP")
 def decode_bmp(data: bytes):
     """Parse a 24-bit uncompressed BMP → (width, height, HxWx3 uint8
     ndarray in BGR order). Pure struct/numpy, no image library."""
@@ -115,6 +141,7 @@ def encode_bmp(px) -> bytes:
     return bytes(header + info + body)
 
 
+@_normalize_decode_errors("PNG")
 def decode_png(data: bytes):
     """Parse an 8-bit PNG (greyscale / RGB / RGBA, plain or Adam7
     interlaced) → (width, height, HxWxC uint8 ndarray). Pure
@@ -296,6 +323,7 @@ def encode_png(px, filter_type: int = 0) -> bytes:
     )
 
 
+@_normalize_decode_errors("WAV")
 def decode_wav(data: bytes):
     """Parse a PCM WAV → (n_channels, sample_rate, float64 samples in
     [-1, 1]). stdlib wave module + numpy; 8- and 16-bit PCM."""

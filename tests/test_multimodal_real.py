@@ -468,3 +468,42 @@ def test_gif_features_and_garbage(spark):
         decode_gif(b"nope")
     with pytest.raises(ValueError):
         decode_gif(b"GIF89a\x01")
+
+
+def test_all_decoders_normalize_errors_under_corruption():
+    """Every decoder keeps the one-except-clause contract: corrupted
+    or truncated input either decodes or raises ValueError — never a
+    leaked zlib.error/struct.error/wave.Error/KeyError. Seeded."""
+    import random
+
+    from dragnet_spark.ops.jpeg import encode_jpeg
+    from dragnet_spark.ops.multimodal import (
+        decode_bmp, decode_gif, decode_png, decode_wav, encode_png,
+    )
+
+    px = _rand_px(9, 11, 3, seed=1)
+    gif = open("/usr/share/doc/libxslt1-dev/html/node.gif", "rb").read() \
+        if __import__("os").path.exists(
+            "/usr/share/doc/libxslt1-dev/html/node.gif") else None
+    corpora = [
+        (decode_png, bytearray(encode_png(px))),
+        (decode_bmp, bytearray(_bmp_bytes(px))),
+        (decode_wav, bytearray(_wav_bytes([100, -100] * 500))),
+    ]
+    if gif:
+        corpora.append((decode_gif, bytearray(gif)))
+    rng = random.Random(7)
+    for fn, base in corpora:
+        for _ in range(40):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 3)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            try:
+                fn(bytes(data))
+            except ValueError:
+                pass
+        for cut in (0, 1, 5, 12, len(base) // 2):
+            try:
+                fn(bytes(base[:cut]))
+            except ValueError:
+                pass
