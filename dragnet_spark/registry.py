@@ -3774,7 +3774,9 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation feeds everything, the source totals broadcast",
 )
 def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from dragnet_spark.ops import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(_text.tokens("text")).alias("tok"))
     cs = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
     ct = cs.groupBy("tok").agg(F.sum("c").alias("ct"))
@@ -3993,7 +3995,9 @@ def multimodal_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation, centroids broadcast by AQE",
 )
 def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    from dragnet_spark.ops import spread
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     x = emb.select(
         "vec_id",
         "label",
