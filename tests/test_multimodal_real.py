@@ -507,3 +507,48 @@ def test_all_decoders_normalize_errors_under_corruption():
                 fn(bytes(base[:cut]))
             except ValueError:
                 pass
+
+
+# ------------------------------------------------------------- audio resample
+
+
+def test_resample_wav_preserves_pitch():
+    """440 Hz sine survives 8k→16k and 8k→4k conversion with its FFT
+    peak intact — the correctness property of rate conversion."""
+    import numpy as np
+
+    from dragnet_spark.ops.multimodal import (
+        decode_wav, encode_wav, resample_wav,
+    )
+
+    t = np.arange(8000) / 8000.0
+    x = np.sin(2 * np.pi * 440 * t) * 0.8
+    wav = encode_wav(x, 8000)
+    for target in (16000, 4000):
+        nch, rate, y = decode_wav(resample_wav(wav, target))
+        assert (nch, rate, len(y)) == (1, target, target)
+        freqs = np.fft.rfftfreq(len(y), 1 / rate)
+        peak = freqs[np.argmax(np.abs(np.fft.rfft(y)))]
+        assert abs(peak - 440.0) < 2.0
+
+
+def test_resample_audio_spark(spark):
+    import numpy as np
+
+    from dragnet_spark.ops.multimodal import (
+        decode_wav, encode_wav, resample_audio,
+    )
+
+    t = np.arange(4000) / 8000.0
+    wav = encode_wav(np.sin(2 * np.pi * 220 * t), 8000)
+    df = spark.createDataFrame(
+        [(1, "audio/wav", wav, None), (2, "image/png", b"x", None)],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    rows = resample_audio(df, 16000, decode_stub=False).collect()
+    assert [r["id"] for r in rows] == [1]  # non-audio rows filtered
+    r = rows[0]
+    assert r["sample_rate"] == 16000 and r["n_frames"] == 8000
+    nch, rate, y = decode_wav(bytes(r["payload"]))
+    assert rate == 16000 and len(y) == 8000
