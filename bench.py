@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "decontam_benchmark_overlap",
     "dedup_cross_source_matrix",
     "source_unigram_kl",
+    "docs_training_order",
+    "corpus_version_diff",
+    "ann_hard_negatives",
+    "embedding_label_outliers",
     "split_leakage_report",
     "dedup_exact",
     "dedup_minhash_lsh",
