@@ -268,3 +268,80 @@ def test_extract_features_on_error_modes(spark):
     assert nulled[1] is not None and nulled[2] is None and nulled[3] is None
     with pytest.raises(Exception):
         extract_features(df, decode_stub=False).collect()
+
+
+def test_jpeg_progressive_ac_refine_zrl_and_corrections():
+    """AC refinement with every successive-approximation construct,
+    derived by hand from spec G.2 / libjpeg's decode_mcu_AC_refine:
+
+    AC-first scan (al=1) plants k=3:+2, k=5:-2. The refine scan
+    (ah=1, al=0) then sends
+      (r=2,s=1)+sign1 — advance over two zero-history positions,
+        append a correction bit (1) to the existing k=3 (+2 -> +3),
+        and place the new +1 at k=4;
+      ZRL (r=15,s=0) — skip 16 zero-history positions, appending a
+        correction bit (0) to the existing k=5 on the way (-2 stays);
+      EOB — band of zeros to k=63.
+    Final coefficients must be exactly k=3:+3, k=4:+1, k=5:-2."""
+    import struct
+
+    import numpy as np
+
+    from dragnet_spark.ops.jpeg import (
+        AC_LUM, DC_LUM, ZIGZAG, _BitWriter, _canonical_codes, _T,
+    )
+
+    ac = _canonical_codes(*AC_LUM)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0))
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    body = b"\x00" + bytes(DC_LUM[0]) + bytes(DC_LUM[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    body = b"\x10" + bytes(AC_LUM[0]) + bytes(AC_LUM[1])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def scan(ss, se, ah, al, payload):
+        nonlocal out
+        sos = bytes((1, 1, 0x00, ss, se, (ah << 4) | al))
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += payload
+
+    # AC first (al=1): (run 2, size 1) val 1 -> k=3 gets 1<<1 = 2;
+    # (run 1, size 1) val -1 (bit 0) -> k=5 gets -1<<1 = -2; EOB
+    bw = _BitWriter()
+    c, ln = ac[0x21]
+    bw.put(c, ln)
+    bw.put(1, 1)
+    c, ln = ac[0x11]
+    bw.put(c, ln)
+    bw.put(0, 1)
+    c, ln = ac[0x00]
+    bw.put(c, ln)
+    bw.flush()
+    scan(1, 63, 0, 1, bytes(bw.out))
+    # AC refine (ah=1, al=0)
+    bw = _BitWriter()
+    c, ln = ac[0x21]  # r=2, s=1
+    bw.put(c, ln)
+    bw.put(1, 1)  # new coefficient is +1
+    bw.put(1, 1)  # correction bit for existing k=3: +2 -> +3
+    c, ln = ac[0xF0]  # ZRL
+    bw.put(c, ln)
+    bw.put(0, 1)  # correction bit for existing k=5: unchanged
+    c, ln = ac[0x00]  # EOB
+    bw.put(c, ln)
+    bw.flush()
+    scan(1, 63, 1, 0, bytes(bw.out))
+    out += b"\xff\xd9"
+
+    w, h, px = decode_jpeg(bytes(out))
+    want = np.zeros(64)
+    want[ZIGZAG[3]] = 3.0
+    want[ZIGZAG[4]] = 1.0
+    want[ZIGZAG[5]] = -2.0
+    expect = np.clip(
+        np.round(_T.T @ want.reshape(8, 8) @ _T + 128.0), 0, 255
+    )
+    assert np.array_equal(px.astype(float), expect)
