@@ -507,6 +507,8 @@ def resize_media(
                         from dragnet_spark.ops.jpeg import decode_jpeg
 
                         sw, sh, px = decode_jpeg(src)
+                    elif mt == "image/gif":
+                        sw, sh, px = decode_gif(src)
                     else:
                         sw, sh, px = decode_bmp(src)
                     ys = (np.arange(target_height) * sh // target_height)
@@ -518,6 +520,9 @@ def resize_media(
                         from dragnet_spark.ops.jpeg import encode_jpeg
 
                         payloads.append(encode_jpeg(resampled))
+                    elif mt == "image/gif":
+                        # nearest-neighbor keeps the palette a subset
+                        payloads.append(encode_gif(resampled))
                     else:
                         payloads.append(encode_bmp(resampled))
                 else:
@@ -978,3 +983,59 @@ def resample_audio(
         run,
         schema="id long, payload binary, sample_rate int, n_frames long",
     )
+
+
+def encode_gif(px) -> bytes:
+    """HxWx3 uint8 RGB → GIF89a bytes. The image's distinct colors
+    (≤256) become the palette; the LZW stream emits a CLEAR before
+    every literal code — spec-valid (decoders must honor mid-stream
+    CLEAR) and trivially correct at the cost of compression, which is
+    the right trade for a deterministic test/re-encode path."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3)")
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif needs <= 256 colors, got {len(colors)}")
+    # palette size must be a power of two >= 2
+    bits = max((len(colors) - 1).bit_length(), 1)
+    n_pal = 1 << bits
+    palette = np.zeros((n_pal, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    min_code = max(bits, 2)
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    acc = n = 0
+    stream = bytearray()
+
+    def put(code):
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    for v in idx:
+        put(clear)
+        put(int(v))
+    put(end)
+    if n:
+        stream.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -3884,8 +3884,9 @@ def docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_probe_roundtrip",
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER)
-             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'bmp'
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 2 THEN 'gif' ELSE 'bmp'
            END AS detected_format,
            CAST(4 + doc_id % 13 AS INTEGER) AS width,
            CAST(3 + doc_id % 7 AS INTEGER) AS height,
@@ -3893,7 +3894,7 @@ def docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     "multimodal encode→header-probe roundtrip with a SQL oracle: each "
-    "doc id deterministically picks a format (png/jpeg/bmp) and "
+    "doc id deterministically picks a format (png/jpeg/gif/bmp) and "
     "dimensions (4+id%13 × 3+id%7); the Spark side REALLY encodes a "
     "flat image of those dimensions with the stdlib codecs and REALLY "
     "sniffs the bytes back (mapInPandas, payloads never shuffle) — "
@@ -3907,7 +3908,7 @@ def multimodal_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dragnet_spark.ops.jpeg import encode_jpeg
     from dragnet_spark.ops.multimodal import (
-        encode_bmp, encode_png, sniff_media,
+        encode_bmp, encode_gif, encode_png, sniff_media,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -3920,13 +3921,16 @@ def multimodal_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 4 + did % 13, 3 + did % 7
                 shade = did % 256
                 px = np.full((h, w, 3), shade, dtype=np.uint8)
-                kind = did % 3
+                kind = did % 4
                 if kind == 0:
                     payload = encode_png(px)
                     declared = "png"
                 elif kind == 1:
                     payload = encode_jpeg(px, quality=90)
                     declared = "jpeg"
+                elif kind == 2:
+                    payload = encode_gif(px)
+                    declared = "gif"
                 else:
                     payload = encode_bmp(px)
                     declared = "bmp"

@@ -552,3 +552,30 @@ def test_resample_audio_spark(spark):
     assert r["sample_rate"] == 16000 and r["n_frames"] == 8000
     nch, rate, y = decode_wav(bytes(r["payload"]))
     assert rate == 16000 and len(y) == 8000
+
+
+def test_gif_encode_roundtrip_and_resize(spark):
+    """encode_gif -> decode_gif is exact for palette-limited images;
+    the real resize path re-encodes GIF losslessly (nearest-neighbor
+    keeps the palette a subset)."""
+    import numpy as np
+
+    from dragnet_spark.ops.multimodal import (
+        decode_gif, encode_gif, resize_media,
+    )
+
+    rng = np.random.RandomState(5)
+    px = (rng.randint(0, 5, (12, 16, 3)) * 50).astype(np.uint8)
+    w, h, out = decode_gif(encode_gif(px))
+    assert (w, h) == (16, 12) and (out == px).all()
+    df = spark.createDataFrame(
+        [(1, "image/gif", encode_gif(px), (16, 12, "gif"))],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    r = resize_media(df, 8, 6, decode_stub=False).collect()[0]
+    w2, h2, out2 = decode_gif(bytes(r["payload"]))
+    assert (w2, h2) == (8, 6)
+    ys = np.arange(6) * 12 // 6
+    xs = np.arange(8) * 16 // 8
+    assert (out2 == px[ys][:, xs]).all()
