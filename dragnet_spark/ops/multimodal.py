@@ -9,7 +9,8 @@ grey/RGB/RGBA, all five filters, plain + Adam7 interlaced), JPEG
 (``ops/jpeg``: baseline and progressive, Huffman + IDCT, 4:4:4 to
 4:2:0, restart markers), GIF (full LZW, interlace, palettes), BMP
 (24-bit uncompressed), and WAV (PCM 8/16-bit) — parse,
-feature-extract, and for PNG/JPEG/BMP also resample + re-encode;
+feature-extract, and for PNG/JPEG/GIF/BMP also resample +
+re-encode (GIF losslessly via its own encoder);
 video formats that need native codec libraries (mp4 via ffmpeg,
 absent in this environment) raise NotImplementedError at the record
 that needs them, though MP4 container metadata (dims/duration) is
