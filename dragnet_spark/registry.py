@@ -4148,6 +4148,60 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_W = [round(0.6 ** k, 6) for k in range(1, 8)]
+_EWMA_WSUM = round(sum(_EWMA_W), 6)
+
+
+@register(
+    "events_daily_ewma_anomalies",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT day, n,
+             ROUND((
+               {" + ".join(f"{w} * LAG(n, {k}) OVER (ORDER BY day)"
+                           for k, w in enumerate(_EWMA_W, start=1))}
+             ) / {_EWMA_WSUM}, 9) AS forecast
+      FROM d)
+    SELECT day, n, forecast,
+           ROUND(n / forecast, 9) AS ratio,
+           CAST(n / forecast > 1.5 OR n / forecast < 0.5 AS INTEGER)
+             AS anomaly
+    FROM f WHERE forecast IS NOT NULL
+    """,
+    "time-series anomaly detection: each day's event count vs an "
+    "exponentially-weighted forecast from the prior 7 observed days "
+    "(weights 0.6^k, rounded literals so both engines build the same "
+    "expression tree); days deviating beyond 1.5x / 0.5x flag. One "
+    "day-grain aggregation then a 7-lag window over the (tiny) daily "
+    "series — the raw stream is never windowed",
+)
+def events_daily_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day")
+    num = None
+    for k, wt in enumerate(_EWMA_W, start=1):
+        term = F.lit(wt) * F.lag("n", k).over(w)
+        num = term if num is None else num + term
+    f = d.withColumn("forecast", F.round(num / F.lit(_EWMA_WSUM), 9))
+    ratio = F.col("n") / F.col("forecast")
+    return (
+        f.filter(F.col("forecast").isNotNull())
+        .select(
+            "day",
+            "n",
+            "forecast",
+            F.round(ratio, 9).alias("ratio"),
+            ((ratio > 1.5) | (ratio < 0.5)).cast("int").alias("anomaly"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Import-time integrity check: the driver samples the first 50 entries
 # of queries(), and _EXPOSURE_PRIORITY exists precisely to make that
