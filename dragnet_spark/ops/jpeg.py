@@ -185,14 +185,19 @@ class _Bits:
         return v
 
     def skip_rst(self):
-        """Byte-align and consume an RSTn marker if present."""
+        """Byte-align and consume an RSTn marker if present. The spec
+        (B.1.1.2) permits any number of 0xFF fill bytes before a
+        marker, so runs of 0xFF are skipped before testing the marker
+        byte; position only advances when a marker is consumed."""
         self.acc = 0
         self.n = 0
-        while self.i + 1 < len(self.d) and self.d[self.i] == 0xFF and (
-            0xD0 <= self.d[self.i + 1] <= 0xD7
+        j = self.i
+        while j + 1 < len(self.d) and self.d[j] == 0xFF and self.d[j + 1] == 0xFF:
+            j += 1
+        if j + 1 < len(self.d) and self.d[j] == 0xFF and (
+            0xD0 <= self.d[j + 1] <= 0xD7
         ):
-            self.i += 2
-            return
+            self.i = j + 2
 
 
 def _build_decode_table(bits, values):

@@ -634,7 +634,12 @@ def _mp4_metadata(data: bytes):
                     if b3 != b"tkhd":
                         continue
                     ver = data[lo3]
-                    off = lo3 + (84 if ver == 0 else 96)
+                    # ISO 14496-12 tkhd payload (after version/flags):
+                    # v0 = 20B times/ids + 16B layer/volume + 36B matrix
+                    # → width at 4+72 = 76; v1's 64-bit times add 12.
+                    off = lo3 + (76 if ver == 0 else 88)
+                    if off + 8 > hi3:
+                        continue
                     tw = struct.unpack(">I", data[off : off + 4])[0] >> 16
                     th = struct.unpack(">I", data[off + 4 : off + 8])[0] >> 16
                     if tw and th and w is None:
@@ -842,11 +847,20 @@ def _decode_gif_impl(data: bytes):
         gct = np.frombuffer(data, np.uint8, count=n * 3, offset=pos)
         gct = gct.reshape(n, 3)
         pos += n * 3
+    transparent = None
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            label = data[pos + 1] if pos + 1 < len(data) else 0
+            if label == 0xF9 and pos + 6 < len(data) and data[pos + 2] >= 4:
+                # Graphic Control Extension: packed byte bit 0 =
+                # transparent-color flag, byte 4 = transparent index
+                if data[pos + 3] & 0x01:
+                    transparent = data[pos + 6]
+                else:
+                    transparent = None
             pos += 2
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
@@ -885,12 +899,21 @@ def _decode_gif_impl(data: bytes):
             )
             de[rows] = frame
             frame = de
-        canvas = np.zeros((h, w), dtype=np.int64)
+        # Resolve colors per-table: background pixels map through the
+        # GLOBAL table (the bg index is defined against it), frame
+        # pixels through the ACTIVE (possibly local) table, and GCE
+        # transparent pixels stay background.
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
         if gct is not None and bg < len(gct):
-            canvas[:] = bg
-        canvas[top : top + ih, left : left + iw] = frame
-        canvas = np.clip(canvas, 0, len(ct) - 1)
-        return w, h, ct[canvas].astype(np.uint8)
+            canvas[:, :] = gct[bg]
+        frame_rgb = ct[np.clip(frame, 0, len(ct) - 1)].astype(np.uint8)
+        region = canvas[top : top + ih, left : left + iw]
+        if transparent is not None:
+            opaque = frame != transparent
+            region[opaque] = frame_rgb[opaque]
+        else:
+            region[:] = frame_rgb
+        return w, h, canvas
     raise ValueError("invalid GIF: no image data")
 
 

@@ -291,9 +291,11 @@ def _mp4_bytes(w=640, h=360, timescale=1000, duration=5500):
         b"\x00\x00\x00\x00" + b"\x00" * 8
         + _s.pack(">I", timescale) + _s.pack(">I", duration) + b"\x00" * 80,
     )
+    # spec field layout: version/flags(4) + times/ids(20) +
+    # layer/volume(16) + matrix(36) = 76 bytes before width (v0)
     tkhd = box(
         b"tkhd",
-        b"\x00\x00\x00\x07" + b"\x00" * 80
+        b"\x00\x00\x00\x07" + b"\x00" * 72
         + _s.pack(">II", w << 16, h << 16),
     )
     return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
@@ -579,3 +581,92 @@ def test_gif_encode_roundtrip_and_resize(spark):
     ys = np.arange(6) * 12 // 6
     xs = np.arange(8) * 16 // 8
     assert (out2 == px[ys][:, xs]).all()
+
+
+# ------------------------------------------- ADVICE r4 regression nets
+
+
+def test_sniff_mp4_tkhd_v1_layout():
+    """tkhd v1 (64-bit times) puts width at payload offset 88; the
+    walker must also bounds-check so a truncated tkhd yields no dims
+    without losing the already-parsed mvhd duration."""
+    import struct as _s
+
+    from dragnet_spark.ops.multimodal import sniff_media
+
+    def box(t, body):
+        return _s.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + _s.pack(">I", 500) + _s.pack(">I", 1500) + b"\x00" * 80,
+    )
+    # v1 payload: vf(4) + 8+8+4+4+8 times/ids (32) + 16 + matrix 36 = 88
+    tkhd_v1 = box(
+        b"tkhd",
+        b"\x01\x00\x00\x07" + b"\x00" * 84
+        + _s.pack(">II", 320 << 16, 240 << 16),
+    )
+    data = box(b"ftyp", b"isom") + box(b"moov", mvhd + box(b"trak", tkhd_v1))
+    assert sniff_media(data) == ("mp4", 320, 240, 3000)
+    # truncated tkhd body: dims None but mvhd duration preserved
+    tkhd_short = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 40)
+    data2 = box(b"ftyp", b"isom") + box(
+        b"moov", mvhd + box(b"trak", tkhd_short)
+    )
+    assert sniff_media(data2) == ("mp4", None, None, 3000)
+
+
+def test_gif_local_table_background_and_transparency():
+    """Frame smaller than the logical screen, LOCAL color table, GCE
+    transparency: background pixels must map through the GLOBAL table
+    and transparent frame pixels stay background."""
+    import struct as _s
+
+    import numpy as np
+
+    from dragnet_spark.ops.multimodal import decode_gif
+
+    # logical screen 4x2, global table [black, red], bg index 1
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HH", 4, 2)
+    out += bytes([0x80 | 0, 1, 0])  # gct present, 2 entries, bg=1
+    out += bytes([0, 0, 0, 255, 0, 0])
+    # GCE: transparency on, transparent index 0
+    out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    # image descriptor: 2x1 at (1,0), LOCAL table [green, blue]
+    out += b"\x2c" + _s.pack("<HHHH", 1, 0, 2, 1) + bytes([0x80 | 0])
+    out += bytes([0, 255, 0, 0, 0, 255])
+    # LZW min_code=2: clear,0,clear,1,end at width 3
+    acc = n = 0
+    stream = bytearray()
+    for code in (4, 0, 4, 1, 5):
+        acc |= code << n
+        n += 3
+        while n >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        stream.append(acc & 0xFF)
+    out += bytes([2, len(stream)]) + stream + b"\x00\x3b"
+    w, h, px = decode_gif(bytes(out))
+    assert (w, h) == (4, 2)
+    red, blue = [255, 0, 0], [0, 0, 255]
+    expect = np.array([[red, red, blue, red], [red, red, red, red]])
+    assert (px == expect).all()
+
+
+def test_jpeg_skip_rst_consumes_fill_bytes():
+    """B.1.1.2 fill bytes (runs of 0xFF) before an RSTn marker must be
+    skipped; a non-RST marker must be left unconsumed."""
+    from dragnet_spark.ops.jpeg import _Bits
+
+    br = _Bits(b"\xff\xff\xff\xd0\x12", 0)
+    br.skip_rst()
+    assert br.i == 4  # fill bytes + marker consumed
+    br2 = _Bits(b"\xff\xff\xd9", 0)
+    pos = br2.i
+    br2.skip_rst()
+    assert br2.i == pos  # EOI: not an RST, untouched
