@@ -1,0 +1,122 @@
+"""Distributed global ranking — the zipWithIndex pattern in DataFrame
+form.
+
+A global ``row_number().over(Window.orderBy(...))`` funnels every row
+through ONE partition (Spark logs "No Partition Defined ... will
+degrade performance"), which is a non-starter at 100 TB. The scale-safe
+equivalent, for any TOTAL sort order, is:
+
+1. ``repartitionByRange`` on the sort keys — a distributed range
+   shuffle; partition *i* holds keys strictly before partition *i+1*
+   under the given ordering.
+2. ``row_number`` over a window partitioned by ``spark_partition_id()``
+   — per-partition, fully parallel.
+3. Add each partition's cumulative predecessor count. The per-partition
+   counts come from one small count job — the exact extra job
+   ``RDD.zipWithIndex`` runs internally — collected to the driver as a
+   bounded ≤num_partitions-row array (metadata scale, not data scale)
+   and re-broadcast as a literal map.
+
+The input is persisted so the count job and the final job share the
+range shuffle instead of recomputing it. Results are deterministic for
+any total order regardless of where the range boundaries land, because
+ranks come from the actual sort, not from the boundary placement.
+
+Reference parity: the reference engine has no analytic ranking at all
+(its sorts are driver-side, ``lib/dn.js`` stream sinks); these helpers
+exist so the curation-pipeline queries (training order, quality
+deciles) stay scale-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_PID = "__dn_pid"
+_RANK = "__dn_rank"
+
+
+def _ranked(
+    df: DataFrame,
+    order: Sequence[Column],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(df + ``__dn_rank`` 1-based global row number, total row count).
+
+    ``order`` must be a total order (tie-break to uniqueness) for the
+    result to be deterministic.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parts = df.repartitionByRange(n, *order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    parts = parts.persist()
+    counts = {
+        r[_PID]: r["cnt"]
+        for r in parts.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: list[Column] = []
+    acc = 0
+    for pid in sorted(counts):
+        offsets.extend([F.lit(pid), F.lit(acc)])
+        acc += counts[pid]
+    if offsets:
+        off = F.coalesce(
+            F.create_map(*offsets)[F.col(_PID)].cast("long"), F.lit(0)
+        )
+    else:  # empty input: an untyped map() won't analyze; offset is 0
+        off = F.lit(0).cast("long")
+    w = W.partitionBy(_PID).orderBy(*order)
+    ranked = parts.withColumn(
+        _RANK, F.row_number().over(w).cast("long") + off
+    ).drop(_PID)
+    return ranked, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order)`` without the
+    single-partition WindowExec. ``order`` must be a total order."""
+    ranked, _ = _ranked(df, order, num_partitions)
+    return ranked.withColumnRenamed(_RANK, out_col)
+
+
+def global_ntile(
+    df: DataFrame,
+    order: Sequence[Column],
+    n_buckets: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order)`` without the single-partition
+    WindowExec. Standard NTILE semantics: the first ``total % n``
+    buckets hold ``ceil(total/n)`` rows, the rest ``floor(total/n)`` —
+    computed arithmetically from the distributed global row number."""
+    ranked, total = _ranked(df, order, num_partitions)
+    q, r = divmod(total, n_buckets)
+    big = q + 1
+    rank = F.col(_RANK)
+    if q == 0:
+        # fewer rows than buckets: each row is its own bucket
+        bucket = rank
+    else:
+        bucket = (
+            F.when(
+                rank <= F.lit(r * big),
+                F.ceil(rank / F.lit(big)),
+            ).otherwise(
+                F.lit(r) + F.ceil((rank - F.lit(r * big)) / F.lit(q))
+            )
+        )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(_RANK)

@@ -1942,10 +1942,13 @@ def q10_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_disc_price()).alias("revenue"))
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    # (revenue desc, custkey) is a deterministic total order, so a
+    # distributed TakeOrderedAndProject (orderBy + limit, mirroring
+    # q3) is bit-identical to the former global row_number window —
+    # without funneling the customer frame through one partition.
     return (
-        rev.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= 20)
+        rev.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
         .select(
             "c_custkey",
             "c_name",
@@ -3857,10 +3860,11 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composite curation score + global decile: the linear blend of "
     "length / punctuation / digit / stopword signals every pipeline "
     "ends with, plus NTILE(10) for budget-based keep-top-N%% "
-    "decisions. Scoring is a narrow map; the single global sort is "
-    "over (score, doc_id) scalars only — at 100 TB swap NTILE for "
-    "approx-percentile thresholds (events_p99_outliers shows the "
-    "broadcast-threshold shape)",
+    "decisions. Scoring is a narrow map; the decile is the exact "
+    "NTILE computed WITHOUT a single-partition window: range-"
+    "partitioned sort + per-partition offsets (ops/rank.py, the "
+    "zipWithIndex pattern), so the rank stage is fully parallel at "
+    "any scale",
 )
 def docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -3873,10 +3877,14 @@ def docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.2) * F.least(cols["stopword_ratio"] * 2, one),
         9,
     )
-    w = W.orderBy(F.desc("quality_score"), F.asc("doc_id"))
-    return (
-        docs.select("doc_id", "lang", score.alias("quality_score"))
-        .withColumn("quality_decile", F.ntile(10).over(w))
+    from dragnet_spark.ops.rank import global_ntile
+
+    scored = docs.select("doc_id", "lang", score.alias("quality_score"))
+    return global_ntile(
+        scored,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        10,
+        "quality_decile",
     )
 
 
@@ -4059,19 +4067,21 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic training-order shuffle: a reproducible global "
     "permutation keyed by md5(salt || id) — same order on any cluster "
     "size, any partitioning, any rerun (RNG-free, the property that "
-    "makes a training run replayable). One global sort of (16-byte "
-    "key, id) scalars; at 100 TB the same key sorts per-shard with "
-    "range partitioning — the keys, not the documents, define the "
-    "order",
+    "makes a training run replayable). The position comes from a "
+    "range-partitioned sort of (16-byte key, id) scalars plus "
+    "per-partition count offsets (ops/rank.py) — no single-partition "
+    "window anywhere, so the permutation assembles shard-parallel at "
+    "100 TB",
 )
 def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.rank import global_row_number
+
     docs = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("order-v1"), F.col("doc_id").cast("string")))
-    w = W.orderBy(F.col("shuffle_key"), F.col("doc_id"))
-    return (
-        docs.select("doc_id", key.alias("shuffle_key"))
-        .withColumn("train_pos", F.row_number().over(w).cast("long"))
-    )
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    return global_row_number(
+        keyed, [F.asc("shuffle_key"), F.asc("doc_id")], "train_pos"
+    ).select("doc_id", "shuffle_key", "train_pos")
 
 
 @register(

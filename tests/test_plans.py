@@ -126,3 +126,48 @@ def test_curation_ops_plan_shapes(spark, sf_dir):
         assert n_scans <= limit, (
             f"{name}: {n_scans} scans of documents, wanted <= {limit}"
         )
+
+
+# --------------------------------------------------------------------
+# Plan-net rule: no single-partition analytic windows (round-5).
+# A windowspecdefinition whose FIRST argument is a sort spec has an
+# empty partition spec — Spark executes it on ONE partition ("Window
+# ... No Partition Defined" warning), a funnel that dies at 100 TB.
+# Whitelist: windows over day-grain aggregates, whose frame is bounded
+# by the calendar (~thousands of rows at ANY corpus scale), where a
+# single ordered pass is the correct plan.
+# --------------------------------------------------------------------
+
+import re as _re
+
+import pytest as _pytest
+
+_DAY_GRAIN_WINDOW_OK = {
+    "events_daily_moving_stats",
+    "events_daily_ewma_anomalies",
+}
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        m
+        for m in _re.findall(r"windowspecdefinition\(([^,]+),", plan)
+        if " ASC" in m or " DESC" in m
+    ]
+
+
+@_pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unpartitioned_windowexec(name, spark, sf_dir):
+    bad = _unpartitioned_windows(REGISTRY[name].spark(spark, sf_dir))
+    if name in _DAY_GRAIN_WINDOW_OK:
+        assert bad, (
+            f"{name} no longer has its day-grain window — "
+            "remove it from the whitelist"
+        )
+    else:
+        assert not bad, (
+            f"{name} plans a single-partition WindowExec over {bad}; "
+            "use ops/rank.py (distributed range sort + offsets) or a "
+            "partitioned window"
+        )

@@ -1,0 +1,87 @@
+"""ops/rank.py: distributed global row_number / ntile must be
+bit-equal to the single-partition window functions they replace."""
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dragnet_spark.ops.rank import global_ntile, global_row_number
+
+
+def _df(spark, n, dup_every=0):
+    df = spark.range(n).select(
+        F.col("id"),
+        # non-monotonic sort key; optional ties to exercise tie-breaks
+        (F.md5(F.col("id").cast("string"))).alias("k"),
+    )
+    if dup_every:
+        df = df.withColumn(
+            "k", F.when(F.col("id") % dup_every == 0, F.lit("tie")).otherwise(F.col("k"))
+        )
+    return df
+
+
+@pytest.mark.parametrize("n,parts", [(1000, 8), (37, 8), (8, 3), (1, 4)])
+def test_global_row_number_matches_window(spark, n, parts):
+    df = _df(spark, n)
+    order = [F.asc("k"), F.asc("id")]
+    got = {
+        (r["id"], r["rk"])
+        for r in global_row_number(df, order, "rk", num_partitions=parts).collect()
+    }
+    want = {
+        (r["id"], r["rk"])
+        for r in df.withColumn(
+            "rk", F.row_number().over(W.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_with_ties_and_desc(spark):
+    df = _df(spark, 200, dup_every=5)
+    order = [F.desc("k"), F.asc("id")]
+    got = {
+        (r["id"], r["rk"])
+        for r in global_row_number(df, order, "rk", num_partitions=7).collect()
+    }
+    want = {
+        (r["id"], r["rk"])
+        for r in df.withColumn(
+            "rk", F.row_number().over(W.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,buckets", [(1000, 10), (103, 10), (10, 10), (7, 10), (25, 4)])
+def test_global_ntile_matches_window(spark, n, buckets):
+    df = _df(spark, n)
+    order = [F.asc("k"), F.asc("id")]
+    got = {
+        (r["id"], r["b"])
+        for r in global_ntile(df, order, buckets, "b", num_partitions=6).collect()
+    }
+    want = {
+        (r["id"], r["b"])
+        for r in df.withColumn("b", F.ntile(buckets).over(W.orderBy(*order))).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_empty_input(spark):
+    df = _df(spark, 10).filter(F.col("id") < 0)
+    assert global_row_number(df, [F.asc("id")], "rk").count() == 0
+
+
+def test_rank_helper_plans_no_unpartitioned_window(spark):
+    df = global_row_number(_df(spark, 50), [F.asc("k")], "rk", num_partitions=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    bad = [
+        m
+        for m in re.findall(r"windowspecdefinition\(([^,]+),", plan)
+        if " ASC" in m or " DESC" in m
+    ]
+    assert not bad, bad
