@@ -26,57 +26,73 @@ from dragnet_spark import registry  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline set: every family the engine implements, weighted toward
-# the shapes that dominate at 100 TB (scans, star joins, windows)
-BENCH_QUERIES = [
-    "scan_count",
-    "scan_by_type",
-    "scan_multi_breakdown",
-    "scan_filter_and_or",
-    "scan_quantize",
-    "scan_day_window",
-    "scan_json_prop",
-    "scan_weighted_reagg",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_revenue_by_nation",
-    "top_customers_per_nation",
-    "orders_with_discounted_lines",
-    "q13_customer_order_distribution",
-    "q18_large_volume_orders",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_top_customers",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "asof_purchase_last_click",
-    "orders_in_promo_windows",
-    "events_user_sessions",
-    "events_value_percentiles",
-    "events_sliding_window_5m",
-    "events_pivot_type_by_day",
-    "events_p99_outliers",
-    # training-data pipeline families (first-class at 100 TB)
-    "text_tokens_by_source",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "text_duplicate_spans",
-    "text_repetition_stats",
-    "decontam_benchmark_overlap",
-    "dedup_cross_source_matrix",
-    "source_unigram_kl",
-    "docs_training_order",
-    "corpus_version_diff",
-    "ann_hard_negatives",
-    "embedding_label_outliers",
-    "split_leakage_report",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
-    "customers_fuzzy_name_pairs",
-    "ann_cosine_topk_blocked",
+# the shapes that dominate at 100 TB (scans, star joins, windows).
+# Grouped into named families so the in-run load canary (a scan_count
+# probe BETWEEN families) can attribute machine-load noise to the
+# family it actually hit — r4's committed run ramped loadavg 4.5→12.9
+# mid-run and the start-only probe couldn't see it.
+BENCH_FAMILIES = [
+    ("scan", [
+        "scan_count",
+        "scan_by_type",
+        "scan_multi_breakdown",
+        "scan_filter_and_or",
+        "scan_quantize",
+        "scan_day_window",
+        "scan_json_prop",
+        "scan_weighted_reagg",
+    ]),
+    ("tpch", [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_revenue_by_nation",
+        "top_customers_per_nation",
+        "orders_with_discounted_lines",
+        "q13_customer_order_distribution",
+        "q18_large_volume_orders",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q10_returned_top_customers",
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q20_potential_promotion",
+        "q21_waiting_suppliers",
+    ]),
+    ("events", [
+        "asof_purchase_last_click",
+        "orders_in_promo_windows",
+        "events_user_sessions",
+        "events_value_percentiles",
+        "events_sliding_window_5m",
+        "events_pivot_type_by_day",
+        "events_p99_outliers",
+    ]),
+    ("text", [
+        "text_tokens_by_source",
+        "text_tfidf_top_terms",
+        "text_unigram_logprob",
+        "text_duplicate_spans",
+        "text_repetition_stats",
+        "decontam_benchmark_overlap",
+        "dedup_cross_source_matrix",
+        "source_unigram_kl",
+        "docs_training_order",
+        "corpus_version_diff",
+    ]),
+    ("ann", [
+        "ann_hard_negatives",
+        "embedding_label_outliers",
+        "split_leakage_report",
+    ]),
+    ("dedup", [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_embedding_lsh",
+        "customers_fuzzy_name_pairs",
+        "ann_cosine_topk_blocked",
+    ]),
 ]
+BENCH_QUERIES = [q for _, qs in BENCH_FAMILIES for q in qs]
 
 
 HISTORY = Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl"
@@ -137,10 +153,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     retried: list[str] = []
-    for name in BENCH_QUERIES:
+    canary_entry = registry.REGISTRY["scan_count"]
+
+    def run_query(name: str) -> None:
         e = registry.REGISTRY.get(name)
         if e is None:
-            continue
+            return
         # steady-state: min of 2 runs; a 3rd only when the first two
         # disagree by >25% (load noise). Run 1 pays one-time Catalyst
         # analysis + whole-stage codegen compilation (amortized to zero
@@ -159,14 +177,50 @@ def main() -> None:
             # round-over-round signal
             med = medians.get(name)
             if med and best > 2 * med:
-                retried.append(name)
+                if name not in retried:
+                    retried.append(name)
                 runs.append(run_once(e))
                 best = min(runs)
         except Exception as exc:  # noqa: BLE001 — degrade, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 3)
+            return
+        timings[name] = round(min(best, timings.get(name, best)), 3)
+
+    # in-run load canary: a scan_count probe BEFORE each family. The
+    # per-family load factor (probe / session-median probe) attributes
+    # mid-run load spikes to the family they hit; families whose probe
+    # exceeds 1.5x the session median are re-run once (min with the
+    # loaded numbers — a re-run under load can only improve them).
+    canary_samples: dict[str, float] = {}
+    for fam, qnames in BENCH_FAMILIES:
+        canary_samples[fam] = round(run_once(canary_entry), 3)
+        for name in qnames:
+            run_query(name)
+    probes = sorted(canary_samples.values())
+    session_median = probes[len(probes) // 2]
+    canary: dict[str, dict] = {"session_median_sec": session_median, "families": {}}
+    for fam, qnames in BENCH_FAMILIES:
+        factor = round(canary_samples[fam] / session_median, 2) if session_median else 1.0
+        reran = factor > 1.5
+        if reran:
+            print(f"bench: family {fam} ran under load x{factor}; re-running",
+                  file=sys.stderr)
+            for name in qnames:
+                run_query(name)
+            post = round(run_once(canary_entry), 3)
+            canary["families"][fam] = {
+                "canary_sec": canary_samples[fam],
+                "load_factor": factor,
+                "reran": True,
+                "rerun_canary_sec": post,
+            }
+        else:
+            canary["families"][fam] = {
+                "canary_sec": canary_samples[fam],
+                "load_factor": factor,
+                "reran": False,
+            }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -187,6 +241,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load_note": note,
+        "canary": canary,
     }
     if errors:
         # the headline total excludes the failed queries' time, so it
@@ -200,6 +255,7 @@ def main() -> None:
                 "sf": out["sf"],
                 "loadavg": [load_start, load_end],
                 "queries": timings,
+                "canary": canary_samples,
             }) + "\n")
     except OSError as exc:  # pragma: no cover — read-only checkout
         print(f"bench: history append failed: {exc}", file=sys.stderr)

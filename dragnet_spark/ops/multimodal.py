@@ -344,7 +344,9 @@ def decode_wav(data: bytes):
     return nch, rate, x
 
 
-def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
+def _real_features(
+    media_type: str, payload: bytes, dim: int = FEATURE_DIM, decoders=None
+):
     """Decoded feature vector for the formats with real decoders.
 
     BMP → [width, height, mean B/G/R (0-1), payload bytes, 0, 1];
@@ -352,6 +354,15 @@ def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
     0, 2]; PNG → [width, height, first-3-channel means (0-1; greyscale
     repeats its single mean), payload bytes, 0, 3]. Deterministic, so
     tests can assert exact values.
+
+    ``decoders``: optional ``{media_type: fn}`` injection for formats
+    without a native stdlib decoder (video needs ffmpeg, absent here).
+    ``fn(payload: bytes) -> np.ndarray`` returns one representative
+    (H, W, 3) uint8 frame; its features are
+    [width, height, mean R/G/B (0-1), payload bytes, 0, 6]. Injected
+    decoders are a FALLBACK — native formats keep the stdlib path —
+    and any exception they raise is normalized to ValueError so the
+    ``on_error`` tolerance boundary applies to plugged-in codecs too.
     """
     if media_type == "image/png":
         w, h, px = decode_png(payload)
@@ -384,10 +395,28 @@ def _real_features(media_type: str, payload: bytes, dim: int = FEATURE_DIM):
         mean = float(x.mean()) if len(x) else 0.0
         v = [float(nch), float(rate), float(len(x)), rms, mean,
              float(len(payload)), 0.0, 2.0]
+    elif decoders and media_type in decoders:
+        import numpy as np
+
+        try:
+            frame = np.asarray(decoders[media_type](payload))
+        except Exception as exc:  # plugged-in codec: normalize so
+            # on_error=null/skip survives a corrupt record
+            raise ValueError(f"injected decoder failed: {exc}") from exc
+        if frame.ndim != 3 or frame.shape[2] != 3:
+            raise ValueError(
+                f"injected decoder for {media_type!r} must return "
+                f"(H, W, 3), got shape {frame.shape}"
+            )
+        h, w = frame.shape[:2]
+        mean = frame.reshape(-1, 3).astype("float64").mean(axis=0) / 255.0
+        v = [float(w), float(h), float(mean[0]), float(mean[1]),
+             float(mean[2]), float(len(payload)), 0.0, 6.0]
     else:
         raise NotImplementedError(
             f"no native decoder for {media_type!r}; formats needing "
-            "external codecs (mp4/video) run with decode_stub=True"
+            "external codecs (mp4/video) run with decode_stub=True or "
+            "an injected decoders={media_type: fn} hook"
         )
     return (v + [0.0] * dim)[:dim]
 
@@ -411,7 +440,10 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def extract_features(
-    media: DataFrame, decode_stub: bool = True, on_error: str = "raise"
+    media: DataFrame,
+    decode_stub: bool = True,
+    on_error: str = "raise",
+    decoders=None,
 ) -> DataFrame:
     """binary payload → feature vector, via mapInPandas.
 
@@ -439,7 +471,7 @@ def extract_features(
                 keep = None
             elif on_error == "raise":
                 feats = [
-                    _real_features(mt, bytes(p))
+                    _real_features(mt, bytes(p), decoders=decoders)
                     for mt, p in zip(pdf["media_type"], pdf["payload"])
                 ]
                 keep = None
@@ -447,7 +479,9 @@ def extract_features(
                 feats, keep = [], []
                 for mt, p in zip(pdf["media_type"], pdf["payload"]):
                     try:
-                        feats.append(_real_features(mt, bytes(p)))
+                        feats.append(
+                            _real_features(mt, bytes(p), decoders=decoders)
+                        )
                         keep.append(True)
                     except (ValueError, NotImplementedError):
                         feats.append(None)

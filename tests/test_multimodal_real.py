@@ -670,3 +670,55 @@ def test_jpeg_skip_rst_consumes_fill_bytes():
     pos = br2.i
     br2.skip_rst()
     assert br2.i == pos  # EOI: not an RST, untouched
+
+
+def test_injected_video_decoder_hook(spark):
+    """decoders={media_type: fn} plugs an external codec (e.g. ffmpeg)
+    in without touching engine code: the injected path feeds
+    extract_features; the absent path still raises cleanly; a crashing
+    injected decoder is normalized into the on_error boundary."""
+    import numpy as np
+
+    from dragnet_spark.ops.multimodal import extract_features
+
+    frame = np.full((4, 6, 3), 128, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "video/mp4", b"fake-container-bytes", None)],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    (row,) = extract_features(
+        df, decode_stub=False, decoders={"video/mp4": lambda p: frame}
+    ).collect()
+    # injected frame: [w, h, mean RGB, n_bytes, 0, 6]
+    assert row["features"][:2] == [6.0, 4.0]
+    np.testing.assert_allclose(row["features"][2:5], [128 / 255.0] * 3)
+    assert row["features"][5] == 20.0
+    assert row["features"][7] == 6.0
+    # no hook -> the declared boundary still raises cleanly
+    with pytest.raises(Exception, match="no native decoder"):
+        extract_features(df, decode_stub=False).collect()
+    # crashing injected codec under on_error="skip": record dropped
+    def boom(p):
+        raise RuntimeError("codec crash")
+
+    assert (
+        extract_features(
+            df, decode_stub=False, on_error="skip", decoders={"video/mp4": boom}
+        ).count()
+        == 0
+    )
+    # native formats are NOT overridden by the hook
+    from dragnet_spark.ops.multimodal import encode_bmp
+
+    bmp = encode_bmp(np.full((2, 2, 3), 10, dtype=np.uint8))
+    df2 = spark.createDataFrame(
+        [(2, "image/bmp", bmp, None)],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    (r2,) = extract_features(
+        df2, decode_stub=False,
+        decoders={"image/bmp": lambda p: frame},  # must be ignored
+    ).collect()
+    assert r2["features"][7] == 1.0  # native BMP format code, not 6

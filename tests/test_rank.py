@@ -85,3 +85,32 @@ def test_rank_helper_plans_no_unpartitioned_window(spark):
         if " ASC" in m or " DESC" in m
     ]
     assert not bad, bad
+
+
+# ---------------------------------------------------- xxhash64 twin
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """ops/xxhash.py must agree with JVM F.xxhash64 on every length
+    class (empty, <4, <8, <32, >=32, unicode) — it is the independent
+    twin the dedup_simhash oracle rests on."""
+    from dragnet_spark.ops.xxhash import xxhash64
+
+    tests = [
+        "", "a", "ab", "abc", "abcd", "abcde", "1234567", "12345678",
+        "0123456789abcdef", "0123456789abcdef0123456789abcde",
+        "0123456789abcdef0123456789abcdef", "x" * 100,
+        "üñïçødé ţêxt", "日本語のテスト",
+    ]
+    df = spark.createDataFrame([(t,) for t in tests], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for r in df.collect():
+        assert xxhash64(r["s"].encode("utf-8")) == r["h"], r["s"]
+
+
+def test_simhash_twin_agrees_on_documents(spark, sf_dir):
+    from dragnet_spark.registry import REGISTRY
+
+    rows = REGISTRY["dedup_simhash"].spark(spark, sf_dir).collect()
+    assert rows and all(r["jvm_twin_match"] for r in rows)
