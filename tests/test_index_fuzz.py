@@ -140,3 +140,108 @@ def test_router_three_way_interactions(
         f"filtered={filtered} bounded={bounded} hourly={hourly}: "
         f"index-only={sorted(got - want)[:3]} scan-only={sorted(want - got)[:3]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-metric catalogs under ambiguity (round-5): several metrics
+# PARTIALLY cover the query; the router must pick the FIRST valid one
+# in catalog order (reference first-match semantics,
+# lib/index-query.js:163-166), never a "better" later one, and the
+# answer must round-trip against the raw scan no matter which metric
+# served it. The expected winner comes from an independent
+# reimplementation of the documented routing contract, so a router
+# change that silently reorders matches fails here even when the
+# numbers still happen to agree.
+# ---------------------------------------------------------------------------
+
+from dragnet_spark.index.query import NoMetricError, find_metric
+
+_DAY_SPEC = "day[date,field=ts,aggr=lquantize,step=86400]"
+_CATALOG_POOL = [
+    # (name, specs, filter) — deliberately overlapping coverage
+    ("full", ["event_type", "uid[field=user_id,aggr=lquantize,step=100]", _DAY_SPEC], None),
+    ("et_only", ["event_type"], None),
+    ("et_day", ["event_type", _DAY_SPEC], None),
+    ("uid_only", ["uid[field=user_id,aggr=lquantize,step=100]"], None),
+    ("click_day", ["event_type", _DAY_SPEC], {"eq": ["event_type", "click"]}),
+    ("click_et", ["event_type"], {"eq": ["event_type", "click"]}),
+]
+
+
+def _expected_first_match(catalog, q_specs, q_filter, bounded):
+    """Independent twin of the routing contract: first metric whose
+    (filter identity | indexed filter fields) x (date breakdown when
+    bounded) x (breakdown coverage) all hold."""
+    for name, specs, mfilter in catalog:
+        cols = {s.split("[")[0] for s in specs}
+        if mfilter is not None:
+            if q_filter != mfilter:
+                continue
+        elif q_filter is not None:
+            # filter fields must be indexed; pool filters only touch
+            # event_type
+            if "event_type" not in cols:
+                continue
+        if bounded and not any("date" in s for s in specs):
+            continue
+        if any(s.split("[")[0] not in cols for s in q_specs):
+            continue
+        # identical spec strings -> compatibility is name identity,
+        # but the full spec must match too (step/aggr)
+        if any(s not in specs for s in q_specs):
+            continue
+        return name
+    return None
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_router_first_match_under_ambiguity(
+    spark, tables, tmp_path_factory, seed
+):
+    rng = random.Random(1000 + seed)
+    catalog = rng.sample(_CATALOG_POOL, rng.randint(3, len(_CATALOG_POOL)))
+    metrics = [
+        Metric.load(name, ",".join(specs), mfilter)
+        for name, specs, mfilter in catalog
+    ]
+    idx = str(tmp_path_factory.mktemp(f"amb{seed}"))
+    build_index(
+        spark, tables["events"], metrics, idx, interval="day", time_field="ts"
+    )
+
+    q_specs = rng.choice(
+        [
+            ["event_type"],
+            ["event_type", _DAY_SPEC],
+            ["uid[field=user_id,aggr=lquantize,step=100]"],
+            [_DAY_SPEC],
+        ]
+    )
+    q_filter = rng.choice([None, None, {"eq": ["event_type", "click"]}])
+    bounded = rng.random() < 0.5
+    kwargs = (
+        {"time_after": _day(3), "time_before": _day(20), "time_field": "ts"}
+        if bounded
+        else {}
+    )
+    q = QueryConfig.load(",".join(q_specs), filter=q_filter, **kwargs)
+
+    expect = _expected_first_match(catalog, q_specs, q_filter, bounded)
+    if expect is None:
+        with pytest.raises(NoMetricError):
+            find_metric(q, metrics)
+        return
+    m, ignore_filter = find_metric(q, metrics)
+    assert m.name == expect, (
+        f"seed {seed}: router picked {m.name}, first valid in catalog "
+        f"order is {expect} (catalog={[c[0] for c in catalog]}, "
+        f"q={q_specs} f={q_filter} bounded={bounded})"
+    )
+    assert ignore_filter == (m.filter is not None)
+
+    got = rows_set(query_index(spark, idx, q))
+    want = rows_set(scan(tables["events"], q))
+    assert got == want, (
+        f"seed {seed}: {m.name} served a wrong answer: "
+        f"index-only={sorted(got - want)[:3]} scan-only={sorted(want - got)[:3]}"
+    )

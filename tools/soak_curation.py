@@ -16,9 +16,18 @@ Replication that doesn't distort the answer:
   cosine structure is preserved but cross-replica cosines collapse
   toward 0 and the near-dup pair count scales linearly in K.
 
-Usage: python tools/soak_curation.py [K1,K2,...]   (default 1,4,16)
-Prints one JSON line per K and a final summary line with the
-t(K_max)/t(K_min) scaling ratios (linear would be K_max/K_min).
+Usage: python tools/soak_curation.py [K1,K2,...] [op1,op2,...]
+(default K=1,4,16, all ops). Prints one JSON line per K and a final
+summary line with the t(K_max)/t(K_min) scaling ratios (linear would
+be K_max/K_min).
+
+ANN rows (round-5): the corpus side replicates K×, the QUERY side
+stays fixed (64 vectors) — the production shape where a bounded query
+batch probes an ever-growing corpus. Replica sign-masks make replicas
+near-orthogonal, so top-k stays dominated by within-replica
+neighbors and the answer's structure is K-invariant. Each K also
+asserts the broadcast cap: a query side over max_queries must raise,
+not OOM the driver.
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from dragnet_spark.ops import dedup as _dedup  # noqa: E402
+from dragnet_spark.ops import similarity as _sim  # noqa: E402
 from dragnet_spark.ops import text as _text  # noqa: E402
 from dragnet_spark.session import get_spark  # noqa: E402
 from dragnet_spark.sources.tables import load_table  # noqa: E402
@@ -98,15 +108,29 @@ def timed(fn) -> tuple[float, int]:
 
 def main() -> None:
     ks = [int(x) for x in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["1", "4", "16"])]
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark(app_name="soak_curation")
     docs0 = load_table(spark, SF_DIR, "documents")
     emb0 = load_table(spark, SF_DIR, "embeddings")
+    # fixed ANN query side: the corpus grows, the query batch doesn't
+    fixed_q = emb0.limit(64).cache()
+    fixed_q.count()
     results = {}
     for k in ks:
         docs = replicate_documents(docs0, k)
         emb = replicate_embeddings(emb0, k)
         n_docs = docs.count()
         row = {"k": k, "n_docs": n_docs}
+
+        def _ann_cap_enforced() -> int:
+            try:
+                _sim.cosine_topk_blocked(
+                    emb, emb.limit(40), k=1, max_queries=32
+                ).count()
+            except ValueError:
+                return 1
+            return 0
+
         ops = {
             "exact_dedup": lambda: _dedup.exact_dup_groups(
                 docs, "text", "doc_id"
@@ -127,8 +151,18 @@ def main() -> None:
                 bits_per_band=16,
                 bands=6,
             ).count(),
+            # ANN: K-growing corpus against the FIXED 64-query batch
+            "ann_blocked": lambda: _sim.cosine_topk_blocked(
+                emb, fixed_q, k=5
+            ).count(),
+            "ann_ivf": lambda: _sim.ivf_topk(
+                emb, fixed_q, k=5, n_centroids=16, n_probe=4
+            ).count(),
+            "ann_cap_enforced": _ann_cap_enforced,
         }
         for name, fn in ops.items():
+            if only is not None and name not in only:
+                continue
             dt, n = timed(fn)
             row[name] = {"sec": dt, "out_rows": n}
         results[k] = row
