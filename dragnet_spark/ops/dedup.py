@@ -74,18 +74,47 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8,
     ngram: int = 3,
 ) -> DataFrame:
-    """Exact all-pairs shingle-set Jaccard ≥ threshold. O(n²) — use only
-    on small/pre-blocked inputs; the scale path is minhash_lsh_pairs."""
+    """Exact shingle-set Jaccard ≥ threshold via the shared-shingle
+    equi-join: explode distinct shingles, self-join on the shingle,
+    count shared grams per pair, then
+    ``jaccard = shared / (|A| + |B| - shared)``.
+
+    Bit-identical to the naive all-pairs form for any threshold > 0
+    (a pair sharing zero shingles has jaccard 0 and can't pass), but
+    the O(n²) non-equi BNLJ with a per-pair set intersection becomes
+    hash shuffles whose volume is Σ_g C(df_g, 2) — only pairs that
+    actually co-occur in some shingle are materialized (~10× fewer
+    intermediate rows than n²/2 even on the shingle-dense synthetic
+    corpus; unrelated real-corpus docs contribute nothing). Still the
+    exact verification path — dedup_minhash_lsh remains the candidate
+    generator at scale, and a 100 TB run would additionally ride the
+    grams as md5 hashes (duplicate_spans' discipline) and df-cap
+    stop-shingles (winnow_overlap's discipline)."""
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0 (the equi-join "
+            "form cannot emit zero-overlap pairs)"
+        )
     df = spread(df)
-    a = token_sets(df, text_col, id_col, ngram).select(
-        F.col("id").alias("id_a"), F.col("tset").alias("ts_a")
+    sets = token_sets(df, text_col, id_col, ngram)
+    ex = sets.select(
+        "id", F.size("tset").alias("sz"), F.explode("tset").alias("g")
     )
-    b = token_sets(df, text_col, id_col, ngram).select(
-        F.col("id").alias("id_b"), F.col("tset").alias("ts_b")
+    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "sz_a", "id_b", "sz_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.round(
+        F.col("shared").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
+        6,
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", _jaccard(F.col("ts_a"), F.col("ts_b")))
+        shared.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

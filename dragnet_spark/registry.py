@@ -631,23 +631,32 @@ _NGRAM = 3  # w-shingling width for near-dup similarity
 
 
 def _jaccard_oracle(threshold: float, ngram: int = _NGRAM) -> str:
+    # same shared-shingle equi-join reformulation as the Spark side
+    # (ops/dedup.py ngram_jaccard_pairs): identical values for any
+    # threshold > 0, and the all-pairs list_intersect — which
+    # single-threads DuckDB for minutes at sf0.1 — never materializes
     toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
     return f"""
-    WITH t AS (SELECT doc_id AS id, {toks} AS ts FROM documents)
-    SELECT a.id AS id_a, b.id AS id_b,
-           round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
-    FROM t a JOIN t b ON a.id < b.id
-    WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= {threshold}
+    WITH t AS MATERIALIZED (SELECT doc_id AS id, {toks} AS ts FROM documents),
+    s AS (SELECT id, len(ts) AS sz, unnest(ts) AS g FROM t),
+    p AS (SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 COUNT(*) AS shared
+          FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sz_a + sz_b - shared), 6) AS jaccard
+    FROM p
+    WHERE round(CAST(shared AS DOUBLE) / (sz_a + sz_b - shared), 6)
+          >= {threshold}
     """
 
 
 @register(
     "dedup_ngram_jaccard",
     _jaccard_oracle(_JACCARD_T),
-    "exact all-pairs 3-shingle Jaccard near-dup detection (small-input / "
-    "verification path; the scale path is dedup_minhash_lsh)",
+    "exact 3-shingle Jaccard near-dup detection via the shared-shingle "
+    "equi-join (bit-identical to all-pairs for threshold > 0, no BNLJ); "
+    "the candidate-generation scale path is dedup_minhash_lsh",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
