@@ -71,6 +71,30 @@ def token_count_sql(expr: str) -> str:
     return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
 
 
+# BPE-ish pre-tokenizer: the GPT-2 pre-tokenization classes
+# (space-prefixed letter runs / digit runs / punctuation runs) with
+# the lookahead clauses dropped so the SAME pattern runs under Java
+# regex (Spark) and RE2 (DuckDB) with identical leftmost-first
+# semantics. Counting these pre-tokens approximates subword budget far
+# better than whitespace counting ("don't!" = 1 ws token, 3 BPE-ish).
+BPE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    # idx=0 → the whole match (Spark defaults to capture group 1)
+    return F.size(
+        F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    ).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, "
+        f"' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)"
+    )
+
+
 def quality_columns(col: Column | str) -> dict[str, Column]:
     """Quality-scoring features: length, token stats, punct/digit/space
     ratios. Returned as named columns so callers pick what they keep."""

@@ -529,6 +529,40 @@ def text_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_fertility",
+    f"""
+    SELECT doc_id,
+           {_text.bpe_token_count_sql('text')} AS n_bpe_tokens,
+           {_text.token_count_sql('text')} AS n_ws_tokens,
+           round(CAST({_text.bpe_token_count_sql('text')} AS DOUBLE)
+                 / NULLIF({_text.token_count_sql('text')}, 0), 6)
+             AS fertility
+    FROM documents
+    """,
+    "BPE-ish token budgeting: per-doc pre-token count under the GPT-2 "
+    "pre-tokenization classes (space-prefixed letter/digit/punct runs, "
+    "RE2- and Java-compatible regex so Spark and DuckDB count "
+    "identically) vs whitespace tokens, plus the fertility ratio — "
+    "the number a context-window budget or a per-source token quota "
+    "actually needs, where whitespace counting undercounts punctuated "
+    "text. Pure built-in expressions: narrow map, zero shuffle, "
+    "whole-stage codegen",
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bpe = _text.bpe_token_count("text")
+    ws = _text.token_count("text")
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(
+            bpe.cast("double") / F.nullif(ws, F.lit(0)), 6
+        ).alias("fertility"),
+    )
+
+
+@register(
     "text_token_stats",
     """
     WITH toks AS (

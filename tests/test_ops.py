@@ -606,3 +606,40 @@ def test_benchmark_overlap_flags_contaminated(spark):
     assert 0 not in out  # eval docs are not reported as training docs
     assert out[1]["contaminated"] == 1 and out[1]["n_hit_grams"] == 5
     assert out[2]["contaminated"] == 0 and out[2]["n_hit_grams"] == 0
+
+
+def test_bpe_fertility_vs_duckdb(spark, oracle):
+    """BPE-ish pre-token counts agree between Java regex (Spark) and
+    RE2 (DuckDB) on the punctuation shapes where whitespace counting
+    diverges."""
+    from dragnet_spark.ops.text import bpe_token_count, token_count
+
+    rows = [
+        (1, "Hello, world! 42 times"),
+        (2, "don't!"),
+        (3, ""),
+        (4, "3.14+x   y"),
+        (5, "a,b,c;;d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        bpe_token_count("text").alias("bpe"),
+        token_count("text").alias("ws"),
+    )
+    got = {(r["doc_id"], r["bpe"], r["ws"]) for r in df.collect()}
+    oracle.execute("CREATE OR REPLACE TABLE bpe_t (doc_id BIGINT, text VARCHAR)")
+    oracle.executemany("INSERT INTO bpe_t VALUES (?, ?)", rows)
+    want = {
+        tuple(r)
+        for r in oracle.execute(
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT), "
+            "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> TRUE)) AS BIGINT) "
+            "FROM bpe_t"
+        ).fetchall()
+    }
+    assert {(d, b) for d, b, _ in got} == {(d, b) for d, b, _ in want}
+    # the divergence BPE counting exists to capture: "don't!" is 1 ws
+    # token but 4 BPE-ish pre-tokens
+    by_id = {d: (b, w) for d, b, w in got}
+    assert by_id[2][0] > by_id[2][1]
