@@ -49,8 +49,16 @@ def connected_components(
         .distinct()
     )
     sym.persist()
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
-    labels.persist()
+    # localCheckpoint EVERY round, not just at the end: persist caches
+    # the data but the LOGICAL plan still nests one union+join+agg per
+    # iteration, and analyzing/compiling that exponentially-deepening
+    # tree OOMed an 8 GB driver on a 441-edge graph at sf0.1. The
+    # checkpoint truncates lineage to the materialized blocks each
+    # round (bounded plan depth, bounded heap); superseded checkpoint
+    # blocks are reference-GC'd by the ContextCleaner.
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
     try:
         for _ in range(max_iter):
             msgs = sym.join(labels, sym.s == labels.id).select(
@@ -60,8 +68,8 @@ def connected_components(
                 labels.union(msgs)
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
             )
-            new_labels.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -69,17 +77,9 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
-                # hand back a lineage-truncated copy and release the
-                # cache: returning the persisted frame would leak one
-                # cached labeling per call (DataFrame caches are never
-                # GC-collected; localCheckpoint blocks are)
-                out = labels.localCheckpoint(eager=True)
-                labels.unpersist()
-                return out
-        labels.unpersist()
+                return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )

@@ -604,9 +604,15 @@ def unigram_logprob(
     language — the standard cheap LM gate before an expensive model
     ever sees the text.
 
-    Exactness across engines: per-token logp is rounded to 9 dp and
-    summed as DECIMAL(18,9) (order-independent), then the mean is one
-    double division at the end — no float summation order anywhere.
+    Exactness across engines: per-token logp is scaled to an e9
+    INTEGER (round(ln(p)*1e9) — boundary-safe because ln outputs are
+    transcendental), summed as exact bigints (order-independent), and
+    the mean is a sign-safe truncating integer division re-scaled to
+    double. No decimal→double re-round anywhere: the former
+    round(sum/n, 9) hit half-boundary values (rational quotients of
+    exact decimals) that Spark's HALF_UP BigDecimal and DuckDB's
+    float-multiply rounding resolved differently at sf0.1 — 1-ulp
+    hash mismatches this formulation cannot produce.
 
     Scale shape: one (doc, token) explode feeding two aggregations —
     the vocabulary count (token-key shuffle) and the per-doc sum
@@ -632,26 +638,27 @@ def unigram_logprob(
     tot = cnt.agg(F.sum("c").alias("t"))
     probs = cnt.crossJoin(F.broadcast(tot)).select(
         "tok",
-        F.round(F.log(F.col("c").cast("double") / F.col("t")), 9)
-        .cast("decimal(18,9)")
-        .alias("logp"),
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("t")) * F.lit(1e9), 0
+        )
+        .cast("long")
+        .alias("logp_e9"),
     )
-    return (
+    per_doc = (
         dtc.join(probs, "tok")
         .groupBy(id_col)
         .agg(
             F.sum("n").cast("long").alias("n_tokens"),
-            # n is cast to a narrow decimal before the multiply:
-            # decimal(18,9) x bigint exceeds Spark's 38-digit cap and
-            # allowPrecisionLoss silently drops the 9th decimal
-            F.round(
-                F.sum(F.col("logp") * F.col("n").cast("decimal(12,0)"))
-                .cast("double")
-                / F.sum("n"),
-                9,
-            ).alias("mean_logp"),
+            F.sum(F.col("logp_e9") * F.col("n")).alias("sum_e9"),
         )
     )
+    # `div` truncates toward zero in Spark but DuckDB's `//` floors;
+    # negating the (always-negative) sum makes both operands positive,
+    # where the two semantics coincide
+    mean = (
+        (-F.expr("(-sum_e9) div n_tokens")).cast("double") / F.lit(1e9)
+    ).alias("mean_logp")
+    return per_doc.select(id_col, "n_tokens", mean)
 
 
 def unigram_logprob_sql(text_expr: str = "text") -> str:
@@ -662,11 +669,12 @@ def unigram_logprob_sql(text_expr: str = "text") -> str:
     cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
     tot AS (SELECT SUM(c) AS t FROM cnt),
     p AS (SELECT tok,
-                 CAST(ROUND(LN(CAST(c AS DOUBLE) / t), 9)
-                      AS DECIMAL(18,9)) AS logp
+                 CAST(ROUND(LN(CAST(c AS DOUBLE) / t) * 1e9, 0)
+                      AS BIGINT) AS logp_e9
           FROM cnt, tot)
     SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 9) AS mean_logp
+           CAST(-((-SUM(logp_e9)) // COUNT(*)) AS DOUBLE) / 1e9
+             AS mean_logp
     FROM tok JOIN p USING (tok)
     GROUP BY doc_id
     """

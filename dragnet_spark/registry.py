@@ -3633,10 +3633,11 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob",
     _text.unigram_logprob_sql("text"),  # oracle lives beside the op
     "CCNet-style corpus-LM quality gate: per-doc mean token log-prob "
-    "under the corpus unigram distribution; per-token logp rounded to "
-    "9 dp and summed in exact decimal so both engines hash-match. One "
-    "(doc,token) explode, vocab join sized by AQE, no driver-side "
-    "state",
+    "under the corpus unigram distribution; per-token logp scaled to "
+    "an e9 integer, summed as exact bigints, mean via sign-safe "
+    "truncating integer division — no decimal→double re-round, so "
+    "both engines hash-match at every SF. One (doc,token) explode, "
+    "vocab join sized by AQE, no driver-side state",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_logprob(_t(spark, sf_dir, "documents"))
