@@ -3691,6 +3691,116 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_source_mix_weights",
+    f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM({_text.token_count_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n_docs, n_tokens,
+                 CAST(ROUND(POW(n_tokens, 0.7) * 1e6, 0) AS BIGINT) AS pw_e6
+          FROM s),
+    tot AS (SELECT SUM(pw_e6) AS total_e6 FROM w)
+    SELECT source, n_docs, n_tokens,
+           CAST((pw_e6 * 1000000) // total_e6 AS BIGINT) AS weight_ppm
+    FROM w, tot
+    """,
+    "temperature-based source mixing (the LLaMA/GPT data-recipe step): "
+    "per-source sampling weights ∝ tokens^α (α=0.7) so the training "
+    "mix upsamples small high-quality sources and damps the crawl "
+    "head. Cross-engine exactness via the e9-integer discipline: "
+    "pow() is transcendental (rounding its e6 scaling is boundary-"
+    "safe), the normalizer is an exact bigint sum, and the ppm weight "
+    "is a truncating integer division of positives where Spark's div "
+    "and DuckDB's // agree. One tiny per-source aggregate + 1-row "
+    "broadcast total — the corpus is read once",
+)
+def docs_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_text.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "pw_e6",
+        F.round(F.pow(F.col("n_tokens"), F.lit(0.7)) * F.lit(1e6), 0).cast(
+            "long"
+        ),
+    )
+    tot = w.agg(F.sum("pw_e6").alias("total_e6"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(pw_e6 * 1000000) div total_e6")
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+@register(
+    "corpus_token_spectrum",
+    f"""
+    WITH g AS (
+      SELECT 'token' AS gram, unnest({_text.tokens_sql('text')}) AS t
+      FROM documents
+      UNION ALL
+      SELECT '3gram' AS gram, unnest({_text.shingles_sql('text', 3)}) AS t
+      FROM documents
+    ),
+    cnt AS (SELECT gram, t, COUNT(*) AS c FROM g WHERE t <> ''
+            GROUP BY gram, t)
+    SELECT gram, CAST(FLOOR(LOG2(c)) AS BIGINT) AS freq_band,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS total_occurrences,
+           CAST(MIN(c) AS BIGINT) AS min_count,
+           CAST(MAX(c) AS BIGINT) AS max_count
+    FROM cnt GROUP BY 1, 2
+    """,
+    "token / 3-gram frequency spectrum: vocabulary binned by log2 "
+    "frequency band — the Zipf-shape audit that flags boilerplate "
+    "floods (mass piling into head bands) or tokenizer damage (an "
+    "exploding singleton tail) after any pipeline change; the 3-gram "
+    "tier discriminates where a tiny unigram vocabulary saturates. "
+    "log2 of an integer is exact at band boundaries (powers of two) "
+    "in both engines and every output is an exact integer, so the "
+    "audit is hash-stable at any SF. One (gram) shuffle with map-side "
+    "partial counts, then a few-dozen-band rollup",
+)
+def corpus_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.lit("token").alias("gram"),
+        F.explode(_text.tokens("text")).alias("t"),
+    )
+    grams = docs.select(
+        F.lit("3gram").alias("gram"),
+        F.explode(_text.shingles("text", 3)).alias("t"),
+    )
+    cnt = (
+        toks.unionByName(grams)
+        .filter(F.col("t") != "")
+        .groupBy("gram", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy(
+            "gram", F.floor(F.log2("c")).cast("long").alias("freq_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("c").cast("long").alias("total_occurrences"),
+            F.min("c").cast("long").alias("min_count"),
+            F.max("c").cast("long").alias("max_count"),
+        )
+    )
+
+
+@register(
     "text_duplicate_spans",
     _text.duplicate_spans_sql("text", n=8),
     "exact duplicate-span detection (fixed-n variant of Lee et al. "
