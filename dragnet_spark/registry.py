@@ -1108,6 +1108,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VINDEX_CACHE: dict[str, str] = {}
+
+
+@register(
+    "ann_vector_index_topk",
+    _ANN_ORACLE,  # exhaustive probing (n_probe == n_centroids) makes
+    # the materialized-index path exact, so the brute-force SQL top-k
+    # grades the whole build→persist→prune→score chain; the pruned
+    # approximate path and the partition-pruning plan shape are
+    # pytest-covered (test_vector_index.py)
+    "materialized IVF vector index (index/vector.py): the event-index "
+    "build-once pattern applied to embeddings — vectors persisted "
+    "partitionBy(cell) under seeded k-means centroids, queries probe "
+    "their cells driver-side and the scan's cell IN (...) filter "
+    "partition-prunes every other cell directory, so probe I/O is "
+    "~n_probe/n_centroids of the corpus at any scale",
+)
+def ann_vector_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.vector import (
+        build_vector_index,
+        query_vector_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _VINDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_vindex_")
+        build_vector_index(spark, emb, path, n_centroids=16)
+        _VINDEX_CACHE[sf_dir] = path
+    return query_vector_index(
+        spark,
+        _VINDEX_CACHE[sf_dir],
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_probe=16,
+    )
+
+
 @register(
     "multimodal_features",
     """
