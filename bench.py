@@ -78,11 +78,15 @@ BENCH_FAMILIES = [
         "source_unigram_kl",
         "docs_training_order",
         "corpus_version_diff",
+        "text_bpe_fertility",
+        "docs_source_mix_weights",
+        "corpus_token_spectrum",
     ]),
     ("ann", [
         "ann_hard_negatives",
         "embedding_label_outliers",
         "split_leakage_report",
+        "ann_vector_index_topk",
     ]),
     ("dedup", [
         "dedup_exact",
@@ -90,6 +94,7 @@ BENCH_FAMILIES = [
         "dedup_embedding_lsh",
         "customers_fuzzy_name_pairs",
         "ann_cosine_topk_blocked",
+        "dedup_incremental_probe",
     ]),
 ]
 BENCH_QUERIES = [q for _, qs in BENCH_FAMILIES for q in qs]

@@ -2,6 +2,7 @@ from dragnet_spark.streaming.pipeline import (
     read_ndjson_stream,
     stream_build,
     stream_curate,
+    stream_curate_against_store,
     stream_dedup,
     stream_enrich,
     stream_interval_join,
@@ -15,6 +16,7 @@ __all__ = [
     "sessionize",
     "stream_build",
     "stream_curate",
+    "stream_curate_against_store",
     "stream_dedup",
     "stream_enrich",
     "stream_interval_join",

@@ -467,3 +467,48 @@ def stream_curate(
         out = out.withWatermark(EVENT_TIME_COL, watermark)
         return out.dropDuplicatesWithinWatermark(["__dn_fp"])
     return out.dropDuplicates(["__dn_fp"])
+
+
+def stream_curate_against_store(
+    sdf: DataFrame,
+    store_path: str,
+    text_field: str,
+    time_field: str,
+    fields: list[str] | None = None,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    watermark: str = "1 hour",
+    resolver=None,
+) -> DataFrame:
+    """:func:`stream_curate` + the MATERIALIZED fingerprint store
+    (index/fingerprints.py): survivors must be new within the stream's
+    watermark horizon AND unseen by the persisted corpus.
+
+    The store side is static and projects only its fingerprint column
+    — a stream-static LEFT ANTI join, so each micro-batch drops
+    already-ingested documents without any streaming state beyond the
+    horizon dedup, and without ever reading corpus text. This closes
+    the continuous-ingest loop: probe here, then fold survivors into
+    the store with ``append_fingerprints`` at compaction time (the
+    event index's compact discipline). Works identically on a static
+    DataFrame (batch twin for equivalence tests).
+    """
+    import os as _os
+
+    from dragnet_spark.index.fingerprints import STORE_DIR
+
+    curated = stream_curate(
+        sdf,
+        text_field,
+        time_field,
+        fields=fields,
+        min_tokens=min_tokens,
+        max_punct_ratio=max_punct_ratio,
+        watermark=watermark,
+        resolver=resolver,
+    )
+    store_fps = (
+        curated.sparkSession.read.parquet(_os.path.join(store_path, STORE_DIR))
+        .select(F.col("fp").alias("__dn_fp"))
+    )
+    return curated.join(store_fps, "__dn_fp", "left_anti")

@@ -570,3 +570,65 @@ def test_stream_curate_matches_batch(spark, tmp_path):
         fields=["id", "text"], min_tokens=5,
     )
     assert {r["id"] for r in batch.collect()} == {"1", "5"}
+
+
+def test_stream_curate_against_store_matches_batch(spark, tmp_path):
+    """Continuous ingest against the persisted fingerprint store:
+    survivors must pass the quality gate, be first-in-stream, AND be
+    unseen by the store — stream output equals the batch twin."""
+    import json
+
+    from dragnet_spark.index.fingerprints import build_fingerprint_store
+    from dragnet_spark.streaming import (
+        read_ndjson_stream,
+        stream_curate_against_store,
+    )
+
+    known = "a document the corpus has already ingested before now"
+    fresh = "a genuinely new document with plenty of distinct tokens"
+    dup_in_stream = "another new document that arrives exactly twice here"
+
+    corpus = spark.createDataFrame(
+        [(100, known)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "fpstore")
+    build_fingerprint_store(spark, corpus, store)
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    rows = [
+        {"id": 1, "text": known.upper(), "time": "2024-01-01T10:00:00.000Z"},
+        {"id": 2, "text": fresh, "time": "2024-01-01T10:01:00.000Z"},
+        {"id": 3, "text": dup_in_stream, "time": "2024-01-01T10:02:00.000Z"},
+        {"id": 4, "text": dup_in_stream, "time": "2024-01-01T10:03:00.000Z"},
+        {"id": 5, "text": "short", "time": "2024-01-01T10:04:00.000Z"},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    sdf = read_ndjson_stream(spark, str(d))
+    res = stream_curate_against_store(
+        sdf, store, "text", "time", fields=["id", "text"], min_tokens=5
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("curate_store_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in spark.sql("select * from curate_store_s").collect()}
+    # 1 = normalized dup of the STORE doc, 4 = in-stream dup of 3,
+    # 5 = quality-gated; 2 and 3 survive
+    assert got == {"2", "3"}
+
+    # batch twin over the same files (typed reader + schema resolver)
+    from dragnet_spark.scan import SchemaResolver
+    from dragnet_spark.sources.ndjson import read_ndjson
+
+    batch = read_ndjson(spark, [str(d)])
+    bres = stream_curate_against_store(
+        batch, store, "text", "time", fields=["id", "text"], min_tokens=5,
+        resolver=SchemaResolver(batch),
+    )
+    assert {r["id"] for r in bres.collect()} == got
