@@ -3855,7 +3855,11 @@ def docs_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial counts, then a few-dozen-band rollup",
 )
 def corpus_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from dragnet_spark.ops import spread
+
+    # spread: the shingle transform is interpreted (HOF) — a one-file
+    # input would otherwise explode on a couple of cores
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         F.lit("token").alias("gram"),
         F.explode(_text.tokens("text")).alias("t"),
