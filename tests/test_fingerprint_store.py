@@ -81,3 +81,30 @@ def test_probe_against_registry_oracle(spark, sf_dir, oracle):
         ).fetchall()
     }
     assert got == want and got
+
+
+def test_probe_plan_uses_dpp_and_broadcast(spark, tmp_path):
+    """The probe must broadcast the batch side and dynamic-partition-
+    prune the store's fp_bucket directories — the two plan properties
+    that keep per-batch cost proportional to the batch, not the
+    corpus. (A corpus-sized store: the optimizer skips DPP when the
+    store is a handful of rows.)"""
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text number "), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "bigfp")
+    build_fingerprint_store(spark, corpus, path)
+    batch = corpus.filter(F.col("doc_id") < 5)
+    plan = (
+        probe_new_documents(spark, path, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "dynamicpruningexpression" in plan.lower(), (
+        "store scan lost dynamic partition pruning on fp_bucket"
+    )

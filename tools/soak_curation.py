@@ -122,6 +122,25 @@ def main() -> None:
         n_docs = docs.count()
         row = {"k": k, "n_docs": n_docs}
 
+        _vpath: list = []
+
+        def _vindex_build() -> int:
+            import tempfile
+
+            from dragnet_spark.index.vector import build_vector_index
+
+            path = tempfile.mkdtemp(prefix="dragnet_soak_vidx_")
+            build_vector_index(spark, emb, path, n_centroids=16)
+            _vpath.append(path)
+            return emb.count()
+
+        def _vindex_probe() -> int:
+            from dragnet_spark.index.vector import query_vector_index
+
+            return query_vector_index(
+                spark, _vpath[-1], fixed_q, k=5, n_probe=4
+            ).count()
+
         def _ann_cap_enforced() -> int:
             try:
                 _sim.cosine_topk_blocked(
@@ -159,6 +178,11 @@ def main() -> None:
                 emb, fixed_q, k=5, n_centroids=16, n_probe=4
             ).count(),
             "ann_cap_enforced": _ann_cap_enforced,
+            # materialized IVF index: build once per K, then a pruned
+            # probe of the FIXED query batch — probe cost should track
+            # n_probe/n_centroids of the index, not the whole corpus
+            "ann_index_build": lambda: _vindex_build(),
+            "ann_index_probe": lambda: _vindex_probe(),
         }
         for name, fn in ops.items():
             if only is not None and name not in only:
