@@ -1097,3 +1097,144 @@ def encode_gif(px) -> bytes:
         out += bytes([len(block)]) + block
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ------------------------------------------------- perceptual hashing
+
+
+def dhash64_from_array(px) -> int:
+    """64-bit difference hash (dHash) of a decoded (H, W[, C]) uint8
+    image: grayscale by channel mean, nearest-neighbor resize to 9×8,
+    bit (r, c) = gray[r, c] > gray[r, c+1], row-major. The standard
+    perceptual near-dup signature — stable under re-encode, resize,
+    and mild brightness shifts (a global brightness change preserves
+    every adjacent-pixel comparison), unlike the byte-level
+    fingerprints exact dedup keys on. Signed int64 (Spark LongType
+    convention)."""
+    import numpy as np
+
+    a = np.asarray(px)
+    gray = a.astype(np.float64).mean(axis=2) if a.ndim == 3 else a.astype(np.float64)
+    h, w = gray.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = gray[ys][:, xs]
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """(id, media_type, dhash) for image payloads via mapInPandas.
+
+    Real path decodes with the stdlib codecs (PNG/JPEG/GIF/BMP);
+    ``decode_stub=True`` derives a deterministic fake hash from the
+    payload digest (the plumbing-only mode for codec-less
+    environments). Non-image rows pass through with dhash NULL.
+    Payloads never shuffle; the 8-byte hash is what downstream
+    grouping/joining moves — the multimodal analogue of the text
+    fingerprint store's discipline.
+    """
+    import hashlib as _hl
+
+    import pandas as pd
+
+    decoders = {
+        "image/png": decode_png,
+        "image/bmp": decode_bmp,
+        "image/gif": decode_gif,
+    }
+
+    def run(batches):
+        from dragnet_spark.ops.jpeg import decode_jpeg
+
+        decoders["image/jpeg"] = lambda b: decode_jpeg(b)
+        for pdf in batches:
+            hashes = []
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                if mt not in decoders and mt != "image/jpeg":
+                    hashes.append(None)
+                    continue
+                raw = bytes(p)
+                if decode_stub:
+                    d = _hl.sha256(raw).digest()
+                    v = int.from_bytes(d[:8], "big")
+                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+                    continue
+                _, _, px = decoders[mt](raw)
+                hashes.append(dhash64_from_array(px))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="id long, media_type string, dhash long"
+    )
+
+
+def audio_spectral_stats(media: DataFrame) -> DataFrame:
+    """Real DSP features for WAV payloads via mapInPandas: RMS,
+    zero-crossing rate, spectral centroid and 85% rolloff (Hz) from a
+    numpy rFFT over the (channel-meaned) samples. The standard cheap
+    audio-quality/content gates — silence and DC-offset detection
+    (rms), noisiness (zcr), brightness (centroid) — before an
+    expensive model hears anything. Deterministic (fft of fixed
+    samples), payloads never shuffle, non-WAV rows are filtered out
+    up front so the decode loop touches only audio."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "id": [], "sample_rate": [], "n_samples": [], "rms": [],
+                "zero_cross_rate": [], "spectral_centroid_hz": [],
+                "spectral_rolloff_hz": [],
+            }
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                nch, rate, x = decode_wav(bytes(p))
+                if nch > 1:
+                    x = x.reshape(-1, nch).mean(axis=1)
+                n = len(x)
+                rms = float(np.sqrt((x ** 2).mean())) if n else 0.0
+                zcr = (
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                    if n > 1 else 0.0
+                )
+                if n:
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    tot = mag.sum()
+                    cent = float((freqs * mag).sum() / tot) if tot else 0.0
+                    cum = np.cumsum(mag)
+                    roll = (
+                        float(freqs[np.searchsorted(cum, 0.85 * tot)])
+                        if tot else 0.0
+                    )
+                else:
+                    cent = roll = 0.0
+                out["id"].append(i)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["rms"].append(round(rms, 6))
+                out["zero_cross_rate"].append(round(zcr, 6))
+                out["spectral_centroid_hz"].append(round(cent, 3))
+                out["spectral_rolloff_hz"].append(round(roll, 3))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio/wav").select(
+        "id", "payload"
+    ).mapInPandas(
+        run,
+        schema=(
+            "id long, sample_rate int, n_samples long, rms double, "
+            "zero_cross_rate double, spectral_centroid_hz double, "
+            "spectral_rolloff_hz double"
+        ),
+    )

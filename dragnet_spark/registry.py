@@ -1192,6 +1192,145 @@ def ann_vector_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_dhash_dedup",
+    "SELECT doc_id, CAST(1 AS BOOLEAN) AS partner_in_bucket FROM documents",
+    "perceptual image dedup via 64-bit dHash (difference hash): every "
+    "doc id synthesizes a 16×16 PNG whose pattern depends on id//2 "
+    "and whose BRIGHTNESS depends on id%2 — so each doc has a twin "
+    "that byte-level fingerprints cannot match (the payload bytes "
+    "differ) but the perceptual hash must (brightness shifts preserve "
+    "every adjacent-pixel comparison). The Spark side REALLY encodes, "
+    "REALLY decodes, hashes (ops/multimodal.perceptual_hash, "
+    "mapInPandas, payloads never shuffle), groups by the 8-byte hash, "
+    "and reports whether the twin landed in the same bucket; the "
+    "oracle states the invariant (all TRUE). The dedup shape is the "
+    "text fingerprint store's: only hashes ride the shuffle",
+)
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dragnet_spark.ops.multimodal import encode_png, perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        i = np.arange(16)[:, None]
+        j = np.arange(16)[None, :]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = ((did // 2) * 31 + i * 7 + j * 13) % 200
+                if did % 2:
+                    g = g + 20  # brightness twin; 199+20 < 255, no clip
+                px = np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="id long, media_type string, payload binary"
+    )
+    hashed = perceptual_hash(media, decode_stub=False).select("id", "dhash")
+    a = hashed.select(F.col("id").alias("doc_id"), "dhash")
+    b = hashed.select(F.col("id").alias("other_id"), "dhash")
+    expected = F.col("doc_id") + 1 - 2 * (F.col("doc_id") % 2)
+    res = (
+        a.join(b, "dhash")
+        .filter(F.col("other_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("other_id") == expected).alias("partner_in_bucket"))
+    )
+    return docs.join(res, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("partner_in_bucket", F.lit(False)).alias(
+            "partner_in_bucket"
+        ),
+    )
+
+
+@register(
+    "multimodal_audio_tone_probe",
+    """
+    SELECT doc_id,
+           CAST(100 + (doc_id % 30) * 20 AS DOUBLE) AS freq_hz,
+           CAST(1 AS BOOLEAN) AS centroid_ok,
+           CAST(1 AS BOOLEAN) AS rolloff_ok,
+           CAST(1 AS BOOLEAN) AS zcr_ok
+    FROM documents
+    """,
+    "audio DSP probe with a SQL oracle: each doc id synthesizes a "
+    "pure sine (freq = 100 + id%30·20 Hz, exactly periodic over the "
+    "0.5 s / 8 kHz buffer) and the REAL decode→rFFT pipeline "
+    "(ops/multimodal.audio_spectral_stats, mapInPandas) must recover "
+    "it — spectral centroid and 85% rolloff within 1 Hz of the tone, "
+    "zero-crossing rate within 1% of 2f/rate. The oracle is the "
+    "arithmetic the DSP must reproduce, so the whole encode→decode→"
+    "FFT chain is driver-graded without DuckDB touching a sample",
+)
+def multimodal_audio_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dragnet_spark.ops.multimodal import (
+        audio_spectral_stats, encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rate, n = 8000, 4000
+
+    def gen(batches):
+        t = np.arange(n) / rate
+        for pdf in batches:
+            payloads, freqs = [], []
+            for did in pdf["doc_id"]:
+                f = 100 + (int(did) % 30) * 20
+                payloads.append(
+                    encode_wav(0.5 * np.sin(2 * np.pi * f * t), rate)
+                )
+                freqs.append(float(f))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                    "freq_hz": freqs,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        schema="id long, media_type string, payload binary, freq_hz double",
+    )
+    stats = audio_spectral_stats(media)
+    joined = stats.join(
+        media.select("id", "freq_hz"), "id"
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        "freq_hz",
+        (F.abs(F.col("spectral_centroid_hz") - F.col("freq_hz")) < 1.0).alias(
+            "centroid_ok"
+        ),
+        (F.abs(F.col("spectral_rolloff_hz") - F.col("freq_hz")) < 1.0).alias(
+            "rolloff_ok"
+        ),
+        (
+            F.abs(
+                F.col("zero_cross_rate") - 2 * F.col("freq_hz") / F.lit(rate)
+            )
+            < 0.01
+        ).alias("zcr_ok"),
+    )
+
+
+@register(
     "multimodal_features",
     """
     SELECT doc_id AS id,

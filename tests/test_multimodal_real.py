@@ -722,3 +722,75 @@ def test_injected_video_decoder_hook(spark):
         decoders={"image/bmp": lambda p: frame},  # must be ignored
     ).collect()
     assert r2["features"][7] == 1.0  # native BMP format code, not 6
+
+
+# ------------------------------------------- perceptual hash + spectral
+
+
+def test_dhash_invariances():
+    """dHash must be identical under re-encode, global brightness
+    shift, and nearest upscale — and far for unrelated images."""
+    from dragnet_spark.ops.multimodal import (
+        dhash64_from_array, decode_png, encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 200, (16, 16, 3), dtype=np.uint8)
+    h1 = dhash64_from_array(px)
+    assert dhash64_from_array(decode_png(encode_png(px))[2]) == h1
+    assert dhash64_from_array((px.astype(int) + 30).astype(np.uint8)) == h1
+    assert dhash64_from_array(px.repeat(3, 0).repeat(3, 1)) == h1
+    other = rng.randint(0, 200, (16, 16, 3), dtype=np.uint8)
+    ham = bin((h1 ^ dhash64_from_array(other)) & (2**64 - 1)).count("1")
+    assert ham > 10
+
+
+def test_perceptual_hash_groups_twins(spark):
+    """Brightness twins (different bytes!) must land in one dHash
+    bucket through the Spark mapInPandas path; BMP and PNG encodings
+    of the SAME pixels must too (format-independence)."""
+    from dragnet_spark.ops.multimodal import (
+        encode_bmp, encode_png, perceptual_hash,
+    )
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 200, (12, 12, 3), dtype=np.uint8)
+    twin = (px.astype(int) + 25).astype(np.uint8)
+    rows = [
+        (1, "image/png", encode_png(px), None),
+        (2, "image/png", encode_png(twin), None),
+        (3, "image/bmp", encode_bmp(px), None),
+        (4, "audio/wav", _wav_bytes([0] * 100), None),  # non-image: NULL
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    got = {r["id"]: r["dhash"] for r in perceptual_hash(df, decode_stub=False).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] is None
+
+
+def test_audio_spectral_stats_pure_tone(spark):
+    """A pure 1 kHz sine at 8 kHz: centroid and rolloff land on the
+    tone, zcr = 2f/rate, rms = amplitude/sqrt(2)."""
+    from dragnet_spark.ops.multimodal import audio_spectral_stats
+
+    rate, f, n = 8000, 1000, 8000
+    t = np.arange(n) / rate
+    samples = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, "audio/wav", _wav_bytes(samples, rate=rate), None),
+         (2, "image/png", b"notaudio", None)],
+        "id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, codec:string>",
+    )
+    rows = audio_spectral_stats(df).collect()
+    assert len(rows) == 1  # non-audio filtered before decode
+    r = rows[0]
+    assert r["sample_rate"] == 8000 and r["n_samples"] == 8000
+    assert abs(r["spectral_centroid_hz"] - 1000) < 20
+    assert abs(r["spectral_rolloff_hz"] - 1000) < 5
+    assert abs(r["zero_cross_rate"] - 2 * f / rate) < 0.01
+    assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.01
