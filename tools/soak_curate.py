@@ -14,8 +14,14 @@ appends survivors to a parquet sink. At the end:
 * stable latency — last-third vs first-third median micro-batch
   duration (fingerprint-dedup state must not degrade throughput).
 
-Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE]
-Prints one JSON line (recorded in BASELINE.md).
+Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store]
+With the optional ``store`` argument the soak pre-builds a
+MATERIALIZED fingerprint store holding every planted duplicate
+cluster's text (index/fingerprints.py) and runs
+`stream_curate_against_store` instead — the full continuous-ingest
+loop: in-stream horizon dedup AND the persisted-corpus anti-join per
+micro-batch. The end checks add: zero store fingerprints leak into
+the survivor set. Prints one JSON line (recorded in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from dragnet_spark.session import get_spark  # noqa: E402
 from dragnet_spark.streaming.pipeline import (  # noqa: E402
     read_ndjson_stream,
     stream_curate,
+    stream_curate_against_store,
 )
 
 WORDS = [
@@ -68,6 +75,7 @@ def make_doc(rng: random.Random, doc_id: int):
 def main() -> None:
     duration = int(sys.argv[1]) if len(sys.argv) > 1 else 180
     per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    store_mode = len(sys.argv) > 3 and sys.argv[3] == "store"
     spark = get_spark(app_name="soak_curate")
     root = Path(tempfile.mkdtemp(prefix="curate_soak_"))
     src = root / "in"
@@ -90,14 +98,39 @@ def main() -> None:
             fed["docs"] += per_file
             time.sleep(1.0)
 
+    store_path = None
+    if store_mode:
+        # the 50 duplicate-cluster texts are "already ingested": every
+        # style-9 arrival must be dropped by the store anti-join alone
+        from dragnet_spark.index.fingerprints import build_fingerprint_store
+
+        store_path = str(root / "fpstore")
+        seed_rows = []
+        for kk in range(50):
+            seed_rng = random.Random(9000 + kk)
+            seed_rows.append(
+                (100000 + kk, " ".join(seed_rng.choice(WORDS) for _ in range(30)))
+            )
+        build_fingerprint_store(
+            spark,
+            spark.createDataFrame(seed_rows, "doc_id long, text string"),
+            store_path,
+        )
+
     t = threading.Thread(target=feeder, daemon=True)
     t.start()
     time.sleep(1.5)
     sdf = read_ndjson_stream(spark, str(src))
-    cur = stream_curate(
-        sdf, "text", "time", fields=["id", "text"], min_tokens=5,
-        watermark="24 hours",
-    )
+    if store_mode:
+        cur = stream_curate_against_store(
+            sdf, store_path, "text", "time", fields=["id", "text"],
+            min_tokens=5, watermark="24 hours",
+        )
+    else:
+        cur = stream_curate(
+            sdf, "text", "time", fields=["id", "text"], min_tokens=5,
+            watermark="24 hours",
+        )
     q = (
         cur.writeStream.format("parquet")
         .option("path", str(sink))
@@ -137,8 +170,14 @@ def main() -> None:
         .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
         .filter(F.col(VARIANT_COL).isNotNull())
     )
-    bout = stream_curate(bdf, "text", "time", fields=["id", "text"],
-                         min_tokens=5)
+    if store_mode:
+        bout = stream_curate_against_store(
+            bdf, store_path, "text", "time", fields=["id", "text"],
+            min_tokens=5,
+        )
+    else:
+        bout = stream_curate(bdf, "text", "time", fields=["id", "text"],
+                             min_tokens=5)
     s_fps = {r["__dn_fp"] for r in streamed.collect()}
     b_fps = {r["__dn_fp"] for r in bout.select("__dn_fp").collect()}
     n_stream = streamed.count()
@@ -158,9 +197,19 @@ def main() -> None:
         "last_third_median_ms": round(
             statistics.median(durations[-third:]), 1) if durations else None,
     }
+    if store_mode:
+        store_fps = {
+            r["fp"]
+            for r in spark.read.parquet(str(Path(store_path) / "fingerprints"))
+            .select("fp").collect()
+        }
+        out["store_mode"] = True
+        out["store_dups_leaked"] = len(s_fps & store_fps)
     print(json.dumps(out), flush=True)
     shutil.rmtree(root, ignore_errors=True)
     assert out["fingerprint_sets_equal"], "stream/batch survivor mismatch"
+    if store_mode:
+        assert out["store_dups_leaked"] == 0, "store fingerprints leaked"
 
 
 if __name__ == "__main__":
