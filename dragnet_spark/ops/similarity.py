@@ -325,3 +325,66 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "score", "rank")
     )
+
+
+# ------------------------------------------------ int8 quantization
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``q_i = round(v_i/scale)`` ∈ [-127, 127].
+
+    The 4× storage/IO lever for a 100 TB embedding corpus: float32
+    vectors become one byte per dim plus one float scale, and cosine
+    ranking degrades only marginally (the quantized ANN recall is
+    pytest-pinned). Pure built-in expressions — ``transform`` over the
+    array, no Python — so quantization runs as a narrow map at scan
+    speed. Zero vectors keep scale 0 and all-zero codes.
+
+    Output: (id, qvec array<int>, scale double, n_dims int).
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        q.alias("qvec"),
+        scale,
+        F.size(v).alias("n_dims"),
+    )
+
+
+def dequantize_error_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector reconstruction-error audit of the int8 quantizer:
+    ``max|v - q*scale|`` must be ≤ scale/2 (round-to-nearest's bound)
+    and every code within [-127, 127]. Emitted as booleans so the
+    bound — not an implementation-defined float — is the contract."""
+    qdf = quantize_embeddings(df, id_col, vec_col)
+    joined = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(qdf, "id")
+    err = F.array_max(
+        F.zip_with(
+            "v", "qvec", lambda x, q: F.abs(x.cast("double") - q * F.col("scale"))
+        )
+    )
+    return joined.select(
+        "id",
+        "n_dims",
+        (err <= F.col("scale") * 0.5 + F.lit(1e-12)).alias("recon_ok"),
+        (
+            F.array_max(F.transform("qvec", lambda q: F.abs(q))) <= 127
+        ).alias("codes_in_range"),
+    )

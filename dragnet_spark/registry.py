@@ -1108,6 +1108,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_int8_audit",
+    """
+    SELECT vec_id AS id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(1 AS BOOLEAN) AS recon_ok,
+           CAST(1 AS BOOLEAN) AS codes_in_range
+    FROM embeddings
+    """,
+    "int8 embedding quantization audit: symmetric per-vector codes "
+    "(scale = max|v|/127, round-to-nearest) — the 4× storage/IO lever "
+    "for a 100 TB embedding corpus — with the quantizer's CONTRACT as "
+    "the oracle: every reconstruction error ≤ scale/2 and every code "
+    "in [-127,127], per vector. Pure transform/zip_with expressions, "
+    "narrow map, no Python; quantized-ANN recall is pytest-pinned "
+    "(test_ops)",
+)
+def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.similarity import dequantize_error_audit
+
+    return dequantize_error_audit(_t(spark, sf_dir, "embeddings"))
+
+
 _VINDEX_CACHE: dict[str, str] = {}
 _FPSTORE_CACHE: dict[str, str] = {}
 

@@ -643,3 +643,49 @@ def test_bpe_fertility_vs_duckdb(spark, oracle):
     # token but 4 BPE-ish pre-tokens
     by_id = {d: (b, w) for d, b, w in got}
     assert by_id[2][0] > by_id[2][1]
+
+
+def test_int8_quantization_contract_and_recall(spark, sf_dir):
+    """Quantizer bound holds on real embeddings, and cosine top-k over
+    DEQUANTIZED vectors keeps high recall vs the exact ranking."""
+    from dragnet_spark.ops.similarity import (
+        cosine_topk,
+        dequantize_error_audit,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    audit = dequantize_error_audit(emb).collect()
+    assert audit and all(r["recon_ok"] and r["codes_in_range"] for r in audit)
+
+    deq = quantize_embeddings(emb).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(
+            F.col("qvec"), F.col("qvec"),
+            lambda q, _: q.cast("double") * F.col("scale"),
+        ).cast("array<float>").alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    qd = deq.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(deq, qd, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"int8 recall {recall}"
+
+
+def test_int8_zero_vector(spark):
+    from dragnet_spark.ops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["qvec"] == [0, 0, 0] and rows[1]["scale"] == 0.0
+    assert rows[2]["qvec"][1] == -127  # max-magnitude dim hits the rail
