@@ -63,6 +63,10 @@ _OPT_DEFS = {
     "index-config": True, "index-path": True, "path": True, "points": False,
     "raw": False, "time-field": True, "time-format": True, "verbose": False,
     "warnings": False,
+    # beyond-reference store subcommands (vindex-*, fp-*)
+    "out": True, "centroids": True, "k": True, "probe": True,
+    "queries": True, "id-field": True, "vec-field": True,
+    "text-field": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -617,6 +621,118 @@ def cmd_compact(argv, cat: Catalog, out):
     out.write('compacted %s index for "%s"\n' % (interval, dsname))
 
 
+def cmd_vindex_build(argv, cat: Catalog, out):
+    """dn vindex-build <embeddings.parquet> --out=PATH
+    [--centroids=16] [--id-field=vec_id] [--vec-field=embedding]:
+    materialize the IVF vector index (beyond-reference;
+    index/vector.py) — the reference's build-once discipline applied
+    to embeddings."""
+    from dragnet_spark.index.vector import build_vector_index
+
+    opts = _parse_args(argv, ["out", "centroids", "id-field", "vec-field"])
+    (src,) = _nargs(opts, 1)
+    if "out" not in opts:
+        raise UsageError('"out" option is required')
+    spark = _get_spark()
+    meta = build_vector_index(
+        spark,
+        spark.read.parquet(src),
+        opts["out"],
+        id_col=opts.get("id_field", "vec_id"),
+        vec_col=opts.get("vec_field", "embedding"),
+        n_centroids=int(opts.get("centroids", "16")),
+    )
+    out.write(
+        "built vector index: %d cells, %d dims at %s\n"
+        % (meta["n_centroids"], meta["dims"], opts["out"])
+    )
+
+
+def cmd_vindex_query(argv, cat: Catalog, out):
+    """dn vindex-query <index-path> --queries=<parquet> [--k=5]
+    [--probe=4] [--id-field=vec_id] [--vec-field=embedding]: top-k
+    neighbors from the materialized index as NDJSON lines (the
+    points-emitter convention)."""
+    from dragnet_spark.index.vector import query_vector_index
+
+    opts = _parse_args(
+        argv, ["queries", "k", "probe", "id-field", "vec-field"]
+    )
+    (idx,) = _nargs(opts, 1)
+    if "queries" not in opts:
+        raise UsageError('"queries" option is required')
+    spark = _get_spark()
+    res = query_vector_index(
+        spark,
+        idx,
+        spark.read.parquet(opts["queries"]),
+        k=int(opts.get("k", "5")),
+        n_probe=int(opts.get("probe", "4")),
+        id_col=opts.get("id_field", "vec_id"),
+        vec_col=opts.get("vec_field", "embedding"),
+    )
+    # presentation-layer collect: the final top-k result only
+    for line in res.orderBy("query_id", "rank").toJSON().collect():
+        out.write(line + "\n")
+
+
+def cmd_fp_build(argv, cat: Catalog, out):
+    """dn fp-build <docs.parquet> --out=PATH [--id-field=doc_id]
+    [--text-field=text]: materialize the fingerprint store
+    (beyond-reference; index/fingerprints.py) for incremental-ingest
+    dedup."""
+    from dragnet_spark.index.fingerprints import build_fingerprint_store
+
+    opts = _parse_args(argv, ["out", "id-field", "text-field"])
+    (src,) = _nargs(opts, 1)
+    if "out" not in opts:
+        raise UsageError('"out" option is required')
+    spark = _get_spark()
+    build_fingerprint_store(
+        spark,
+        spark.read.parquet(src),
+        opts["out"],
+        text_col=opts.get("text_field", "text"),
+        id_col=opts.get("id_field", "doc_id"),
+    )
+    out.write("built fingerprint store at %s\n" % opts["out"])
+
+
+def cmd_fp_probe(argv, cat: Catalog, out):
+    """dn fp-probe <store-path> --queries=<parquet>
+    [--id-field=doc_id] [--text-field=text]: probe an arriving batch
+    against the store; prints per-doc NDJSON (doc_id, dup_of,
+    is_duplicate) and a summary line."""
+    from dragnet_spark.index.fingerprints import probe_new_documents
+
+    opts = _parse_args(argv, ["queries", "id-field", "text-field"])
+    (store,) = _nargs(opts, 1)
+    if "queries" not in opts:
+        raise UsageError('"queries" option is required')
+    spark = _get_spark()
+    res = probe_new_documents(
+        spark,
+        store,
+        spark.read.parquet(opts["queries"]),
+        text_col=opts.get("text_field", "text"),
+        id_col=opts.get("id_field", "doc_id"),
+    ).orderBy("doc_id")
+    rows = res.collect()  # presentation-layer: final result only
+    for r in rows:
+        out.write(
+            json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "dup_of": r["dup_of"],
+                    "is_duplicate": bool(r["is_duplicate"]),
+                }
+            )
+            + "\n"
+        )
+    n_dup = sum(1 for r in rows if r["is_duplicate"])
+    out.write("%d of %d already ingested\n" % (n_dup, len(rows)))
+
+
 COMMANDS = {
     "datasource-add": cmd_datasource_add,
     "datasource-list": cmd_datasource_list,
@@ -633,6 +749,10 @@ COMMANDS = {
     "index-scan": cmd_index_scan,
     "query": cmd_query,
     "scan": cmd_scan,
+    "vindex-build": cmd_vindex_build,
+    "vindex-query": cmd_vindex_query,
+    "fp-build": cmd_fp_build,
+    "fp-probe": cmd_fp_probe,
 }
 
 

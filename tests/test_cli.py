@@ -363,3 +363,51 @@ def test_compact_cli_preserves_answers(cfg, spark, tmp_path):
     rc, after, _ = run(["query", "cm", "-b", "operation"], cfg)
     assert rc == 0 and after == before
     assert spark.read.parquet(f"{idx}/by_day/ops").count() <= rows_before
+
+
+def test_vector_index_cli_roundtrip(cfg, tmp_path, spark):
+    """vindex-build + vindex-query: CLI surface over the materialized
+    IVF index; exhaustive probe equals exact top-k semantics."""
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "vidx")
+    rc, out, _ = run(["vindex-build", emb, "--out", idx, "--centroids", "8"], cfg)
+    assert rc == 0 and "built vector index: 8 cells" in out
+
+    q = str(tmp_path / "q.parquet")
+    spark.read.parquet(emb).filter("vec_id < 3").write.parquet(q)
+    rc, out, _ = run(
+        ["vindex-query", idx, "--queries", q, "--k", "3", "--probe", "8"], cfg
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.splitlines()]
+    assert len(rows) == 9  # 3 queries x k=3
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(r["rank"] in (1, 2, 3) for r in rows)
+
+    # missing required option is a usage error
+    rc, _, err = run(["vindex-query", idx], cfg)
+    assert rc == 2 and '"queries" option is required' in err
+
+
+def test_fingerprint_store_cli_roundtrip(cfg, tmp_path, spark):
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "other text entirely")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    store = str(tmp_path / "fps")
+    rc, out, _ = run(["fp-build", corpus, "--out", store], cfg)
+    assert rc == 0 and "built fingerprint store" in out
+
+    batch = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(10, "HELLO   world"), (11, "genuinely new")],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+    rc, out, _ = run(["fp-probe", store, "--queries", batch], cfg)
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[-1] == "1 of 2 already ingested"
+    recs = {json.loads(x)["doc_id"]: json.loads(x) for x in lines[:-1]}
+    assert recs[10]["is_duplicate"] and recs[10]["dup_of"] == 1
+    assert not recs[11]["is_duplicate"]
