@@ -84,6 +84,24 @@ def main() -> None:
     assert extract_features(df, decode_stub=True).count() == n
     dt = time.time() - t0
     out["stub_features"] = {"sec": round(dt, 2), "rec_per_sec": round(n / dt)}
+    # perceptual hash: decode + dHash over the image subset (3/4 of n)
+    from dragnet_spark.ops.multimodal import perceptual_hash
+
+    n_img = (
+        perceptual_hash(df, decode_stub=False)
+        .filter("dhash IS NOT NULL").count()
+    )  # warm
+    t0 = time.time()
+    assert (
+        perceptual_hash(df, decode_stub=False)
+        .filter("dhash IS NOT NULL").count() == n_img
+    )
+    dt = time.time() - t0
+    out["perceptual_hash"] = {
+        "sec": round(dt, 2),
+        "rec_per_sec": round(n_img / dt),
+        "n_images": n_img,
+    }
     df.unpersist()
     print(json.dumps(out), flush=True)
 
