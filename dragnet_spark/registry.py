@@ -1131,6 +1131,58 @@ def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dequantize_error_audit(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "ann_quantized_topk",
+    """
+    WITH deq AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0 THEN
+               list_transform(embedding,
+                 x -> round(CAST(x AS DOUBLE) / (amax / 127.0))
+                      * (amax / 127.0))
+             ELSE list_transform(embedding, x -> 0.0) END AS v
+      FROM (SELECT vec_id, embedding,
+                   CAST(list_max(list_transform(embedding,
+                        x -> abs(x))) AS DOUBLE) AS amax
+            FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM deq WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM deq),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.qv, c.cv), 6) AS score
+      FROM q, c WHERE q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM ranked_src
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """.replace("ranked_src", "scored"),
+    "end-to-end quantized ANN: the corpus quantizes to int8 "
+    "(ops/similarity.quantize_embeddings), DEQUANTIZED vectors rank "
+    "with the blocked matmul scorer, and — because symmetric "
+    "round-to-nearest is plain arithmetic — DuckDB reproduces the "
+    "entire chain (quantize → dequantize → cosine → rank) as the "
+    "exact oracle. This is the 4× IO configuration an embedding "
+    "corpus actually serves from, graded end to end rather than only "
+    "contract-audited",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = quantize_embeddings(emb).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    return cosine_topk_blocked(deq, deq.filter(F.col("vec_id") < 10), k=5)
+
+
 _VINDEX_CACHE: dict[str, str] = {}
 _FPSTORE_CACHE: dict[str, str] = {}
 
