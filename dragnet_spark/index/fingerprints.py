@@ -74,20 +74,32 @@ def append_fingerprints(
     )
 
 
+#: Above this many probe rows the batch is no longer "small": a forced
+#: broadcast would collect it all to the driver. ~45 B/row of
+#: fingerprint+id keeps 2M rows under ~100 MB serialized — within
+#: Spark's default broadcast comfort zone with headroom.
+MAX_BROADCAST_PROBES = 2_000_000
+
+
 def probe_new_documents(
     spark: SparkSession,
     path: str,
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_probes: int = MAX_BROADCAST_PROBES,
 ) -> DataFrame:
     """(doc_id, fp, dup_of, is_duplicate) for an arriving batch.
 
     ``dup_of`` is the minimum existing doc_id sharing the fingerprint
-    (NULL for fresh docs). The probe side is broadcast when small —
-    Spark's dynamic partition pruning then skips store buckets the
-    batch doesn't hash into — and only fingerprints ride the join,
-    never text.
+    (NULL for fresh docs). The probe side is broadcast only when its
+    fingerprint projection is small (≤ ``max_broadcast_probes`` rows,
+    counted on the narrow (id, fp) projection — the text column never
+    materializes for the count): Spark's dynamic partition pruning
+    then skips store buckets the batch doesn't hash into. A larger
+    batch falls back to a shuffle hash join on (fp_bucket, fp) — the
+    store is already bucketed by the key prefix — instead of
+    collecting an unbounded batch through the driver.
     """
     store = spark.read.parquet(os.path.join(path, STORE_DIR)).select(
         "fp_bucket", "fp", F.col("doc_id").alias("existing_id")
@@ -96,10 +108,15 @@ def probe_new_documents(
         F.col(id_col).alias("doc_id"),
         _text.fingerprint(text_col).alias("fp"),
     ).withColumn("fp_bucket", F.substring("fp", 1, 2))
+    # Size gate: limit(n+1).count() touches at most n+1 narrow rows —
+    # it never pays for the full batch when the batch is huge.
+    small = (
+        probes.limit(max_broadcast_probes + 1).count()
+        <= max_broadcast_probes
+    )
+    probe_side = F.broadcast(probes) if small else probes
     hits = (
-        store.join(
-            F.broadcast(probes), ["fp_bucket", "fp"]
-        )
+        store.join(probe_side, ["fp_bucket", "fp"])
         .groupBy("doc_id", "fp")
         .agg(F.min("existing_id").alias("dup_of"))
     )

@@ -17,8 +17,13 @@ equivalent, for any TOTAL sort order, is:
    bounded ≤num_partitions-row array (metadata scale, not data scale)
    and re-broadcast as a literal map.
 
-The input is persisted so the count job and the final job share the
-range shuffle instead of recomputing it. Results are deterministic for
+The input is materialized with ``localCheckpoint(eager=True)`` so the
+count job and the final job share the range shuffle instead of
+recomputing it. A plain ``persist()`` here would leak one cached
+DataFrame per call for the session lifetime (nobody can unpersist it
+before the caller's final job runs); checkpoint blocks instead are
+released by Spark's ContextCleaner when the result DataFrame is
+garbage-collected. Results are deterministic for
 any total order regardless of where the range boundaries land, because
 ranks come from the actual sort, not from the boundary placement.
 
@@ -57,7 +62,11 @@ def _ranked(
     parts = df.repartitionByRange(n, *order).withColumn(
         _PID, F.spark_partition_id()
     )
-    parts = parts.persist()
+    # Eager local checkpoint: one job runs the range shuffle and pins the
+    # blocks; the count job and the caller's final job both read them.
+    # Unlike persist(), the blocks are ContextCleaner-GC'd with `parts` —
+    # no session-lifetime cache leak per call.
+    parts = parts.localCheckpoint(eager=True)
     counts = {
         r[_PID]: r["cnt"]
         for r in parts.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()

@@ -1268,7 +1268,11 @@ def ann_vector_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_dhash_dedup",
-    "SELECT doc_id, CAST(1 AS BOOLEAN) AS partner_in_bucket FROM documents",
+    """
+    SELECT d.doc_id, CAST(1 AS BOOLEAN) AS partner_in_bucket
+    FROM documents d
+    JOIN documents p ON p.doc_id = d.doc_id + 1 - 2 * (d.doc_id % 2)
+    """,
     "perceptual image dedup via 64-bit dHash (difference hash): every "
     "doc id synthesizes a 16×16 PNG whose pattern depends on id//2 "
     "and whose BRIGHTNESS depends on id%2 — so each doc has a twin "
@@ -1278,8 +1282,12 @@ def ann_vector_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "REALLY decodes, hashes (ops/multimodal.perceptual_hash, "
     "mapInPandas, payloads never shuffle), groups by the 8-byte hash, "
     "and reports whether the twin landed in the same bucket; the "
-    "oracle states the invariant (all TRUE). The dedup shape is the "
-    "text fingerprint store's: only hashes ride the shuffle",
+    "oracle states the invariant (all TRUE) over exactly the ids "
+    "whose twin id exists in the table — a self-join on the partner "
+    "id in BOTH engines, so an odd row count or id gap at a future "
+    "SF can never fail the gate for the generator's parity rather "
+    "than a real hash bug. The dedup shape is the text fingerprint "
+    "store's: only hashes ride the shuffle",
 )
 def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -1287,7 +1295,15 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dragnet_spark.ops.multimodal import encode_png, perceptual_hash
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    all_docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # Graded population = ids whose brightness twin (id XOR 1) exists;
+    # mirrors the oracle's self-join so the invariant tests the HASH,
+    # never the generator's row-count parity.
+    partner_id = F.col("doc_id") + 1 - 2 * (F.col("doc_id") % 2)
+    docs = all_docs.join(
+        all_docs.select(F.col("doc_id").alias("__partner")),
+        partner_id == F.col("__partner"),
+    ).select("doc_id")
 
     def gen(batches):
         i = np.arange(16)[:, None]
@@ -4000,7 +4016,8 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s),
     tot AS (SELECT SUM(pw_e6) AS total_e6 FROM w)
     SELECT source, n_docs, n_tokens,
-           CAST((pw_e6 * 1000000) // total_e6 AS BIGINT) AS weight_ppm
+           CAST((CAST(pw_e6 AS HUGEINT) * 1000000) // total_e6 AS BIGINT)
+             AS weight_ppm
     FROM w, tot
     """,
     "temperature-based source mixing (the LLaMA/GPT data-recipe step): "
@@ -4010,8 +4027,10 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pow() is transcendental (rounding its e6 scaling is boundary-"
     "safe), the normalizer is an exact bigint sum, and the ppm weight "
     "is a truncating integer division of positives where Spark's div "
-    "and DuckDB's // agree. One tiny per-source aggregate + 1-row "
-    "broadcast total — the corpus is read once",
+    "and DuckDB's // agree — computed in 128-bit-safe types "
+    "(decimal(38,0) / HUGEINT) so pw_e6*1e6 cannot wrap int64 even "
+    "past ~9B tokens per source. One tiny per-source aggregate + "
+    "1-row broadcast total — the corpus is read once",
 )
 def docs_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -4032,7 +4051,13 @@ def docs_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("(pw_e6 * 1000000) div total_e6")
+            # decimal(38,0) intermediate: pw_e6 ~ tokens^0.7 * 1e6
+            # exceeds int64/1e6 once a source holds ~9B tokens, so the
+            # non-ANSI bigint multiply would silently wrap at exactly
+            # the scale this recipe targets. IntegralDivide on decimals
+            # truncates like bigint div; operands are positive so it
+            # matches DuckDB's HUGEINT floor-division twin exactly.
+            F.expr("(CAST(pw_e6 AS DECIMAL(38,0)) * 1000000) div total_e6")
             .cast("long")
             .alias("weight_ppm"),
         )

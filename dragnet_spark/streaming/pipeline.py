@@ -492,6 +492,19 @@ def stream_curate_against_store(
     the store with ``append_fingerprints`` at compaction time (the
     event index's compact discipline). Works identically on a static
     DataFrame (batch twin for equivalence tests).
+
+    **Store-snapshot contract**: the static side's parquet file
+    listing is resolved when the streaming query STARTS, not per
+    micro-batch. Fingerprints appended with ``append_fingerprints``
+    while the query runs are NOT seen until the query restarts (and a
+    partition-overwrite compaction can invalidate the cached listing
+    mid-run). "Probe here, fold survivors in" therefore holds *across
+    query restarts*: append at compaction time, then restart (or roll
+    to the next query) to pick the fold up. For within-run freshness,
+    sink via ``foreachBatch`` and call
+    ``index.fingerprints.probe_new_documents`` per batch — that
+    re-reads the store every micro-batch at the cost of a per-batch
+    file listing.
     """
     import os as _os
 

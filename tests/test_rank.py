@@ -114,3 +114,36 @@ def test_simhash_twin_agrees_on_documents(spark, sf_dir):
 
     rows = REGISTRY["dedup_simhash"].spark(spark, sf_dir).collect()
     assert rows and all(r["jvm_twin_match"] for r in rows)
+
+
+def test_no_persisted_rdd_leak(spark):
+    """_ranked must not leave session-lifetime cache entries behind
+    (VERDICT r5 #6). localCheckpoint blocks are ContextCleaner-owned:
+    they exist while the result DataFrame is alive, and are reclaimed
+    once it is garbage-collected. A persist() leak (the old bug) would
+    survive GC forever — one entry per call for the session lifetime —
+    so the discriminating assertion is *eventual emptiness after GC*,
+    polled because ContextCleaner cleans asynchronously."""
+    import gc
+    import time
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    df = _df(spark, 500)
+    order = [F.asc("k"), F.asc("id")]
+    for _ in range(3):  # the old leak grew by one entry per call
+        global_row_number(df, order, "rk", num_partitions=6).collect()
+        global_ntile(df, order, 10, "decile", num_partitions=6).collect()
+    del df
+    leaked = set()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()  # drop py4j proxies -> JVM refs
+        spark.sparkContext._jvm.System.gc()  # enqueue the weak refs
+        time.sleep(0.5)  # let ContextCleaner drain its queue
+        leaked = (
+            set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+            - before
+        )
+        if not leaked:
+            break
+    assert not leaked, f"persisted RDDs survived GC (a cache leak): {leaked}"

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -112,6 +113,14 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = os.environ.get("CHECK_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - set(qs)
+        if unknown:
+            print(f"CHECK_ONLY names not in registry: {sorted(unknown)}")
+            sys.exit(2)
+        qs = {n: f for n, f in qs.items() if n in keep}
     report = {}
     failures = 0
     for name, fn in qs.items():
