@@ -66,7 +66,7 @@ _OPT_DEFS = {
     # beyond-reference store subcommands (vindex-*, fp-*)
     "out": True, "centroids": True, "k": True, "probe": True,
     "queries": True, "id-field": True, "vec-field": True,
-    "text-field": True,
+    "text-field": True, "quantize": False,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -623,13 +623,16 @@ def cmd_compact(argv, cat: Catalog, out):
 
 def cmd_vindex_build(argv, cat: Catalog, out):
     """dn vindex-build <embeddings.parquet> --out=PATH
-    [--centroids=16] [--id-field=vec_id] [--vec-field=embedding]:
-    materialize the IVF vector index (beyond-reference;
-    index/vector.py) — the reference's build-once discipline applied
-    to embeddings."""
+    [--centroids=16] [--quantize] [--id-field=vec_id]
+    [--vec-field=embedding]: materialize the IVF vector index
+    (beyond-reference; index/vector.py) — the reference's build-once
+    discipline applied to embeddings. --quantize stores int8 codes +
+    scale (~4× less probe I/O; probes dequantize inline)."""
     from dragnet_spark.index.vector import build_vector_index
 
-    opts = _parse_args(argv, ["out", "centroids", "id-field", "vec-field"])
+    opts = _parse_args(
+        argv, ["out", "centroids", "quantize", "id-field", "vec-field"]
+    )
     (src,) = _nargs(opts, 1)
     if "out" not in opts:
         raise UsageError('"out" option is required')
@@ -641,11 +644,34 @@ def cmd_vindex_build(argv, cat: Catalog, out):
         id_col=opts.get("id_field", "vec_id"),
         vec_col=opts.get("vec_field", "embedding"),
         n_centroids=int(opts.get("centroids", "16")),
+        quantize=bool(opts.get("quantize")),
     )
     out.write(
-        "built vector index: %d cells, %d dims at %s\n"
-        % (meta["n_centroids"], meta["dims"], opts["out"])
+        "built vector index: %d cells, %d dims%s at %s\n"
+        % (
+            meta["n_centroids"],
+            meta["dims"],
+            " (int8)" if meta["quantized"] else "",
+            opts["out"],
+        )
     )
+
+
+def cmd_vindex_append(argv, cat: Catalog, out):
+    """dn vindex-append <embeddings.parquet> --out=PATH: append a
+    batch into an existing vector index against its PERSISTED
+    centroids (index/vector.append_vector_index) — continuous ingest
+    without a rebuild; recenter when cell skew passes the documented
+    trigger."""
+    from dragnet_spark.index.vector import append_vector_index
+
+    opts = _parse_args(argv, ["out"])
+    (src,) = _nargs(opts, 1)
+    if "out" not in opts:
+        raise UsageError('"out" option is required')
+    spark = _get_spark()
+    append_vector_index(spark, spark.read.parquet(src), opts["out"])
+    out.write("appended into vector index at %s\n" % opts["out"])
 
 
 def cmd_vindex_query(argv, cat: Catalog, out):
@@ -750,6 +776,7 @@ COMMANDS = {
     "query": cmd_query,
     "scan": cmd_scan,
     "vindex-build": cmd_vindex_build,
+    "vindex-append": cmd_vindex_append,
     "vindex-query": cmd_vindex_query,
     "fp-build": cmd_fp_build,
     "fp-probe": cmd_fp_probe,

@@ -19,6 +19,23 @@ corpus either:
   ~n_probe/n_centroids of the index at any corpus size. Candidates
   score exactly and rank per query (same output contract as
   ``cosine_topk`` / ``ivf_topk``).
+* **quantized store** (``quantize=True``): cells persist int8 codes +
+  one float scale per vector (``ops/similarity.quantize_embeddings``,
+  symmetric round-to-nearest) instead of float arrays — ~4× less
+  probe I/O — and the probe dequantizes inline
+  (``q * scale``, a narrow ``transform``) before the exact scorer.
+  The arithmetic is engine-reproducible, so the quantized index at
+  full probe matches a DuckDB quantize→dequantize→cosine→rank twin
+  bit-for-bit (registry ``ann_vector_index_quantized``).
+* **append**: arriving vectors are assigned to the PERSISTED
+  centroids (never recomputed) and appended into the same cell
+  directories, so the index absorbs continuous ingest without a
+  rebuild and append-then-probe equals rebuild-with-same-centroids
+  exactly (pytest-enforced). Centroids drift as the corpus grows:
+  monitor ``vector_index_cell_stats`` and rebuild (recenter) when the
+  max/mean cell skew passes ~4× or appends exceed ~the original build
+  size — the same compact-when-fragmented discipline as the event
+  index and fingerprint store.
 
 With the same centroids, ``query_vector_index`` is result-identical
 to the in-memory ``ivf_topk`` (pytest-enforced), and with
@@ -47,6 +64,41 @@ META_FILE = "_vector_index.json"
 VECTORS_DIR = "vectors"
 
 
+def _cell_rows(
+    df: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+    quantize: bool,
+) -> DataFrame:
+    """Project ``df`` into the index's storage schema: (vec_id, payload
+    columns, cell). Float mode stores the vector as-is; quantized mode
+    stores int8 codes + per-vector scale (symmetric round-to-nearest,
+    the exact arithmetic of ``ops/similarity.quantize_embeddings``) —
+    tinyint elements, so parquet pays 1 byte/dim instead of 4/8."""
+    assign1 = _nearest_cells_udf(centroids, 1)
+    if not quantize:
+        return df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            assign1(F.col(vec_col))[0].alias("cell"),
+        )
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    q = F.when(
+        amax > 0,
+        F.transform(
+            v, lambda x: F.round(x / (amax / 127.0)).cast("tinyint")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        q.alias("qvec"),
+        (amax / F.lit(127.0)).alias("scale"),
+        assign1(F.col(vec_col))[0].alias("cell"),
+    )
+
+
 def build_vector_index(
     spark: SparkSession,
     df: DataFrame,
@@ -55,39 +107,90 @@ def build_vector_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: int = 42,
+    quantize: bool = False,
+    centroids=None,
 ) -> dict:
     """Materialize ``df``'s vectors under their nearest-centroid cell.
 
     Returns the metadata dict (also written to ``_vector_index.json``).
     Rebuild-safe: ``mode("overwrite")`` replaces a prior index at the
-    same path atomically per cell directory.
+    same path atomically per cell directory. ``quantize=True`` stores
+    int8 codes + scale (~4× less probe I/O; the probe dequantizes
+    inline). ``centroids`` injects a precomputed centroid matrix —
+    used by recenter-free rebuild equivalence tests and by callers who
+    train centroids on a sample stream.
     """
-    cent = train_centroids(
-        df, vec_col, n_centroids=n_centroids, seed=seed
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
     )
-    assign1 = _nearest_cells_udf(cent, 1)
     (
-        df.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            assign1(F.col(vec_col))[0].alias("cell"),
-        )
+        _cell_rows(df, cent, id_col, vec_col, quantize)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, VECTORS_DIR))
     )
     meta = {
-        "version": "1.0",
+        "version": "1.1",
         "n_centroids": int(len(cent)),
         "dims": int(len(cent[0])),
         "seed": seed,
         "id_col": id_col,
         "vec_col": vec_col,
+        "quantized": bool(quantize),
         "centroids": [[float(x) for x in c] for c in cent],
     }
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def append_vector_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+) -> None:
+    """Append arriving vectors into the existing index's cell layout.
+
+    Cell assignment uses the PERSISTED centroids — never retrained —
+    so append-then-probe is exactly rebuild-with-the-same-centroids
+    (pytest-enforced), and the write is a per-cell parquet append: no
+    shuffle of existing data, the continuous-ingest shape of
+    ``index/fingerprints.append_fingerprints``. Column names/quantize
+    mode come from the index metadata.
+
+    Recenter/compact trigger (caller's contract, same discipline as
+    the event index's ``compact``): appended vectors drift away from
+    centroids trained before they existed. Watch
+    :func:`vector_index_cell_stats`; when max/mean cell skew passes
+    ~4× (probe cost is bounded by the largest probed cell) or
+    cumulative appends exceed the original build size, rebuild with
+    fresh centroids — a full rewrite, scheduled like compaction, not
+    per batch.
+    """
+    meta = load_vector_index_meta(path)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    (
+        _cell_rows(
+            df, cent, meta["id_col"], meta["vec_col"],
+            bool(meta.get("quantized")),
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, VECTORS_DIR))
+    )
+
+
+def vector_index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, n_vectors) per cell — the skew signal that drives the
+    recenter decision. A count over the partition column only: parquet
+    row-group metadata, not vector payloads."""
+    return (
+        spark.read.parquet(os.path.join(path, VECTORS_DIR))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
 
 
 def load_vector_index_meta(path: str) -> dict:
@@ -148,14 +251,23 @@ def query_vector_index(
     ).select("query_id", "qvec", F.explode("cells").alias("cell"))
 
     cells_needed = sorted({int(c) for row in order for c in row})
-    vecs = (
-        spark.read.parquet(os.path.join(path, VECTORS_DIR))
-        .filter(F.col("cell").isin(cells_needed))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cvec"),
-            "cell",
+    store = spark.read.parquet(os.path.join(path, VECTORS_DIR)).filter(
+        F.col("cell").isin(cells_needed)
+    )
+    if meta.get("quantized"):
+        # inline dequantize: q*scale, a narrow transform over the int8
+        # codes — the scan still reads ~1 byte/dim off disk; floats
+        # exist only in flight. Same arithmetic as ann_quantized_topk's
+        # cross-engine-exact oracle chain.
+        cvec = F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
         )
+    else:
+        cvec = F.col("embedding")
+    vecs = store.select(
+        F.col("vec_id").alias("neighbor_id"),
+        cvec.alias("cvec"),
+        "cell",
     )
     cand = vecs.join(F.broadcast(qdf), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -1131,9 +1131,7 @@ def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dequantize_error_audit(_t(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "ann_quantized_topk",
-    """
+_ANN_QUANT_ORACLE = """
     WITH deq AS (
       SELECT vec_id,
              CASE WHEN amax > 0 THEN
@@ -1160,7 +1158,12 @@ def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked_src
     )
     SELECT * FROM ranked WHERE rank <= 5
-    """.replace("ranked_src", "scored"),
+    """.replace("ranked_src", "scored")
+
+
+@register(
+    "ann_quantized_topk",
+    _ANN_QUANT_ORACLE,
     "end-to-end quantized ANN: the corpus quantizes to int8 "
     "(ops/similarity.quantize_embeddings), DEQUANTIZED vectors rank "
     "with the blocked matmul scorer, and — because symmetric "
@@ -1263,6 +1266,54 @@ def ann_vector_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         k=5,
         n_probe=16,
+    )
+
+
+_VINDEX_Q_CACHE: dict[str, str] = {}
+
+
+@register(
+    "ann_vector_index_quantized",
+    _ANN_QUANT_ORACLE,  # at n_probe == n_centroids the quantized index
+    # is exhaustive over DEQUANTIZED vectors, so DuckDB's
+    # quantize→dequantize→cosine→rank chain grades the whole persisted
+    # int8 path exactly; pruned-probe recall ≥0.9 vs the float index is
+    # pytest-pinned (test_vector_index.py)
+    "QUANTIZED materialized IVF index (index/vector.py, "
+    "quantize=True): cells persist int8 codes + one scale per vector "
+    "— ~4× less probe I/O than the float store at identical "
+    "partition-pruned plan shape — and the probe dequantizes inline "
+    "(q*scale, narrow transform) before the exact scorer. Symmetric "
+    "round-to-nearest is plain arithmetic, so the full build→persist→"
+    "prune→dequantize→score chain is graded bit-for-bit against the "
+    "SQL twin. This is the configuration a 100 TB embedding corpus "
+    "actually serves from: 1 byte/dim off disk, floats only in flight",
+)
+def ann_vector_index_quantized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.vector import (
+        build_vector_index,
+        query_vector_index,
+    )
+    from dragnet_spark.ops.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _VINDEX_Q_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_vindexq_")
+        build_vector_index(spark, emb, path, n_centroids=16, quantize=True)
+        _VINDEX_Q_CACHE[sf_dir] = path
+    # the oracle dequantizes the query side too — mirror it exactly
+    deq_q = quantize_embeddings(emb.filter(F.col("vec_id") < 10)).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    return query_vector_index(
+        spark, _VINDEX_Q_CACHE[sf_dir], deq_q, k=5, n_probe=16
     )
 
 

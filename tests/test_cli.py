@@ -389,6 +389,42 @@ def test_vector_index_cli_roundtrip(cfg, tmp_path, spark):
     assert rc == 2 and '"queries" option is required' in err
 
 
+def test_vector_index_cli_quantized_append(cfg, tmp_path, spark):
+    """vindex-build --quantize + vindex-append + vindex-query: the
+    int8 store roundtrips through the CLI and appended vectors are
+    probe-visible."""
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "vidxq")
+    rc, out, _ = run(
+        ["vindex-build", emb, "--out", idx, "--centroids", "8",
+         "--quantize"], cfg
+    )
+    assert rc == 0 and "(int8)" in out
+    dt = dict(spark.read.parquet(f"{idx}/vectors").dtypes)
+    assert dt["qvec"] == "array<tinyint>" and "embedding" not in dt
+
+    extra = str(tmp_path / "extra.parquet")
+    spark.read.parquet(emb).filter("vec_id < 2").selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding"
+    ).write.parquet(extra)
+    rc, out, _ = run(["vindex-append", extra, "--out", idx], cfg)
+    assert rc == 0 and "appended" in out
+
+    q = str(tmp_path / "q.parquet")
+    spark.read.parquet(emb).filter("vec_id < 2").write.parquet(q)
+    rc, out, _ = run(
+        ["vindex-query", idx, "--queries", q, "--k", "1", "--probe", "8"],
+        cfg,
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.splitlines()]
+    # each query's appended twin is an exact duplicate vector -> must
+    # surface as the top neighbor with score 1.0
+    assert {r["query_id"]: r["neighbor_id"] for r in rows} == {
+        0: 100000, 1: 100001
+    }
+
+
 def test_fingerprint_store_cli_roundtrip(cfg, tmp_path, spark):
     corpus = str(tmp_path / "corpus.parquet")
     spark.createDataFrame(

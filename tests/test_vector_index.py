@@ -76,3 +76,138 @@ def test_empty_query_batch(spark, vindex):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+
+
+@pytest.fixture(scope="module")
+def vindex_q(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vindexq"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = build_vector_index(
+        spark, emb, path, n_centroids=8, seed=42, quantize=True
+    )
+    return path, emb, meta
+
+
+def test_quantized_store_schema_and_size(spark, vindex, vindex_q):
+    """The quantized store persists int8 codes + scale (never float
+    arrays) and its on-disk bytes drop ~4x vs the float store."""
+    import os
+
+    pathf, _, _ = vindex
+    pathq, _, meta = vindex_q
+    assert meta["quantized"] is True
+    qdf = spark.read.parquet(os.path.join(pathq, "vectors"))
+    dt = dict(qdf.dtypes)
+    assert dt["qvec"] == "array<tinyint>" and dt["scale"] == "double"
+    assert "embedding" not in dt
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(p, "vectors"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    # ~2.5x at this tiny SF (per-file parquet overhead dilutes it;
+    # asymptotically float32->int8 is 4x). Pin the floor, record the
+    # measured sf0.1 number in BASELINE.md.
+    ratio = du(pathf) / du(pathq)
+    assert ratio >= 2.0, f"quantized store only {ratio:.2f}x smaller"
+
+
+def test_quantized_exhaustive_probe_matches_dequantized_exact(
+    spark, vindex_q
+):
+    """n_probe == n_centroids over the quantized store == exact top-k
+    over dequantized vectors (the registry oracle's chain), exactly."""
+    from dragnet_spark.ops.similarity import quantize_embeddings
+
+    path, emb, _ = vindex_q
+    deq = quantize_embeddings(emb).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    q = deq.filter(F.col("vec_id") < 8)
+    got = rows_set(query_vector_index(spark, path, q, k=3, n_probe=8))
+    want = rows_set(cosine_topk(deq, q, k=3))
+    assert got == want and got
+
+
+def test_quantized_pruned_probe_recall_pin(spark, vindex, vindex_q):
+    """Pruned quantized probe keeps >=0.9 top-5 recall vs the float
+    index at the SAME n_probe (mirrors the test_ops int8 pin). Same
+    seed + training vectors -> same centroids -> identical candidate
+    sets, so the recall delta isolates quantization's ranking effect."""
+    pathf, emb, _ = vindex
+    pathq, _, _ = vindex_q
+    q = emb.filter(F.col("vec_id") < 20)
+    f_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in query_vector_index(
+            spark, pathf, q, k=5, n_probe=4
+        ).collect()
+    }
+    q_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in query_vector_index(
+            spark, pathq, q, k=5, n_probe=4
+        ).collect()
+    }
+    recall = len(f_pairs & q_pairs) / len(f_pairs)
+    assert recall >= 0.9, f"quantized pruned recall {recall:.3f}"
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_append_then_probe_equals_rebuild_same_centroids(
+    spark, sf_dir, tmp_path_factory, quantize
+):
+    """VERDICT r5 #3: build from batch 1, append batches 2..K against
+    the PERSISTED centroids; probing must equal a fresh rebuild over
+    the union with the same centroids, exactly."""
+    from dragnet_spark.index.vector import (
+        append_vector_index,
+        vector_index_cell_stats,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    n0 = emb.count()
+    base = str(tmp_path_factory.mktemp(f"vappend{int(quantize)}"))
+    inc_path, re_path = base + "/inc", base + "/rebuild"
+
+    meta = build_vector_index(
+        spark, emb, inc_path, n_centroids=8, seed=7, quantize=quantize
+    )
+    batches = [
+        emb.select(
+            (F.col("vec_id") + F.lit(1000 * i)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(1, 4)
+    ]
+    for b in batches:
+        append_vector_index(spark, b, inc_path)
+
+    union = emb
+    for b in batches:
+        union = union.unionByName(b)
+    build_vector_index(
+        spark, union, re_path, quantize=quantize,
+        centroids=meta["centroids"],
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    got = rows_set(query_vector_index(spark, inc_path, q, k=5, n_probe=3))
+    want = rows_set(query_vector_index(spark, re_path, q, k=5, n_probe=3))
+    assert got == want and got
+
+    stats = {
+        r["cell"]: r["n_vectors"]
+        for r in vector_index_cell_stats(spark, inc_path).collect()
+    }
+    assert sum(stats.values()) == n0 * 4
