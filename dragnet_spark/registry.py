@@ -270,23 +270,34 @@ def index_time_pruned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000
+                AS BIGINT) AS DOUBLE) / 10000 AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                AS BIGINT) AS DOUBLE) / 10000 AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+                / 1000000 AS sum_disc_price,
+           CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                 AS DECIMAL(18,6))
                 * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))
-                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+                / 1000000 AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000
+                AS BIGINT) AS DOUBLE) / 10000 / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    "TPC-H Q1 shape: multi-aggregate pricing summary with decimal-exact math",
+    "TPC-H Q1 shape: multi-aggregate pricing summary with decimal-"
+    "exact math. The double outputs go through the e-integer "
+    "discipline (exact decimal sum → e4/e6 BIGINT → double ÷ 10^s): "
+    "a direct decimal→double cast is correctly rounded in one engine "
+    "but not the other, which surfaces as a 1-ulp hash mismatch once "
+    "the sums reach 17 significant digits (~6M rows); int64→double "
+    "and ÷10^s are IEEE-deterministic in both",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(18,4)")
@@ -294,18 +305,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     charge = (disc_price * (one + _dec4("l_tax"))).cast("decimal(18,6)")
+
+    def e_double(agg, s: int):
+        # exact decimal sum -> e-scaled BIGINT -> double / 10^s: every
+        # remaining conversion is IEEE-deterministic, unlike a direct
+        # decimal->double cast (1-ulp divergence vs DuckDB at 17
+        # significant digits)
+        return (agg * F.lit(10 ** s)).cast("long").cast("double") / F.lit(
+            float(10 ** s)
+        )
+
     return (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec4("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec4("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec4("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
-                "avg_qty"
+            e_double(F.sum(_dec4("l_quantity")), 4).alias("sum_qty"),
+            e_double(F.sum(_dec4("l_extendedprice")), 4).alias(
+                "sum_base_price"
             ),
+            e_double(F.sum(disc_price), 6).alias("sum_disc_price"),
+            e_double(F.sum(charge), 6).alias("sum_charge"),
+            (
+                e_double(F.sum(_dec4("l_quantity")), 4) / F.count(F.lit(1))
+            ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
