@@ -24,6 +24,7 @@ answers "have we seen this document?" without rescanning corpus text.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +33,8 @@ from pyspark.sql import functions as F
 from dragnet_spark.ops import text as _text
 
 STORE_DIR = "fingerprints"
+BAND_DIR = "bands"
+BAND_META = "_band_store.json"
 
 
 def build_fingerprint_store(
@@ -128,5 +131,167 @@ def probe_new_documents(
             "fp",
             "dup_of",
             F.col("dup_of").isNotNull().alias("is_duplicate"),
+        )
+    )
+
+
+# ------------------------------------------------- minhash band store
+#
+# The exact store answers "have we seen THIS document"; the band store
+# answers "have we seen something NEAR this document": (band, bhash,
+# doc_id) rows under the same minhash-LSH banding as
+# ops/dedup.minhash_lsh_pairs (identical seeded coeffs + band md5, so
+# store keys and any batch LSH run agree bit-for-bit). Partitioned by
+# band id, so probes and per-band anti-joins partition-prune to the
+# slice they need; only 16-byte-ish hashes ever persist or shuffle.
+
+
+def _band_cols(text_col: str, num_hashes: int, bands: int, ngram: int):
+    from dragnet_spark.ops.dedup import minhash_band_hashes
+
+    return minhash_band_hashes(text_col, num_hashes, bands, ngram)
+
+
+def build_band_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+) -> dict:
+    """Materialize (band, bhash, doc_id) for every document with at
+    least one shingle. Banding params persist in ``_band_store.json``
+    so appends and probes can never silently use mismatched keys."""
+    bcols = _band_cols(text_col, num_hashes, bands, ngram)
+    rows = docs.select(F.col(id_col).alias("doc_id"), *bcols)
+    stack = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"), F.col(f"bhash_{i}").alias("bhash")
+            )
+            for i in range(bands)
+        ]
+    )
+    (
+        rows.select("doc_id", F.explode(stack).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band").alias("band"),
+            F.col("b.bhash").alias("bhash"),
+        )
+        .filter(F.col("bhash").isNotNull())
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(path, BAND_DIR))
+    )
+    meta = {
+        "version": "1.0",
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "ngram": ngram,
+        "text_col": text_col,
+        "id_col": id_col,
+    }
+    with open(os.path.join(path, BAND_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_band_store_meta(path: str) -> dict:
+    with open(os.path.join(path, BAND_META)) as f:
+        return json.load(f)
+
+
+def append_band_keys(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+) -> None:
+    """Append a new batch's band keys into the same band layout, with
+    the PERSISTED banding params (mirrors append_vector_index's
+    persisted-centroid discipline)."""
+    meta = load_band_store_meta(path)
+    bcols = _band_cols(
+        meta["text_col"], meta["num_hashes"], meta["bands"], meta["ngram"]
+    )
+    rows = docs.select(F.col(meta["id_col"]).alias("doc_id"), *bcols)
+    stack = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"), F.col(f"bhash_{i}").alias("bhash")
+            )
+            for i in range(meta["bands"])
+        ]
+    )
+    (
+        rows.select("doc_id", F.explode(stack).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band").alias("band"),
+            F.col("b.bhash").alias("bhash"),
+        )
+        .filter(F.col("bhash").isNotNull())
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(os.path.join(path, BAND_DIR))
+    )
+
+
+def probe_near_duplicates(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+) -> DataFrame:
+    """(doc_id, n_band_hits, dup_of, is_near_duplicate) for an
+    arriving batch: a doc is a near-duplicate CANDIDATE of the stored
+    corpus when any of its band keys collides with a stored key —
+    minhash-LSH semantics, so at the store's (num_hashes, bands) a
+    pair at Jaccard j collides somewhere with prob 1-(1-j^r)^b.
+    ``dup_of`` is the minimum stored doc_id among colliding bands.
+    Only (band, bhash) ride the join; text never leaves the scan."""
+    meta = load_band_store_meta(path)
+    bcols = _band_cols(
+        meta["text_col"], meta["num_hashes"], meta["bands"], meta["ngram"]
+    )
+    probes = new_docs.select(F.col(meta["id_col"]).alias("doc_id"), *bcols)
+    stack = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"), F.col(f"bhash_{i}").alias("bhash")
+            )
+            for i in range(meta["bands"])
+        ]
+    )
+    banded = (
+        probes.select("doc_id", F.explode(stack).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band").alias("band"),
+            F.col("b.bhash").alias("bhash"),
+        )
+        .filter(F.col("bhash").isNotNull())
+    )
+    store = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
+        "band", "bhash", F.col("doc_id").alias("existing_id")
+    )
+    hits = (
+        store.join(banded, ["band", "bhash"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_band_hits"),
+            F.min("existing_id").alias("dup_of"),
+        )
+    )
+    return (
+        probes.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_band_hits", F.lit(0)).alias("n_band_hits"),
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_near_duplicate"),
         )
     )

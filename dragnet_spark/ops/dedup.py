@@ -199,6 +199,46 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_hashes(
+    text_col: Column | str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+) -> list[Column]:
+    """Per-ROW minhash band hashes — ``bands`` md5 columns, value-
+    identical to :func:`minhash_lsh_pairs`'s explode+groupBy signature
+    (same seeded coeffs, same shingle hash, same band md5), but built
+    from narrow array expressions with NO shuffle: ``array_min`` over
+    the permuted shingle hashes replaces the explode+``min`` agg.
+
+    That makes the band keys computable inside a streaming micro-batch
+    (stateless projection) and inside the band-store build at scan
+    speed. A document with no shingles (short text) yields NULL bands
+    — it can never collide, matching the batch path where such a
+    document emits no candidate rows.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    arr = F.array_distinct(shingles(text_col, ngram))
+    hs = F.transform(arr, lambda s: shingle_hash(s))
+    mins = [
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        )
+        for (a, b) in minhash_coeffs(num_hashes)
+    ]
+    return [
+        F.when(
+            F.size(arr) > 0,
+            F.md5(
+                F.concat_ws("\x1f", *[mins[i * r + j] for j in range(r)])
+            ),
+        ).alias(f"bhash_{i}")
+        for i in range(bands)
+    ]
+
+
 def dedup_keep_first(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
     """Survivor set: drop any row that appears as the larger id of a
     duplicate pair (single-pass approximation of connected-component

@@ -770,6 +770,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_probe_oracle(num_hashes: int, bands: int, ngram: int) -> str:
+    r = num_hashes // bands
+    sig = _text.minhash_signature_sql("text", num_hashes, ngram)
+    band_hash = " || chr(31) || ".join(
+        f"CAST(sig[{{i}}*{r} + {j + 1}] AS VARCHAR)" for j in range(r)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {sig} AS sig FROM documents),
+    banded AS (
+      SELECT id, i AS band, md5({band_hash.format(i="i")}) AS bhash
+      FROM t, UNNEST(range(0, {bands})) AS u(i)
+    ),
+    hits AS (
+      SELECT n.id AS doc_id,
+             COUNT(*) AS n_band_hits,
+             MIN(c.id) AS dup_of
+      FROM banded n JOIN banded c ON n.band = c.band AND n.bhash = c.bhash
+      WHERE n.id % 5 = 0 AND c.id % 5 <> 0
+      GROUP BY n.id
+    )
+    SELECT p.doc_id,
+           CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+           h.dup_of,
+           (h.dup_of IS NOT NULL) AS is_near_duplicate
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) p
+    LEFT JOIN hits h ON h.doc_id = p.doc_id
+    """
+
+
+_BANDSTORE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_incremental_near_probe",
+    _band_probe_oracle(16, 8, _NGRAM),
+    "incremental NEAR-dup probe against a MATERIALIZED minhash band "
+    "store (index/fingerprints.build_band_store): the corpus slice "
+    "(doc_id%5≠0) persists its LSH band keys partitionBy(band); the "
+    "arriving batch (doc_id%5=0) band-hashes itself with NARROW "
+    "per-row expressions (ops/dedup.minhash_band_hashes — value-"
+    "identical to the batch LSH's explode+groupBy signature) and "
+    "joins the store on (band, bhash), reporting which new docs are "
+    "near-duplicate candidates of the persisted corpus without "
+    "re-reading corpus text. DuckDB reproduces the full signature→"
+    "band→collision chain as the exact oracle. This closes the gap "
+    "the exact-fingerprint store leaves: token-swapped twins and "
+    "light edits are caught at ingest, not at the next batch LSH pass",
+)
+def dedup_incremental_near_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        build_band_store,
+        probe_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BANDSTORE_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_bandstore_")
+        build_band_store(
+            spark,
+            docs.filter(F.col("doc_id") % 5 != 0),
+            path,
+            num_hashes=16,
+            bands=8,
+            ngram=_NGRAM,
+        )
+        _BANDSTORE_CACHE[sf_dir] = path
+    return probe_near_duplicates(
+        spark,
+        _BANDSTORE_CACHE[sf_dir],
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
 @register(
     "dedup_simhash",
     "SELECT doc_id, CAST(1 AS BOOLEAN) AS jvm_twin_match FROM documents",

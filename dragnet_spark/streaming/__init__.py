@@ -2,6 +2,7 @@ from dragnet_spark.streaming.pipeline import (
     read_ndjson_stream,
     stream_build,
     stream_curate,
+    stream_curate_against_band_store,
     stream_curate_against_store,
     stream_dedup,
     stream_enrich,
@@ -16,6 +17,7 @@ __all__ = [
     "sessionize",
     "stream_build",
     "stream_curate",
+    "stream_curate_against_band_store",
     "stream_curate_against_store",
     "stream_dedup",
     "stream_enrich",

@@ -525,3 +525,83 @@ def stream_curate_against_store(
         .select(F.col("fp").alias("__dn_fp"))
     )
     return curated.join(store_fps, "__dn_fp", "left_anti")
+
+
+def stream_curate_against_band_store(
+    sdf: DataFrame,
+    store_path: str,
+    text_field: str,
+    time_field: str,
+    fields: list[str] | None = None,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    watermark: str = "1 hour",
+    resolver=None,
+) -> DataFrame:
+    """:func:`stream_curate` + the persisted MINHASH BAND store
+    (index/fingerprints.build_band_store): survivors must clear the
+    quality gates, be exact-new within the watermark horizon, AND
+    collide with no stored band key — i.e. near-duplicates of the
+    persisted corpus (token-swapped twins, light edits) are dropped
+    in-stream, which the exact-fingerprint store cannot do.
+
+    Mechanics: the arriving batch computes its band hashes as NARROW
+    per-row expressions (ops/dedup.minhash_band_hashes — value-
+    identical to the batch LSH's explode+groupBy signature, so
+    stream and batch agree bit-for-bit), then runs one stream-static
+    LEFT ANTI join per band against that band's store slice. Per-band
+    slices partition-prune (the store is partitionBy(band)); each
+    anti-join ships only ~32-byte md5 keys; a doc survives iff every
+    band misses — exactly minhash-LSH's candidate rule. Documents
+    with no shingles have NULL band keys and can never collide,
+    matching batch semantics.
+
+    Same store-snapshot contract as :func:`stream_curate_against_store`:
+    keys appended via ``append_band_keys`` while the query runs are
+    seen after a query restart. Works identically on a static frame
+    (batch twin for stream==batch equivalence tests).
+    """
+    import os as _os
+
+    from dragnet_spark.index.fingerprints import (
+        BAND_DIR,
+        load_band_store_meta,
+    )
+    from dragnet_spark.ops.dedup import minhash_band_hashes
+
+    curated = stream_curate(
+        sdf,
+        text_field,
+        time_field,
+        fields=fields,
+        min_tokens=min_tokens,
+        max_punct_ratio=max_punct_ratio,
+        watermark=watermark,
+        resolver=resolver,
+    )
+    if text_field not in curated.columns:
+        raise ValueError(
+            "stream_curate_against_band_store needs the text field in "
+            f"`fields` to band-hash survivors (missing {text_field!r})"
+        )
+    meta = load_band_store_meta(store_path)
+    bcols = minhash_band_hashes(
+        F.col(text_field),
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        ngram=meta["ngram"],
+    )
+    out = curated.select("*", *bcols)
+    store = curated.sparkSession.read.parquet(
+        _os.path.join(store_path, BAND_DIR)
+    )
+    for i in range(meta["bands"]):
+        slice_i = store.filter(F.col("band") == i).select(
+            F.col("bhash").alias(f"__dn_store_bh_{i}")
+        )
+        out = out.join(
+            slice_i,
+            F.col(f"bhash_{i}") == F.col(f"__dn_store_bh_{i}"),
+            "left_anti",
+        )
+    return out.drop(*[f"bhash_{i}" for i in range(meta["bands"])])

@@ -108,3 +108,117 @@ def test_probe_plan_uses_dpp_and_broadcast(spark, tmp_path):
     assert "dynamicpruningexpression" in plan.lower(), (
         "store scan lost dynamic partition pruning on fp_bucket"
     )
+
+
+# ------------------------------------------------- minhash band store
+
+BASE = ("the quick brown fox jumps over the lazy dog while seventeen "
+        "other animals watch quietly from the tall grass nearby today")
+# token-swapped twin: same token multiset minus one adjacent swap ->
+# high shingle overlap, DIFFERENT exact fingerprint
+TWIN = ("the quick brown fox jumps over the lazy dog while seventeen "
+        "other animals watch quietly from the grass tall nearby today")
+OTHER = ("completely unrelated content about distributed query engines "
+         "processing parquet files with adaptive execution plans")
+
+
+@pytest.fixture()
+def band_store(spark, tmp_path):
+    from dragnet_spark.index.fingerprints import build_band_store
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bands")
+    build_band_store(spark, corpus, path, num_hashes=16, bands=8)
+    return path
+
+
+def test_band_probe_flags_near_dup_not_fresh(spark, band_store):
+    from dragnet_spark.index.fingerprints import probe_near_duplicates
+
+    batch = spark.createDataFrame(
+        [(10, TWIN), (11, "entirely novel text mentioning ten fresh "
+                          "unique concepts never stored anywhere")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["is_near_duplicate"], r["dup_of"])
+        for r in probe_near_duplicates(spark, band_store, batch).collect()
+    }
+    assert got[10] == (True, 1), got  # token-swapped twin caught
+    assert got[11] == (False, None), got
+
+
+def test_band_probe_exact_self_hit_all_bands(spark, band_store):
+    """A stored document probing itself collides in EVERY band."""
+    from dragnet_spark.index.fingerprints import probe_near_duplicates
+
+    batch = spark.createDataFrame([(99, BASE)], "doc_id long, text string")
+    row = probe_near_duplicates(spark, band_store, batch).collect()[0]
+    assert row["n_band_hits"] == 8 and row["dup_of"] == 1
+
+
+def test_band_append_extends(spark, band_store):
+    from dragnet_spark.index.fingerprints import (
+        append_band_keys,
+        probe_near_duplicates,
+    )
+
+    newdoc = "freshly appended corpus text with its own distinct shingles here"
+    append_band_keys(
+        spark,
+        spark.createDataFrame([(50, newdoc)], "doc_id long, text string"),
+        band_store,
+    )
+    batch = spark.createDataFrame([(60, newdoc)], "doc_id long, text string")
+    row = probe_near_duplicates(spark, band_store, batch).collect()[0]
+    assert row["is_near_duplicate"] and row["dup_of"] == 50
+
+
+def test_band_no_shingles_never_collides(spark, band_store):
+    """Short text (no 3-token shingle) has NULL bands -> survives."""
+    from dragnet_spark.index.fingerprints import probe_near_duplicates
+
+    batch = spark.createDataFrame([(70, "too short")], "doc_id long, text string")
+    row = probe_near_duplicates(spark, band_store, batch).collect()[0]
+    assert row["n_band_hits"] == 0 and not row["is_near_duplicate"]
+
+
+def test_narrow_band_hashes_match_groupby_signature(spark, sf_dir):
+    """ops/dedup.minhash_band_hashes (per-row array_min) must be
+    bit-identical to minhash_lsh_pairs' explode+groupBy signature:
+    same candidate pairs on the same corpus."""
+    from dragnet_spark.index.fingerprints import (
+        build_band_store,
+        probe_near_duplicates,
+    )
+    from dragnet_spark.ops.dedup import minhash_lsh_pairs
+    from dragnet_spark.sources.tables import load_table
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="bandeq_")
+    build_band_store(spark, docs, path, num_hashes=16, bands=8)
+    probed = probe_near_duplicates(spark, path, docs)
+    # every doc self-collides in all 8 bands (same keys both paths
+    # would diverge on ANY signature difference)
+    bad = probed.filter(
+        (F.col("n_band_hits") < 8) | (F.col("dup_of") > F.col("doc_id"))
+    ).count()
+    assert bad == 0
+    # and the band-store candidate pairs cover the batch LSH pairs
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.8
+        ).collect()
+    }
+    flagged = {
+        r["doc_id"]
+        for r in probed.filter(
+            F.col("dup_of") < F.col("doc_id")
+        ).collect()
+    }
+    for a, b in lsh:
+        assert b in flagged, f"LSH pair ({a},{b}) missed by band store"

@@ -632,3 +632,68 @@ def test_stream_curate_against_store_matches_batch(spark, tmp_path):
         resolver=SchemaResolver(batch),
     )
     assert {r["id"] for r in bres.collect()} == got
+
+
+def test_stream_curate_against_band_store_matches_batch(spark, tmp_path):
+    """In-stream NEAR-dedup against the persisted band store: a
+    token-swapped twin of a stored doc (different exact fingerprint,
+    high shingle overlap) is dropped; genuinely fresh docs survive;
+    stream output equals the batch twin."""
+    import json
+
+    from dragnet_spark.index.fingerprints import build_band_store
+    from dragnet_spark.streaming import read_ndjson_stream
+    from dragnet_spark.streaming.pipeline import (
+        stream_curate_against_band_store,
+    )
+
+    stored = ("the quick brown fox jumps over the lazy dog while many "
+              "other animals watch quietly from the tall grass nearby")
+    twin = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch quietly from the grass tall nearby")
+    fresh = ("completely novel material discussing adaptive query "
+             "execution and partition pruning over columnar storage")
+
+    corpus = spark.createDataFrame(
+        [(100, stored)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bstore")
+    build_band_store(spark, corpus, store, num_hashes=16, bands=8)
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    rows = [
+        {"id": 1, "text": twin, "time": "2024-01-01T10:00:00.000Z"},
+        {"id": 2, "text": fresh, "time": "2024-01-01T10:01:00.000Z"},
+        {"id": 3, "text": fresh, "time": "2024-01-01T10:02:00.000Z"},
+        {"id": 4, "text": "short", "time": "2024-01-01T10:03:00.000Z"},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    sdf = read_ndjson_stream(spark, str(d))
+    res = stream_curate_against_band_store(
+        sdf, store, "text", "time", fields=["id", "text"], min_tokens=5
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("curate_band_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"] for r in spark.sql("select * from curate_band_s").collect()}
+    # 1 = near-dup (band collision) of the STORED doc despite a
+    # different exact fingerprint; 3 = in-stream exact dup of 2;
+    # 4 = quality-gated. Only 2 survives.
+    assert got == {"2"}
+
+    from dragnet_spark.scan import SchemaResolver
+    from dragnet_spark.sources.ndjson import read_ndjson
+
+    batch = read_ndjson(spark, [str(d)])
+    bres = stream_curate_against_band_store(
+        batch, store, "text", "time", fields=["id", "text"], min_tokens=5,
+        resolver=SchemaResolver(batch),
+    )
+    assert {r["id"] for r in bres.collect()} == got

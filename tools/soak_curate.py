@@ -14,14 +14,23 @@ appends survivors to a parquet sink. At the end:
 * stable latency — last-third vs first-third median micro-batch
   duration (fingerprint-dedup state must not degrade throughput).
 
-Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store]
+Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store|bandstore]
 With the optional ``store`` argument the soak pre-builds a
 MATERIALIZED fingerprint store holding every planted duplicate
 cluster's text (index/fingerprints.py) and runs
 `stream_curate_against_store` instead — the full continuous-ingest
 loop: in-stream horizon dedup AND the persisted-corpus anti-join per
 micro-batch. The end checks add: zero store fingerprints leak into
-the survivor set. Prints one JSON line (recorded in BASELINE.md).
+the survivor set.
+
+With ``bandstore`` (round-6) the store is the MINHASH BAND store and
+the stream runs `stream_curate_against_band_store`: the feeder plants
+TOKEN-SWAPPED TWINS of the stored cluster texts (style 6 — different
+exact fingerprint, high shingle overlap) which only near-dedup can
+catch. End checks add: stream==batch survivors, zero survivors whose
+band keys collide with the store (a post-hoc `probe_near_duplicates`
+over the survivor set), and the per-variant twin recall. Prints one
+JSON line (recorded in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -44,6 +53,7 @@ from dragnet_spark.session import get_spark  # noqa: E402
 from dragnet_spark.streaming.pipeline import (  # noqa: E402
     read_ndjson_stream,
     stream_curate,
+    stream_curate_against_band_store,
     stream_curate_against_store,
 )
 
@@ -53,8 +63,29 @@ WORDS = [
 ]
 
 
-def make_doc(rng: random.Random, doc_id: int):
+def cluster_text(kk: int) -> str:
+    seed_rng = random.Random(9000 + kk)
+    return " ".join(seed_rng.choice(WORDS) for _ in range(30))
+
+
+def twin_text(kk: int) -> str:
+    """Token-swapped twin of cluster kk: adjacent swap at a fixed
+    position — different exact fingerprint, ~4 of 28 shingles change,
+    so minhash bands still collide with the stored original."""
+    toks = cluster_text(kk).split()
+    toks[10], toks[11] = toks[11], toks[10]
+    return " ".join(toks)
+
+
+def make_doc(rng: random.Random, doc_id: int, band_mode: bool = False):
     style = doc_id % 10
+    if band_mode and style == 6:  # token-swapped twin of stored text
+        return {
+            "id": doc_id,
+            "text": twin_text(doc_id % 50),
+            "time": f"2024-01-01T{(doc_id // 3600) % 24:02d}:"
+            f"{(doc_id // 60) % 60:02d}:{doc_id % 60:02d}.000Z",
+        }
     if style == 7:  # short junk — must be dropped
         text = "too short"
     elif style == 8:  # punctuation junk — must be dropped
@@ -75,7 +106,9 @@ def make_doc(rng: random.Random, doc_id: int):
 def main() -> None:
     duration = int(sys.argv[1]) if len(sys.argv) > 1 else 180
     per_file = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
-    store_mode = len(sys.argv) > 3 and sys.argv[3] == "store"
+    mode = sys.argv[3] if len(sys.argv) > 3 else ""
+    store_mode = mode == "store"
+    band_mode = mode == "bandstore"
     spark = get_spark(app_name="soak_curate")
     root = Path(tempfile.mkdtemp(prefix="curate_soak_"))
     src = root / "in"
@@ -89,7 +122,10 @@ def main() -> None:
         rng = random.Random(42)
         doc_id = 0
         while not stop.is_set():
-            rows = [make_doc(rng, doc_id + i) for i in range(per_file)]
+            rows = [
+                make_doc(rng, doc_id + i, band_mode)
+                for i in range(per_file)
+            ]
             doc_id += per_file
             tmp = src / f".tmp_{fed['files']}.json"
             tmp.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
@@ -99,6 +135,18 @@ def main() -> None:
             time.sleep(1.0)
 
     store_path = None
+    if band_mode:
+        from dragnet_spark.index.fingerprints import build_band_store
+
+        store_path = str(root / "bandstore")
+        seed_rows = [(100000 + kk, cluster_text(kk)) for kk in range(50)]
+        build_band_store(
+            spark,
+            spark.createDataFrame(seed_rows, "doc_id long, text string"),
+            store_path,
+            num_hashes=16,
+            bands=8,
+        )
     if store_mode:
         # the 50 duplicate-cluster texts are "already ingested": every
         # style-9 arrival must be dropped by the store anti-join alone
@@ -121,7 +169,12 @@ def main() -> None:
     t.start()
     time.sleep(1.5)
     sdf = read_ndjson_stream(spark, str(src))
-    if store_mode:
+    if band_mode:
+        cur = stream_curate_against_band_store(
+            sdf, store_path, "text", "time", fields=["id", "text"],
+            min_tokens=5, watermark="24 hours",
+        )
+    elif store_mode:
         cur = stream_curate_against_store(
             sdf, store_path, "text", "time", fields=["id", "text"],
             min_tokens=5, watermark="24 hours",
@@ -170,7 +223,12 @@ def main() -> None:
         .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
         .filter(F.col(VARIANT_COL).isNotNull())
     )
-    if store_mode:
+    if band_mode:
+        bout = stream_curate_against_band_store(
+            bdf, store_path, "text", "time", fields=["id", "text"],
+            min_tokens=5,
+        )
+    elif store_mode:
         bout = stream_curate_against_store(
             bdf, store_path, "text", "time", fields=["id", "text"],
             min_tokens=5,
@@ -197,6 +255,34 @@ def main() -> None:
         "last_third_median_ms": round(
             statistics.median(durations[-third:]), 1) if durations else None,
     }
+    if band_mode:
+        from dragnet_spark.index.fingerprints import probe_near_duplicates
+
+        survivors = spark.read.parquet(str(sink)).select(
+            F.col("id").cast("long").alias("doc_id"), F.col("text")
+        )
+        leaked = (
+            probe_near_duplicates(spark, store_path, survivors)
+            .filter(F.col("is_near_duplicate"))
+            .count()
+        )
+        # recall over the 50 deterministic twin variants: how many
+        # band-collide with their stored original (LSH is probabilistic
+        # by design; anything that collides MUST have been dropped —
+        # that is the `leaked == 0` gate above)
+        twins = spark.createDataFrame(
+            [(kk, twin_text(kk)) for kk in range(50)],
+            "doc_id long, text string",
+        )
+        caught = (
+            probe_near_duplicates(spark, store_path, twins)
+            .filter(F.col("is_near_duplicate"))
+            .count()
+        )
+        out["band_mode"] = True
+        out["near_dups_leaked"] = leaked
+        out["twin_variants_colliding"] = caught
+        out["twin_variants_total"] = 50
     if store_mode:
         store_fps = {
             r["fp"]
@@ -210,6 +296,8 @@ def main() -> None:
     assert out["fingerprint_sets_equal"], "stream/batch survivor mismatch"
     if store_mode:
         assert out["store_dups_leaked"] == 0, "store fingerprints leaked"
+    if band_mode:
+        assert out["near_dups_leaked"] == 0, "near-duplicates leaked"
 
 
 if __name__ == "__main__":
