@@ -32,11 +32,15 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every id, where component is the minimum id
     reachable through ``edges`` (undirected); singletons map to
     themselves. Raises after ``max_iter`` non-converged rounds rather
-    than returning a partial labeling.
+    than returning a partial labeling. When ``stats`` is passed, its
+    ``"rounds"`` key records the executed round count (the O(diameter)
+    bound, observable — tools/soak_clusters.py graphs it against
+    planted chain diameters).
     """
     # materialize edges before the symmetrize-union: its two branches
     # would otherwise each recompute the (possibly expensive — e.g.
@@ -60,7 +64,9 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
     try:
-        for _ in range(max_iter):
+        for rounds in range(1, max_iter + 1):
+            if stats is not None:
+                stats["rounds"] = rounds
             msgs = sym.join(labels, sym.s == labels.id).select(
                 F.col("d").alias("id"), "component"
             )

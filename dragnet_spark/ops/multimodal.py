@@ -1126,7 +1126,9 @@ def dhash64_from_array(px) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def perceptual_hash(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def perceptual_hash(
+    media: DataFrame, decode_stub: bool = True, decoders=None
+) -> DataFrame:
     """(id, media_type, dhash) for image payloads via mapInPandas.
 
     Real path decodes with the stdlib codecs (PNG/JPEG/GIF/BMP);
@@ -1136,25 +1138,34 @@ def perceptual_hash(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     Payloads never shuffle; the 8-byte hash is what downstream
     grouping/joining moves — the multimodal analogue of the text
     fingerprint store's discipline.
+
+    ``decoders``: the same ``{media_type: fn(payload) -> (H, W, 3)
+    uint8 frame}`` injection hook as :func:`extract_features` —
+    external-codec formats (video keyframes, HEIF, ...) plug in here
+    and their frames ride the identical dHash → group-by-hash dedup
+    path as the native formats (exercised end-to-end in
+    test_pipeline_guide.py). Native formats keep the stdlib path.
     """
     import hashlib as _hl
 
+    import numpy as np
     import pandas as pd
 
-    decoders = {
+    native = {
         "image/png": decode_png,
         "image/bmp": decode_bmp,
         "image/gif": decode_gif,
     }
+    injected = dict(decoders or {})
 
     def run(batches):
         from dragnet_spark.ops.jpeg import decode_jpeg
 
-        decoders["image/jpeg"] = lambda b: decode_jpeg(b)
+        native["image/jpeg"] = lambda b: decode_jpeg(b)
         for pdf in batches:
             hashes = []
             for mt, p in zip(pdf["media_type"], pdf["payload"]):
-                if mt not in decoders and mt != "image/jpeg":
+                if mt not in native and mt not in injected:
                     hashes.append(None)
                     continue
                 raw = bytes(p)
@@ -1163,7 +1174,16 @@ def perceptual_hash(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     v = int.from_bytes(d[:8], "big")
                     hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
                     continue
-                _, _, px = decoders[mt](raw)
+                if mt in native:
+                    _, _, px = native[mt](raw)
+                else:  # injected hook: same frame contract as
+                    # extract_features' decoders param
+                    px = np.asarray(injected[mt](raw))
+                    if px.ndim != 3 or px.shape[2] != 3:
+                        raise ValueError(
+                            f"injected decoder for {mt!r} must return "
+                            f"(H, W, 3), got shape {px.shape}"
+                        )
                 hashes.append(dhash64_from_array(px))
             yield pd.DataFrame(
                 {

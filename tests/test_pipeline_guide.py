@@ -48,3 +48,86 @@ def test_pipeline_guide_recipe(spark, sf_dir):
     assert splits <= {"train", "test"}
     # every surviving doc is packed exactly once
     assert packed.select("doc_id").distinct().count() == n_final
+
+
+def test_video_decoder_hook_composes_with_downstream(spark):
+    """VERDICT r5 #7: a fake raw-RGB video 'codec' injected through
+    the decoders hook, end to end — its keyframes flow through the
+    REAL extract_features and perceptual_hash (dHash) stages and the
+    hash-group dedup finds the brightness-twin videos, proving the
+    injection point composes with the actual downstream rather than
+    only satisfying its isolated contract tests."""
+    import struct
+
+    import numpy as np
+
+    from dragnet_spark.ops.multimodal import extract_features, perceptual_hash
+
+    MT = "video/x-raw-fake"
+    H = W = 16
+
+    def encode_video(frames: list[np.ndarray]) -> bytes:
+        # 12-byte header (n_frames, H, W) + concatenated raw RGB
+        out = struct.pack(">III", len(frames), H, W)
+        return out + b"".join(f.astype(np.uint8).tobytes() for f in frames)
+
+    def fake_codec(payload: bytes) -> np.ndarray:
+        # "decode" = parse header, return the FIRST keyframe (H, W, 3)
+        n, h, w = struct.unpack(">III", payload[:12])
+        if n < 1:
+            raise ValueError("empty video")
+        return np.frombuffer(
+            payload[12 : 12 + h * w * 3], dtype=np.uint8
+        ).reshape(h, w, 3)
+
+    i = np.arange(H)[:, None, None]
+    j = np.arange(W)[None, :, None]
+
+    def frame(vid_id: int, bright: int) -> np.ndarray:
+        g = ((vid_id * 31 + i * 7 + j * 13) % 200 + bright).astype(np.uint8)
+        return np.repeat(g, 3, axis=2)
+
+    # 3 distinct videos x 2 brightness twins each (payload bytes differ,
+    # dHash must collide) + 2 extra motion frames per video
+    rows = []
+    for vid in range(3):
+        for tw in range(2):
+            frames = [frame(vid, tw * 20 + k) for k in range(3)]
+            rows.append((vid * 10 + tw, MT, bytearray(encode_video(frames))))
+    media = spark.createDataFrame(
+        rows, "id long, media_type string, payload binary"
+    )
+
+    # stage 1: features through the injected codec (real decode path)
+    feats = extract_features(
+        media, decode_stub=False, decoders={MT: fake_codec}
+    )
+    frows = {r["id"]: r["features"] for r in feats.collect()}
+    assert len(frows) == 6
+    for v in frows.values():
+        assert v[0] == float(W) and v[1] == float(H)  # real dims
+        assert v[7] == 6.0  # injected-decoder marker lane
+
+    # stage 2: dHash through the SAME hook
+    hashed = perceptual_hash(
+        media, decode_stub=False, decoders={MT: fake_codec}
+    )
+    hrows = {r["id"]: r["dhash"] for r in hashed.collect()}
+    assert None not in hrows.values()
+
+    # stage 3: group-by-hash dedup — each brightness twin pair shares
+    # a dhash, distinct videos do not
+    for vid in range(3):
+        assert hrows[vid * 10] == hrows[vid * 10 + 1], f"video {vid} twins split"
+    assert len({hrows[vid * 10] for vid in range(3)}) == 3
+
+    from pyspark.sql import functions as F
+
+    dedup_groups = (
+        hashed.groupBy("dhash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r["keep_id"], r["n"]) for r in dedup_groups} == {
+        (0, 2), (10, 2), (20, 2)
+    }
