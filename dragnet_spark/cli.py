@@ -66,7 +66,7 @@ _OPT_DEFS = {
     # beyond-reference store subcommands (vindex-*, fp-*)
     "out": True, "centroids": True, "k": True, "probe": True,
     "queries": True, "id-field": True, "vec-field": True,
-    "text-field": True, "quantize": False,
+    "text-field": True, "quantize": False, "hashes": True, "bands": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -759,6 +759,120 @@ def cmd_fp_probe(argv, cat: Catalog, out):
     out.write("%d of %d already ingested\n" % (n_dup, len(rows)))
 
 
+def cmd_fp_compact(argv, cat: Catalog, out):
+    """dn fp-compact <store-path>: compact the fingerprint store —
+    collapse each fingerprint to its minimum doc_id, one file per
+    bucket (answer-preserving; pause appenders first)."""
+    from dragnet_spark.index.fingerprints import compact_fingerprint_store
+
+    opts = _parse_args(argv, [])
+    (store,) = _nargs(opts, 1)
+    compact_fingerprint_store(_get_spark(), store)
+    out.write("compacted fingerprint store at %s\n" % store)
+
+
+def cmd_band_build(argv, cat: Catalog, out):
+    """dn band-build <docs.parquet> --out=PATH [--hashes=16]
+    [--bands=8] [--id-field=doc_id] [--text-field=text]: materialize
+    the minhash band store (in-stream near-dedup;
+    index/fingerprints.build_band_store)."""
+    from dragnet_spark.index.fingerprints import build_band_store
+
+    opts = _parse_args(
+        argv, ["out", "hashes", "bands", "id-field", "text-field"]
+    )
+    (src,) = _nargs(opts, 1)
+    if "out" not in opts:
+        raise UsageError('"out" option is required')
+    spark = _get_spark()
+    meta = build_band_store(
+        spark,
+        spark.read.parquet(src),
+        opts["out"],
+        text_col=opts.get("text_field", "text"),
+        id_col=opts.get("id_field", "doc_id"),
+        num_hashes=int(opts.get("hashes", "16")),
+        bands=int(opts.get("bands", "8")),
+    )
+    out.write(
+        "built band store: %d hashes x %d bands at %s\n"
+        % (meta["num_hashes"], meta["bands"], opts["out"])
+    )
+
+
+def cmd_band_probe(argv, cat: Catalog, out):
+    """dn band-probe <store-path> --queries=<parquet>: probe an
+    arriving batch for NEAR-duplicates of the stored corpus; prints
+    per-doc NDJSON (doc_id, n_band_hits, dup_of, is_near_duplicate)
+    and a summary line."""
+    from dragnet_spark.index.fingerprints import probe_near_duplicates
+
+    opts = _parse_args(argv, ["queries"])
+    (store,) = _nargs(opts, 1)
+    if "queries" not in opts:
+        raise UsageError('"queries" option is required')
+    spark = _get_spark()
+    res = probe_near_duplicates(
+        spark, store, spark.read.parquet(opts["queries"])
+    ).orderBy("doc_id")
+    rows = res.collect()  # presentation-layer: final result only
+    for r in rows:
+        out.write(
+            json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "n_band_hits": r["n_band_hits"],
+                    "dup_of": r["dup_of"],
+                    "is_near_duplicate": bool(r["is_near_duplicate"]),
+                }
+            )
+            + "\n"
+        )
+    n_near = sum(1 for r in rows if r["is_near_duplicate"])
+    out.write("%d of %d near-duplicate the corpus\n" % (n_near, len(rows)))
+
+
+def cmd_band_compact(argv, cat: Catalog, out):
+    """dn band-compact <store-path>: compact the band store to
+    distinct (band, bhash, doc_id) rows, one file per band."""
+    from dragnet_spark.index.fingerprints import compact_band_store
+
+    opts = _parse_args(argv, [])
+    (store,) = _nargs(opts, 1)
+    compact_band_store(_get_spark(), store)
+    out.write("compacted band store at %s\n" % store)
+
+
+def cmd_vindex_compact(argv, cat: Catalog, out):
+    """dn vindex-compact <index-path>: rewrite each cell to one file
+    after appends (assignments/centroids untouched)."""
+    from dragnet_spark.index.vector import compact_vector_index
+
+    opts = _parse_args(argv, [])
+    (idx,) = _nargs(opts, 1)
+    compact_vector_index(_get_spark(), idx)
+    out.write("compacted vector index at %s\n" % idx)
+
+
+def cmd_vindex_recenter(argv, cat: Catalog, out):
+    """dn vindex-recenter <index-path> [--centroids=N]: retrain
+    centroids on the current store contents and rebuild in place —
+    the recenter action for a drift-skewed index."""
+    from dragnet_spark.index.vector import recenter_vector_index
+
+    opts = _parse_args(argv, ["centroids"])
+    (idx,) = _nargs(opts, 1)
+    meta = recenter_vector_index(
+        _get_spark(),
+        idx,
+        n_centroids=int(opts["centroids"]) if "centroids" in opts else None,
+    )
+    out.write(
+        "recentered vector index: %d cells at %s\n"
+        % (meta["n_centroids"], idx)
+    )
+
+
 COMMANDS = {
     "datasource-add": cmd_datasource_add,
     "datasource-list": cmd_datasource_list,
@@ -778,8 +892,14 @@ COMMANDS = {
     "vindex-build": cmd_vindex_build,
     "vindex-append": cmd_vindex_append,
     "vindex-query": cmd_vindex_query,
+    "vindex-compact": cmd_vindex_compact,
+    "vindex-recenter": cmd_vindex_recenter,
     "fp-build": cmd_fp_build,
     "fp-probe": cmd_fp_probe,
+    "fp-compact": cmd_fp_compact,
+    "band-build": cmd_band_build,
+    "band-probe": cmd_band_probe,
+    "band-compact": cmd_band_compact,
 }
 
 

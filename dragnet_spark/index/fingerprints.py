@@ -295,3 +295,64 @@ def probe_near_duplicates(
             F.col("dup_of").isNotNull().alias("is_near_duplicate"),
         )
     )
+
+
+# ---------------------------------------------------------- compaction
+
+
+def _staged_rewrite(df, part_col: str, dest: str) -> None:
+    """Stage-then-swap rewrite (index/build.compact_index discipline):
+    Spark cannot overwrite the parquet tree it is reading, so write to
+    ``<dest>.compact_tmp`` beside the store (same filesystem), then
+    swap directories. One file per partition (repartition on the
+    partition column before the partitioned write)."""
+    import shutil
+
+    stage = dest + ".compact_tmp"
+    try:
+        (
+            df.repartition(F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(stage)
+        )
+        old = dest + ".compact_old"
+        os.rename(dest, old)
+        os.rename(stage, dest)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def compact_fingerprint_store(spark: SparkSession, path: str) -> None:
+    """Periodic maintenance for an append-heavy store: collapse each
+    fingerprint to its minimum doc_id and rewrite one file per bucket.
+
+    Answer-preserving by construction: ``probe_new_documents`` reports
+    ``dup_of = min(existing_id)`` per fingerprint, so dropping the
+    non-minimum rows can never change a probe result — it only shrinks
+    the store (duplicate ingests collapse) and bounds file counts.
+    NOT safe concurrently with an active appender or a running
+    streaming query holding the old file listing (the event-index
+    compact contract: pause, compact, restart).
+    """
+    dest = os.path.join(path, STORE_DIR)
+    df = spark.read.parquet(dest)
+    compacted = df.groupBy("fp_bucket", "fp").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    _staged_rewrite(compacted, "fp_bucket", dest)
+
+
+def compact_band_store(spark: SparkSession, path: str) -> None:
+    """Same maintenance for the band store: distinct (band, bhash,
+    doc_id) rows — repeated appends of the same document collapse —
+    rewritten to one file per band partition. Distinctness (not
+    keep-min) is the invariant because ``probe_near_duplicates``
+    also reports ``n_band_hits``, which counts stored collisions and
+    must survive compaction unchanged."""
+    dest = os.path.join(path, BAND_DIR)
+    df = spark.read.parquet(dest)
+    _staged_rewrite(
+        df.select("band", "bhash", "doc_id").distinct(), "band", dest
+    )

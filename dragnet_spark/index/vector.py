@@ -286,3 +286,78 @@ def query_vector_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def compact_vector_index(spark: SparkSession, path: str) -> None:
+    """File-count maintenance after appends: rewrite each cell to one
+    file, keeping assignments (and the centroid matrix) untouched —
+    probe answers are exactly preserved. Stage-then-swap like the
+    event index's compact; not safe concurrently with an appender."""
+    import shutil
+
+    dest = os.path.join(path, VECTORS_DIR)
+    df = spark.read.parquet(dest)
+    stage = dest + ".compact_tmp"
+    try:
+        (
+            df.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(stage)
+        )
+        old = dest + ".compact_old"
+        os.rename(dest, old)
+        os.rename(stage, dest)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def recenter_vector_index(
+    spark: SparkSession,
+    path: str,
+    n_centroids: int | None = None,
+    seed: int | None = None,
+) -> dict:
+    """The documented recenter action for a drifted index (see
+    ``append_vector_index``): retrain centroids on the CURRENT store
+    contents (dequantizing codes when the store is quantized) and
+    rebuild in place — a full rewrite, scheduled like compaction when
+    ``vector_index_cell_stats`` skew passes the trigger, never per
+    batch. Quantize mode and column names carry over; ``n_centroids``
+    / ``seed`` default to the existing metadata."""
+    import shutil
+    import tempfile
+
+    meta = load_vector_index_meta(path)
+    df = spark.read.parquet(os.path.join(path, VECTORS_DIR))
+    if meta.get("quantized"):
+        vecs = df.select(
+            F.col("vec_id").alias(meta["id_col"]),
+            F.transform(
+                "qvec", lambda q: q.cast("double") * F.col("scale")
+            ).alias(meta["vec_col"]),
+        )
+    else:
+        vecs = df.select(
+            F.col("vec_id").alias(meta["id_col"]),
+            F.col("embedding").alias(meta["vec_col"]),
+        )
+    stage = tempfile.mkdtemp(prefix="vindex_recenter_", dir=path)
+    new_meta = build_vector_index(
+        spark,
+        vecs,
+        stage,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+        n_centroids=n_centroids or meta["n_centroids"],
+        seed=seed if seed is not None else meta["seed"],
+        quantize=bool(meta.get("quantized")),
+    )
+    old = os.path.join(path, VECTORS_DIR + ".recenter_old")
+    os.rename(os.path.join(path, VECTORS_DIR), old)
+    os.rename(os.path.join(stage, VECTORS_DIR), os.path.join(path, VECTORS_DIR))
+    os.replace(os.path.join(stage, META_FILE), os.path.join(path, META_FILE))
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return new_meta

@@ -447,3 +447,59 @@ def test_fingerprint_store_cli_roundtrip(cfg, tmp_path, spark):
     recs = {json.loads(x)["doc_id"]: json.loads(x) for x in lines[:-1]}
     assert recs[10]["is_duplicate"] and recs[10]["dup_of"] == 1
     assert not recs[11]["is_duplicate"]
+
+
+def test_band_store_cli_roundtrip(cfg, tmp_path, spark):
+    """band-build + band-probe + band-compact: CLI surface over the
+    minhash band store; a token-swapped twin probes as near-dup."""
+    base = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch quietly from the tall grass nearby")
+    twin = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch quietly from the grass tall nearby")
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).write.parquet(corpus)
+    store = str(tmp_path / "bstore")
+    rc, out, _ = run(["band-build", corpus, "--out", store], cfg)
+    assert rc == 0 and "16 hashes x 8 bands" in out
+
+    q = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(10, twin), (11, "wholly different content about compilers "
+                          "optimizing loops and registers")],
+        "doc_id long, text string",
+    ).write.parquet(q)
+    rc, out, _ = run(["band-probe", store, "--queries", q], cfg)
+    assert rc == 0
+    lines = out.strip().splitlines()
+    rows = {json.loads(ln)["doc_id"]: json.loads(ln) for ln in lines[:-1]}
+    assert rows[10]["is_near_duplicate"] and rows[10]["dup_of"] == 1
+    assert not rows[11]["is_near_duplicate"]
+    assert "1 of 2 near-duplicate" in lines[-1]
+
+    rc, out, _ = run(["band-compact", store], cfg)
+    assert rc == 0 and "compacted band store" in out
+    rc, out, _ = run(["band-probe", store, "--queries", q], cfg)
+    assert rc == 0 and "1 of 2 near-duplicate" in out
+
+
+def test_store_maintenance_cli(cfg, tmp_path, spark):
+    """fp-compact / vindex-compact / vindex-recenter smoke via CLI."""
+    corpus = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        [(1, "hello world content"), (2, "other text entirely stored")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    fpstore = str(tmp_path / "fp")
+    assert run(["fp-build", corpus, "--out", fpstore], cfg)[0] == 0
+    rc, out, _ = run(["fp-compact", fpstore], cfg)
+    assert rc == 0 and "compacted fingerprint store" in out
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "vi")
+    assert run(["vindex-build", emb, "--out", idx, "--centroids", "4"], cfg)[0] == 0
+    rc, out, _ = run(["vindex-compact", idx], cfg)
+    assert rc == 0 and "compacted vector index" in out
+    rc, out, _ = run(["vindex-recenter", idx, "--centroids", "8"], cfg)
+    assert rc == 0 and "recentered vector index: 8 cells" in out

@@ -222,3 +222,80 @@ def test_narrow_band_hashes_match_groupby_signature(spark, sf_dir):
     }
     for a, b in lsh:
         assert b in flagged, f"LSH pair ({a},{b}) missed by band store"
+
+
+def test_fp_compact_preserves_probe_and_shrinks(spark, store, tmp_path):
+    """Compaction collapses each fingerprint to its min doc_id, cuts
+    file counts, and can never change a probe answer."""
+    import os
+
+    from dragnet_spark.index.fingerprints import (
+        compact_fingerprint_store,
+    )
+
+    # append twice to fragment the store
+    extra = spark.createDataFrame(
+        [(10, "hello world"), (11, "fresh appended content here")],
+        "doc_id long, text string",
+    )
+    append_fingerprints(spark, extra, store)
+    append_fingerprints(spark, extra, store)
+
+    batch = spark.createDataFrame(
+        [(20, "HELLO world"), (21, "fresh appended content here"),
+         (22, "never seen before text")],
+        "doc_id long, text string",
+    )
+    before = {
+        (r["doc_id"], r["dup_of"], r["is_duplicate"])
+        for r in probe_new_documents(spark, store, batch).collect()
+    }
+
+    def n_files(p):
+        return sum(
+            1 for root, _, fs in os.walk(p) for f in fs
+            if f.endswith(".parquet")
+        )
+    files_before = n_files(store)
+    compact_fingerprint_store(spark, store)
+    after = {
+        (r["doc_id"], r["dup_of"], r["is_duplicate"])
+        for r in probe_new_documents(spark, store, batch).collect()
+    }
+    assert after == before
+    assert (20, 1, True) in after and (21, 11, True) in after
+    assert n_files(store) < files_before
+
+
+def test_band_compact_preserves_probe(spark, band_store):
+    """Band-store compaction: distinct rows, identical probe output
+    including n_band_hits."""
+    from dragnet_spark.index.fingerprints import (
+        append_band_keys,
+        compact_band_store,
+        probe_near_duplicates,
+    )
+
+    dup_batch = spark.createDataFrame(
+        [(1, BASE)], "doc_id long, text string"
+    )
+    # re-append the same doc twice: duplicate (band,bhash,doc_id) rows
+    append_band_keys(spark, dup_batch, band_store)
+    append_band_keys(spark, dup_batch, band_store)
+
+    batch = spark.createDataFrame(
+        [(30, TWIN), (31, "totally different never stored words about "
+                          "graphs and planners")],
+        "doc_id long, text string",
+    )
+    compact_band_store(spark, band_store)
+    after = {
+        (r["doc_id"], r["n_band_hits"], r["dup_of"], r["is_near_duplicate"])
+        for r in probe_near_duplicates(spark, band_store, batch).collect()
+    }
+    # after compaction the store holds each (band,bhash,doc_id) once;
+    # the twin's hits equal its colliding-band count exactly
+    twin_row = next(r for r in after if r[0] == 30)
+    assert twin_row[3] is True and twin_row[2] == 1
+    fresh_row = next(r for r in after if r[0] == 31)
+    assert fresh_row == (31, 0, None, False)

@@ -211,3 +211,50 @@ def test_append_then_probe_equals_rebuild_same_centroids(
         for r in vector_index_cell_stats(spark, inc_path).collect()
     }
     assert sum(stats.values()) == n0 * 4
+
+
+def test_compact_and_recenter(spark, sf_dir, tmp_path_factory):
+    """compact_vector_index cuts file counts without changing any
+    probe answer; recenter_vector_index retrains on current contents
+    and the recentered index still answers exactly at full probe."""
+    import os
+
+    from dragnet_spark.index.vector import (
+        append_vector_index,
+        compact_vector_index,
+        load_vector_index_meta,
+        recenter_vector_index,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    path = str(tmp_path_factory.mktemp("vmaint"))
+    build_vector_index(spark, emb, path, n_centroids=8, seed=3, quantize=True)
+    for i in (1, 2):
+        append_vector_index(
+            spark,
+            emb.selectExpr(f"vec_id + {i}000000 AS vec_id", "embedding"),
+            path,
+        )
+    q = emb.filter(F.col("vec_id") < 8)
+    before = rows_set(query_vector_index(spark, path, q, k=3, n_probe=8))
+
+    def n_files(p):
+        return sum(
+            1 for root, _, fs in os.walk(os.path.join(p, "vectors"))
+            for f in fs if f.endswith(".parquet")
+        )
+    files_before = n_files(path)
+    compact_vector_index(spark, path)
+    assert n_files(path) < files_before
+    assert rows_set(query_vector_index(spark, path, q, k=3, n_probe=8)) == before
+
+    # recenter: fresh centroids over 3x contents; exhaustive probe is
+    # still exact (cell layout changed, answers must not)
+    meta = recenter_vector_index(spark, path, n_centroids=8)
+    assert meta["quantized"] is True
+    assert load_vector_index_meta(path)["centroids"] == meta["centroids"]
+    assert rows_set(query_vector_index(spark, path, q, k=3, n_probe=8)) == before
