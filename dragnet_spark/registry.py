@@ -3180,6 +3180,149 @@ def events_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cube_type_day",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_e2,
+           CAST(GROUPING(event_type, CAST(date_trunc('day', ts) AS DATE))
+                AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE(event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+    "grouping-sets aggregate (CUBE over type × day): per-cell, "
+    "per-type, per-day, and grand-total rows in ONE pass — Spark "
+    "plans an Expand (each input row fans to its 4 grouping sets) "
+    "over a single scan + single shuffle, exactly the multiplexed "
+    "one-pass discipline of the index build (fanout_aggregate) "
+    "applied to OLAP subtotals. grouping_id bit order matches "
+    "DuckDB's GROUPING() (probed, not assumed); the value sum rides "
+    "the e2-integer discipline so every cell is hash-exact",
+)
+def events_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_e2"),
+    )
+    return e.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_e2").alias("sum_value_e2"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "sales_rollup_region_nation",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_e2,
+           CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    "hierarchical ROLLUP (region → nation → grand total) over the "
+    "star join: the financial-reporting subtotal shape. The fact side "
+    "broadcast-joins the three dims (they never grow), then ONE "
+    "Expand+shuffle produces all three aggregation levels — vs three "
+    "separate scans in a naive engine. Revenue in e2 integers for "
+    "cross-engine exactness",
+)
+def sales_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p_e2"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("region", "nation").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("p_e2").alias("revenue_e2"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "docs_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST({_text.token_count_sql('text')} AS BIGINT) AS n_tokens,
+             CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                  || '|wsample'), 1, 13)) AS BIGINT) AS DOUBLE)
+               / 4503599627370496.0 AS u
+      FROM documents
+    ),
+    pri AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(ROUND(POW(u, 1.0 / GREATEST(n_tokens, 1)) * 1e6, 0)
+                  AS BIGINT) AS priority_e6
+      FROM w
+    )
+    SELECT doc_id, source, n_tokens, priority_e6
+    FROM pri
+    ORDER BY priority_e6 DESC, doc_id
+    LIMIT 200
+    """,
+    "weighted sampling without replacement (Efraimidis-Spirtsis "
+    "priority sampling): each doc draws u ~ U(0,1) from a 52-bit "
+    "md5 slice of its id (RNG-free, any-engine reproducible) and the "
+    "global top-k by priority u^(1/weight) IS a weighted sample — "
+    "the data-mixing primitive for token-budgeted corpus draws, "
+    "weight = token count here. One narrow projection + distributed "
+    "TakeOrdered(200): no shuffle of the corpus, no driver sort. "
+    "pow is transcendental so its e6 rounding is boundary-safe "
+    "(never lands on .5), and the (priority_e6, doc_id) tiebreak "
+    "makes the top-k deterministic in both engines",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        _text.token_count("text").cast("long").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("|wsample"))),
+                    1, 13,
+                ),
+                16, 10,
+            ).cast("long").cast("double")
+            / F.lit(4503599627370496.0)  # 16^13 = 2^52: u in [0, 1)
+        ).alias("u"),
+    )
+    pri = w.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("u"), F.lit(1.0) / F.greatest("n_tokens", F.lit(1)))
+            * F.lit(1e6),
+            0,
+        ).cast("long").alias("priority_e6"),
+    )
+    return pri.orderBy(F.desc("priority_e6"), F.asc("doc_id")).limit(200)
+
+
+@register(
     "events_unpivot_daily_metrics",
     f"""
     WITH wide AS (

@@ -171,3 +171,27 @@ def test_no_unpartitioned_windowexec(name, spark, sf_dir):
             "use ops/rank.py (distributed range sort + offsets) or a "
             "partitioned window"
         )
+
+
+def test_cube_is_one_scan_one_expand(spark, sf_dir):
+    """Grouping sets must be the one-pass Expand plan: a naive
+    4-subquery union would scan events 4x."""
+    plan = _plan(REGISTRY["events_cube_type_day"].spark(spark, sf_dir))
+    assert plan.count("Location:") == 1, "cube re-scanned the source"
+    assert "Expand" in plan, "no Expand — cube planned as separate aggs?"
+
+
+def test_rollup_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(REGISTRY["sales_rollup_region_nation"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "a dim join demoted to SMJ"
+    assert "Expand" in plan
+
+
+def test_weighted_sample_is_takeordered_no_global_sort(spark, sf_dir):
+    """Top-k by priority must be distributed TakeOrdered (per-partition
+    heaps + driver merge of k rows), never a global Sort or an extra
+    shuffle — the same class of fix as r5's q10."""
+    plan = _plan(REGISTRY["docs_weighted_sample"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "weighted sample shuffled the corpus"
