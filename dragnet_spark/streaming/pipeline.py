@@ -500,11 +500,10 @@ def stream_curate_against_store(
     partition-overwrite compaction can invalidate the cached listing
     mid-run). "Probe here, fold survivors in" therefore holds *across
     query restarts*: append at compaction time, then restart (or roll
-    to the next query) to pick the fold up. For within-run freshness,
-    sink via ``foreachBatch`` and call
-    ``index.fingerprints.probe_new_documents`` per batch — that
-    re-reads the store every micro-batch at the cost of a per-batch
-    file listing.
+    to the next query) to pick the fold up. For within-run freshness
+    use :func:`stream_ingest_with_live_store` — it re-reads the store
+    every micro-batch and folds survivors straight back in, at the
+    cost of a per-batch file listing.
     """
     import os as _os
 
@@ -605,3 +604,128 @@ def stream_curate_against_band_store(
             "left_anti",
         )
     return out.drop(*[f"bhash_{i}" for i in range(meta["bands"])])
+
+
+def make_live_store_ingester(
+    store_path: str,
+    sink_path: str,
+    id_field: str,
+    checkpoint: str | None = None,
+):
+    """foreachBatch body for :func:`stream_ingest_with_live_store`,
+    factored out like :func:`make_batch_appender` so replay behavior
+    is directly testable.
+
+    Per micro-batch: (1) re-read the fingerprint store's CURRENT
+    contents (a fresh file listing — this is the within-run-freshness
+    path the plan-time snapshot join cannot give), (2) anti-join the
+    curated batch's ``__dn_fp`` against it, (3) append survivors to
+    the parquet sink, (4) fold the survivors' fingerprints straight
+    back into the store so the NEXT micro-batch — and any concurrent
+    batch probe — already sees them. Replays after a restart are
+    skipped via the same batch-id marker ledger as the index build
+    (at-least-once window reduced to crash-mid-write; the store side
+    tolerates double-appends anyway since probes take min doc_id and
+    compaction collapses them).
+    """
+    import hashlib
+    import os as _os
+
+    from dragnet_spark.index.fingerprints import STORE_DIR
+
+    ledger = None
+    if checkpoint:
+        key = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+        ledger = _os.path.join(store_path, "_dn_batch_ledger", key)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        marker = None
+        if ledger is not None:
+            marker = _os.path.join(ledger, f"{batch_id:012d}")
+            if _os.path.exists(marker):
+                return
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store_dir = _os.path.join(store_path, STORE_DIR)
+        store_fps = spark.read.parquet(store_dir).select(
+            F.col("fp").alias("__dn_fp")
+        )
+        survivors = batch_df.join(store_fps, "__dn_fp", "left_anti")
+        # one pass over the batch: materialize survivors before the
+        # two writes so the anti-join doesn't run twice
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(sink_path)
+        (
+            survivors.select(
+                F.col("__dn_fp").alias("fp"),
+                F.col(id_field).cast("long").alias("doc_id"),
+            )
+            .withColumn("fp_bucket", F.substring("fp", 1, 2))
+            .write.mode("append")
+            .partitionBy("fp_bucket")
+            .parquet(store_dir)
+        )
+        if marker is not None:
+            _os.makedirs(ledger, exist_ok=True)
+            with open(marker, "w"):
+                pass
+
+    return ingest
+
+
+def stream_ingest_with_live_store(
+    sdf: DataFrame,
+    store_path: str,
+    sink_path: str,
+    checkpoint: str,
+    text_field: str,
+    time_field: str,
+    id_field: str,
+    fields: list[str] | None = None,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    watermark: str = "1 hour",
+    resolver=None,
+):
+    """The CLOSED continuous-ingest loop: curate → probe the LIVE
+    store → sink survivors → fold their fingerprints back in, every
+    micro-batch.
+
+    :func:`stream_curate_against_store` joins a plan-time store
+    snapshot (appends become visible only across query restarts —
+    cheap, zero per-batch listing cost, right for a store that
+    changes at compaction cadence). This variant pays a per-batch
+    store listing to make ingest self-feeding: a duplicate arriving
+    ten days after its original — far beyond any watermark horizon
+    the in-stream dedup state could hold — is still dropped, because
+    the original's fingerprint went into the store the moment it was
+    sunk. Streaming state stays bounded by the watermark; corpus-
+    lifetime memory lives in the store, which is exactly the
+    reference's index discipline (never rescan, persist the rollup).
+
+    Returns the started StreamingQuery.
+    """
+    curated = stream_curate(
+        sdf,
+        text_field,
+        time_field,
+        fields=fields,
+        min_tokens=min_tokens,
+        max_punct_ratio=max_punct_ratio,
+        watermark=watermark,
+        resolver=resolver,
+    )
+    if id_field not in curated.columns:
+        raise ValueError(
+            f"stream_ingest_with_live_store needs {id_field!r} in `fields`"
+        )
+    ingest = make_live_store_ingester(
+        store_path, sink_path, id_field, checkpoint=checkpoint
+    )
+    return (
+        curated.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

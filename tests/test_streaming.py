@@ -697,3 +697,100 @@ def test_stream_curate_against_band_store_matches_batch(spark, tmp_path):
         resolver=SchemaResolver(batch),
     )
     assert {r["id"] for r in bres.collect()} == got
+
+
+def test_live_store_ingest_self_feeds_across_batches(spark, tmp_path):
+    """stream_ingest_with_live_store: a duplicate arriving in a LATER
+    micro-batch, with timestamps far beyond the watermark horizon (so
+    in-stream dedup state cannot hold it), is dropped because batch 1
+    folded its original's fingerprint into the store; the store ends
+    holding every sunk fingerprint."""
+    import json
+
+    from dragnet_spark.index.fingerprints import build_fingerprint_store
+    from dragnet_spark.streaming import read_ndjson_stream
+    from dragnet_spark.streaming.pipeline import (
+        stream_ingest_with_live_store,
+    )
+
+    seen = "a document the corpus ingested in some earlier run entirely"
+    first = "a brand new document arriving in the first micro batch"
+    fresh2 = "another different document arriving in the second batch"
+
+    store = str(tmp_path / "livestore")
+    build_fingerprint_store(
+        spark,
+        spark.createDataFrame([(100, seen)], "doc_id long, text string"),
+        store,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1); the
+    # batch-2 dup of `first` is 3 DAYS later: watermark state (1 min)
+    # is long gone, only the live store can catch it
+    (d / "a.json").write_text(
+        json.dumps({"id": 1, "text": first,
+                    "time": "2024-01-01T10:00:00.000Z"}) + "\n"
+        + json.dumps({"id": 2, "text": seen,
+                      "time": "2024-01-01T10:00:01.000Z"}) + "\n"
+    )
+    (d / "b.json").write_text(
+        json.dumps({"id": 3, "text": first.upper(),
+                    "time": "2024-01-04T10:00:00.000Z"}) + "\n"
+        + json.dumps({"id": 4, "text": fresh2,
+                      "time": "2024-01-04T10:00:01.000Z"}) + "\n"
+    )
+
+    sdf = read_ndjson_stream(spark, str(d), max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    q = stream_ingest_with_live_store(
+        sdf, store, sink, str(tmp_path / "ckpt"),
+        "text", "time", "id", fields=["id", "text"],
+        min_tokens=5, watermark="1 minute",
+    )
+    deadline = __import__("time").time() + 120
+    while __import__("time").time() < deadline:
+        if not q.status["isDataAvailable"] and q.recentProgress:
+            break
+        __import__("time").sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+
+    got = {r["id"] for r in spark.read.parquet(sink).collect()}
+    # 2 = exact dup of the pre-seeded store doc; 3 = normalized dup of
+    # batch-1's doc 1, catchable ONLY because the store is live
+    assert got == {"1", "4"}, got
+    store_fps = spark.read.parquet(f"{store}/fingerprints")
+    # pre-seeded + the two sunk survivors
+    assert store_fps.select("fp").distinct().count() == 3
+
+
+def test_live_store_ingester_replay_is_skipped(spark, tmp_path):
+    """Replayed batch ids (restart with an in-flight batch) must not
+    double-append to sink or store — the marker ledger dedups."""
+    from dragnet_spark.index.fingerprints import build_fingerprint_store
+    from dragnet_spark.streaming.pipeline import make_live_store_ingester
+
+    store = str(tmp_path / "rstore")
+    build_fingerprint_store(
+        spark,
+        spark.createDataFrame([(1, "previously stored text here ok")],
+                              "doc_id long, text string"),
+        store,
+    )
+    sink = str(tmp_path / "rsink")
+    ingest = make_live_store_ingester(
+        store, sink, "id", checkpoint=str(tmp_path / "ck")
+    )
+    from dragnet_spark.ops.text import fingerprint
+
+    batch = spark.createDataFrame(
+        [("7", "some fresh survivor document text")], "id string, text string"
+    ).select("id", fingerprint("text").alias("__dn_fp"))
+    ingest(batch, 0)
+    ingest(batch, 0)  # replay of the same batch id
+    assert spark.read.parquet(sink).count() == 1
+    assert (
+        spark.read.parquet(f"{store}/fingerprints").count() == 2
+    )  # seeded + one survivor, not three
