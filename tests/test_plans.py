@@ -195,3 +195,46 @@ def test_weighted_sample_is_takeordered_no_global_sort(spark, sf_dir):
     plan = _plan(REGISTRY["docs_weighted_sample"].spark(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan, "weighted sample shuffled the corpus"
+
+
+# Cartesian/BNLJ ban across the WHOLE registry. Sanctioned exceptions
+# are 1-row-by-construction scalar broadcasts (a BNLJ against one row
+# is a constant fold, not a scale risk) — each whitelisted entry is
+# re-asserted to still HAVE its scalar join so the list cannot rot.
+_SCALAR_CROSS_JOIN_OK = {
+    # 1-row scalar broadcasts (constant fold, zero scale risk)
+    "q11_important_parts",        # 1-row nation value total
+    "q22_idle_high_balance",      # 1-row avg acctbal scalar subquery
+    "docs_source_mix_weights",    # 1-row weight normalizer
+    "source_mixture_weights",     # 1-row mixture normalizer
+    "source_unigram_kl",          # 1-row vocab totals
+    "text_unigram_logprob",       # 1-row corpus token count
+    "pack_documents",             # 1-row distinct-bin audit scalar
+    # bounded-broadcast brute-force baselines: the query side is a
+    # hard-capped batch (max_queries contract) broadcast against the
+    # corpus; the registry's scale paths are the blocked/LSH/IVF/
+    # index variants, which this sweep verifies stay NLJ-free
+    "ann_cosine_topk",
+    "ann_hard_negatives",
+    "dedup_embedding_cosine",
+}
+
+
+@_pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unsanctioned_cartesian_or_bnlj(name, spark, sf_dir):
+    plan = REGISTRY[name].spark(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    has_nlj = (
+        "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    )
+    if name in _SCALAR_CROSS_JOIN_OK:
+        assert has_nlj, (
+            f"{name} no longer has its sanctioned scalar cross-join — "
+            "remove it from the whitelist"
+        )
+    else:
+        assert not has_nlj, (
+            f"{name} plans a cartesian/BNLJ — at 100 TB this is "
+            "quadratic; reformulate as an equi-join or broadcast a "
+            "1-row aggregate"
+        )
