@@ -57,6 +57,7 @@ BENCH_FAMILIES = [
         "q11_important_parts",
         "q20_potential_promotion",
         "q21_waiting_suppliers",
+        "sales_rollup_region_nation",
     ]),
     ("events", [
         "asof_purchase_last_click",
@@ -66,6 +67,7 @@ BENCH_FAMILIES = [
         "events_sliding_window_5m",
         "events_pivot_type_by_day",
         "events_p99_outliers",
+        "events_cube_type_day",
     ]),
     ("text", [
         "text_tokens_by_source",
@@ -81,12 +83,14 @@ BENCH_FAMILIES = [
         "text_bpe_fertility",
         "docs_source_mix_weights",
         "corpus_token_spectrum",
+        "docs_weighted_sample",
     ]),
     ("ann", [
         "ann_hard_negatives",
         "embedding_label_outliers",
         "split_leakage_report",
         "ann_vector_index_topk",
+        "ann_vector_index_quantized",
     ]),
     ("dedup", [
         "dedup_exact",
@@ -95,6 +99,7 @@ BENCH_FAMILIES = [
         "customers_fuzzy_name_pairs",
         "ann_cosine_topk_blocked",
         "dedup_incremental_probe",
+        "dedup_incremental_near_probe",
     ]),
 ]
 BENCH_QUERIES = [q for _, qs in BENCH_FAMILIES for q in qs]

@@ -164,9 +164,16 @@ def build_band_store(
 ) -> dict:
     """Materialize (band, bhash, doc_id) for every document with at
     least one shingle. Banding params persist in ``_band_store.json``
-    so appends and probes can never silently use mismatched keys."""
+    so appends and probes can never silently use mismatched keys.
+
+    The band hashes are interpreted HOF expressions over the shingle
+    array (CPU-heavy per row); ``spread`` round-robins a small/
+    few-file input across the cores first — a no-op at real scale.
+    """
+    from dragnet_spark.ops import spread
+
     bcols = _band_cols(text_col, num_hashes, bands, ngram)
-    rows = docs.select(F.col(id_col).alias("doc_id"), *bcols)
+    rows = spread(docs).select(F.col(id_col).alias("doc_id"), *bcols)
     stack = F.array(
         *[
             F.struct(
@@ -213,11 +220,13 @@ def append_band_keys(
     """Append a new batch's band keys into the same band layout, with
     the PERSISTED banding params (mirrors append_vector_index's
     persisted-centroid discipline)."""
+    from dragnet_spark.ops import spread
+
     meta = load_band_store_meta(path)
     bcols = _band_cols(
         meta["text_col"], meta["num_hashes"], meta["bands"], meta["ngram"]
     )
-    rows = docs.select(F.col(meta["id_col"]).alias("doc_id"), *bcols)
+    rows = spread(docs).select(F.col(meta["id_col"]).alias("doc_id"), *bcols)
     stack = F.array(
         *[
             F.struct(
@@ -252,11 +261,15 @@ def probe_near_duplicates(
     pair at Jaccard j collides somewhere with prob 1-(1-j^r)^b.
     ``dup_of`` is the minimum stored doc_id among colliding bands.
     Only (band, bhash) ride the join; text never leaves the scan."""
+    from dragnet_spark.ops import spread
+
     meta = load_band_store_meta(path)
     bcols = _band_cols(
         meta["text_col"], meta["num_hashes"], meta["bands"], meta["ngram"]
     )
-    probes = new_docs.select(F.col(meta["id_col"]).alias("doc_id"), *bcols)
+    probes = spread(new_docs).select(
+        F.col(meta["id_col"]).alias("doc_id"), *bcols
+    )
     stack = F.array(
         *[
             F.struct(
