@@ -662,6 +662,13 @@ def make_live_store_ingester(
                 F.col(id_field).cast("long").alias("doc_id"),
             )
             .withColumn("fp_bucket", F.substring("fp", 1, 2))
+            # one file per bucket per batch: without this, a partitioned
+            # append from an N-task frame writes up to N files in EVERY
+            # touched bucket — the first livestore soak hit 49k store
+            # files in 7 batches and the per-batch listing cost tripled.
+            # The tiny fp shuffle (tens of bytes/row) routes each bucket
+            # to one task; compaction still owns the long-run bound.
+            .repartition(F.col("fp_bucket"))
             .write.mode("append")
             .partitionBy("fp_bucket")
             .parquet(store_dir)

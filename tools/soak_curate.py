@@ -14,7 +14,7 @@ appends survivors to a parquet sink. At the end:
 * stable latency — last-third vs first-third median micro-batch
   duration (fingerprint-dedup state must not degrade throughput).
 
-Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store|bandstore]
+Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store|bandstore|livestore]
 With the optional ``store`` argument the soak pre-builds a
 MATERIALIZED fingerprint store holding every planted duplicate
 cluster's text (index/fingerprints.py) and runs
@@ -31,6 +31,14 @@ catch. End checks add: stream==batch survivors, zero survivors whose
 band keys collide with the store (a post-hoc `probe_near_duplicates`
 over the survivor set), and the per-variant twin recall. Prints one
 JSON line (recorded in BASELINE.md).
+
+With ``livestore`` the stream runs `stream_ingest_with_live_store`:
+every micro-batch re-reads the fingerprint store and folds survivors
+straight back in. End checks: survivor fingerprints equal the batch
+twin's, the store ends holding initial + survivor fingerprints
+exactly, and the per-batch latency trend is reported alongside the
+store's file-count growth (the listing cost compaction exists to
+bound).
 """
 
 from __future__ import annotations
@@ -55,6 +63,7 @@ from dragnet_spark.streaming.pipeline import (  # noqa: E402
     stream_curate,
     stream_curate_against_band_store,
     stream_curate_against_store,
+    stream_ingest_with_live_store,
 )
 
 WORDS = [
@@ -109,6 +118,7 @@ def main() -> None:
     mode = sys.argv[3] if len(sys.argv) > 3 else ""
     store_mode = mode == "store"
     band_mode = mode == "bandstore"
+    live_mode = mode == "livestore"
     spark = get_spark(app_name="soak_curate")
     root = Path(tempfile.mkdtemp(prefix="curate_soak_"))
     src = root / "in"
@@ -135,6 +145,16 @@ def main() -> None:
             time.sleep(1.0)
 
     store_path = None
+    if live_mode:
+        from dragnet_spark.index.fingerprints import build_fingerprint_store
+
+        store_path = str(root / "livestore")
+        seed_rows = [(100000 + kk, cluster_text(kk)) for kk in range(50)]
+        build_fingerprint_store(
+            spark,
+            spark.createDataFrame(seed_rows, "doc_id long, text string"),
+            store_path,
+        )
     if band_mode:
         from dragnet_spark.index.fingerprints import build_band_store
 
@@ -169,7 +189,14 @@ def main() -> None:
     t.start()
     time.sleep(1.5)
     sdf = read_ndjson_stream(spark, str(src))
-    if band_mode:
+    if live_mode:
+        q = stream_ingest_with_live_store(
+            sdf, store_path, str(sink), str(ckpt),
+            "text", "time", "id", fields=["id", "text"],
+            min_tokens=5, watermark="24 hours",
+        )
+        cur = None
+    elif band_mode:
         cur = stream_curate_against_band_store(
             sdf, store_path, "text", "time", fields=["id", "text"],
             min_tokens=5, watermark="24 hours",
@@ -184,13 +211,14 @@ def main() -> None:
             sdf, "text", "time", fields=["id", "text"], min_tokens=5,
             watermark="24 hours",
         )
-    q = (
-        cur.writeStream.format("parquet")
-        .option("path", str(sink))
-        .option("checkpointLocation", str(ckpt))
-        .trigger(processingTime="2 seconds")
-        .start()
-    )
+    if not live_mode:
+        q = (
+            cur.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
     t0 = time.time()
     while time.time() - t0 < duration:
         time.sleep(2)
@@ -223,7 +251,21 @@ def main() -> None:
         .select(F.try_parse_json(F.col("value")).alias(VARIANT_COL))
         .filter(F.col(VARIANT_COL).isNotNull())
     )
-    if band_mode:
+    if live_mode:
+        # batch twin: global curate (watermark covers the whole feed)
+        # anti-joined against the INITIAL store seed — the live fold-in
+        # only adds memory BEYOND the horizon, which this feed stays
+        # inside, so the survivor sets must match exactly
+        seed_fps = spark.createDataFrame(
+            [(cluster_text(kk),) for kk in range(50)], "text string"
+        )
+        from dragnet_spark.ops.text import fingerprint as _fp
+
+        seed_fps = seed_fps.select(_fp("text").alias("__dn_fp")).distinct()
+        bout = stream_curate(
+            bdf, "text", "time", fields=["id", "text"], min_tokens=5
+        ).join(seed_fps, "__dn_fp", "left_anti")
+    elif band_mode:
         bout = stream_curate_against_band_store(
             bdf, store_path, "text", "time", fields=["id", "text"],
             min_tokens=5,
@@ -255,6 +297,24 @@ def main() -> None:
         "last_third_median_ms": round(
             statistics.median(durations[-third:]), 1) if durations else None,
     }
+    if live_mode:
+        import os as _os
+
+        store_fp_df = spark.read.parquet(str(Path(store_path) / "fingerprints"))
+        n_files = sum(
+            1 for r, _, fs in _os.walk(store_path)
+            for f in fs if f.endswith(".parquet")
+        )
+        out["live_mode"] = True
+        out["store_distinct_fps_end"] = store_fp_df.select("fp").distinct().count()
+        out["store_parquet_files_end"] = n_files
+        # every sunk survivor's fp must be IN the store (fold-in held)
+        sunk = spark.read.parquet(str(sink)).select("__dn_fp").distinct()
+        missing = sunk.join(
+            store_fp_df.select(F.col("fp").alias("__dn_fp")), "__dn_fp",
+            "left_anti",
+        ).count()
+        out["survivors_missing_from_store"] = missing
     if band_mode:
         from dragnet_spark.index.fingerprints import probe_near_duplicates
 
@@ -298,6 +358,8 @@ def main() -> None:
         assert out["store_dups_leaked"] == 0, "store fingerprints leaked"
     if band_mode:
         assert out["near_dups_leaked"] == 0, "near-duplicates leaked"
+    if live_mode:
+        assert out["survivors_missing_from_store"] == 0, "fold-in missed"
 
 
 if __name__ == "__main__":
