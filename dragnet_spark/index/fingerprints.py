@@ -313,23 +313,42 @@ def probe_near_duplicates(
 # ---------------------------------------------------------- compaction
 
 
-def _staged_rewrite(df, part_col: str, dest: str) -> None:
+def _staged_rewrite(
+    df,
+    part_col: str,
+    dest: str,
+    key_col: str,
+    files_per_partition: int = 1,
+) -> None:
     """Stage-then-swap rewrite (index/build.compact_index discipline):
     Spark cannot overwrite the parquet tree it is reading, so write to
     ``<dest>.compact_tmp`` beside the store (same filesystem), then
-    swap directories. One file per partition (repartition on the
-    partition column before the partitioned write)."""
+    swap directories.
+
+    ``files_per_partition`` bounds output files per partition dir by
+    routing each (partition, key-hash slice) to one task. The default
+    1 is right locally and for the 256-bucket fp store; for the 8-way
+    band store at real scale, pass enough slices that a slice is one
+    task's worth of data — one file per band would funnel 1/8 of the
+    store through a single task."""
     import shutil
 
     stage = dest + ".compact_tmp"
+    old = dest + ".compact_old"
+    # a previous compaction that crashed between its renames can leave
+    # either sibling behind; clear them so the swap cannot fail
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    slice_col = F.pmod(
+        F.xxhash64(F.col(key_col)), F.lit(files_per_partition)
+    )
     try:
         (
-            df.repartition(F.col(part_col))
+            df.repartition(F.col(part_col), slice_col)
             .write.mode("overwrite")
             .partitionBy(part_col)
             .parquet(stage)
         )
-        old = dest + ".compact_old"
         os.rename(dest, old)
         os.rename(stage, dest)
         shutil.rmtree(old, ignore_errors=True)
@@ -337,7 +356,9 @@ def _staged_rewrite(df, part_col: str, dest: str) -> None:
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def compact_fingerprint_store(spark: SparkSession, path: str) -> None:
+def compact_fingerprint_store(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> None:
     """Periodic maintenance for an append-heavy store: collapse each
     fingerprint to its minimum doc_id and rewrite one file per bucket.
 
@@ -354,18 +375,26 @@ def compact_fingerprint_store(spark: SparkSession, path: str) -> None:
     compacted = df.groupBy("fp_bucket", "fp").agg(
         F.min("doc_id").alias("doc_id")
     )
-    _staged_rewrite(compacted, "fp_bucket", dest)
+    _staged_rewrite(
+        compacted, "fp_bucket", dest, "fp", files_per_partition
+    )
 
 
-def compact_band_store(spark: SparkSession, path: str) -> None:
+def compact_band_store(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> None:
     """Same maintenance for the band store: distinct (band, bhash,
     doc_id) rows — repeated appends of the same document collapse —
-    rewritten to one file per band partition. Distinctness (not
-    keep-min) is the invariant because ``probe_near_duplicates``
+    rewritten to ``files_per_partition`` files per band. Distinctness
+    (not keep-min) is the invariant because ``probe_near_duplicates``
     also reports ``n_band_hits``, which counts stored collisions and
-    must survive compaction unchanged."""
+    must survive compaction unchanged. At real scale size
+    ``files_per_partition`` so one slice is one task's worth — the
+    band dimension is only 8-wide, so the default 1 funnels 1/8 of
+    the store per task (fine locally, a bottleneck at 100 TB)."""
     dest = os.path.join(path, BAND_DIR)
     df = spark.read.parquet(dest)
     _staged_rewrite(
-        df.select("band", "bhash", "doc_id").distinct(), "band", dest
+        df.select("band", "bhash", "doc_id").distinct(), "band", dest,
+        "bhash", files_per_partition,
     )

@@ -298,6 +298,10 @@ def compact_vector_index(spark: SparkSession, path: str) -> None:
     dest = os.path.join(path, VECTORS_DIR)
     df = spark.read.parquet(dest)
     stage = dest + ".compact_tmp"
+    old = dest + ".compact_old"
+    # clear leftovers of a compaction that crashed between renames
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     try:
         (
             df.repartition(F.col("cell"))
@@ -305,7 +309,6 @@ def compact_vector_index(spark: SparkSession, path: str) -> None:
             .partitionBy("cell")
             .parquet(stage)
         )
-        old = dest + ".compact_old"
         os.rename(dest, old)
         os.rename(stage, dest)
         shutil.rmtree(old, ignore_errors=True)
@@ -343,6 +346,8 @@ def recenter_vector_index(
             F.col("vec_id").alias(meta["id_col"]),
             F.col("embedding").alias(meta["vec_col"]),
         )
+    old = os.path.join(path, VECTORS_DIR + ".recenter_old")
+    shutil.rmtree(old, ignore_errors=True)  # crashed prior recenter
     stage = tempfile.mkdtemp(prefix="vindex_recenter_", dir=path)
     new_meta = build_vector_index(
         spark,
@@ -354,7 +359,6 @@ def recenter_vector_index(
         seed=seed if seed is not None else meta["seed"],
         quantize=bool(meta.get("quantized")),
     )
-    old = os.path.join(path, VECTORS_DIR + ".recenter_old")
     os.rename(os.path.join(path, VECTORS_DIR), old)
     os.rename(os.path.join(stage, VECTORS_DIR), os.path.join(path, VECTORS_DIR))
     os.replace(os.path.join(stage, META_FILE), os.path.join(path, META_FILE))
