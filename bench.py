@@ -302,6 +302,11 @@ def main() -> None:
     )
     if retried:
         note += f"; in-run retried: {','.join(retried)}"
+    # stdout gets ONE compact JSON line: the driver captures only a
+    # bounded tail of output, and round-5's line (full per-family
+    # canary inline) was long enough to get head-clipped, which broke
+    # the driver's parse. The full grading detail goes to the
+    # BENCH_DETAIL.json sidecar (committed, judge-readable) instead.
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -309,15 +314,27 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "load_note": note,
-        "canary": canary,
+        "n_over_band": len(load_retried),
     }
     if load_retried:
-        out["load_retried"] = load_retried
+        out["load_retried"] = {
+            q: v["factor"] for q, v in load_retried.items()
+        }
     if errors:
         # the headline total excludes the failed queries' time, so it
         # is NOT comparable against a clean run or BASELINE.md — say so
         out["errors"] = errors
         out["incomplete"] = True
+    detail = dict(out)
+    detail["canary"] = canary
+    detail["load_retried_detail"] = load_retried
+    try:
+        with (Path(__file__).resolve().parent / "BENCH_DETAIL.json").open(
+            "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError as exc:  # pragma: no cover — read-only checkout
+        print(f"bench: detail write failed: {exc}", file=sys.stderr)
     try:
         with HISTORY.open("a") as f:
             f.write(json.dumps({
