@@ -268,6 +268,23 @@ def main() -> None:
         for name in hot:
             grade_reruns[name] = grade_reruns.get(name, 0) + 1
             run_query(name)
+
+    # history-less queries (this round's NEW entries) are invisible to
+    # every median gate above, and their first recorded time becomes
+    # their future baseline — a loaded first run would anchor the
+    # trailing median high and mask real regressions later. Give each
+    # one a post-cooldown rerun so the seeded history line is a
+    # quiet-machine number.
+    fresh = [q for q in timings if q not in medians]
+    if fresh:
+        _cooldown(cpus)
+        print(
+            f"bench: seeding history for {len(fresh)} new queries "
+            f"(post-cooldown rerun): {','.join(fresh)}",
+            file=sys.stderr,
+        )
+        for name in fresh:
+            run_query(name)
     load_retried = {
         q: {
             "factor": round(timings[q] / medians[q], 2),

@@ -117,6 +117,12 @@ def _parse_args(argv: list[str], allowed: list[str]) -> dict:
             else:
                 opts[key] = val
         else:
+            if inline is not None:
+                # '--quantize=false' silently ENABLING quantization is
+                # the worst parse outcome; flags take no value at all
+                raise UsageError(
+                    f'option "--{name}" is a flag and takes no value'
+                )
             opts[name.replace("-", "_")] = True
         i += 1
     if "filter" in opts:

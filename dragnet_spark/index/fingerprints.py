@@ -146,10 +146,35 @@ def probe_new_documents(
 # slice they need; only 16-byte-ish hashes ever persist or shuffle.
 
 
-def _band_cols(text_col: str, num_hashes: int, bands: int, ngram: int):
-    from dragnet_spark.ops.dedup import minhash_band_hashes
+def _banded_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+) -> DataFrame:
+    """(doc_id, band, bhash) rows for every document with shingles —
+    the ONE place the banding row shape is defined, so build, append,
+    and probe can never silently diverge on band keys. The band array
+    is computed once per row (ops/dedup.minhash_band_array) and
+    ``posexplode`` unpacks it: position IS the band id; a NULL array
+    (no shingles) emits no rows. ``spread`` first: the band hashes are
+    interpreted HOF expressions (CPU-heavy per row) and a one-file
+    input would otherwise run on a couple of cores — a no-op at real
+    scale."""
+    from dragnet_spark.ops import spread
+    from dragnet_spark.ops.dedup import minhash_band_array
 
-    return minhash_band_hashes(text_col, num_hashes, bands, ngram)
+    arr = minhash_band_array(text_col, num_hashes, bands, ngram)
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(arr).alias("band", "bhash"),
+        )
+        .filter(F.col("bhash").isNotNull())
+    )
 
 
 def build_band_store(
@@ -166,30 +191,9 @@ def build_band_store(
     least one shingle. Banding params persist in ``_band_store.json``
     so appends and probes can never silently use mismatched keys.
 
-    The band hashes are interpreted HOF expressions over the shingle
-    array (CPU-heavy per row); ``spread`` round-robins a small/
-    few-file input across the cores first — a no-op at real scale.
     """
-    from dragnet_spark.ops import spread
-
-    bcols = _band_cols(text_col, num_hashes, bands, ngram)
-    rows = spread(docs).select(F.col(id_col).alias("doc_id"), *bcols)
-    stack = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"), F.col(f"bhash_{i}").alias("bhash")
-            )
-            for i in range(bands)
-        ]
-    )
     (
-        rows.select("doc_id", F.explode(stack).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.band").alias("band"),
-            F.col("b.bhash").alias("bhash"),
-        )
-        .filter(F.col("bhash").isNotNull())
+        _banded_rows(docs, text_col, id_col, num_hashes, bands, ngram)
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(os.path.join(path, BAND_DIR))
@@ -220,29 +224,12 @@ def append_band_keys(
     """Append a new batch's band keys into the same band layout, with
     the PERSISTED banding params (mirrors append_vector_index's
     persisted-centroid discipline)."""
-    from dragnet_spark.ops import spread
-
     meta = load_band_store_meta(path)
-    bcols = _band_cols(
-        meta["text_col"], meta["num_hashes"], meta["bands"], meta["ngram"]
-    )
-    rows = spread(docs).select(F.col(meta["id_col"]).alias("doc_id"), *bcols)
-    stack = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"), F.col(f"bhash_{i}").alias("bhash")
-            )
-            for i in range(meta["bands"])
-        ]
-    )
     (
-        rows.select("doc_id", F.explode(stack).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.band").alias("band"),
-            F.col("b.bhash").alias("bhash"),
+        _banded_rows(
+            docs, meta["text_col"], meta["id_col"],
+            meta["num_hashes"], meta["bands"], meta["ngram"],
         )
-        .filter(F.col("bhash").isNotNull())
         .write.mode("append")
         .partitionBy("band")
         .parquet(os.path.join(path, BAND_DIR))
@@ -260,38 +247,26 @@ def probe_near_duplicates(
     minhash-LSH semantics, so at the store's (num_hashes, bands) a
     pair at Jaccard j collides somewhere with prob 1-(1-j^r)^b.
     ``dup_of`` is the minimum stored doc_id among colliding bands.
-    Only (band, bhash) ride the join; text never leaves the scan."""
-    from dragnet_spark.ops import spread
+    Only (band, bhash) ride the join; text never leaves the scan.
 
+    ``n_band_hits`` counts DISTINCT ``(band, bhash, existing_id)``
+    collisions — the matched rows are deduplicated after the join
+    (bounded work: only hits, never the store), so a re-appended
+    document or a pre- vs post-compaction store cannot change any
+    probe output. That makes every field of this result invariant
+    under ``append`` replays and ``compact_band_store``."""
     meta = load_band_store_meta(path)
-    bcols = _band_cols(
-        meta["text_col"], meta["num_hashes"], meta["bands"], meta["ngram"]
+    banded = _banded_rows(
+        new_docs, meta["text_col"], meta["id_col"],
+        meta["num_hashes"], meta["bands"], meta["ngram"],
     )
-    probes = spread(new_docs).select(
-        F.col(meta["id_col"]).alias("doc_id"), *bcols
-    )
-    stack = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"), F.col(f"bhash_{i}").alias("bhash")
-            )
-            for i in range(meta["bands"])
-        ]
-    )
-    banded = (
-        probes.select("doc_id", F.explode(stack).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.band").alias("band"),
-            F.col("b.bhash").alias("bhash"),
-        )
-        .filter(F.col("bhash").isNotNull())
-    )
+    ids = new_docs.select(F.col(meta["id_col"]).alias("doc_id"))
     store = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
         "band", "bhash", F.col("doc_id").alias("existing_id")
     )
     hits = (
         store.join(banded, ["band", "bhash"])
+        .dropDuplicates(["doc_id", "band", "bhash", "existing_id"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_band_hits"),
@@ -299,8 +274,7 @@ def probe_near_duplicates(
         )
     )
     return (
-        probes.select("doc_id")
-        .join(hits, "doc_id", "left")
+        ids.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_band_hits", F.lit(0)).alias("n_band_hits"),
@@ -385,10 +359,13 @@ def compact_band_store(
 ) -> None:
     """Same maintenance for the band store: distinct (band, bhash,
     doc_id) rows — repeated appends of the same document collapse —
-    rewritten to ``files_per_partition`` files per band. Distinctness
-    (not keep-min) is the invariant because ``probe_near_duplicates``
-    also reports ``n_band_hits``, which counts stored collisions and
-    must survive compaction unchanged. At real scale size
+    rewritten to ``files_per_partition`` files per band. Answer-
+    preserving: ``probe_near_duplicates`` deduplicates matched rows
+    before counting, so every probe field (including ``n_band_hits``)
+    is identical against the pre- and post-compaction store; keep-min
+    would be wrong here because distinct stored doc_ids sharing a
+    band key are REAL collisions the count must retain. At real scale
+    size
     ``files_per_partition`` so one slice is one task's worth — the
     band dimension is only 8-wide, so the default 1 funnels 1/8 of
     the store per task (fine locally, a bottleneck at 100 TB)."""

@@ -62,6 +62,22 @@ from dragnet_spark.ops.similarity import (
 
 META_FILE = "_vector_index.json"
 VECTORS_DIR = "vectors"
+LAYOUT_FILE = "_dn_layout"
+
+
+def _layout_token(meta: dict) -> str:
+    """Deterministic digest of everything that defines the cell
+    layout: centroids, quantize mode, dims, column names."""
+    import hashlib
+
+    basis = {
+        k: meta[k]
+        for k in ("centroids", "quantized", "dims", "id_col", "vec_col")
+        if k in meta
+    }
+    return hashlib.sha256(
+        json.dumps(basis, sort_keys=True).encode()
+    ).hexdigest()[:16]
 
 
 def _cell_rows(
@@ -141,6 +157,14 @@ def build_vector_index(
         "quantized": bool(quantize),
         "centroids": [[float(x) for x in c] for c in cent],
     }
+    meta["layout_token"] = _layout_token(meta)
+    # the token lives in BOTH the meta file and inside the vectors dir
+    # (underscore-prefixed: Spark's reader ignores it): any maintenance
+    # crash that leaves the two out of sync — e.g. recenter dying
+    # between its vectors swap and its meta replace — is detected by
+    # the probe instead of silently scoring against the wrong centroids
+    with open(os.path.join(path, VECTORS_DIR, LAYOUT_FILE), "w") as f:
+        f.write(meta["layout_token"])
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump(meta, f)
     return meta
@@ -220,6 +244,17 @@ def query_vector_index(
     meta = load_vector_index_meta(path)
     if not str(meta.get("version", "")).startswith("1."):
         raise ValueError(f"unsupported vector index version: {meta.get('version')}")
+    tok_path = os.path.join(path, VECTORS_DIR, LAYOUT_FILE)
+    if meta.get("layout_token") and os.path.exists(tok_path):
+        with open(tok_path) as tf:
+            disk_tok = tf.read().strip()
+        if disk_tok != meta["layout_token"]:
+            raise ValueError(
+                "vector index layout/meta mismatch (a maintenance job "
+                "crashed mid-swap?): vectors carry layout "
+                f"{disk_tok!r} but metadata expects "
+                f"{meta['layout_token']!r} — re-run recenter_vector_index"
+            )
     C = np.asarray(meta["centroids"], dtype=np.float64)
     n_probe = min(n_probe, len(C))
 
@@ -288,32 +323,25 @@ def query_vector_index(
     )
 
 
-def compact_vector_index(spark: SparkSession, path: str) -> None:
-    """File-count maintenance after appends: rewrite each cell to one
-    file, keeping assignments (and the centroid matrix) untouched —
-    probe answers are exactly preserved. Stage-then-swap like the
-    event index's compact; not safe concurrently with an appender."""
-    import shutil
+def compact_vector_index(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> None:
+    """File-count maintenance after appends: rewrite each cell to
+    ``files_per_partition`` files, keeping assignments (and the
+    centroid matrix) untouched — probe answers are exactly preserved.
+    Delegates to the fingerprint store's ``_staged_rewrite`` (ONE
+    implementation of the crash-safe stage-then-swap); not safe
+    concurrently with an appender. The layout token rides along
+    unchanged (assignments didn't change)."""
+    from dragnet_spark.index.fingerprints import _staged_rewrite
 
+    meta = load_vector_index_meta(path)
     dest = os.path.join(path, VECTORS_DIR)
     df = spark.read.parquet(dest)
-    stage = dest + ".compact_tmp"
-    old = dest + ".compact_old"
-    # clear leftovers of a compaction that crashed between renames
-    shutil.rmtree(stage, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    try:
-        (
-            df.repartition(F.col("cell"))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(stage)
-        )
-        os.rename(dest, old)
-        os.rename(stage, dest)
-        shutil.rmtree(old, ignore_errors=True)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    _staged_rewrite(df, "cell", dest, "vec_id", files_per_partition)
+    if meta.get("layout_token"):
+        with open(os.path.join(dest, LAYOUT_FILE), "w") as f:
+            f.write(meta["layout_token"])
 
 
 def recenter_vector_index(
@@ -346,8 +374,12 @@ def recenter_vector_index(
             F.col("vec_id").alias(meta["id_col"]),
             F.col("embedding").alias(meta["vec_col"]),
         )
+    import glob as _glob
+
     old = os.path.join(path, VECTORS_DIR + ".recenter_old")
     shutil.rmtree(old, ignore_errors=True)  # crashed prior recenter
+    for leftover in _glob.glob(os.path.join(path, "vindex_recenter_*")):
+        shutil.rmtree(leftover, ignore_errors=True)
     stage = tempfile.mkdtemp(prefix="vindex_recenter_", dir=path)
     new_meta = build_vector_index(
         spark,
@@ -359,6 +391,9 @@ def recenter_vector_index(
         seed=seed if seed is not None else meta["seed"],
         quantize=bool(meta.get("quantized")),
     )
+    # two renames + a replace cannot be atomic together; the layout
+    # token turns the crash window (new vectors + old meta) into a
+    # loud probe-time error instead of silently wrong neighbors
     os.rename(os.path.join(path, VECTORS_DIR), old)
     os.rename(os.path.join(stage, VECTORS_DIR), os.path.join(path, VECTORS_DIR))
     os.replace(os.path.join(stage, META_FILE), os.path.join(path, META_FILE))

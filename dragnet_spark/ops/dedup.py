@@ -199,44 +199,69 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_band_hashes(
+def minhash_band_array(
     text_col: Column | str,
     num_hashes: int = 16,
     bands: int = 8,
     ngram: int = 3,
-) -> list[Column]:
-    """Per-ROW minhash band hashes — ``bands`` md5 columns, value-
-    identical to :func:`minhash_lsh_pairs`'s explode+groupBy signature
-    (same seeded coeffs, same shingle hash, same band md5), but built
-    from narrow array expressions with NO shuffle: ``array_min`` over
-    the permuted shingle hashes replaces the explode+``min`` agg.
+) -> Column:
+    """Per-ROW minhash band hashes as ONE ``array<string>`` column
+    (element *i* = band *i*'s md5), value-identical to
+    :func:`minhash_lsh_pairs`'s explode+groupBy signature (same seeded
+    coeffs, same shingle hash, same band md5), but built from narrow
+    array expressions with NO shuffle: ``array_min`` over the permuted
+    shingle hashes replaces the explode+``min`` agg.
 
     That makes the band keys computable inside a streaming micro-batch
     (stateless projection) and inside the band-store build at scan
-    speed. A document with no shingles (short text) yields NULL bands
-    — it can never collide, matching the batch path where such a
-    document emits no candidate rows.
+    speed. A document with no shingles (short text) yields a NULL
+    array — it can never collide (``posexplode`` of NULL emits no
+    rows), matching the batch path where such a document emits no
+    candidate rows.
+
+    Returning one array matters for cost: the shingle-hash array is
+    let-bound (`ops/text._bind_once`) and the whole expression is
+    evaluated ONCE per row. Returning ``bands`` separate columns would
+    re-inline — and re-evaluate — the md5-per-shingle work once per
+    band (HOFs are CodegenFallback; no subexpression elimination).
+    Consumers either ``posexplode`` this column (store build/probe) or
+    project it once and reference elements of the projected attribute
+    (the streaming per-band anti-joins).
     """
+    from dragnet_spark.ops.text import _bind_once
+
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    arr = F.array_distinct(shingles(text_col, ngram))
-    hs = F.transform(arr, lambda s: shingle_hash(s))
-    mins = [
-        F.array_min(
-            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-        )
-        for (a, b) in minhash_coeffs(num_hashes)
-    ]
-    return [
-        F.when(
-            F.size(arr) > 0,
-            F.md5(
-                F.concat_ws("\x1f", *[mins[i * r + j] for j in range(r)])
+
+    def _bands_from(hs):
+        mins = [
+            F.array_min(
+                F.transform(
+                    hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+                )
+            )
+            for (a, b) in minhash_coeffs(num_hashes)
+        ]
+        return F.when(
+            F.size(hs) > 0,
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", *[mins[i * r + j] for j in range(r)]
+                        )
+                    )
+                    for i in range(bands)
+                ]
             ),
-        ).alias(f"bhash_{i}")
-        for i in range(bands)
-    ]
+        )
+
+    hashed = F.transform(
+        F.array_distinct(shingles(text_col, ngram)),
+        lambda s: shingle_hash(s),
+    )
+    return _bind_once(hashed, _bands_from)
 
 
 def dedup_keep_first(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:

@@ -566,7 +566,7 @@ def stream_curate_against_band_store(
         BAND_DIR,
         load_band_store_meta,
     )
-    from dragnet_spark.ops.dedup import minhash_band_hashes
+    from dragnet_spark.ops.dedup import minhash_band_array
 
     curated = stream_curate(
         sdf,
@@ -584,13 +584,20 @@ def stream_curate_against_band_store(
             f"`fields` to band-hash survivors (missing {text_field!r})"
         )
     meta = load_band_store_meta(store_path)
-    bcols = minhash_band_hashes(
-        F.col(text_field),
-        num_hashes=meta["num_hashes"],
-        bands=meta["bands"],
-        ngram=meta["ngram"],
+    # ONE projection computes the band array per row; the per-band
+    # anti-join conditions then reference elements of the projected
+    # ATTRIBUTE (cheap getItem), not the expression — join conditions
+    # cannot re-inline it, so the md5-per-shingle work runs once per
+    # row no matter how many bands
+    out = curated.select(
+        "*",
+        minhash_band_array(
+            F.col(text_field),
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+            ngram=meta["ngram"],
+        ).alias("__dn_bands"),
     )
-    out = curated.select("*", *bcols)
     store = curated.sparkSession.read.parquet(
         _os.path.join(store_path, BAND_DIR)
     )
@@ -600,10 +607,10 @@ def stream_curate_against_band_store(
         )
         out = out.join(
             slice_i,
-            F.col(f"bhash_{i}") == F.col(f"__dn_store_bh_{i}"),
+            F.col("__dn_bands")[i] == F.col(f"__dn_store_bh_{i}"),
             "left_anti",
         )
-    return out.drop(*[f"bhash_{i}" for i in range(meta["bands"])])
+    return out.drop("__dn_bands")
 
 
 def make_live_store_ingester(

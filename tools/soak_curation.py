@@ -74,28 +74,36 @@ def replicate_documents(docs: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def embedding_replica(emb: DataFrame, r: int) -> DataFrame:
+    """ONE replica (replica 0 = the original): the ±1 sign-mask
+    isometry applied directly, so callers appending replica-by-replica
+    pay one scan per batch instead of building and discarding an
+    (r+1)-way union (tools/soak_vindex.py's append loop was O(K²)
+    replica scans before this)."""
+    if r == 0:
+        return emb.select("vec_id", "embedding")
+    # independent random ±1 mask per replica (seeded): same-doc
+    # cross-replica cosine concentrates near 0, so pair counts
+    # scale linearly in K instead of K²
+    import random as _random
+
+    mrng = _random.Random(1000 + r)
+    mask = [float(mrng.choice((1.0, -1.0))) for _ in range(64)]
+    flipped = F.zip_with(
+        F.col("embedding"),
+        F.array(*[F.lit(m) for m in mask]),
+        lambda x, m: x * m,
+    )
+    return emb.select(
+        (F.col("vec_id") + F.lit(r * ID_SHIFT)).alias("vec_id"),
+        flipped.cast("array<float>").alias("embedding"),
+    )
+
+
 def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
     out = None
     for r in range(k):
-        if r == 0:
-            part = emb.select("vec_id", "embedding")
-        else:
-            # independent random ±1 mask per replica (seeded): same-doc
-            # cross-replica cosine concentrates near 0, so pair counts
-            # scale linearly in K instead of K²
-            import random as _random
-
-            mrng = _random.Random(1000 + r)
-            mask = [float(mrng.choice((1.0, -1.0))) for _ in range(64)]
-            flipped = F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(m) for m in mask]),
-                lambda x, m: x * m,
-            )
-            part = emb.select(
-                (F.col("vec_id") + F.lit(r * ID_SHIFT)).alias("vec_id"),
-                flipped.cast("array<float>").alias("embedding"),
-            )
+        part = embedding_replica(emb, r)
         out = part if out is None else out.unionByName(part)
     return out
 

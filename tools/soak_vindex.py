@@ -42,7 +42,10 @@ from dragnet_spark.index.vector import (  # noqa: E402
 )
 from dragnet_spark.session import get_spark  # noqa: E402
 from dragnet_spark.sources.tables import load_table  # noqa: E402
-from tools.soak_curation import replicate_embeddings  # noqa: E402
+from tools.soak_curation import (  # noqa: E402
+    embedding_replica,
+    replicate_embeddings,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_QUERIES = 64
@@ -153,10 +156,7 @@ def main() -> None:
     )
     t0 = time.time()
     for r in range(1, k_target):
-        batch = replicate_embeddings(emb, r + 1).filter(
-            F.col("vec_id") >= r * 10_000_000
-        )
-        append_vector_index(spark, batch, inc_path)
+        append_vector_index(spark, embedding_replica(emb, r), inc_path)
     out["append_sec_total"] = round(time.time() - t0, 2)
     build_vector_index(
         spark, replicate_embeddings(emb, k_target), re_path,
