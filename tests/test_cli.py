@@ -503,3 +503,13 @@ def test_store_maintenance_cli(cfg, tmp_path, spark):
     assert rc == 0 and "compacted vector index" in out
     rc, out, _ = run(["vindex-recenter", idx, "--centroids", "8"], cfg)
     assert rc == 0 and "recentered vector index: 8 cells" in out
+
+
+def test_flag_with_inline_value_is_usage_error(cfg):
+    """--quantize=false must be rejected, not silently treated as
+    --quantize (the worst possible parse of a boolean intent)."""
+    rc, _, err = run(
+        ["vindex-build", "x.parquet", "--out", "/tmp/i",
+         "--quantize=false"], cfg
+    )
+    assert rc == 2 and 'is a flag and takes no value' in err

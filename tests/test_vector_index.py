@@ -258,3 +258,27 @@ def test_compact_and_recenter(spark, sf_dir, tmp_path_factory):
     assert meta["quantized"] is True
     assert load_vector_index_meta(path)["centroids"] == meta["centroids"]
     assert rows_set(query_vector_index(spark, path, q, k=3, n_probe=8)) == before
+
+
+def test_layout_meta_mismatch_raises(spark, sf_dir, tmp_path_factory):
+    """A maintenance crash between the vectors swap and the meta
+    replace leaves layout and metadata disagreeing; the probe must
+    fail loudly, never score against the wrong centroids."""
+    import json
+    import os
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(50)
+    )
+    path = str(tmp_path_factory.mktemp("vtok"))
+    build_vector_index(spark, emb, path, n_centroids=4, seed=11)
+    meta_path = os.path.join(path, "_vector_index.json")
+    meta = json.load(open(meta_path))
+    meta["layout_token"] = "deadbeefdeadbeef"  # stale meta, new layout
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="layout/meta mismatch"):
+        query_vector_index(
+            spark, path, emb.filter(F.col("vec_id") < 2), k=1
+        )
