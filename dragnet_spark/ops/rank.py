@@ -62,11 +62,13 @@ def _ranked(
     parts = df.repartitionByRange(n, *order).withColumn(
         _PID, F.spark_partition_id()
     )
-    # Eager local checkpoint: one job runs the range shuffle and pins the
-    # blocks; the count job and the caller's final job both read them.
-    # Unlike persist(), the blocks are ContextCleaner-GC'd with `parts` —
+    # Lazy local checkpoint: the count job below materializes the range
+    # shuffle into checkpoint blocks (same job count as persist — eager
+    # checkpointing costs one extra job per call, measured +0.07s on the
+    # bench's ranked queries), the caller's final job reads them, and
+    # unlike persist() the blocks are ContextCleaner-GC'd with `parts` —
     # no session-lifetime cache leak per call.
-    parts = parts.localCheckpoint(eager=True)
+    parts = parts.localCheckpoint(eager=False)
     counts = {
         r[_PID]: r["cnt"]
         for r in parts.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
