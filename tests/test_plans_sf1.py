@@ -5,9 +5,10 @@ didn't change; only facts grew), no BNLJ/cartesian sneaks in, and
 AQE's skew-join splitting is OBSERVED on a genuinely skewed join, not
 assumed from the conf flag.
 
-The tier is generated (not committed): ``python tools/gen_sf1.py``
-writes ``testdata_sf1/`` — 6M-row lineitem, 1.5M orders, 150k
-customer, 1M events, dims copied through. Tests skip if absent.
+The tier is generated, not committed: ``tools/gen_sf1.py`` writes
+``testdata_sf1/`` — 6M-row lineitem, 1.5M orders, 150k customer, 1M
+events, dims copied through — in ~2.5s (DuckDB COPY), so a missing
+tier is generated on the fly rather than skipping the assertions.
 """
 
 import contextlib
@@ -21,10 +22,20 @@ from dragnet_spark.registry import REGISTRY
 
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "testdata_sf1")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")),
-    reason="sf1 tier not generated (python tools/gen_sf1.py)",
-)
+
+@pytest.fixture(scope="module", autouse=True)
+def _ensure_tier():
+    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+        import subprocess
+        import sys as _sys
+
+        subprocess.run(
+            [_sys.executable,
+             os.path.join(os.path.dirname(SF1_DIR), "tools", "gen_sf1.py"),
+             SF1_DIR],
+            check=True,
+            capture_output=True,
+        )
 
 
 def _plan(df) -> str:
