@@ -860,6 +860,48 @@ def cmd_vindex_compact(argv, cat: Catalog, out):
     out.write("compacted vector index at %s\n" % idx)
 
 
+def cmd_vindex_stats(argv, cat: Catalog, out):
+    """dn vindex-stats <index-path>: cell-population stats and the
+    recenter recommendation — the operational readout behind the
+    documented ~4x max/mean skew trigger."""
+    from dragnet_spark.index.vector import (
+        load_vector_index_meta,
+        vector_index_cell_stats,
+    )
+
+    opts = _parse_args(argv, [])
+    (idx,) = _nargs(opts, 1)
+    spark = _get_spark()
+    meta = load_vector_index_meta(idx)
+    rows = sorted(
+        (r["cell"], r["n_vectors"])
+        for r in vector_index_cell_stats(spark, idx).collect()
+    )
+    counts = [n for _, n in rows]
+    total = sum(counts)
+    mean = total / max(len(counts), 1)
+    skew = (max(counts) / mean) if counts and mean else 0.0
+    out.write(
+        "%d vectors in %d/%d cells%s; max/mean skew %.2f\n"
+        % (
+            total,
+            len(counts),
+            meta["n_centroids"],
+            " (int8)" if meta.get("quantized") else "",
+            skew,
+        )
+    )
+    for cell, n in rows:
+        out.write("    cell=%-4d %d\n" % (cell, n))
+    if skew > 4.0 or len(counts) < meta["n_centroids"]:
+        out.write(
+            "recommendation: recenter (dn vindex-recenter) — skew or "
+            "empty cells past the trigger\n"
+        )
+    else:
+        out.write("recommendation: healthy; no recenter needed\n")
+
+
 def cmd_vindex_recenter(argv, cat: Catalog, out):
     """dn vindex-recenter <index-path> [--centroids=N]: retrain
     centroids on the current store contents and rebuild in place —
@@ -900,6 +942,7 @@ COMMANDS = {
     "vindex-query": cmd_vindex_query,
     "vindex-compact": cmd_vindex_compact,
     "vindex-recenter": cmd_vindex_recenter,
+    "vindex-stats": cmd_vindex_stats,
     "fp-build": cmd_fp_build,
     "fp-probe": cmd_fp_probe,
     "fp-compact": cmd_fp_compact,

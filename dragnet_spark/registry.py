@@ -1333,6 +1333,57 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FPSTORE_MAINT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_probe_after_compact",
+    f"""
+    WITH corpus AS (SELECT doc_id, {_text.fingerprint_sql('text')} AS fp
+                    FROM documents WHERE doc_id % 5 <> 0),
+    newb AS (SELECT doc_id, {_text.fingerprint_sql('text')} AS fp
+             FROM documents WHERE doc_id % 5 = 0),
+    hits AS (SELECT n.doc_id, MIN(c.doc_id) AS dup_of
+             FROM newb n JOIN corpus c ON n.fp = c.fp GROUP BY 1)
+    SELECT n.doc_id, n.fp, h.dup_of,
+           (h.dup_of IS NOT NULL) AS is_duplicate
+    FROM newb n LEFT JOIN hits h ON n.doc_id = h.doc_id
+    """,
+    "store-maintenance equivalence, driver-graded: the fingerprint "
+    "store is built, then fragmented by re-appending its own corpus "
+    "slice (duplicate rows, extra files — a replayed ingest), then "
+    "COMPACTED (index/fingerprints.compact_fingerprint_store: "
+    "keep-min per fingerprint, stage-then-swap rewrite), and only "
+    "then probed. The oracle is dedup_incremental_probe's SQL "
+    "verbatim: replays and compaction must be invisible to every "
+    "probe answer — the maintenance job is graded against the same "
+    "truth as the clean build, not just unit-tested",
+)
+def dedup_probe_after_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        append_fingerprints,
+        build_fingerprint_store,
+        compact_fingerprint_store,
+        probe_new_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    if sf_dir not in _FPSTORE_MAINT_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_fpmaint_")
+        build_fingerprint_store(spark, corpus, path)
+        append_fingerprints(spark, corpus, path)  # replayed ingest
+        compact_fingerprint_store(spark, path)
+        _FPSTORE_MAINT_CACHE[sf_dir] = path
+    return probe_new_documents(
+        spark,
+        _FPSTORE_MAINT_CACHE[sf_dir],
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
 @register(
     "ann_vector_index_topk",
     _ANN_ORACLE,  # exhaustive probing (n_probe == n_centroids) makes

@@ -513,3 +513,13 @@ def test_flag_with_inline_value_is_usage_error(cfg):
          "--quantize=false"], cfg
     )
     assert rc == 2 and 'is a flag and takes no value' in err
+
+
+def test_vindex_stats_cli(cfg, tmp_path, spark):
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "vs")
+    assert run(["vindex-build", emb, "--out", idx, "--centroids", "4"], cfg)[0] == 0
+    rc, out, _ = run(["vindex-stats", idx], cfg)
+    assert rc == 0
+    assert "vectors in" in out and "max/mean skew" in out
+    assert "recommendation:" in out
