@@ -135,7 +135,11 @@ def test_no_persisted_rdd_leak(spark):
         global_ntile(df, order, 10, "decile", num_partitions=6).collect()
     del df
     leaked = set()
-    deadline = time.time() + 30
+    # generous deadline: in a full-suite run the ContextCleaner is
+    # draining hundreds of other blocks and can need well over 30s;
+    # standalone this exits in under a second. A real persist leak
+    # NEVER clears, so the only cost of waiting is time.
+    deadline = time.time() + 150
     while time.time() < deadline:
         gc.collect()  # drop py4j proxies -> JVM refs
         spark.sparkContext._jvm.System.gc()  # enqueue the weak refs
