@@ -35,6 +35,62 @@ from dragnet_spark.ops import text as _text
 STORE_DIR = "fingerprints"
 BAND_DIR = "bands"
 BAND_META = "_band_store.json"
+FP_META = "_fp_store.json"
+SRP_DIR = "srp_bands"
+SRP_META = "_srp_store.json"
+#: same crash-detection discipline as index/vector.py: the token lives
+#: in BOTH the meta file and (underscore-prefixed, Spark-invisible)
+#: inside the data directory — any maintenance crash that leaves the
+#: two out of sync is detected loudly at probe/append time instead of
+#: silently answering against mismatched keys
+LAYOUT_FILE = "_dn_layout"
+
+
+def _layout_token(basis: dict) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(basis, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def _write_layout(data_dir: str, token: str) -> None:
+    with open(os.path.join(data_dir, LAYOUT_FILE), "w") as f:
+        f.write(token)
+
+
+def _check_layout(path: str, meta_file: str, data_dir: str, what: str) -> None:
+    """Fail loudly when the data directory's layout token disagrees
+    with the meta file's — the signature of a maintenance job (compact,
+    rebuild-with-new-params) that crashed between its directory swap
+    and its meta replace. Back-compat: stores built before tokens
+    existed (either side missing) are accepted unchecked."""
+    meta_path = os.path.join(path, meta_file)
+    tok_path = os.path.join(path, data_dir, LAYOUT_FILE)
+    if not (os.path.exists(meta_path) and os.path.exists(tok_path)):
+        return
+    with open(meta_path) as f:
+        expect = json.load(f).get("layout_token")
+    if not expect:
+        return
+    with open(tok_path) as f:
+        disk = f.read().strip()
+    if disk != expect:
+        raise ValueError(
+            f"{what} layout/meta mismatch (a maintenance job crashed "
+            f"mid-swap?): data dir carries layout {disk!r} but metadata "
+            f"expects {expect!r} — rebuild or re-run the maintenance job"
+        )
+
+
+#: identifies the fingerprint function; bump when ops/text.fingerprint
+#: changes so a probe against a stale store fails loudly instead of
+#: missing every duplicate
+_FP_ALGO = "md5-normalized-v1"
+
+
+def _fp_token() -> str:
+    return _layout_token({"version": "1.0", "algo": _FP_ALGO, "buckets": 256})
 
 
 def build_fingerprint_store(
@@ -55,6 +111,12 @@ def build_fingerprint_store(
         .partitionBy("fp_bucket")
         .parquet(os.path.join(path, STORE_DIR))
     )
+    tok = _fp_token()
+    _write_layout(os.path.join(path, STORE_DIR), tok)
+    with open(os.path.join(path, FP_META), "w") as f:
+        json.dump(
+            {"version": "1.0", "algo": _FP_ALGO, "layout_token": tok}, f
+        )
 
 
 def append_fingerprints(
@@ -64,7 +126,11 @@ def append_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Append a new batch's fingerprints into the same bucket layout."""
+    """Append a new batch's fingerprints into the same bucket layout.
+    Validates the layout token first (same discipline as the probe):
+    appending into a store left in a maintenance crash window would
+    persist rows a later recovery can't distinguish from good ones."""
+    _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
     (
         docs.select(
             _text.fingerprint(text_col).alias("fp"),
@@ -91,6 +157,7 @@ def probe_new_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_broadcast_probes: int = MAX_BROADCAST_PROBES,
+    probe_count: int | None = None,
 ) -> DataFrame:
     """(doc_id, fp, dup_of, is_duplicate) for an arriving batch.
 
@@ -103,7 +170,17 @@ def probe_new_documents(
     batch falls back to a shuffle hash join on (fp_bucket, fp) — the
     store is already bucketed by the key prefix — instead of
     collecting an unbounded batch through the driver.
+
+    ``probe_count`` is a caller-supplied row-count hint that skips the
+    size-gate job entirely. Pass it when the batch size is already
+    known (a foreachBatch body, a counted upstream frame) — and ALWAYS
+    when ``new_docs`` is non-deterministic (a fresh sample, an
+    uncheckpointed shuffle with varying order): the gate's count and
+    the join re-evaluate the source independently, so a source that
+    changes between jobs could be gated small but join huge.
     """
+    _recover_staged(os.path.join(path, STORE_DIR))
+    _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
     store = spark.read.parquet(os.path.join(path, STORE_DIR)).select(
         "fp_bucket", "fp", F.col("doc_id").alias("existing_id")
     )
@@ -114,9 +191,10 @@ def probe_new_documents(
     # Size gate: limit(n+1).count() touches at most n+1 narrow rows —
     # it never pays for the full batch when the batch is huge.
     small = (
-        probes.limit(max_broadcast_probes + 1).count()
-        <= max_broadcast_probes
-    )
+        probe_count
+        if probe_count is not None
+        else probes.limit(max_broadcast_probes + 1).count()
+    ) <= max_broadcast_probes
     probe_side = F.broadcast(probes) if small else probes
     hits = (
         store.join(probe_side, ["fp_bucket", "fp"])
@@ -206,6 +284,13 @@ def build_band_store(
         "text_col": text_col,
         "id_col": id_col,
     }
+    # the token digests every band-key-defining parameter: a rebuild
+    # with different banding params that crashes before replacing the
+    # meta file leaves keys the old meta would silently mis-probe
+    meta["layout_token"] = _layout_token(
+        {k: meta[k] for k in ("version", "num_hashes", "bands", "ngram")}
+    )
+    _write_layout(os.path.join(path, BAND_DIR), meta["layout_token"])
     with open(os.path.join(path, BAND_META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -223,7 +308,10 @@ def append_band_keys(
 ) -> None:
     """Append a new batch's band keys into the same band layout, with
     the PERSISTED banding params (mirrors append_vector_index's
-    persisted-centroid discipline)."""
+    persisted-centroid discipline). Validates the layout token first —
+    appending through a maintenance crash window would mix keys from
+    two banding layouts."""
+    _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
     meta = load_band_store_meta(path)
     (
         _banded_rows(
@@ -255,6 +343,8 @@ def probe_near_duplicates(
     document or a pre- vs post-compaction store cannot change any
     probe output. That makes every field of this result invariant
     under ``append`` replays and ``compact_band_store``."""
+    _recover_staged(os.path.join(path, BAND_DIR))
+    _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
     meta = load_band_store_meta(path)
     banded = _banded_rows(
         new_docs, meta["text_col"], meta["id_col"],
@@ -287,6 +377,18 @@ def probe_near_duplicates(
 # ---------------------------------------------------------- compaction
 
 
+def _recover_staged(dest: str) -> None:
+    """Automated recovery for :func:`_staged_rewrite`'s crash window: a
+    compaction that died strictly BETWEEN its two renames leaves the
+    store directory absent with the data alive only in
+    ``<dest>.compact_old`` — rename it back so the next probe/compact
+    proceeds instead of failing path-not-found. Called at the top of
+    every probe and compact; a no-op in the healthy state."""
+    old = dest + ".compact_old"
+    if not os.path.exists(dest) and os.path.exists(old):
+        os.rename(old, dest)
+
+
 def _staged_rewrite(
     df,
     part_col: str,
@@ -309,8 +411,9 @@ def _staged_rewrite(
 
     stage = dest + ".compact_tmp"
     old = dest + ".compact_old"
-    # a previous compaction that crashed between its renames can leave
-    # either sibling behind; clear them so the swap cannot fail
+    _recover_staged(dest)
+    # a previous compaction that crashed before its first rename can
+    # leave either sibling behind; clear them so the swap cannot fail
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     slice_col = F.pmod(
@@ -345,6 +448,8 @@ def compact_fingerprint_store(
     compact contract: pause, compact, restart).
     """
     dest = os.path.join(path, STORE_DIR)
+    _recover_staged(dest)
+    _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
     df = spark.read.parquet(dest)
     compacted = df.groupBy("fp_bucket", "fp").agg(
         F.min("doc_id").alias("doc_id")
@@ -352,6 +457,9 @@ def compact_fingerprint_store(
     _staged_rewrite(
         compacted, "fp_bucket", dest, "fp", files_per_partition
     )
+    # the rewrite replaced the data directory; the layout is unchanged
+    # (same fingerprints, same buckets), so the token rides along
+    _write_layout(dest, _fp_token())
 
 
 def compact_band_store(
@@ -370,8 +478,13 @@ def compact_band_store(
     band dimension is only 8-wide, so the default 1 funnels 1/8 of
     the store per task (fine locally, a bottleneck at 100 TB)."""
     dest = os.path.join(path, BAND_DIR)
+    _recover_staged(dest)
+    _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
+    meta = load_band_store_meta(path)
     df = spark.read.parquet(dest)
     _staged_rewrite(
         df.select("band", "bhash", "doc_id").distinct(), "band", dest,
         "bhash", files_per_partition,
     )
+    if meta.get("layout_token"):
+        _write_layout(dest, meta["layout_token"])

@@ -80,6 +80,28 @@ def _layout_token(meta: dict) -> str:
     ).hexdigest()[:16]
 
 
+def _check_layout(path: str, meta: dict) -> None:
+    """Fail loudly when the vectors directory's layout token disagrees
+    with the metadata's — the signature of a recenter that crashed
+    between its vectors swap and its meta replace. Enforced by BOTH
+    the probe and the appender: appending through the crash window
+    would cell-assign new vectors with the wrong centroids, surfacing
+    only later as silently-wrong neighbors. Stores from before tokens
+    existed (either side missing) pass unchecked."""
+    tok_path = os.path.join(path, VECTORS_DIR, LAYOUT_FILE)
+    if not (meta.get("layout_token") and os.path.exists(tok_path)):
+        return
+    with open(tok_path) as tf:
+        disk_tok = tf.read().strip()
+    if disk_tok != meta["layout_token"]:
+        raise ValueError(
+            "vector index layout/meta mismatch (a maintenance job "
+            "crashed mid-swap?): vectors carry layout "
+            f"{disk_tok!r} but metadata expects "
+            f"{meta['layout_token']!r} — re-run recenter_vector_index"
+        )
+
+
 def _cell_rows(
     df: DataFrame,
     centroids,
@@ -194,6 +216,7 @@ def append_vector_index(
     per batch.
     """
     meta = load_vector_index_meta(path)
+    _check_layout(path, meta)
     cent = np.asarray(meta["centroids"], dtype=np.float64)
     (
         _cell_rows(
@@ -244,17 +267,7 @@ def query_vector_index(
     meta = load_vector_index_meta(path)
     if not str(meta.get("version", "")).startswith("1."):
         raise ValueError(f"unsupported vector index version: {meta.get('version')}")
-    tok_path = os.path.join(path, VECTORS_DIR, LAYOUT_FILE)
-    if meta.get("layout_token") and os.path.exists(tok_path):
-        with open(tok_path) as tf:
-            disk_tok = tf.read().strip()
-        if disk_tok != meta["layout_token"]:
-            raise ValueError(
-                "vector index layout/meta mismatch (a maintenance job "
-                "crashed mid-swap?): vectors carry layout "
-                f"{disk_tok!r} but metadata expects "
-                f"{meta['layout_token']!r} — re-run recenter_vector_index"
-            )
+    _check_layout(path, meta)
     C = np.asarray(meta["centroids"], dtype=np.float64)
     n_probe = min(n_probe, len(C))
 

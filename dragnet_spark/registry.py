@@ -809,7 +809,7 @@ _BANDSTORE_CACHE: dict[str, str] = {}
     "store (index/fingerprints.build_band_store): the corpus slice "
     "(doc_id%5≠0) persists its LSH band keys partitionBy(band); the "
     "arriving batch (doc_id%5=0) band-hashes itself with NARROW "
-    "per-row expressions (ops/dedup.minhash_band_hashes — value-"
+    "per-row expressions (ops/dedup.minhash_band_array — value-"
     "identical to the batch LSH's explode+groupBy signature) and "
     "joins the store on (band, bhash), reporting which new docs are "
     "near-duplicate candidates of the persisted corpus without "

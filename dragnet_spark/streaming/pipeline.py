@@ -545,7 +545,7 @@ def stream_curate_against_band_store(
     in-stream, which the exact-fingerprint store cannot do.
 
     Mechanics: the arriving batch computes its band hashes as NARROW
-    per-row expressions (ops/dedup.minhash_band_hashes — value-
+    per-row expressions (ops/dedup.minhash_band_array — value-
     identical to the batch LSH's explode+groupBy signature, so
     stream and batch agree bit-for-bit), then runs one stream-static
     LEFT ANTI join per band against that band's store slice. Per-band
@@ -626,14 +626,28 @@ def make_live_store_ingester(
     Per micro-batch: (1) re-read the fingerprint store's CURRENT
     contents (a fresh file listing — this is the within-run-freshness
     path the plan-time snapshot join cannot give), (2) anti-join the
-    curated batch's ``__dn_fp`` against it, (3) append survivors to
-    the parquet sink, (4) fold the survivors' fingerprints straight
+    curated batch's ``__dn_fp`` against it, (3) write survivors to the
+    parquet sink, (4) fold the survivors' fingerprints straight
     back into the store so the NEXT micro-batch — and any concurrent
     batch probe — already sees them. Replays after a restart are
-    skipped via the same batch-id marker ledger as the index build
-    (at-least-once window reduced to crash-mid-write; the store side
-    tolerates double-appends anyway since probes take min doc_id and
-    compaction collapses them).
+    skipped via the same batch-id marker ledger as the index build.
+
+    Exactly-once on the SINK: each batch's survivors land in their own
+    ``__dn_batch=<id>`` subdirectory, which doubles as the commit
+    record. On replay, if that directory's ``_SUCCESS`` marker exists,
+    the anti-join is NOT recomputed — the committed directory IS the
+    survivor set (recomputing would find zero survivors, because the
+    first attempt's fold-in already put their fingerprints in the
+    store, and overwriting would erase the sink output); the replay
+    just re-folds those fingerprints into the store. Without the
+    marker the partial directory is overwritten by a fresh anti-join
+    (the store was necessarily not folded yet — fold-in runs strictly
+    after the sink commit). Readers (``spark.read.parquet(sink_path)``)
+    therefore see each batch's rows exactly once, plus a discovered
+    ``__dn_batch`` partition column they can ignore. The STORE side
+    stays a plain append and merely tolerates replay double-appends
+    (probes take min doc_id; compaction collapses them) — the next
+    compaction erases them.
     """
     import hashlib
     import os as _os
@@ -655,14 +669,21 @@ def make_live_store_ingester(
             return
         spark = batch_df.sparkSession
         store_dir = _os.path.join(store_path, STORE_DIR)
-        store_fps = spark.read.parquet(store_dir).select(
-            F.col("fp").alias("__dn_fp")
-        )
-        survivors = batch_df.join(store_fps, "__dn_fp", "left_anti")
-        # one pass over the batch: materialize survivors before the
-        # two writes so the anti-join doesn't run twice
-        survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(sink_path)
+        bdir = _os.path.join(sink_path, f"__dn_batch={batch_id}")
+        if _os.path.exists(_os.path.join(bdir, "_SUCCESS")):
+            # replayed batch whose sink write already committed: the
+            # directory is the survivor set (see docstring) — only the
+            # store fold-in needs to re-run
+            survivors = spark.read.parquet(bdir)
+        else:
+            store_fps = spark.read.parquet(store_dir).select(
+                F.col("fp").alias("__dn_fp")
+            )
+            survivors = batch_df.join(store_fps, "__dn_fp", "left_anti")
+            # one pass over the batch: materialize survivors before the
+            # two writes so the anti-join doesn't run twice
+            survivors = survivors.localCheckpoint(eager=True)
+            survivors.write.mode("overwrite").parquet(bdir)
         (
             survivors.select(
                 F.col("__dn_fp").alias("fp"),

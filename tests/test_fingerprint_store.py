@@ -186,7 +186,7 @@ def test_band_no_shingles_never_collides(spark, band_store):
 
 
 def test_narrow_band_hashes_match_groupby_signature(spark, sf_dir):
-    """ops/dedup.minhash_band_hashes (per-row array_min) must be
+    """ops/dedup.minhash_band_array (per-row array_min) must be
     bit-identical to minhash_lsh_pairs' explode+groupBy signature:
     same candidate pairs on the same corpus."""
     from dragnet_spark.index.fingerprints import (
@@ -299,3 +299,129 @@ def test_band_compact_preserves_probe(spark, band_store):
     assert twin_row[3] is True and twin_row[2] == 1
     fresh_row = next(r for r in after if r[0] == 31)
     assert fresh_row == (31, 0, None, False)
+
+
+# --------------------------------------- layout tokens + crash recovery
+
+
+def test_fp_layout_mismatch_raises(spark, store):
+    """A maintenance crash that leaves the data dir and meta out of
+    sync must be LOUD at probe time (the vector index's token
+    discipline, ported per VERDICT r6 #5)."""
+    import json
+    import os
+
+    from dragnet_spark.index.fingerprints import FP_META
+
+    meta_path = os.path.join(store, FP_META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["layout_token"] = "deadbeefdeadbeef"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    batch = spark.createDataFrame(
+        [(90, "hello world")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="layout/meta mismatch"):
+        probe_new_documents(spark, store, batch).collect()
+    with pytest.raises(ValueError, match="layout/meta mismatch"):
+        append_fingerprints(spark, batch, store)
+
+
+def test_band_layout_mismatch_raises(spark, band_store):
+    import os
+
+    from dragnet_spark.index.fingerprints import (
+        BAND_DIR,
+        LAYOUT_FILE,
+        append_band_keys,
+        probe_near_duplicates,
+    )
+
+    with open(os.path.join(band_store, BAND_DIR, LAYOUT_FILE), "w") as f:
+        f.write("0000000000000000")  # stale data dir, fresh meta
+    batch = spark.createDataFrame([(91, BASE)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="layout/meta mismatch"):
+        probe_near_duplicates(spark, band_store, batch).collect()
+    with pytest.raises(ValueError, match="layout/meta mismatch"):
+        append_band_keys(spark, batch, band_store)
+
+
+def test_vindex_append_checks_layout(spark, tmp_path):
+    """ADVICE r6: append_vector_index must enforce the same token check
+    as the probe — appending through a recenter crash window would
+    cell-assign new vectors against the wrong centroids."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.vector import (
+        META_FILE,
+        append_vector_index,
+        build_vector_index,
+    )
+
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 3).cast("double"),
+        ).alias("embedding"),
+    )
+    path = str(tmp_path / "vx")
+    build_vector_index(spark, vecs, path, n_centroids=4)
+    meta_path = os.path.join(path, META_FILE)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["layout_token"] = "deadbeefdeadbeef"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="layout/meta mismatch"):
+        append_vector_index(spark, vecs.limit(2), path)
+
+
+def test_staged_rewrite_interrupted_swap_recovers(spark, store):
+    """ADVICE r6: a compaction crash strictly between the two renames
+    leaves the store dir absent with data only in <dest>.compact_old;
+    the next probe/compact must restore it automatically."""
+    import os
+
+    from dragnet_spark.index.fingerprints import (
+        STORE_DIR,
+        compact_fingerprint_store,
+    )
+
+    dest = os.path.join(store, STORE_DIR)
+    os.rename(dest, dest + ".compact_old")  # the crash window
+    batch = spark.createDataFrame(
+        [(95, "hello world"), (96, "never stored before")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["is_duplicate"]
+        for r in probe_new_documents(spark, store, batch).collect()
+    }
+    assert out == {95: True, 96: False}
+    # and a subsequent compact works on the recovered store too
+    os.rename(dest, dest + ".compact_old")
+    compact_fingerprint_store(spark, store)
+    out2 = {
+        r["doc_id"]: r["is_duplicate"]
+        for r in probe_new_documents(spark, store, batch).collect()
+    }
+    assert out2 == out
+
+
+def test_probe_count_hint_skips_gate(spark, store):
+    """The caller-supplied row-count hint must produce identical
+    results (and still broadcast a small batch) without running the
+    limit(n+1).count() gate job."""
+    batch = spark.createDataFrame(
+        [(97, "hello world"), (98, "fresh text")], "doc_id long, text string"
+    )
+    hinted = probe_new_documents(spark, store, batch, probe_count=2)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {(r["doc_id"], r["is_duplicate"]) for r in hinted.collect()}
+    assert got == {(97, True), (98, False)}

@@ -794,3 +794,47 @@ def test_live_store_ingester_replay_is_skipped(spark, tmp_path):
     assert (
         spark.read.parquet(f"{store}/fingerprints").count() == 2
     )  # seeded + one survivor, not three
+
+
+def test_live_store_ingester_replay_after_foldin_keeps_sink(spark, tmp_path):
+    """The nastier replay window (found by round-7 verification): the
+    first attempt sank survivors AND folded their fingerprints into
+    the store, then crashed before the marker write. The replay's
+    anti-join would find ZERO survivors (their fps are in the store
+    now) — it must reuse the committed sink directory instead of
+    overwriting it with nothing."""
+    import shutil
+
+    from dragnet_spark.index.fingerprints import build_fingerprint_store
+    from dragnet_spark.ops.text import fingerprint
+    from dragnet_spark.streaming.pipeline import make_live_store_ingester
+
+    store = str(tmp_path / "fstore")
+    build_fingerprint_store(
+        spark,
+        spark.createDataFrame([(1, "previously stored text here ok")],
+                              "doc_id long, text string"),
+        store,
+    )
+    sink = str(tmp_path / "fsink")
+    ingest = make_live_store_ingester(
+        store, sink, "id", checkpoint=str(tmp_path / "fck")
+    )
+    batch = spark.createDataFrame(
+        [("7", "some fresh survivor document text"),
+         ("8", "another fresh survivor document")],
+        "id string, text string",
+    ).select("id", fingerprint("text").alias("__dn_fp"))
+    ingest(batch, 0)
+    # crash before the marker: the ledger never recorded batch 0
+    shutil.rmtree(f"{store}/_dn_batch_ledger")
+    ingest(batch, 0)  # full replay, store already folded
+    sunk = spark.read.parquet(sink)
+    assert sunk.count() == 2, "replay clobbered the committed sink dir"
+    assert {r["id"] for r in sunk.collect()} == {"7", "8"}
+    # store may hold replayed duplicate fps; a probe still answers
+    # min-doc_id semantics and compaction collapses them
+    from dragnet_spark.index.fingerprints import compact_fingerprint_store
+
+    compact_fingerprint_store(spark, store)
+    assert spark.read.parquet(f"{store}/fingerprints").count() == 3
