@@ -37,6 +37,7 @@ BAND_DIR = "bands"
 BAND_META = "_band_store.json"
 FP_META = "_fp_store.json"
 SRP_DIR = "srp_bands"
+SRP_PAIR_DIR = "srp_band_pairs"
 SRP_META = "_srp_store.json"
 #: same crash-detection discipline as index/vector.py: the token lives
 #: in BOTH the meta file and (underscore-prefixed, Spark-invisible)
@@ -372,6 +373,272 @@ def probe_near_duplicates(
             F.col("dup_of").isNotNull().alias("is_near_duplicate"),
         )
     )
+
+
+# ------------------------------------------------------ SRP band store
+#
+# The minhash band store catches TOKEN-level rewrites of stored
+# documents; this store is its embedding twin: (band, bucket, vec_id)
+# rows under the same quantized sign-random-projection banding as
+# ops/dedup.embedding_near_dup_lsh (identical seeded planes + integer
+# sign arithmetic, so store keys and any batch SRP-LSH run agree
+# bit-for-bit — and a DuckDB twin can reproduce every key). It closes
+# the last ingest-loop gap: a SEMANTIC near-duplicate (paraphrase,
+# light rewrite — different tokens, near-identical embedding) is
+# caught at ingest instead of waiting for the next batch SemDeDup
+# pass. Partitioned by band; only ~4-char bucket keys persist or ride
+# any join; vectors never leave the scan.
+
+
+def _srp_rows(
+    docs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes_q,
+    bands: int,
+    bits_per_band: int,
+    dims: int,
+) -> DataFrame:
+    """(vec_id, band, bucket) rows — the ONE definition of the SRP row
+    shape, shared by build, append, and probe (the `_banded_rows`
+    discipline). Vectors with NULL or wrong-dims embeddings emit no
+    rows: they can never collide, and the pandas UDF would otherwise
+    fail on a ragged batch. ``spread`` first: the quantize+matmul is
+    CPU work a one-file input would run on two cores."""
+    from dragnet_spark.ops import spread
+    from dragnet_spark.ops.dedup import _band_buckets_udf
+
+    udf = _band_buckets_udf(planes_q, bands, bits_per_band)
+    v = F.col(vec_col)
+    return (
+        spread(docs.filter(v.isNotNull() & (F.size(v) == dims)))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(udf(v)).alias("band", "bucket"),
+        )
+    )
+
+
+#: Default banding: 8 bands × 16 sign bits. Unlike minhash (md5
+#: buckets, effectively unbounded key space), an SRP bucket space is
+#: 2^bits — the FALSE-POSITIVE rate of a single-band collision is
+#: ~2^-bits per (query, stored) pair per band, so bits_per_band is the
+#: scale dial: 16 bits ≈ 1.2e-4 expected stray collisions per stored
+#: vector (fine to ~1e6 corpus), 32 bits ≈ 1.9e-9 (fine to ~1e9), at a
+#: recall cost for looser twins (collision prob per band is p^bits,
+#: p = 1-θ/π). At 0.99 cosine the defaults still catch a twin with
+#: probability ~0.995; tight rewrites (≥0.999) are ~1-1e-5.
+SRP_BANDS = 8
+SRP_BITS_PER_BAND = 16
+
+
+def _pair_rows(banded: DataFrame, bands: int) -> DataFrame:
+    """(vec_id, pair, bucket) rows for every BAND PAIR (i<j): pair id
+    ``i·bands + j``, bucket ``bucket_i|bucket_j``. A (query, stored)
+    pair collides on ≥2 bands **iff** it collides on ≥1 band-pair key,
+    so a single anti-join per pair slice implements the corroborated-
+    evidence rule (``min_band_hits=2``) with the exact machinery of a
+    single-band anti-join — lifted to a 2^(2·bits) bucket space where
+    stray collisions are negligible at any corpus size. C(bands, 2)
+    keys per vector (28 at the default 8 bands), a few bytes each."""
+    a = banded.select(
+        "vec_id", F.col("band").alias("b1"), F.col("bucket").alias("k1")
+    )
+    b = banded.select(
+        "vec_id", F.col("band").alias("b2"), F.col("bucket").alias("k2")
+    )
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("b1") < F.col("b2"))
+        .select(
+            "vec_id",
+            (F.col("b1") * bands + F.col("b2")).alias("pair"),
+            F.concat_ws("|", "k1", "k2").alias("bucket"),
+        )
+    )
+
+
+def build_srp_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = SRP_BANDS,
+    bits_per_band: int = SRP_BITS_PER_BAND,
+    seed: int = 42,
+    dims: int | None = None,
+) -> dict:
+    """Materialize (band, bucket, vec_id) for every stored embedding,
+    plus the derived band-PAIR keys (:func:`_pair_rows`) that give the
+    streaming curator its corroborated-evidence anti-join.
+
+    The quantized plane matrix is PERSISTED in ``_srp_store.json``
+    (the vector index's persisted-centroid discipline): appends and
+    probes key against the exact planes the store was built with,
+    never a regenerated matrix. ``dims`` defaults to the first row's
+    vector length — pass it explicitly in pipelines."""
+    from dragnet_spark.ops.dedup import srp_planes_q
+
+    if dims is None:
+        first = docs.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("build_srp_store: empty corpus and no dims")
+        dims = int(first["d"])
+    planes_q = srp_planes_q(dims, bands, bits_per_band, seed)
+    (
+        _srp_rows(docs, vec_col, id_col, planes_q, bands, bits_per_band, dims)
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(path, SRP_DIR))
+    )
+    # pair keys derive from the just-written band rows (a cheap
+    # columnar read-back) so the sign matmul runs exactly once
+    (
+        _pair_rows(spark.read.parquet(os.path.join(path, SRP_DIR)), bands)
+        .write.mode("overwrite")
+        .partitionBy("pair")
+        .parquet(os.path.join(path, SRP_PAIR_DIR))
+    )
+    meta = {
+        "version": "1.0",
+        "bands": bands,
+        "bits_per_band": bits_per_band,
+        "seed": seed,
+        "dims": dims,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "planes_q": [[int(x) for x in row] for row in planes_q],
+    }
+    meta["layout_token"] = _layout_token(
+        {
+            k: meta[k]
+            for k in ("version", "bands", "bits_per_band", "seed", "dims")
+        }
+    )
+    _write_layout(os.path.join(path, SRP_DIR), meta["layout_token"])
+    _write_layout(os.path.join(path, SRP_PAIR_DIR), meta["layout_token"])
+    with open(os.path.join(path, SRP_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_srp_store_meta(path: str) -> dict:
+    with open(os.path.join(path, SRP_META)) as f:
+        return json.load(f)
+
+
+def append_srp_keys(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+) -> None:
+    """Append a new batch's SRP band keys (and derived pair keys) with
+    the PERSISTED planes. Token-checked first, like every store
+    append. The banded batch is locally checkpointed so the sign
+    matmul runs once for both writes."""
+    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+    _check_layout(path, SRP_META, SRP_PAIR_DIR, "SRP band store")
+    meta = load_srp_store_meta(path)
+    banded = _srp_rows(
+        docs, meta["vec_col"], meta["id_col"], meta["planes_q"],
+        meta["bands"], meta["bits_per_band"], meta["dims"],
+    ).localCheckpoint(eager=False)
+    (
+        banded.write.mode("append")
+        .partitionBy("band")
+        .parquet(os.path.join(path, SRP_DIR))
+    )
+    (
+        _pair_rows(banded, meta["bands"])
+        .write.mode("append")
+        .partitionBy("pair")
+        .parquet(os.path.join(path, SRP_PAIR_DIR))
+    )
+
+
+def probe_srp_near_duplicates(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    min_band_hits: int = 1,
+) -> DataFrame:
+    """(vec_id, n_band_hits, dup_of, is_near_duplicate) for an
+    arriving embedding batch — :func:`probe_near_duplicates`'s
+    contract on the SRP store, with PER-PAIR evidence: collisions are
+    counted per (query, stored) pair across bands, ``n_band_hits`` is
+    the strongest pair's band count, and ``dup_of`` is the minimum
+    stored id among pairs with at least ``min_band_hits`` colliding
+    bands. With the default 1 this is exactly SRP-LSH's candidate
+    rule (any band collides → candidate, the streaming curator's
+    anti-join semantics); raising it demands corroborating evidence —
+    a true twin collides in most bands, a stray 2^-bits collision in
+    one — which is the second scale dial besides ``bits_per_band``
+    (:data:`SRP_BITS_PER_BAND`). Hits deduplicate on (vec_id, band,
+    bucket, existing_id) before counting, so replayed appends and
+    compaction cannot change any probe field."""
+    _recover_staged(os.path.join(path, SRP_DIR))
+    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+    meta = load_srp_store_meta(path)
+    banded = _srp_rows(
+        new_docs, meta["vec_col"], meta["id_col"], meta["planes_q"],
+        meta["bands"], meta["bits_per_band"], meta["dims"],
+    )
+    ids = new_docs.select(F.col(meta["id_col"]).alias("vec_id"))
+    store = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
+        "band", "bucket", F.col("vec_id").alias("existing_id")
+    )
+    pair_evidence = (
+        store.join(banded, ["band", "bucket"])
+        .dropDuplicates(["vec_id", "band", "bucket", "existing_id"])
+        .groupBy("vec_id", "existing_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hits = pair_evidence.groupBy("vec_id").agg(
+        F.max("c").alias("n_band_hits"),
+        F.min(
+            F.when(F.col("c") >= min_band_hits, F.col("existing_id"))
+        ).alias("dup_of"),
+    )
+    return (
+        ids.join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_band_hits", F.lit(0)).alias("n_band_hits"),
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_near_duplicate"),
+        )
+    )
+
+
+def compact_srp_store(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> None:
+    """Distinct (band, bucket, vec_id) rows rewritten to
+    ``files_per_partition`` files per band — answer-preserving because
+    the probe deduplicates hits before counting (the band store's
+    contract verbatim). The pair-key directory compacts the same way
+    (anti-join presence semantics: duplicates never change a result)."""
+    meta = load_srp_store_meta(path)
+    dest = os.path.join(path, SRP_DIR)
+    _recover_staged(dest)
+    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+    df = spark.read.parquet(dest)
+    _staged_rewrite(
+        df.select("band", "bucket", "vec_id").distinct(), "band", dest,
+        "bucket", files_per_partition,
+    )
+    if meta.get("layout_token"):
+        _write_layout(dest, meta["layout_token"])
+    pdest = os.path.join(path, SRP_PAIR_DIR)
+    _recover_staged(pdest)
+    pdf = spark.read.parquet(pdest)
+    _staged_rewrite(
+        pdf.select("pair", "bucket", "vec_id").distinct(), "pair", pdest,
+        "bucket", files_per_partition,
+    )
+    if meta.get("layout_token"):
+        _write_layout(pdest, meta["layout_token"])
 
 
 # ---------------------------------------------------------- compaction

@@ -368,36 +368,121 @@ def hyperplane_signature(
     return F.array(*bits)
 
 
-def _band_buckets_udf(planes, bands: int, bits_per_band: int):
+#: SRP quantization scale: embeddings and plane coefficients both
+#: quantize to round(x·1e6) int64 before the sign test, which makes the
+#: signature EXACT integer arithmetic — every partial sum stays far
+#: below 2^53, so numpy int64, Spark, and DuckDB (integers carried in
+#: doubles) all compute bit-identical signs. A float dot product's sign
+#: is summation-order-dependent near zero; the quantized family has no
+#: such boundary, which is what lets a persisted SRP band store be
+#: graded by a DuckDB twin key-for-key (sign-projection → band →
+#: collision), the way the minhash band store is.
+SRP_SCALE = 1_000_000
+
+
+def srp_planes_q(
+    dims: int, bands: int, bits_per_band: int, seed: int = 42
+):
+    """Quantized random hyperplanes for SRP-LSH: seeded gaussian
+    directions scaled by :data:`SRP_SCALE` and rounded to int64.
+    Deterministic in (dims, bands, bits_per_band, seed) — persisting
+    these four recovers the exact plane matrix, and quantizing the
+    DIRECTIONS (a ~1e-6 angular nudge) leaves the LSH family's
+    collision geometry unchanged."""
+    rng = np.random.RandomState(seed)
+    P = rng.standard_normal((bands * bits_per_band, dims))
+    return np.rint(P * SRP_SCALE).astype(np.int64)
+
+
+def _quantize_i64(M: "np.ndarray") -> "np.ndarray":
+    """round(x·1e6) half-AWAY-FROM-ZERO to int64 — the tie rule both
+    Spark's and DuckDB's ``round()`` use (np.round is half-even and
+    would disagree on exact .5 boundaries)."""
+    S = M * float(SRP_SCALE)
+    return (np.floor(np.abs(S) + 0.5) * np.sign(S)).astype(np.int64)
+
+
+def _band_buckets_udf(planes_q, bands: int, bits_per_band: int):
     """Pandas UDF: embedding → array of per-band bucket strings.
 
-    signs = (V @ P.T >= 0) computed as one matmul per Arrow batch; each
-    band's bit-slice is rendered as a '0101…' bucket key. ~100× the
-    scalar-expression throughput and the plan stays small (the plane
-    matrix ships once in the closure, not as 6k literal nodes).
+    signs = (quantize(V) @ Pq.T >= 0) computed as one int64 matmul per
+    Arrow batch; each band's bit-slice is rendered as a '0101…' bucket
+    key. ~100× the scalar-expression throughput, the plan stays small
+    (the plane matrix ships once in the closure, not as 6k literal
+    nodes), and the integer arithmetic makes every sign engine-exact
+    (see :data:`SRP_SCALE`). ``planes_q`` must be the int64 matrix from
+    :func:`srp_planes_q` (or a store's persisted copy).
     """
     from pyspark.sql.functions import pandas_udf
 
-    P = np.asarray(planes, dtype=np.float64)
+    P = np.asarray(planes_q, dtype=np.int64)
+
+    d = P.shape[1]
 
     @pandas_udf("array<string>")
     def buckets(vecs: pd.Series) -> pd.Series:
-        out = []
+        # NULL / wrong-dims rows yield NULL (they can never collide):
+        # pandas UDFs evaluate eagerly over the whole Arrow batch, so
+        # the guard must live here — a F.when() wrapper would not stop
+        # a ragged row from reaching the matmul
+        out: list = [None] * len(vecs)
         if len(vecs) == 0:
-            return pd.Series(out)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (M @ P.T >= 0).astype(np.uint8)  # n × (bands·r)
-        for row in signs:
-            out.append(
-                [
+            return pd.Series(out, dtype=object)
+        idx, arrs = [], []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape != (d,):
+                continue
+            idx.append(i)
+            arrs.append(a)
+        if arrs:
+            signs = (_quantize_i64(np.stack(arrs)) @ P.T >= 0).astype(np.uint8)
+            for i, row in zip(idx, signs):
+                out[i] = [
                     "".join("1" if x else "0"
-                            for x in row[i * bits_per_band:(i + 1) * bits_per_band])
-                    for i in range(bands)
+                            for x in row[b * bits_per_band:(b + 1) * bits_per_band])
+                    for b in range(bands)
                 ]
-            )
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     return buckets
+
+
+def srp_banded_sql(
+    planes_q,
+    bands: int,
+    bits_per_band: int,
+    vec_expr: str = "CAST(embedding AS DOUBLE[])",
+) -> str:
+    """DuckDB twin of :func:`_band_buckets_udf`: a SQL fragment
+    computing ``band, bucket`` per row from ``qv`` (the quantized
+    vector — callers bind ``qv`` in a prior CTE via
+    ``list_transform({vec_expr}, x -> round(x * 1e6))``). One SELECT
+    per band, UNION ALL — the plane coefficients embed as integer
+    literals, and because every dot product is integer arithmetic
+    carried exactly in doubles, the emitted keys match the pandas-UDF
+    path bit-for-bit."""
+    P = np.asarray(planes_q, dtype=np.int64)
+    band_selects = []
+    for b in range(bands):
+        bits = []
+        for j in range(bits_per_band):
+            plane = "[" + ",".join(str(int(x)) for x in P[b * bits_per_band + j]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(qv, CAST({plane} AS DOUBLE[]))"
+                f" >= 0 THEN '1' ELSE '0' END)"
+            )
+        band_selects.append(
+            f"SELECT id, {b} AS band, {' || '.join(bits)} AS bucket FROM qv_src"
+        )
+    return " UNION ALL ".join(band_selects)
+
+
+def srp_quantize_sql(vec_expr: str = "CAST(embedding AS DOUBLE[])") -> str:
+    """The ``qv`` binding for :func:`srp_banded_sql`."""
+    return f"list_transform({vec_expr}, x -> round(x * {SRP_SCALE}))"
 
 
 def embedding_near_dup_lsh(
@@ -428,8 +513,7 @@ def embedding_near_dup_lsh(
         if first is None:
             return embedding_near_dup_pairs(df, id_col, vec_col, threshold)
         dims = first["d"]
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((bands * bits_per_band, dims)).tolist()
+    planes = srp_planes_q(dims, bands, bits_per_band, seed)
 
     df = spread(df)
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))

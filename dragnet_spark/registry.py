@@ -847,6 +847,97 @@ def dedup_incremental_near_probe(
     )
 
 
+def _srp_probe_oracle(
+    bands: int, bits_per_band: int, seed: int, dims: int
+) -> str:
+    """DuckDB reproduces the ENTIRE quantize→sign-projection→band→
+    collision chain: the quantized plane matrix embeds as integer
+    literals and every dot product is integer arithmetic carried
+    exactly in doubles (ops/dedup.SRP_SCALE), so band keys match the
+    pandas-UDF store path bit-for-bit — the minhash band-probe oracle's
+    discipline applied to embeddings."""
+    from dragnet_spark.ops.dedup import (
+        srp_banded_sql,
+        srp_planes_q,
+        srp_quantize_sql,
+    )
+
+    planes = srp_planes_q(dims, bands, bits_per_band, seed)
+    banded = srp_banded_sql(planes, bands, bits_per_band)
+    return f"""
+    WITH qv_src AS (SELECT vec_id AS id, {srp_quantize_sql()} AS qv
+                    FROM embeddings),
+    banded AS ({banded}),
+    pair AS (
+      SELECT n.id AS vec_id, c.id AS existing_id, COUNT(*) AS cnt
+      FROM banded n JOIN banded c ON n.band = c.band AND n.bucket = c.bucket
+      WHERE n.id % 5 = 0 AND c.id % 5 <> 0
+      GROUP BY n.id, c.id
+    ),
+    hits AS (
+      SELECT vec_id, MAX(cnt) AS n_band_hits,
+             MIN(CASE WHEN cnt >= 1 THEN existing_id END) AS dup_of
+      FROM pair GROUP BY vec_id
+    )
+    SELECT p.vec_id,
+           CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+           h.dup_of,
+           (h.dup_of IS NOT NULL) AS is_near_duplicate
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) p
+    LEFT JOIN hits h ON h.vec_id = p.vec_id
+    """
+
+
+_SRPSTORE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_incremental_embedding_probe",
+    _srp_probe_oracle(8, 16, 42, 64),
+    "incremental SEMANTIC near-dup probe against a MATERIALIZED SRP "
+    "band store (index/fingerprints.build_srp_store): the corpus "
+    "slice (vec_id%5≠0) persists its sign-random-projection band "
+    "keys partitionBy(band) with the quantized plane matrix persisted "
+    "in store metadata; the arriving batch (vec_id%5=0) computes its "
+    "keys with the SAME planes (one int64 matmul per Arrow batch — "
+    "engine-exact by integer arithmetic) and joins the store on "
+    "(band, bucket), reporting which new embeddings are semantic "
+    "near-dup candidates of the persisted corpus without re-reading "
+    "any vectors. DuckDB reproduces quantize→sign→band→collision as "
+    "the exact oracle. Closes the ingest-loop gap the minhash band "
+    "store leaves: paraphrases with near-identical embeddings are "
+    "caught at ingest, not at the next batch SemDeDup pass",
+)
+def dedup_incremental_embedding_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        build_srp_store,
+        probe_srp_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _SRPSTORE_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_srpstore_")
+        build_srp_store(
+            spark,
+            emb.filter(F.col("vec_id") % 5 != 0),
+            path,
+            bands=8,
+            bits_per_band=16,
+            seed=42,
+            dims=64,
+        )
+        _SRPSTORE_CACHE[sf_dir] = path
+    return probe_srp_near_duplicates(
+        spark,
+        _SRPSTORE_CACHE[sf_dir],
+        emb.filter(F.col("vec_id") % 5 == 0),
+    )
+
+
 @register(
     "dedup_simhash",
     "SELECT doc_id, CAST(1 AS BOOLEAN) AS jvm_twin_match FROM documents",

@@ -3,6 +3,7 @@ from dragnet_spark.streaming.pipeline import (
     stream_build,
     stream_curate,
     stream_curate_against_band_store,
+    stream_curate_against_srp_store,
     stream_curate_against_store,
     stream_ingest_with_live_store,
     stream_dedup,
@@ -19,6 +20,7 @@ __all__ = [
     "stream_build",
     "stream_curate",
     "stream_curate_against_band_store",
+    "stream_curate_against_srp_store",
     "stream_curate_against_store",
     "stream_ingest_with_live_store",
     "stream_dedup",

@@ -613,6 +613,127 @@ def stream_curate_against_band_store(
     return out.drop("__dn_bands")
 
 
+def stream_curate_against_srp_store(
+    sdf: DataFrame,
+    store_path: str,
+    vec_field: str = "embedding",
+    time_field: str | None = None,
+    id_field: str | None = None,
+    watermark: str = "1 hour",
+    min_band_hits: int = 2,
+) -> DataFrame:
+    """In-stream SEMANTIC near-dedup: the embedding twin of
+    :func:`stream_curate_against_band_store`, closing the last
+    ingest-loop gap (VERDICT r6 #1) — a paraphrase or light rewrite
+    whose embedding sits within a few degrees of a stored vector is
+    dropped the micro-batch it arrives, instead of surviving until
+    the next batch SemDeDup pass.
+
+    Input is a TYPED stream (id, vector array, optional event-time
+    column) — embeddings come out of an upstream encoder with a
+    schema, unlike raw NDJSON text. Stages: (1) watermark + exact-dup
+    suppression on the vector's md5 within the horizon (state one
+    hash per surviving vector), (2) ONE projection computes the SRP
+    band-bucket array with the store's PERSISTED planes
+    (ops/dedup._band_buckets_udf — bit-identical to the store keys
+    and to batch SRP-LSH, by the quantized integer sign arithmetic),
+    (3) one stream-static LEFT ANTI join per key slice against the
+    partition-pruned store. Vectors that are NULL or the wrong
+    dimensionality can never collide and pass through (match the
+    batch probe, which emits no rows for them).
+
+    ``min_band_hits`` picks the key space: **1** anti-joins the 8
+    single-band slices (SRP-LSH's raw candidate rule — at 16-bit
+    buckets a stray collision is ~2^-16 per (pair, band), which FLOODS
+    once the corpus passes ~10⁴ vectors: every fresh vector collides
+    somewhere). **2 (default)** anti-joins the C(bands,2)=28 BAND-PAIR
+    slices materialized at build time (``srp_band_pairs``): a vector
+    is dropped iff it shares ≥2 bands with ONE stored vector —
+    corroborated evidence, bucket space 2^(2·bits)=2^32, stray rate
+    ~2·10⁻⁴ per query even against a 10⁹-vector store — the same
+    single-collision anti-join machinery, lifted to pair keys.
+    Evidence thresholds above 2 belong in the batch probe
+    (``probe_srp_near_duplicates``), which counts per-pair bands
+    exactly.
+
+    Same store-snapshot contract as the band store: keys appended via
+    ``append_srp_keys`` while the query runs are seen after a query
+    restart. Works identically on a static frame (the batch twin for
+    stream==batch equivalence tests).
+    """
+    import os as _os
+
+    from dragnet_spark.index.fingerprints import (
+        SRP_DIR,
+        SRP_PAIR_DIR,
+        load_srp_store_meta,
+    )
+    from dragnet_spark.ops.dedup import _band_buckets_udf
+
+    if min_band_hits not in (1, 2):
+        raise ValueError(
+            "stream_curate_against_srp_store supports min_band_hits 1 "
+            "(single-band rule) or 2 (band-pair rule); use the batch "
+            f"probe for higher evidence thresholds, got {min_band_hits}"
+        )
+    meta = load_srp_store_meta(store_path)
+    out = sdf
+    if time_field is not None:
+        out = out.filter(F.col(time_field).isNotNull())
+        if out.isStreaming:
+            out = out.withWatermark(time_field, watermark)
+    vfp = F.md5(F.to_json(F.struct(F.col(vec_field))))
+    out = out.withColumn("__dn_vfp", vfp)
+    if out.isStreaming and time_field is not None:
+        out = out.dropDuplicatesWithinWatermark(["__dn_vfp"])
+    else:
+        out = out.dropDuplicates(["__dn_vfp"])
+    udf = _band_buckets_udf(
+        meta["planes_q"], meta["bands"], meta["bits_per_band"]
+    )
+    # one projected ATTRIBUTE carries the band array; the per-slice
+    # anti-join conditions reference its elements (cheap getItem /
+    # concat) and cannot re-inline the matmul (the band store's cost
+    # discipline). NULL/wrong-dims vectors get a NULL array from the
+    # UDF itself — null keys never equal a store key, so they pass
+    out = out.select("*", udf(F.col(vec_field)).alias("__dn_srp"))
+    bands = meta["bands"]
+    if min_band_hits == 1:
+        store = sdf.sparkSession.read.parquet(
+            _os.path.join(store_path, SRP_DIR)
+        )
+        for i in range(bands):
+            slice_i = store.filter(F.col("band") == i).select(
+                F.col("bucket").alias(f"__dn_store_bk_{i}")
+            )
+            out = out.join(
+                slice_i,
+                F.col("__dn_srp")[i] == F.col(f"__dn_store_bk_{i}"),
+                "left_anti",
+            )
+    else:
+        pairs = sdf.sparkSession.read.parquet(
+            _os.path.join(store_path, SRP_PAIR_DIR)
+        )
+        for i in range(bands):
+            for j in range(i + 1, bands):
+                pid = i * bands + j
+                slice_p = pairs.filter(F.col("pair") == pid).select(
+                    F.col("bucket").alias(f"__dn_store_pk_{pid}")
+                )
+                # F.concat, not concat_ws: a NULL band array must make
+                # the key NULL (never joins), not an empty string
+                key = F.concat(
+                    F.col("__dn_srp")[i], F.lit("|"), F.col("__dn_srp")[j]
+                )
+                out = out.join(
+                    slice_p,
+                    key == F.col(f"__dn_store_pk_{pid}"),
+                    "left_anti",
+                )
+    return out.drop("__dn_srp", "__dn_vfp")
+
+
 def make_live_store_ingester(
     store_path: str,
     sink_path: str,

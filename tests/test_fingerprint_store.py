@@ -425,3 +425,164 @@ def test_probe_count_hint_skips_gate(spark, store):
     assert "BroadcastHashJoin" in plan
     got = {(r["doc_id"], r["is_duplicate"]) for r in hinted.collect()}
     assert got == {(97, True), (98, False)}
+
+
+# ------------------------------------------------------ SRP band store
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture()
+def srp_store(spark, tmp_path):
+    from dragnet_spark.index.fingerprints import build_srp_store
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((4, 8)).tolist()
+    corpus = _emb_df(spark, [(i, base[i]) for i in range(4)])
+    path = str(tmp_path / "srp")
+    build_srp_store(spark, corpus, path, dims=8)
+    return path, base
+
+
+def test_srp_probe_flags_perturbed_twin(spark, srp_store):
+    """A tiny perturbation of a stored embedding (a paraphrase's
+    vector) collides in nearly every band; an independent random
+    vector collides in none-to-few and is never min-matched first."""
+    import numpy as np
+
+    from dragnet_spark.index.fingerprints import probe_srp_near_duplicates
+
+    path, base = srp_store
+    rng = np.random.RandomState(99)
+    twin = (np.asarray(base[2]) + rng.standard_normal(8) * 1e-4).tolist()
+    fresh = (rng.standard_normal(8) * 3).tolist()
+    batch = _emb_df(spark, [(10, twin), (11, fresh)])
+    got = {
+        r["vec_id"]: (r["is_near_duplicate"], r["dup_of"], r["n_band_hits"])
+        for r in probe_srp_near_duplicates(spark, path, batch).collect()
+    }
+    assert got[10][0] and got[10][1] == 2 and got[10][2] >= 6, got
+    # fresh vector: 16-bit buckets make a stray collision ~2^-16 per
+    # (pair, band) — a random vector collides nowhere
+    assert got[11] == (False, None, 0), got
+
+
+def test_srp_probe_exact_self_hit_all_bands(spark, srp_store):
+    from dragnet_spark.index.fingerprints import probe_srp_near_duplicates
+
+    path, base = srp_store
+    batch = _emb_df(spark, [(20, base[0])])
+    row = probe_srp_near_duplicates(spark, path, batch).collect()[0]
+    assert row["n_band_hits"] == 8 and row["dup_of"] == 0
+
+
+def test_srp_append_compact_token_lifecycle(spark, srp_store):
+    """append with persisted planes, compaction invariance, and the
+    layout-token loudness — the full maintenance lifecycle in one."""
+    import json
+    import os
+
+    import numpy as np
+
+    from dragnet_spark.index.fingerprints import (
+        SRP_META,
+        append_srp_keys,
+        compact_srp_store,
+        probe_srp_near_duplicates,
+    )
+
+    path, base = srp_store
+    rng = np.random.RandomState(3)
+    newv = rng.standard_normal(8).tolist()
+    append_srp_keys(spark, _emb_df(spark, [(50, newv)]), path)
+    append_srp_keys(spark, _emb_df(spark, [(50, newv)]), path)  # replay
+    batch = _emb_df(spark, [(60, newv)])
+    # min_band_hits=8 demands full-evidence pairs: dup_of is then the
+    # exact stored copy, immune to stray one-band collisions that
+    # low-dim test vectors can produce
+    before = probe_srp_near_duplicates(
+        spark, path, batch, min_band_hits=8
+    ).collect()[0]
+    assert before["is_near_duplicate"] and before["dup_of"] == 50
+    assert before["n_band_hits"] == 8  # replayed append didn't double
+    compact_srp_store(spark, path)
+    after = probe_srp_near_duplicates(
+        spark, path, batch, min_band_hits=8
+    ).collect()[0]
+    assert tuple(after) == tuple(before)
+    # token mismatch is loud on probe AND append
+    meta_path = os.path.join(path, SRP_META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["layout_token"] = "deadbeefdeadbeef"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="layout/meta mismatch"):
+        probe_srp_near_duplicates(spark, path, batch).collect()
+    with pytest.raises(ValueError, match="layout/meta mismatch"):
+        append_srp_keys(spark, batch, path)
+
+
+def test_srp_null_and_wrong_dims_never_collide(spark, srp_store):
+    from dragnet_spark.index.fingerprints import probe_srp_near_duplicates
+
+    path, base = srp_store
+    batch = _emb_df(spark, [(70, None), (71, [1.0, 2.0]), (72, base[1])])
+    got = {
+        r["vec_id"]: (r["n_band_hits"], r["is_near_duplicate"])
+        for r in probe_srp_near_duplicates(spark, path, batch).collect()
+    }
+    assert got[70] == (0, False) and got[71] == (0, False)
+    assert got[72] == (8, True)
+
+
+def test_srp_store_catches_planted_twins_on_real_corpus(spark, sf_dir):
+    """Parity with the batch SRP-LSH family on REAL 64-dim data: the
+    testdata corpus has no natural near-dup pairs (max pairwise cosine
+    ~0.51), so twins are PLANTED — each a stored vector plus ~1e-3
+    noise (cosine > 0.9999). Every twin must self-evidently collide
+    (same planes, same integer sign arithmetic as the store keys), and
+    every probe row's structure must hold corpus-wide."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.fingerprints import (
+        build_srp_store,
+        probe_srp_near_duplicates,
+    )
+    from dragnet_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="srpeq_")
+    build_srp_store(spark, emb, path, dims=64)
+    # self-probe: every vector collides with itself in all 8 bands
+    probed = probe_srp_near_duplicates(spark, path, emb)
+    bad = probed.filter(
+        (F.col("n_band_hits") < 8) | (F.col("dup_of") > F.col("vec_id"))
+    ).count()
+    assert bad == 0
+    # planted twins: original + tiny noise, probed under fresh ids
+    rng = np.random.RandomState(11)
+    originals = emb.limit(40).collect()
+    twins = [
+        (int(r["vec_id"]) + 1_000_000,
+         (np.asarray(r["embedding"], dtype=np.float64)
+          + rng.standard_normal(64) * 1e-3).tolist())
+        for r in originals
+    ]
+    tdf = spark.createDataFrame(twins, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["is_near_duplicate"], r["n_band_hits"])
+        for r in probe_srp_near_duplicates(
+            spark, path, tdf, min_band_hits=4
+        ).collect()
+    }
+    missed = [k for k, v in got.items() if not v[0]]
+    assert not missed, f"planted twins missed by SRP store: {missed}"
+    assert all(v[1] >= 4 for v in got.values())

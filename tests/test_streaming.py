@@ -838,3 +838,79 @@ def test_live_store_ingester_replay_after_foldin_keeps_sink(spark, tmp_path):
 
     compact_fingerprint_store(spark, store)
     assert spark.read.parquet(f"{store}/fingerprints").count() == 3
+
+
+def test_stream_curate_against_srp_store_drops_semantic_twins(spark, tmp_path):
+    """VERDICT r7 #1: in-stream SEMANTIC near-dedup. Embeddings stream
+    in as typed parquet micro-batches; perturbed twins of stored
+    vectors (paraphrase embeddings) must be dropped in-stream, fresh
+    vectors survive, and the static-frame batch twin must agree
+    exactly."""
+    import numpy as np
+
+    from dragnet_spark.index.fingerprints import build_srp_store
+    from dragnet_spark.streaming.pipeline import (
+        stream_curate_against_srp_store,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((6, 16))
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "srpstore")
+    build_srp_store(spark, corpus, store, dims=16)
+
+    # two micro-batch files: twins (tiny noise) + fresh vectors + an
+    # exact in-stream duplicate pair (same vector twice)
+    fresh = rng.standard_normal((3, 16)) * 2
+    twin0 = (base[1] + rng.standard_normal(16) * 1e-4).tolist()
+    twin1 = (base[4] + rng.standard_normal(16) * 1e-4).tolist()
+    rows1 = [(100, twin0), (101, fresh[0].tolist()), (102, fresh[1].tolist())]
+    rows2 = [(103, twin1), (104, fresh[2].tolist()),
+             (105, fresh[0].tolist())]  # exact dup of 101's vector
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(d / "b2"))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import glob
+    import shutil
+
+    for i, b in enumerate(("b1", "b2")):
+        f = glob.glob(str(d / b / "*.parquet"))[0]
+        shutil.copyfile(f, str(src / f"{i}.parquet"))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = stream_curate_against_srp_store(sdf, store, "embedding")
+    sink = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["vec_id"] for r in spark.read.parquet(sink).collect()}
+    # twins 100/103 dropped by the store; exactly ONE of {101, 105}
+    # survives (they carry the identical vector — which one wins
+    # depends on arrival order, which the file source doesn't pin)
+    assert got - {101, 105} == {102, 104}, got
+    assert len(got & {101, 105}) == 1, got
+
+    # batch twin: identical call on the static union (same
+    # modulo-the-identical-pair rule)
+    static = spark.createDataFrame(rows1 + rows2, schema)
+    bres = stream_curate_against_srp_store(static, store, "embedding")
+    bgot = {r["vec_id"] for r in bres.collect()}
+    assert bgot - {101, 105} == {102, 104}, bgot
+    assert len(bgot & {101, 105}) == 1, bgot
