@@ -196,6 +196,7 @@ def append_vector_index(
     spark: SparkSession,
     df: DataFrame,
     path: str,
+    files_per_cell: int | None = None,
 ) -> None:
     """Append arriving vectors into the existing index's cell layout.
 
@@ -218,12 +219,22 @@ def append_vector_index(
     meta = load_vector_index_meta(path)
     _check_layout(path, meta)
     cent = np.asarray(meta["centroids"], dtype=np.float64)
-    (
-        _cell_rows(
-            df, cent, meta["id_col"], meta["vec_col"],
-            bool(meta.get("quantized")),
+    rows = _cell_rows(
+        df, cent, meta["id_col"], meta["vec_col"],
+        bool(meta.get("quantized")),
+    )
+    if files_per_cell is not None:
+        # per-batch appends from an N-task frame write up to N files in
+        # EVERY touched cell (the livestore soak's 49k-files lesson);
+        # routing each cell to one task bounds it to ~files_per_cell —
+        # the streaming ingester passes 1, batch callers keep their
+        # parallelism and rely on compact_vector_index
+        rows = rows.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell)),
         )
-        .write.mode("append")
+    (
+        rows.write.mode("append")
         .partitionBy("cell")
         .parquet(os.path.join(path, VECTORS_DIR))
     )
@@ -238,6 +249,34 @@ def vector_index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def vector_index_skew(spark: SparkSession, path: str) -> float:
+    """max/mean cell population — the scalar the ~4× recenter trigger
+    reads. 0.0 for an empty index."""
+    rows = vector_index_cell_stats(spark, path).collect()
+    if not rows:
+        return 0.0
+    counts = [r["n_vectors"] for r in rows]
+    return max(counts) / (sum(counts) / len(counts))
+
+
+def maybe_recenter_vector_index(
+    spark: SparkSession,
+    path: str,
+    skew_trigger: float = 4.0,
+) -> bool:
+    """The documented recenter trigger as a callable policy: recenter
+    when max/mean cell skew passes ``skew_trigger`` (appends drift
+    away from centroids trained before they existed; probe cost is
+    bounded by the largest probed cell). Returns whether a recenter
+    ran. Call this at RESTART boundaries — stream startup, compaction
+    windows — never per batch: recenter is a full rewrite and is not
+    safe concurrently with appenders or probers."""
+    if vector_index_skew(spark, path) < skew_trigger:
+        return False
+    recenter_vector_index(spark, path)
+    return True
 
 
 def load_vector_index_meta(path: str) -> dict:

@@ -5,6 +5,7 @@ from dragnet_spark.streaming.pipeline import (
     stream_curate_against_band_store,
     stream_curate_against_srp_store,
     stream_curate_against_store,
+    stream_ingest_vector_index,
     stream_ingest_with_live_store,
     stream_dedup,
     stream_enrich,
@@ -22,6 +23,7 @@ __all__ = [
     "stream_curate_against_band_store",
     "stream_curate_against_srp_store",
     "stream_curate_against_store",
+    "stream_ingest_vector_index",
     "stream_ingest_with_live_store",
     "stream_dedup",
     "stream_enrich",

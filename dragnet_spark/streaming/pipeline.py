@@ -830,6 +830,91 @@ def make_live_store_ingester(
     return ingest
 
 
+def make_vindex_appender(index_path: str, checkpoint: str | None = None):
+    """foreachBatch body for :func:`stream_ingest_vector_index`,
+    factored out like :func:`make_live_store_ingester` so replay
+    behavior is directly testable.
+
+    Each micro-batch's embeddings are cell-assigned against the
+    index's PERSISTED centroids and appended one-file-per-cell
+    (``append_vector_index(files_per_cell=1)`` — the livestore
+    repartition lesson). Replays after a restart are skipped via the
+    same batch-id marker ledger as the index build and live store:
+    the append is NOT idempotent (a replayed batch would double every
+    vector in its cells), so the marker writes strictly after the
+    append, shrinking the at-least-once window to crash-mid-write —
+    which ``compact_vector_index`` cannot repair (duplicates are real
+    rows); recovery from a crash INSIDE an append is a rebuild, the
+    same contract as the event index's partial-append window.
+    """
+    import hashlib
+    import os as _os
+
+    from dragnet_spark.index.vector import append_vector_index
+
+    ledger = None
+    if checkpoint:
+        key = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+        ledger = _os.path.join(index_path, "_dn_batch_ledger", key)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = None
+        if ledger is not None:
+            marker = _os.path.join(ledger, f"{batch_id:012d}")
+            if _os.path.exists(marker):
+                return
+        if batch_df.isEmpty():
+            return
+        append_vector_index(
+            batch_df.sparkSession, batch_df, index_path, files_per_cell=1
+        )
+        if marker is not None:
+            _os.makedirs(ledger, exist_ok=True)
+            with open(marker, "w"):
+                pass
+
+    return append_batch
+
+
+def stream_ingest_vector_index(
+    sdf: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    recenter_trigger: float | None = 4.0,
+    trigger_available_now: bool = False,
+):
+    """Continuous embedding ingest into the materialized IVF index
+    (VERDICT r6 #2): the vector twin of
+    :func:`stream_ingest_with_live_store`'s fold-in loop.
+
+    Every micro-batch runs ``append_vector_index`` with the PERSISTED
+    centroids (append-then-probe equals rebuild-with-same-centroids,
+    the pytest-enforced contract), ledger-deduplicated against
+    restarts. At STARTUP — the restart boundary, when no appender or
+    prober is active — the documented ~4× max/mean skew trigger is
+    checked and ``recenter_vector_index`` runs if appends have
+    drifted the cell layout (pass ``recenter_trigger=None`` to manage
+    recentering externally). The input stream must carry the index's
+    ``id_col``/``vec_col`` columns. Returns the StreamingQuery.
+    """
+    from dragnet_spark.index.vector import maybe_recenter_vector_index
+
+    if recenter_trigger is not None:
+        maybe_recenter_vector_index(
+            sdf.sparkSession, index_path, skew_trigger=recenter_trigger
+        )
+    writer = (
+        sdf.writeStream.foreachBatch(
+            make_vindex_appender(index_path, checkpoint=checkpoint)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_ingest_with_live_store(
     sdf: DataFrame,
     store_path: str,

@@ -914,3 +914,132 @@ def test_stream_curate_against_srp_store_drops_semantic_twins(spark, tmp_path):
     bgot = {r["vec_id"] for r in bres.collect()}
     assert bgot - {101, 105} == {102, 104}, bgot
     assert len(bgot & {101, 105}) == 1, bgot
+
+
+def test_stream_ingest_vector_index(spark, tmp_path):
+    """VERDICT r7 #2: continuous embedding ingest into the IVF index.
+    Streamed appends must equal a batch rebuild with the same
+    centroids; replays must be ledger-skipped; the ~4x skew trigger
+    must fire a recenter at the next stream startup and probe answers
+    must stay exact afterwards."""
+    import glob
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.vector import (
+        build_vector_index,
+        load_vector_index_meta,
+        maybe_recenter_vector_index,
+        query_vector_index,
+        vector_index_skew,
+    )
+    from dragnet_spark.streaming.pipeline import (
+        make_vindex_appender,
+        stream_ingest_vector_index,
+    )
+
+    rng = np.random.RandomState(2)
+    sch = "vec_id long, embedding array<double>"
+    base = rng.standard_normal((120, 8))
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(120)], sch
+    )
+    path = str(tmp_path / "vx")
+    # 8 centroids: max/mean skew is bounded by the cell count, so the
+    # 4x trigger needs K > 4 to be reachable at all
+    build_vector_index(spark, corpus, path, n_centroids=8)
+
+    # two micro-batch files of fresh vectors
+    b1 = [(1000 + i, rng.standard_normal(8).tolist()) for i in range(40)]
+    b2 = [(2000 + i, rng.standard_normal(8).tolist()) for i in range(40)]
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        stage = tmp_path / f"vstage{i}"
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(str(stage))
+        shutil.copyfile(
+            glob.glob(str(stage / "*.parquet"))[0], str(src / f"{i}.parquet")
+        )
+
+    sdf = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    ck = str(tmp_path / "vck")
+    q = stream_ingest_vector_index(
+        sdf, path, ck, trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    # streamed appends == rebuild with the SAME centroids
+    meta = load_vector_index_meta(path)
+    union = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(120)] + b1 + b2, sch
+    )
+    rebuilt = str(tmp_path / "vx_rebuild")
+    build_vector_index(
+        spark, union, rebuilt, centroids=meta["centroids"]
+    )
+    queries = union.filter(F.col("vec_id") < 5)
+    got = {
+        tuple(r)
+        for r in query_vector_index(spark, path, queries, k=3, n_probe=4).collect()
+    }
+    want = {
+        tuple(r)
+        for r in query_vector_index(spark, rebuilt, queries, k=3, n_probe=4).collect()
+    }
+    assert got == want and got
+
+    # replay discipline: an already-committed batch id is a no-op
+    store_count = spark.read.parquet(f"{path}/vectors").count()
+    app = make_vindex_appender(path, checkpoint=ck)
+    app(spark.createDataFrame(b1, sch), 0)  # marker exists -> skipped
+    assert spark.read.parquet(f"{path}/vectors").count() == store_count
+
+    # drift one cell past the ~4x trigger, then restart the stream:
+    # recenter must fire exactly once and probes stay exact
+    hot = base[0] / np.linalg.norm(base[0])
+    # a REAL cluster (sigma=1), not a point-mass: k-means can split a
+    # spread cluster across cells at recenter time, which is what lets
+    # the post-recenter skew drop back under the trigger
+    drift = [
+        (9000 + i, (hot * 5 + rng.standard_normal(8)).tolist())
+        for i in range(1200)
+    ]
+    stage = tmp_path / "vstage_drift"
+    spark.createDataFrame(drift, sch).coalesce(1).write.parquet(str(stage))
+    shutil.copyfile(
+        glob.glob(str(stage / "*.parquet"))[0], str(src / "2.parquet")
+    )
+    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q.awaitTermination(120)
+    assert vector_index_skew(spark, path) >= 4.0
+    tok_before = load_vector_index_meta(path)["layout_token"]
+    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q.awaitTermination(120)
+    meta_after = load_vector_index_meta(path)
+    assert meta_after["layout_token"] != tok_before, "recenter did not fire"
+    assert not maybe_recenter_vector_index(spark, path), (
+        "skew still over trigger after recenter"
+    )
+    # post-recenter probe at full n_probe is exhaustive == exact top-k
+    from dragnet_spark.ops.similarity import cosine_topk
+
+    full = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(120)] + b1 + b2 + drift, sch
+    )
+    got2 = {
+        tuple(r)
+        for r in query_vector_index(
+            spark, path, queries, k=3,
+            n_probe=meta_after["n_centroids"],
+        ).collect()
+    }
+    want2 = {
+        tuple(r) for r in cosine_topk(full, queries, k=3).collect()
+    }
+    assert got2 == want2

@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Streaming vector-index ingest soak (VERDICT r6 #2 "Done ="
+criterion): a stream grows the quantized IVF index from K=1 to K=16
+replicas of the sf0.1 embeddings via `stream_ingest_vector_index`
+(foreachBatch → `append_vector_index` against the PERSISTED
+centroids, batch-id ledger against replays), then a planted drift
+phase pushes cell skew past the documented ~4× trigger so the next
+stream startup recenters. Checks:
+
+* **append == rebuild** — after the streamed K=16 growth, a 64-query
+  probe against the streamed index equals the probe against a fresh
+  rebuild over the same union with the SAME centroids, exactly;
+* **replay discipline** — re-invoking the appender with a committed
+  batch id leaves the store untouched;
+* **recenter fires exactly once** — skew ≥ 4 after the drift phase,
+  the next `stream_ingest_vector_index` startup recenters (layout
+  token changes), a further startup does not;
+* **oracle-exact after recenter** — at n_probe == n_centroids the
+  recentered quantized index is exhaustive over dequantized vectors:
+  its top-k equals brute-force cosine over the same dequantized
+  corpus, bit-for-bit.
+
+Usage: python tools/soak_vindex_stream.py [K] (default 16)
+Prints one JSON line (recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dragnet_spark.index.vector import (  # noqa: E402
+    build_vector_index,
+    load_vector_index_meta,
+    query_vector_index,
+    vector_index_skew,
+)
+from dragnet_spark.session import get_spark  # noqa: E402
+from dragnet_spark.sources.tables import load_table  # noqa: E402
+from dragnet_spark.streaming.pipeline import (  # noqa: E402
+    make_vindex_appender,
+    stream_ingest_vector_index,
+)
+from tools.soak_curation import embedding_replica  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _drop_file(df, src_dir: Path, stage_root: Path, name: str) -> None:
+    stage = stage_root / f"stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    part = glob.glob(str(stage / "*.parquet"))[0]
+    shutil.move(part, str(src_dir / f"{name}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def main() -> None:
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spark = get_spark(app_name="soak_vindex_stream")
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n0 = emb.count()
+
+    root = Path(tempfile.mkdtemp(prefix="soak_vxs_"))
+    path = str(root / "index")
+    src = root / "in"
+    src.mkdir()
+    ck = str(root / "ck")
+
+    build_vector_index(
+        spark, emb, path, n_centroids=16, quantize=True
+    )
+    meta0 = load_vector_index_meta(path)
+
+    # K-1 replica files land BEFORE the stream starts; availableNow
+    # with maxFilesPerTrigger=2 then consumes them as ~K/2 batches
+    for r in range(1, K):
+        repl = embedding_replica(emb, r).select(
+            (F.col("vec_id") + r * 1_000_000).alias("vec_id"), "embedding"
+        )
+        _drop_file(repl, src, root, f"{r:03d}")
+
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(str(src))
+    )
+    t0 = time.time()
+    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q.awaitTermination(1200)
+    t_stream = round(time.time() - t0, 2)
+    n_streamed = spark.read.parquet(f"{path}/vectors").count()
+
+    # probe == rebuild with the same centroids over the same union
+    union = emb
+    for r in range(1, K):
+        union = union.unionByName(
+            embedding_replica(emb, r).select(
+                (F.col("vec_id") + r * 1_000_000).alias("vec_id"), "embedding"
+            )
+        )
+    rebuilt = str(root / "rebuilt")
+    build_vector_index(
+        spark, union, rebuilt, centroids=meta0["centroids"], quantize=True
+    )
+    queries = emb.filter(F.col("vec_id") < 64)
+    t0 = time.time()
+    got = {
+        tuple(r)
+        for r in query_vector_index(
+            spark, path, queries, k=5, n_probe=4
+        ).collect()
+    }
+    t_probe = round(time.time() - t0, 2)
+    want = {
+        tuple(r)
+        for r in query_vector_index(
+            spark, rebuilt, queries, k=5, n_probe=4
+        ).collect()
+    }
+    append_eq_rebuild = got == want and len(got) > 0
+
+    # replay discipline: committed batch id -> no-op
+    app = make_vindex_appender(path, checkpoint=ck)
+    app(emb.limit(100), 0)
+    replay_skipped = (
+        spark.read.parquet(f"{path}/vectors").count() == n_streamed
+    )
+
+    # drift phase: a REAL cluster 3x the current store size in one
+    # direction -> one cell inflates past the 4x max/mean trigger
+    first = np.asarray(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
+    )
+    hot = first / np.linalg.norm(first)
+    rng = np.random.RandomState(3)
+    n_drift = 3 * n0 * K
+    drift_rows = [
+        (50_000_000 + i, (hot * 8 + rng.standard_normal(64)).tolist())
+        for i in range(n_drift)
+    ]
+    _drop_file(
+        spark.createDataFrame(drift_rows, SCHEMA), src, root, "drift"
+    )
+    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q.awaitTermination(1200)
+    skew_after_drift = round(vector_index_skew(spark, path), 2)
+
+    tok_before = load_vector_index_meta(path)["layout_token"]
+    t0 = time.time()
+    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q.awaitTermination(1200)
+    t_recenter = round(time.time() - t0, 2)
+    tok_after = load_vector_index_meta(path)["layout_token"]
+    recenter_fired = tok_after != tok_before
+    skew_after_recenter = round(vector_index_skew(spark, path), 2)
+    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q.awaitTermination(1200)
+    recenter_once = (
+        load_vector_index_meta(path)["layout_token"] == tok_after
+    )
+
+    # oracle-exact after recenter: exhaustive probe == brute force over
+    # the dequantized store contents (quantization is part of the
+    # contract: the stored corpus IS int8 codes + scales)
+    meta2 = load_vector_index_meta(path)
+    store = spark.read.parquet(f"{path}/vectors").select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda qv: qv.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    from dragnet_spark.ops.similarity import cosine_topk_blocked
+
+    t0 = time.time()
+    got2 = {
+        tuple(r)
+        for r in query_vector_index(
+            spark, path, queries, k=5, n_probe=meta2["n_centroids"]
+        ).collect()
+    }
+    t_full_probe = round(time.time() - t0, 2)
+    want2 = {
+        tuple(r)
+        for r in cosine_topk_blocked(store, queries, k=5).collect()
+    }
+    oracle_exact_after_recenter = got2 == want2 and len(got2) > 0
+
+    result = {
+        "soak": "vindex_stream_ingest",
+        "K": K,
+        "corpus_rows": n0,
+        "streamed_store_rows": n_streamed,
+        "stream_append_wall_sec": t_stream,
+        "append_probe_equals_rebuild": append_eq_rebuild,
+        "replay_skipped": replay_skipped,
+        "skew_after_drift": skew_after_drift,
+        "recenter_fired": recenter_fired,
+        "recenter_wall_sec": t_recenter,
+        "skew_after_recenter": skew_after_recenter,
+        "recenter_fired_once": recenter_once,
+        "probe_wall_sec_nprobe4": t_probe,
+        "full_probe_wall_sec": t_full_probe,
+        "oracle_exact_after_recenter": oracle_exact_after_recenter,
+    }
+    print(json.dumps(result))
+    ok = (
+        append_eq_rebuild
+        and replay_skipped
+        and skew_after_drift >= 4.0
+        and recenter_fired
+        and recenter_once
+        and oracle_exact_after_recenter
+    )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
