@@ -100,6 +100,16 @@ BENCH_FAMILIES = [
         "ann_cosine_topk_blocked",
         "dedup_incremental_probe",
         "dedup_incremental_near_probe",
+        "dedup_incremental_embedding_probe",
+    ]),
+    # decode-path regressions must trip the trailing-median grading
+    # like every other family (VERDICT r6 #4) — multimodal throughput
+    # previously lived only in soak tables
+    ("multimodal", [
+        "multimodal_features",
+        "multimodal_dhash_dedup",
+        "multimodal_resize",
+        "multimodal_probe_roundtrip",
     ]),
 ]
 BENCH_QUERIES = [q for _, qs in BENCH_FAMILIES for q in qs]
