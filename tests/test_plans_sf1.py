@@ -134,3 +134,48 @@ def test_aqe_skew_join_split_observed(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_split_on_registry_query_with_organic_skew(spark):
+    """VERDICT r6 #3: the tier's Zipf customer head (gen_sf1 default —
+    5 hot customers per replica carrying ~900× the median order count)
+    must trip AQE skew-join splitting on a REAL registry query's own
+    shuffle, not only the constructed half-hot join above. q18's
+    customer ⨝ orders is INNER on custkey — q13 has the same skewed
+    shuffle but its LeftOuter join only permits splitting the LEFT
+    (customer) side, and the skew is on orders (observed: its
+    executed plan shows only coalesced reads). Broadcast is disabled
+    to model the 100× regime where the dim side no longer fits, the
+    scan is split into many map tasks (a single local file reads as
+    1-2 splits — no valid split points otherwise), and shuffle
+    partitions are raised so a hot custkey dominates its reduce
+    partition (at 32 partitions the hot key's ~9k rows hide inside a
+    ~47k-row partition; at 512 the median partition is ~3k and the
+    hot ones read ~4× it)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.files.maxPartitionBytes": "2MB",
+        "spark.sql.shuffle.partitions": "512",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = REGISTRY["q18_large_volume_orders"].spark(spark, SF1_DIR)
+        rows = df.collect()
+        assert rows
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, (
+            "organic Zipf skew did not trip AQE on q18's own join:\n"
+            + final[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
