@@ -1,0 +1,1195 @@
+"""Registry family module (split from registry.py; see _base)."""
+from __future__ import annotations
+
+from dragnet_spark.registry._base import DataFrame, F, SparkSession, W, _dec4, _t, register  # noqa: F401
+from dragnet_spark.registry.curation import _EMB_COS, _EMB_T, _Q, _text, embedding_near_dup_pairs  # noqa: F401
+from dragnet_spark.registry.temporal import dedup_cluster_assignments  # noqa: F401
+from dragnet_spark.registry.tpch import _DISC_PRICE_SQL, _disc_price  # noqa: F401
+
+# ---------------------------------------------------------------------------
+# TPC-H q2/q11/q20/q21, adapted to the slimmed schema (COVERAGE.md):
+# there is no partsupp table, so the lineitem fact's (l_partkey,
+# l_suppkey) pairs stand in as the part-supplier relation (as q16
+# already does), with MIN(l_extendedprice) as the "supply cost" and
+# shipped quantity as the "stock"; q21's late predicate becomes
+# l_shipdate > o_orderdate + 60 days (no commit/receipt dates). The
+# join topology of each original — correlated per-group min, scalar
+# HAVING subquery, nested semi-joins, exists/not-exists — is kept.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT pk, sk, cost, s_acctbal, s_name, n_name
+      FROM ps
+        JOIN supplier ON sk = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), ranked AS (
+      SELECT e.*, p_partkey, p_name,
+             MIN(cost) OVER (PARTITION BY pk) AS mincost
+      FROM eligible e JOIN part ON pk = p_partkey
+      WHERE p_size = 15 AND p_type = 'STANDARD'
+    )
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, CAST(cost AS DOUBLE) AS supply_cost
+    FROM ranked WHERE cost = mincost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, sk
+    LIMIT 100
+    """,
+    "TPC-H Q2 shape (lineitem-derived part-supplier relation, "
+    "MIN(extendedprice) as supply cost): cheapest EUROPE supplier per "
+    "size-15 STANDARD part via a per-part window min — the correlated "
+    "subquery of the original without a second scan; dims broadcast, "
+    "the one shuffle is the (pk,sk) pre-aggregation",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    # the part predicate commutes with the (partkey, suppkey) grain:
+    # semi-join the (selective) part filter below the aggregation so
+    # only matching lineitems ride the shuffle
+    li_p = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("__ppk"))),
+        li.l_partkey == F.col("__ppk"),
+        "left_semi",
+    )
+    ps = li_p.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(_dec4("l_extendedprice")).alias("cost"))
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    ranked = (
+        ps.join(F.broadcast(sup), ps.sk == sup.s_suppkey)
+        .join(F.broadcast(part), ps.pk == part.p_partkey)
+        .withColumn("mincost", F.min("cost").over(W.partitionBy("pk")))
+    )
+    return (
+        ranked.filter(F.col("cost") == F.col("mincost"))
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "sk"
+        )
+        .limit(100)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH val AS (
+      SELECT l_partkey, SUM({_DISC_PRICE_SQL}) AS part_value
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM val
+    WHERE part_value * 1000 > (SELECT SUM(part_value) FROM val)
+    """,
+    "TPC-H Q11 shape (lineitem revenue as the stock value): parts "
+    "whose NATION_7-supplied value exceeds 1/1000 of the nation "
+    "total; the threshold comparison is value*1000 > total in exact "
+    "decimal (no engine-dependent decimal-division scale), and the "
+    "scalar subquery is a window sum over the already-aggregated "
+    "frame — one lineitem shuffle total",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).groupBy(
+        "l_partkey"
+    ).agg(F.sum(_disc_price()).alias("part_value"))
+    # scalar total as a broadcast cross-join, not a global window — a
+    # partition-less window would drag every aggregated row to one
+    # partition; the agg reduces map-side to a single row instead
+    total = val.agg(F.sum("part_value").alias("__total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("__total"))
+        .select(
+            "l_partkey", F.col("part_value").cast("double").alias("part_value")
+        )
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    WITH shipped AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty95,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_all
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT sk FROM shipped
+        WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+          AND qty95 * 2 > qty_all
+      )
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3'
+      )
+    """,
+    "TPC-H Q20 shape (shipped quantity as the stock signal): NATION_3 "
+    "suppliers who moved more than half of a 'small %' part's "
+    "all-time volume during 1995 — the original's nested semi-join "
+    "chain, expressed as left-semi joins so the supplier table never "
+    "fans out; the conditional + total sums share one (pk,sk) shuffle",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    in95 = (
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    small_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")
+    )
+    # the part predicate commutes with the (partkey, suppkey) grain, so
+    # semi-join BEFORE aggregating: only small-part lineitems ride the
+    # aggregation shuffle instead of the whole table
+    li_small = li.join(
+        F.broadcast(small_parts.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    shipped = li_small.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(F.when(in95, _dec4("l_quantity")).otherwise(zero)).alias("qty95"),
+        F.sum(_dec4("l_quantity")).alias("qty_all"),
+    )
+    movers = (
+        shipped.filter(F.col("qty95") * 2 > F.col("qty_all")).select("sk")
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return sup.join(
+        movers, sup.s_suppkey == movers.sk, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH l1 AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ), supp_cnt AS (
+      SELECT l_orderkey AS ok2, COUNT(DISTINCT l_suppkey) AS nsupp
+      FROM lineitem GROUP BY 1
+    ), late_cnt AS (
+      SELECT ok AS ok3, COUNT(DISTINCT sk) AS nlate FROM l1 GROUP BY 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l1
+      JOIN supp_cnt ON ok = ok2
+      JOIN late_cnt ON ok = ok3
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE nsupp > 1 AND nlate = 1 AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    "TPC-H Q21 shape (late := shipped >60 days after order date — no "
+    "commit/receipt columns): suppliers who were the ONLY late "
+    "supplier on a multi-supplier finished order. The exists / "
+    "not-exists pair becomes two order-grain aggregates (distinct "
+    "suppliers, distinct late suppliers) joined back on the order key "
+    "— three aggregations over the same l_orderkey shuffle key, no "
+    "per-row subquery execution",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one pass over lineitem⋈orders(F): per order, the distinct
+    # supplier count, the distinct LATE supplier count, the (unique
+    # when nlate==1) late supplier, and the late row count — the
+    # exists/not-exists pair collapses into conditional aggregates,
+    # so lineitem is scanned once instead of three times. When
+    # nlate==1 every late row belongs to late_sk, so sum(late_rows)
+    # equals the original per-late-row count.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # two-level: (order, supplier) grain first, then order grain —
+    # two ordinary hash aggregations instead of a countDistinct
+    # expand (which would triple the rows through the aggregate)
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.cast("int").alias("is_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("is_late").alias("any_late"),
+            F.sum("is_late").alias("late_rows"),
+        )
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("nsupp"),
+            F.sum("any_late").alias("nlate"),
+            F.max(
+                F.when(F.col("any_late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
+            F.sum("late_rows").alias("late_rows"),
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        per_order.join(F.broadcast(sup), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_EMB_COS} >= {_EMB_T}
+    ),
+    ids AS (SELECT vec_id AS id FROM embeddings),
+    reach(id, r) AS (
+      SELECT id, id FROM ids
+      UNION
+      SELECT reach.id, CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
+      FROM reach JOIN pairs e ON reach.r = e.id_a OR reach.r = e.id_b
+    )
+    SELECT id AS vec_id, MIN(r) AS canonical_id,
+           (id = MIN(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    "SemDeDup-style semantic dedup: connected components over the "
+    "embedding-cosine near-dup graph (A~B, B~C ⇒ one semantic group "
+    "even if A~C scores under threshold); same min-label propagation "
+    "as the text-shingle clusters — O(diameter) join rounds, no "
+    "driver-side graph state; canonical = min vec_id",
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=_EMB_T)
+    return dedup_cluster_assignments(emb, "vec_id", pairs)
+
+
+@register(
+    "text_unigram_logprob",
+    _text.unigram_logprob_sql("text"),  # oracle lives beside the op
+    "CCNet-style corpus-LM quality gate: per-doc mean token log-prob "
+    "under the corpus unigram distribution; per-token logp scaled to "
+    "an e9 integer, summed as exact bigints, mean via sign-safe "
+    "truncating integer division — no decimal→double re-round, so "
+    "both engines hash-match at every SF. One (doc,token) explode, "
+    "vocab join sized by AQE, no driver-side state",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             {_text.token_count_sql('text')} AS n_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 9)
+             AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+    "tokenizer fertility audit: chars-per-token by language — the "
+    "number that decides whether a tokenizer under- or over-spends "
+    "sequence budget on a language (multilingual mixing input). "
+    "Integer sums, one final double division; single source-grain "
+    "aggregation",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.length("text").cast("long").alias("n_chars"),
+            _text.token_count("text").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("total_tokens"), 9
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@register(
+    "docs_source_mix_weights",
+    f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM({_text.token_count_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n_docs, n_tokens,
+                 CAST(ROUND(POW(n_tokens, 0.7) * 1e6, 0) AS BIGINT) AS pw_e6
+          FROM s),
+    tot AS (SELECT SUM(pw_e6) AS total_e6 FROM w)
+    SELECT source, n_docs, n_tokens,
+           CAST((CAST(pw_e6 AS HUGEINT) * 1000000) // total_e6 AS BIGINT)
+             AS weight_ppm
+    FROM w, tot
+    """,
+    "temperature-based source mixing (the LLaMA/GPT data-recipe step): "
+    "per-source sampling weights ∝ tokens^α (α=0.7) so the training "
+    "mix upsamples small high-quality sources and damps the crawl "
+    "head. Cross-engine exactness via the e9-integer discipline: "
+    "pow() is transcendental (rounding its e6 scaling is boundary-"
+    "safe), the normalizer is an exact bigint sum, and the ppm weight "
+    "is a truncating integer division of positives where Spark's div "
+    "and DuckDB's // agree — computed in 128-bit-safe types "
+    "(decimal(38,0) / HUGEINT) so pw_e6*1e6 cannot wrap int64 even "
+    "past ~9B tokens per source. One tiny per-source aggregate + "
+    "1-row broadcast total — the corpus is read once",
+)
+def docs_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_text.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "pw_e6",
+        F.round(F.pow(F.col("n_tokens"), F.lit(0.7)) * F.lit(1e6), 0).cast(
+            "long"
+        ),
+    )
+    tot = w.agg(F.sum("pw_e6").alias("total_e6"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            # decimal(38,0) intermediate: pw_e6 ~ tokens^0.7 * 1e6
+            # exceeds int64/1e6 once a source holds ~9B tokens, so the
+            # non-ANSI bigint multiply would silently wrap at exactly
+            # the scale this recipe targets. IntegralDivide on decimals
+            # truncates like bigint div; operands are positive so it
+            # matches DuckDB's HUGEINT floor-division twin exactly.
+            F.expr("(CAST(pw_e6 AS DECIMAL(38,0)) * 1000000) div total_e6")
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+@register(
+    "corpus_token_spectrum",
+    f"""
+    WITH g AS (
+      SELECT 'token' AS gram, unnest({_text.tokens_sql('text')}) AS t
+      FROM documents
+      UNION ALL
+      SELECT '3gram' AS gram, unnest({_text.shingles_sql('text', 3)}) AS t
+      FROM documents
+    ),
+    cnt AS (SELECT gram, t, COUNT(*) AS c FROM g WHERE t <> ''
+            GROUP BY gram, t)
+    SELECT gram, CAST(FLOOR(LOG2(c)) AS BIGINT) AS freq_band,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS total_occurrences,
+           CAST(MIN(c) AS BIGINT) AS min_count,
+           CAST(MAX(c) AS BIGINT) AS max_count
+    FROM cnt GROUP BY 1, 2
+    """,
+    "token / 3-gram frequency spectrum: vocabulary binned by log2 "
+    "frequency band — the Zipf-shape audit that flags boilerplate "
+    "floods (mass piling into head bands) or tokenizer damage (an "
+    "exploding singleton tail) after any pipeline change; the 3-gram "
+    "tier discriminates where a tiny unigram vocabulary saturates. "
+    "log2 of an integer is exact at band boundaries (powers of two) "
+    "in both engines and every output is an exact integer, so the "
+    "audit is hash-stable at any SF. One (gram) shuffle with map-side "
+    "partial counts, then a few-dozen-band rollup",
+)
+def corpus_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops import spread
+
+    # spread: the shingle transform is interpreted (HOF) — a one-file
+    # input would otherwise explode on a couple of cores
+    docs = spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.lit("token").alias("gram"),
+        F.explode(_text.tokens("text")).alias("t"),
+    )
+    grams = docs.select(
+        F.lit("3gram").alias("gram"),
+        F.explode(_text.shingles("text", 3)).alias("t"),
+    )
+    cnt = (
+        toks.unionByName(grams)
+        .filter(F.col("t") != "")
+        .groupBy("gram", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy(
+            "gram", F.floor(F.log2("c")).cast("long").alias("freq_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("c").cast("long").alias("total_occurrences"),
+            F.min("c").cast("long").alias("min_count"),
+            F.max("c").cast("long").alias("max_count"),
+        )
+    )
+
+
+@register(
+    "text_duplicate_spans",
+    _text.duplicate_spans_sql("text", n=8),
+    "exact duplicate-span detection (fixed-n variant of Lee et al. "
+    "suffix-array dedup): per-doc fraction of 8-token grams that also "
+    "appear in another document — the copy-paste contamination "
+    "measure driving span-level removal. Grams shuffle as md5 hashes "
+    "(16 bytes, never text); exact integer counts, one final double "
+    "division",
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+@register(
+    "source_mixture_weights",
+    f"""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM({_text.token_count_sql('text')}) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ), powed AS (
+      SELECT *, POWER(total_tokens, 0.7) AS p FROM per_source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(p / (SELECT SUM(p) FROM powed), 9) AS weight,
+           ROUND((p / (SELECT SUM(p) FROM powed))
+                 / (CAST(total_tokens AS DOUBLE)
+                    / (SELECT SUM(CAST(total_tokens AS DOUBLE)) FROM powed)),
+                 9) AS oversample
+    FROM powed
+    """,
+    "temperature-based data-mixing weights (T=0.7, the standard "
+    "multilingual/multi-source rebalance): per-source sampling weight "
+    "∝ tokens^T, plus the oversample factor vs natural frequency. "
+    "Inputs to POWER are exact integers on both engines, so the "
+    "doubles agree; weights round to 9 dp before hashing. One "
+    "source-grain aggregate + a broadcast scalar — no second corpus "
+    "scan at 100 TB",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", _text.token_count("text").alias("tc")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").cast("long").alias("total_tokens"),
+    )
+    powed = per.withColumn("p", F.pow(F.col("total_tokens"), F.lit(0.7)))
+    totals = powed.agg(
+        F.sum("p").alias("__psum"),
+        F.sum(F.col("total_tokens").cast("double")).alias("__tsum"),
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("p") / F.col("__psum"), 9).alias("weight"),
+            F.round(
+                (F.col("p") / F.col("__psum"))
+                / (F.col("total_tokens").cast("double") / F.col("__tsum")),
+                9,
+            ).alias("oversample"),
+        )
+    )
+
+
+@register(
+    "pack_efficiency_stats",
+    f"""
+    WITH t AS (
+      SELECT source, {_text.token_count_sql('text')} AS tok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(CEIL(tok / 256.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+           CAST(SUM(CAST(CEIL(tok / 256.0) AS BIGINT)) * 256
+                - SUM(tok) AS BIGINT) AS padding_tokens,
+           ROUND(CAST(SUM(tok) AS DOUBLE)
+                 / (SUM(CAST(CEIL(tok / 256.0) AS BIGINT)) * 256), 9)
+             AS packing_efficiency
+    FROM t GROUP BY source
+    """,
+    "sequence-packing efficiency audit at max_seq_len=256: per source, "
+    "how many training chunks naive per-doc chunking yields and what "
+    "fraction is padding — the number a packing strategy (ops/"
+    "packing.pack_documents) is judged against. Integer arithmetic "
+    "until the final ratio; single aggregation, no shuffle beyond the "
+    "source key",
+)
+def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = _text.token_count("text")
+    chunks = F.ceil(tok / 256.0).cast("long")
+    per = docs.select(
+        "source", tok.alias("tok"), chunks.alias("chunks")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum("chunks").cast("long").alias("n_chunks"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_chunks",
+        (F.col("n_chunks") * 256 - F.col("total_tokens"))
+        .cast("long")
+        .alias("padding_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double") / (F.col("n_chunks") * 256),
+            9,
+        ).alias("packing_efficiency"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    _text.repetition_stats_sql("text"),
+    "Gopher-style repetition filters (Rae et al. 2021): per-doc "
+    "top-2-gram character fraction and duplicate-5-gram character "
+    "fraction over the normalized token stream, plus the 0.20/0.15 "
+    "drop flag. One position explode, grams assembled with lead() "
+    "over the per-doc window, both gram sizes stacked into one "
+    "long-form pass; everything keyed per-doc so there is no global "
+    "shuffle state at 100 TB",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontam_benchmark_overlap",
+    _text.benchmark_overlap_sql("text", n=8, bench_mod=97),
+    "benchmark decontamination: training docs sharing an 8-token gram "
+    "with the held-out eval slice (doc_id % 97 == 0 stands in for the "
+    "benchmark table) — per-doc hit count, occurrence-weighted hit "
+    "fraction, contaminated flag. The eval gram-hash set is broadcast "
+    "so the training side never shuffles for the probe; grams ride "
+    "as md5 hashes",
+)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.benchmark_overlap(
+        _t(spark, sf_dir, "documents"), n=8, bench_mod=97
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    """
+    WITH t AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+    f AS (SELECT md5(array_to_string(toks[1:8], ' ')) AS fp, source FROM t),
+    d AS (SELECT DISTINCT fp, source FROM f),
+    cx AS (SELECT a.source AS source_a, b.source AS source_b,
+                  COUNT(*) AS n_shared_fps
+           FROM d a JOIN d b USING (fp)
+           WHERE a.source < b.source GROUP BY 1, 2),
+    dg AS (SELECT source AS source_a, source AS source_b,
+                  COUNT(*) AS n_shared_fps
+           FROM (SELECT fp, source FROM f
+                 GROUP BY fp, source HAVING COUNT(*) >= 2)
+           GROUP BY 1, 2)
+    SELECT * FROM cx UNION ALL SELECT * FROM dg
+    """,
+    "cross-source duplication matrix: for every source pair, how many "
+    "8-token-prefix fingerprints they share (boilerplate/template "
+    "detection — which sources copy from which); the diagonal counts "
+    "within-source prefix duplicates. Distinct (fp, source) pairs "
+    "self-join on the fingerprint, so fanout is bounded by sources-"
+    "per-fingerprint, never docs²",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = _text.tokens("text")
+    fp = docs.select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp"), "source"
+    )
+    d = fp.distinct()
+    cx = (
+        d.alias("a")
+        .join(d.alias("b"), "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    dg = (
+        fp.groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .select(
+            "source_a",
+            F.col("source_a").alias("source_b"),
+            "n_shared_fps",
+        )
+    )
+    return cx.unionByName(dg)
+
+
+@register(
+    "source_unigram_kl",
+    f"""
+    WITH tok AS (SELECT source, UNNEST({_text.tokens_sql('text')}) AS tok
+                 FROM documents),
+    cs AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ct AS (SELECT tok, SUM(c) AS ct FROM cs GROUP BY 1),
+    ns AS (SELECT source, SUM(c) AS ns FROM cs GROUP BY 1),
+    n AS (SELECT SUM(c) AS n FROM cs),
+    terms AS (
+      SELECT cs.source, cs.tok,
+             CAST(ROUND(
+               (CAST(cs.c AS DOUBLE) / ns.ns)
+               * LN((CAST(cs.c AS DOUBLE) / ns.ns)
+                    / (CAST(ct.ct AS DOUBLE) / n.n)), 9)
+             AS DECIMAL(18,9)) AS term
+      FROM cs JOIN ct USING (tok) JOIN ns USING (source), n)
+    SELECT terms.source,
+           CAST(MIN(ns.ns) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_vocab,
+           ROUND(CAST(SUM(term) AS DOUBLE), 9) AS kl_to_corpus
+    FROM terms JOIN ns ON terms.source = ns.source
+    GROUP BY terms.source
+    """,
+    "per-source unigram KL divergence to the corpus distribution — "
+    "the mixture-balance signal that flags a source whose token "
+    "distribution drifts from the blend (wrong language, boilerplate, "
+    "spam). Per-token terms are rounded to 9 dp and summed as "
+    "DECIMAL(18,9) (order-independent); one (source, token) "
+    "aggregation feeds everything, the source totals broadcast",
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(_text.tokens("text")).alias("tok"))
+    cs = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ct = cs.groupBy("tok").agg(F.sum("c").alias("ct"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("ns"))
+    n = ns.agg(F.sum("ns").alias("n"))
+    q = F.col("c").cast("double") / F.col("ns")
+    p = F.col("ct").cast("double") / F.col("n")
+    terms = (
+        cs.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "ns",
+            F.round(q * F.log(q / p), 9).cast("decimal(18,9)").alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.min("ns").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.round(F.sum("term").cast("double"), 9).alias("kl_to_corpus"),
+    )
+
+
+@register(
+    "ann_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                      label AS neighbor_label
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id, c.neighbor_label,
+                  round(list_cosine_similarity(q.qv, c.cv), 6) AS score
+           FROM q, c
+           WHERE q.query_id <> c.neighbor_id AND q.qlabel <> c.neighbor_label
+         ),
+         ranked AS (
+           SELECT query_id, neighbor_id, neighbor_label, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                       AS INT) AS rank
+           FROM scored
+         )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+    "hard-negative mining for contrastive training: per query vector, "
+    "the 5 most similar corpus vectors with a DIFFERENT label — the "
+    "high-gradient negatives. Query side broadcast, corpus streams, "
+    "label inequality applied before ranking",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "docs_quality_rank",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             ROUND(
+               0.3 * LEAST(CAST({_Q['n_tokens']} AS DOUBLE) / 100, 1.0)
+               + 0.3 * (1.0 - LEAST({_Q['punct_ratio']} * 4, 1.0))
+               + 0.2 * (1.0 - LEAST({_Q['digit_ratio']} * 4, 1.0))
+               + 0.2 * LEAST({_Q['stopword_ratio']} * 2, 1.0), 9)
+               AS quality_score
+      FROM documents)
+    SELECT doc_id, lang, quality_score,
+           CAST(NTILE(10) OVER (ORDER BY quality_score DESC, doc_id)
+                AS INT) AS quality_decile
+    FROM s
+    """,
+    "composite curation score + global decile: the linear blend of "
+    "length / punctuation / digit / stopword signals every pipeline "
+    "ends with, plus NTILE(10) for budget-based keep-top-N%% "
+    "decisions. Scoring is a narrow map; the decile is the exact "
+    "NTILE computed WITHOUT a single-partition window: range-"
+    "partitioned sort + per-partition offsets (ops/rank.py, the "
+    "zipWithIndex pattern), so the rank stage is fully parallel at "
+    "any scale",
+)
+def docs_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = _text.quality_columns("text")
+    one = F.lit(1.0)
+    score = F.round(
+        F.lit(0.3) * F.least(cols["n_tokens"].cast("double") / 100, one)
+        + F.lit(0.3) * (one - F.least(cols["punct_ratio"] * 4, one))
+        + F.lit(0.2) * (one - F.least(cols["digit_ratio"] * 4, one))
+        + F.lit(0.2) * F.least(cols["stopword_ratio"] * 2, one),
+        9,
+    )
+    from dragnet_spark.ops.rank import global_ntile
+
+    scored = docs.select("doc_id", "lang", score.alias("quality_score"))
+    return global_ntile(
+        scored,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        10,
+        "quality_decile",
+    )
+
+
+@register(
+    "multimodal_probe_roundtrip",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 2 THEN 'gif' ELSE 'bmp'
+           END AS detected_format,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(3 + doc_id % 7 AS INTEGER) AS height,
+           0 AS type_mismatch
+    FROM documents
+    """,
+    "multimodal encode→header-probe roundtrip with a SQL oracle: each "
+    "doc id deterministically picks a format (png/jpeg/gif/bmp) and "
+    "dimensions (4+id%13 × 3+id%7); the Spark side REALLY encodes a "
+    "flat image of those dimensions with the stdlib codecs and REALLY "
+    "sniffs the bytes back (mapInPandas, payloads never shuffle) — "
+    "the oracle is the arithmetic the probe must recover, so the "
+    "whole encoder+prober chain is driver-graded without DuckDB "
+    "touching a byte of image data",
+)
+def multimodal_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dragnet_spark.ops.jpeg import encode_jpeg
+    from dragnet_spark.ops.multimodal import (
+        encode_bmp, encode_gif, encode_png, sniff_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            fmts, ws, hs, mism = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                shade = did % 256
+                px = np.full((h, w, 3), shade, dtype=np.uint8)
+                kind = did % 4
+                if kind == 0:
+                    payload = encode_png(px)
+                    declared = "png"
+                elif kind == 1:
+                    payload = encode_jpeg(px, quality=90)
+                    declared = "jpeg"
+                elif kind == 2:
+                    payload = encode_gif(px)
+                    declared = "gif"
+                else:
+                    payload = encode_bmp(px)
+                    declared = "bmp"
+                f, sw, sh, _ = sniff_media(bytes(payload))
+                fmts.append(f)
+                ws.append(sw)
+                hs.append(sh)
+                mism.append(int(f != declared or sw != w or sh != h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "detected_format": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "type_mismatch": mism,
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, detected_format string, width int, height int, "
+            "type_mismatch int"
+        ),
+    )
+
+
+@register(
+    "embedding_label_outliers",
+    """
+    WITH x AS (
+      SELECT vec_id, label, u.i AS dim,
+             CAST(embedding[u.i + 1] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)),
+    cent AS (
+      SELECT label, dim,
+             ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 9) AS c
+      FROM x GROUP BY label, dim),
+    terms AS (
+      SELECT x.vec_id, x.label,
+             CAST(ROUND(x.v * cent.c, 9) AS DECIMAL(28,9)) AS xc,
+             CAST(ROUND(x.v * x.v, 9) AS DECIMAL(28,9)) AS xx,
+             CAST(ROUND(cent.c * cent.c, 9) AS DECIMAL(28,9)) AS cc
+      FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim),
+    per_vec AS (
+      SELECT vec_id, label,
+             ROUND(1.0 - CAST(SUM(xc) AS DOUBLE)
+                   / (SQRT(CAST(SUM(xx) AS DOUBLE))
+                      * SQRT(CAST(SUM(cc) AS DOUBLE))), 6) AS centroid_dist
+      FROM terms GROUP BY vec_id, label),
+    ranked AS (
+      SELECT vec_id, label, centroid_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY centroid_dist DESC, vec_id)
+                  AS INT) AS rank
+      FROM per_vec)
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+    "embedding-quality audit: per-label centroid (exact decimal mean "
+    "per dimension) and the 3 vectors farthest from their own label's "
+    "centroid by cosine distance — the mislabeled/noisy candidates a "
+    "curation pass prunes. Every sum that crosses rows is 9-dp-rounded "
+    "terms in DECIMAL, so both engines hash-match despite float "
+    "summation order; one (label,dim) aggregation + one vec-grain "
+    "aggregation, centroids broadcast by AQE",
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops import spread
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cent = x.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("v"), 9).cast("decimal(18,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    )
+    terms = x.join(cent, ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        F.round(F.col("v") * F.col("c"), 9).cast("decimal(28,9)").alias("xc"),
+        F.round(F.col("v") * F.col("v"), 9).cast("decimal(28,9)").alias("xx"),
+        F.round(F.col("c") * F.col("c"), 9).cast("decimal(28,9)").alias("cc"),
+    )
+    per_vec = terms.groupBy("vec_id", "label").agg(
+        F.round(
+            1.0
+            - F.sum("xc").cast("double")
+            / (
+                F.sqrt(F.sum("xx").cast("double"))
+                * F.sqrt(F.sum("cc").cast("double"))
+            ),
+            6,
+        ).alias("centroid_dist")
+    )
+    w = W.partitionBy("label").orderBy(
+        F.desc("centroid_dist"), F.asc("vec_id")
+    )
+    return (
+        per_vec.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "label", "centroid_dist", "rank")
+    )
+
+
+@register(
+    "docs_training_order",
+    """
+    SELECT doc_id,
+           md5('order-v1' || CAST(doc_id AS STRING)) AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('order-v1' || CAST(doc_id AS STRING)), doc_id)
+             AS BIGINT) AS train_pos
+    FROM documents
+    """,
+    "deterministic training-order shuffle: a reproducible global "
+    "permutation keyed by md5(salt || id) — same order on any cluster "
+    "size, any partitioning, any rerun (RNG-free, the property that "
+    "makes a training run replayable). The position comes from a "
+    "range-partitioned sort of (16-byte key, id) scalars plus "
+    "per-partition count offsets (ops/rank.py) — no single-partition "
+    "window anywhere, so the permutation assembles shard-parallel at "
+    "100 TB",
+)
+def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.rank import global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("order-v1"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    return global_row_number(
+        keyed, [F.asc("shuffle_key"), F.asc("doc_id")], "train_pos"
+    ).select("doc_id", "shuffle_key", "train_pos")
+
+
+@register(
+    "corpus_version_diff",
+    f"""
+    WITH v1 AS (SELECT doc_id, {_text.fingerprint_sql('text')} AS fp
+                FROM documents),
+    v2 AS (SELECT doc_id,
+                  {_text.fingerprint_sql("CASE WHEN doc_id % 7 = 0 "
+                                         "THEN text || ' edited' "
+                                         "ELSE text END")} AS fp
+           FROM documents
+           WHERE doc_id % 11 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  {_text.fingerprint_sql("text || ' new'")} AS fp
+           FROM documents WHERE doc_id % 13 = 1),
+    j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                 CASE WHEN v1.doc_id IS NULL THEN 'added'
+                      WHEN v2.doc_id IS NULL THEN 'removed'
+                      WHEN v1.fp = v2.fp THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT status, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM j GROUP BY status
+    """,
+    "corpus version diff — the incremental-maintenance audit between "
+    "two snapshots: added/removed/changed/unchanged by id with "
+    "content equality via the normalized fingerprint (v2 is derived "
+    "deterministically from v1 in-query: doc_id%7 edited, doc_id%11=3 "
+    "dropped, so both engines see identical snapshots). One full "
+    "outer join on the id, fingerprints computed before the shuffle "
+    "so text never rides it",
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", _text.fingerprint("text").alias("fp"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            "doc_id",
+            _text.fingerprint(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" edited")),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                _text.fingerprint(
+                    F.concat(F.col("text"), F.lit(" new"))
+                ).alias("fp"),
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") == F.col("b.fp"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+_EWMA_W = [round(0.6 ** k, 6) for k in range(1, 8)]
+_EWMA_WSUM = round(sum(_EWMA_W), 6)
+
+
+@register(
+    "events_daily_ewma_anomalies",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT day, n,
+             ROUND((
+               {" + ".join(f"{w} * LAG(n, {k}) OVER (ORDER BY day)"
+                           for k, w in enumerate(_EWMA_W, start=1))}
+             ) / {_EWMA_WSUM}, 9) AS forecast
+      FROM d)
+    SELECT day, n, forecast,
+           ROUND(n / forecast, 9) AS ratio,
+           CAST(n / forecast > 1.5 OR n / forecast < 0.5 AS INTEGER)
+             AS anomaly
+    FROM f WHERE forecast IS NOT NULL
+    """,
+    "time-series anomaly detection: each day's event count vs an "
+    "exponentially-weighted forecast from the prior 7 observed days "
+    "(weights 0.6^k, rounded literals so both engines build the same "
+    "expression tree); days deviating beyond 1.5x / 0.5x flag. One "
+    "day-grain aggregation then a 7-lag window over the (tiny) daily "
+    "series — the raw stream is never windowed",
+)
+def events_daily_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day")
+    num = None
+    for k, wt in enumerate(_EWMA_W, start=1):
+        term = F.lit(wt) * F.lag("n", k).over(w)
+        num = term if num is None else num + term
+    f = d.withColumn("forecast", F.round(num / F.lit(_EWMA_WSUM), 9))
+    ratio = F.col("n") / F.col("forecast")
+    return (
+        f.filter(F.col("forecast").isNotNull())
+        .select(
+            "day",
+            "n",
+            "forecast",
+            F.round(ratio, 9).alias("ratio"),
+            ((ratio > 1.5) | (ratio < 0.5)).cast("int").alias("anomaly"),
+        )
+    )
+
+

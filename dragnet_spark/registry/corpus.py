@@ -1,0 +1,133 @@
+"""Registry family module (split from registry.py; see _base)."""
+from __future__ import annotations
+
+from dragnet_spark.registry._base import DataFrame, F, QueryConfig, SparkSession, W, _t, register  # noqa: F401
+from dragnet_spark.registry.curation import _text  # noqa: F401
+from dragnet_spark.registry.indexes import _indexed  # noqa: F401
+from dragnet_spark.registry.temporal import _SPLIT_TEST, _SPLIT_VAL  # noqa: F401
+
+# ---------------------------------------------------------------------------
+# Corpus indexing & leakage family: tf-idf relevance, n-gram language
+# stats, inverted index, train/test contamination. All outputs are
+# integers/strings or single IEEE divisions so the hash compare can
+# never trip on summation order or libm ulp drift.
+# ---------------------------------------------------------------------------
+
+from dragnet_spark.ops.sampling import (  # noqa: E402
+    cross_split_contamination,
+    cross_split_contamination_sql,
+)
+from dragnet_spark.ops.text import (  # noqa: E402
+    shingle_postings,
+    shingle_postings_sql,
+    tfidf_top_terms,
+    tfidf_top_terms_sql,
+)
+
+
+@register(
+    "text_tfidf_top_terms",
+    tfidf_top_terms_sql("text", k=3),
+    "top-3 distinguishing terms per document by tf/df (linear-idf "
+    "tf-idf: one integer division keeps the ranking bit-reproducible "
+    "across engines); tf reused for df so the corpus is read once",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+@register(
+    "text_top_bigrams_per_lang",
+    f"""
+    WITH sh AS (SELECT lang, s.bg
+                FROM documents, UNNEST({_text.shingles_sql("text", 2)}) AS s(bg)),
+    cnt AS (SELECT lang, bg AS bigram, COUNT(*) AS n FROM sh GROUP BY lang, bg)
+    SELECT * FROM (
+      SELECT lang, bigram, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, bigram) AS INT) AS rank
+      FROM cnt
+    ) WHERE rank <= 5
+    """,
+    "top-5 bigrams per language: n-gram frequency stats + per-group "
+    "top-k — partial aggregation collapses repeats map-side, the "
+    "window shuffles only (lang, bigram, n) triples",
+)
+def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.text import shingles
+
+    from dragnet_spark.ops import spread
+
+    doc = spread(_t(spark, sf_dir, "documents"))
+    cnt = (
+        doc.select("lang", F.explode(shingles("text", 2)).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "text_shingle_postings",
+    shingle_postings_sql("text", ngram=3, min_df=2, max_df=5),
+    "inverted index over rare 3-shingles (df in [2,5]): sorted posting "
+    "lists, df-banded so no posting list exceeds max_df — common "
+    "shingles never reach the collect",
+)
+def text_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_postings(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", ngram=3, min_df=2, max_df=5
+    )
+
+
+@register(
+    "split_leakage_report",
+    cross_split_contamination_sql("text", _SPLIT_TEST, _SPLIT_VAL),
+    "train/test contamination: test docs sharing >=3 rare shingles "
+    "with a train doc — near-dup leakage that exact-dup checks miss; "
+    "df-capped shingle join bounds fanout (winnowing discipline), the "
+    "shuffle carries only (shingle, id, split)",
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_split_contamination(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", _SPLIT_TEST, _SPLIT_VAL
+    )
+
+
+@register(
+    "index_month_rollup_cascade",
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           COUNT(*) AS value
+    FROM events GROUP BY 1
+    """,
+    "cascading time rollup (hypertable continuous-aggregate pattern): "
+    "monthly counts derived by re-aggregating the *materialized* daily "
+    "view — the raw table is never rescanned; correctness comes from "
+    "the weighted-count closure (A5/A6). Oracle is the raw-scan "
+    "equivalent, proving the cascade loses nothing.",
+)
+def index_month_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.index import query_index
+
+    day = query_index(
+        spark,
+        _indexed(spark, sf_dir),
+        QueryConfig.load("day[date,field=ts,aggr=lquantize,step=86400]"),
+    )
+    return (
+        day.select(
+            F.date_trunc("month", F.timestamp_seconds(F.col("day")))
+            .cast("date")
+            .alias("month"),
+            "value",
+        )
+        .groupBy("month")
+        .agg(F.sum("value").cast("long").alias("value"))
+    )
+
+

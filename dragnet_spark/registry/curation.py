@@ -1,0 +1,1321 @@
+"""Registry family module (split from registry.py; see _base)."""
+from __future__ import annotations
+
+from dragnet_spark.registry._base import Column, DataFrame, F, SparkSession, _t, register  # noqa: F401
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline family (beyond reference): text analysis,
+# dedup, similarity search, multimodal plumbing. Oracle SQL comes from
+# the *_sql twins in ops.text so both sides share one definition.
+# ---------------------------------------------------------------------------
+
+from dragnet_spark.ops import text as _text  # noqa: E402
+from dragnet_spark.ops.dedup import (  # noqa: E402
+    embedding_near_dup_lsh,
+    embedding_near_dup_pairs,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    winnow_overlap_pairs,
+)
+from dragnet_spark.ops.multimodal import (  # noqa: E402
+    attach_payloads,
+    extract_features,
+    frame_sample_plan,
+    resize_media,
+)
+from dragnet_spark.ops.similarity import cosine_topk, cosine_topk_blocked  # noqa: E402
+
+_Q = {k: v for k, v in _text.quality_sql("text").items()}
+
+@register(
+    "text_quality",
+    "SELECT doc_id, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _Q.items())
+    + " FROM documents",
+    "per-document quality features: lengths, punct/digit/stopword ratios",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    cols = _text.quality_columns("text")
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "text_lang_id",
+    f"SELECT doc_id, lang, {_text.lang_id_sql('text')} AS lang_pred FROM documents",
+    "stopword-heuristic language ID vs the labeled lang column",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", "lang", _text.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_tokens_by_source",
+    f"""
+    SELECT source, CAST(SUM({_text.token_count_sql('text')}) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    "corpus token accounting per source (BPE-ish whitespace tokenizer)",
+)
+def text_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select("source", _text.token_count("text").alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "text_bpe_fertility",
+    f"""
+    SELECT doc_id,
+           {_text.bpe_token_count_sql('text')} AS n_bpe_tokens,
+           {_text.token_count_sql('text')} AS n_ws_tokens,
+           round(CAST({_text.bpe_token_count_sql('text')} AS DOUBLE)
+                 / NULLIF({_text.token_count_sql('text')}, 0), 6)
+             AS fertility
+    FROM documents
+    """,
+    "BPE-ish token budgeting: per-doc pre-token count under the GPT-2 "
+    "pre-tokenization classes (space-prefixed letter/digit/punct runs, "
+    "RE2- and Java-compatible regex so Spark and DuckDB count "
+    "identically) vs whitespace tokens, plus the fertility ratio — "
+    "the number a context-window budget or a per-source token quota "
+    "actually needs, where whitespace counting undercounts punctuated "
+    "text. Pure built-in expressions: narrow map, zero shuffle, "
+    "whole-stage codegen",
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bpe = _text.bpe_token_count("text")
+    ws = _text.token_count("text")
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(
+            bpe.cast("double") / F.nullif(ws, F.lit(0)), 6
+        ).alias("fertility"),
+    )
+
+
+@register(
+    "text_token_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents,
+           LATERAL (SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS distinct_tokens,
+           round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS top_token_share
+    FROM cnt GROUP BY doc_id
+    """,
+    "per-document token statistics — repetition (top-token share) is "
+    "the cheap boilerplate/spam signal a curation gate filters on; "
+    "one (doc,token) shuffle with map-side partial counts, then a "
+    "doc-keyed rollup that AQE-coalesces (the token explosion never "
+    "leaves its stage uncombined)",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_token_share"),
+    )
+
+
+@register(
+    "text_rare_token_share",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents,
+           LATERAL (SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           round(CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_share
+    FROM toks JOIN freq USING (tok)
+    GROUP BY doc_id
+    """,
+    "share of a document's tokens that are corpus-rare (df <= 2) — "
+    "the OOV/gibberish/OCR-noise curation signal; corpus frequencies "
+    "and the doc join reuse one token partitioning, and the ratio is "
+    "integer-derived so it is bit-identical across engines",
+)
+def text_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = F.when(F.col("df") <= 2, 1).otherwise(0)
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rare).cast("long").alias("n_rare"),
+            F.round(
+                F.sum(rare).cast("double") / F.count(F.lit(1)), 6
+            ).alias("rare_share"),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {_text.fingerprint_sql('text')} AS fp, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup by normalized-text fingerprint (hash groupBy)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_JACCARD_T = 0.8
+
+
+_NGRAM = 3  # w-shingling width for near-dup similarity
+
+
+def _jaccard_oracle(threshold: float, ngram: int = _NGRAM) -> str:
+    # same shared-shingle equi-join reformulation as the Spark side
+    # (ops/dedup.py ngram_jaccard_pairs): identical values for any
+    # threshold > 0, and the all-pairs list_intersect — which
+    # single-threads DuckDB for minutes at sf0.1 — never materializes
+    toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
+    return f"""
+    WITH t AS MATERIALIZED (SELECT doc_id AS id, {toks} AS ts FROM documents),
+    s AS (SELECT id, len(ts) AS sz, unnest(ts) AS g FROM t),
+    p AS (SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 COUNT(*) AS shared
+          FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sz_a + sz_b - shared), 6) AS jaccard
+    FROM p
+    WHERE round(CAST(shared AS DOUBLE) / (sz_a + sz_b - shared), 6)
+          >= {threshold}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _jaccard_oracle(_JACCARD_T),
+    "exact 3-shingle Jaccard near-dup detection via the shared-shingle "
+    "equi-join (bit-identical to all-pairs for threshold > 0, no BNLJ); "
+    "the candidate-generation scale path is dedup_minhash_lsh",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=_JACCARD_T, ngram=_NGRAM,
+    )
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int, bands: int, threshold: float, ngram: int = _NGRAM
+) -> str:
+    r = num_hashes // bands
+    sig = _text.minhash_signature_sql("text", num_hashes, ngram)
+    toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
+    band_hash = " || chr(31) || ".join(
+        f"CAST(sig[{{i}}*{r} + {j + 1}] AS VARCHAR)" for j in range(r)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {toks} AS ts, {sig} AS sig FROM documents),
+    banded AS (
+      SELECT id, ts, i AS band, md5({band_hash.format(i="i")}) AS bhash
+      FROM t, UNNEST(range(0, {bands})) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bhash = b.bhash
+      WHERE a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+    FROM cand c JOIN t ta ON ta.id = c.id_a JOIN t tb ON tb.id = c.id_b
+    WHERE round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_lsh_oracle(16, 8, _JACCARD_T),
+    "MinHash(16) over 3-shingles + LSH(8 bands × 2 rows) candidate "
+    "generation, exact-Jaccard verification of candidates only — the "
+    "shuffle-friendly near-dup path for 100 TB corpora",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=8,
+        threshold=_JACCARD_T,
+        ngram=_NGRAM,
+    )
+
+
+def _band_probe_oracle(num_hashes: int, bands: int, ngram: int) -> str:
+    r = num_hashes // bands
+    sig = _text.minhash_signature_sql("text", num_hashes, ngram)
+    band_hash = " || chr(31) || ".join(
+        f"CAST(sig[{{i}}*{r} + {j + 1}] AS VARCHAR)" for j in range(r)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {sig} AS sig FROM documents),
+    banded AS (
+      SELECT id, i AS band, md5({band_hash.format(i="i")}) AS bhash
+      FROM t, UNNEST(range(0, {bands})) AS u(i)
+    ),
+    hits AS (
+      SELECT n.id AS doc_id,
+             COUNT(*) AS n_band_hits,
+             MIN(c.id) AS dup_of
+      FROM banded n JOIN banded c ON n.band = c.band AND n.bhash = c.bhash
+      WHERE n.id % 5 = 0 AND c.id % 5 <> 0
+      GROUP BY n.id
+    )
+    SELECT p.doc_id,
+           CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+           h.dup_of,
+           (h.dup_of IS NOT NULL) AS is_near_duplicate
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) p
+    LEFT JOIN hits h ON h.doc_id = p.doc_id
+    """
+
+
+_BANDSTORE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_incremental_near_probe",
+    _band_probe_oracle(16, 8, _NGRAM),
+    "incremental NEAR-dup probe against a MATERIALIZED minhash band "
+    "store (index/fingerprints.build_band_store): the corpus slice "
+    "(doc_id%5≠0) persists its LSH band keys partitionBy(band); the "
+    "arriving batch (doc_id%5=0) band-hashes itself with NARROW "
+    "per-row expressions (ops/dedup.minhash_band_array — value-"
+    "identical to the batch LSH's explode+groupBy signature) and "
+    "joins the store on (band, bhash), reporting which new docs are "
+    "near-duplicate candidates of the persisted corpus without "
+    "re-reading corpus text. DuckDB reproduces the full signature→"
+    "band→collision chain as the exact oracle. This closes the gap "
+    "the exact-fingerprint store leaves: token-swapped twins and "
+    "light edits are caught at ingest, not at the next batch LSH pass",
+)
+def dedup_incremental_near_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        build_band_store,
+        probe_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BANDSTORE_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_bandstore_")
+        build_band_store(
+            spark,
+            docs.filter(F.col("doc_id") % 5 != 0),
+            path,
+            num_hashes=16,
+            bands=8,
+            ngram=_NGRAM,
+        )
+        _BANDSTORE_CACHE[sf_dir] = path
+    return probe_near_duplicates(
+        spark,
+        _BANDSTORE_CACHE[sf_dir],
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+def _srp_probe_oracle(
+    bands: int, bits_per_band: int, seed: int, dims: int
+) -> str:
+    """DuckDB reproduces the ENTIRE quantize→sign-projection→band→
+    collision chain: the quantized plane matrix embeds as integer
+    literals and every dot product is integer arithmetic carried
+    exactly in doubles (ops/dedup.SRP_SCALE), so band keys match the
+    pandas-UDF store path bit-for-bit — the minhash band-probe oracle's
+    discipline applied to embeddings."""
+    from dragnet_spark.ops.dedup import (
+        srp_banded_sql,
+        srp_planes_q,
+        srp_quantize_sql,
+    )
+
+    planes = srp_planes_q(dims, bands, bits_per_band, seed)
+    banded = srp_banded_sql(planes, bands, bits_per_band)
+    return f"""
+    WITH qv_src AS (SELECT vec_id AS id, {srp_quantize_sql()} AS qv
+                    FROM embeddings),
+    banded AS ({banded}),
+    pair AS (
+      SELECT n.id AS vec_id, c.id AS existing_id, COUNT(*) AS cnt
+      FROM banded n JOIN banded c ON n.band = c.band AND n.bucket = c.bucket
+      WHERE n.id % 5 = 0 AND c.id % 5 <> 0
+      GROUP BY n.id, c.id
+    ),
+    hits AS (
+      SELECT vec_id, MAX(cnt) AS n_band_hits,
+             MIN(CASE WHEN cnt >= 1 THEN existing_id END) AS dup_of
+      FROM pair GROUP BY vec_id
+    )
+    SELECT p.vec_id,
+           CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+           h.dup_of,
+           (h.dup_of IS NOT NULL) AS is_near_duplicate
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) p
+    LEFT JOIN hits h ON h.vec_id = p.vec_id
+    """
+
+
+_SRPSTORE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_incremental_embedding_probe",
+    _srp_probe_oracle(8, 16, 42, 64),
+    "incremental SEMANTIC near-dup probe against a MATERIALIZED SRP "
+    "band store (index/fingerprints.build_srp_store): the corpus "
+    "slice (vec_id%5≠0) persists its sign-random-projection band "
+    "keys partitionBy(band) with the quantized plane matrix persisted "
+    "in store metadata; the arriving batch (vec_id%5=0) computes its "
+    "keys with the SAME planes (one int64 matmul per Arrow batch — "
+    "engine-exact by integer arithmetic) and joins the store on "
+    "(band, bucket), reporting which new embeddings are semantic "
+    "near-dup candidates of the persisted corpus without re-reading "
+    "any vectors. DuckDB reproduces quantize→sign→band→collision as "
+    "the exact oracle. Closes the ingest-loop gap the minhash band "
+    "store leaves: paraphrases with near-identical embeddings are "
+    "caught at ingest, not at the next batch SemDeDup pass",
+)
+def dedup_incremental_embedding_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        build_srp_store,
+        probe_srp_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _SRPSTORE_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_srpstore_")
+        build_srp_store(
+            spark,
+            emb.filter(F.col("vec_id") % 5 != 0),
+            path,
+            bands=8,
+            bits_per_band=16,
+            seed=42,
+            dims=64,
+        )
+        _SRPSTORE_CACHE[sf_dir] = path
+    return probe_srp_near_duplicates(
+        spark,
+        _SRPSTORE_CACHE[sf_dir],
+        emb.filter(F.col("vec_id") % 5 == 0),
+    )
+
+
+@register(
+    "dedup_simhash",
+    "SELECT doc_id, CAST(1 AS BOOLEAN) AS jvm_twin_match FROM documents",
+    "64-bit SimHash signatures (near-dup by hamming distance) with a "
+    "driver-gradable oracle: DuckDB cannot reproduce JVM xxhash64, so "
+    "the JVM signature is cross-checked per-document against an "
+    "INDEPENDENT pure-Python xxHash64 reimplementation of the public "
+    "spec (ops/xxhash.py, Arrow-batched pandas_udf); two independent "
+    "implementations agreeing on every document IS the oracle — a "
+    "column of TRUEs DuckDB can state. Hot path stays the JVM "
+    "expression; the twin runs only in this verification entry",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.xxhash import simhash_twin_udf
+
+    _twin = simhash_twin_udf()
+    df = _t(spark, sf_dir, "documents")
+    sigs = df.select(
+        "doc_id",
+        simhash64("text").alias("sig_jvm"),
+        _twin(_text.tokens("text")).alias("sig_py"),
+    )
+    return sigs.select(
+        "doc_id", (F.col("sig_jvm") == F.col("sig_py")).alias("jvm_twin_match")
+    )
+
+
+_WINNOW_MIN_SHARED = 8
+_WINNOW_MAX_DF = 20  # testdata's 30-word vocabulary makes common k-grams
+# corpus-wide; the cap keeps only discriminative fingerprints (same knob
+# that bounds the self-join at 100 TB)
+
+
+def _winnow_oracle(min_shared: int, max_df: int) -> str:
+    # normalization and grams each materialized in their own CTE:
+    # inlining re-evaluates the whole-document regex per gram and every
+    # md5 per window position (O(N²) both)
+    grams = _text.winnow_grams_from_norm_sql("t")
+    fps = _text.winnow_from_grams_sql("grams")
+    return f"""
+    WITH nrm AS MATERIALIZED (SELECT doc_id AS id,
+                              {_text.winnow_norm_sql("text")} AS t FROM documents),
+    g AS MATERIALIZED (SELECT id, {grams} AS grams FROM nrm),
+    w AS MATERIALIZED (SELECT id, {fps} AS fps FROM g),
+    f0 AS (SELECT id, u.fp FROM w, UNNEST(fps) AS u(fp)),
+    rare AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= {max_df}),
+    f AS (SELECT f0.id, f0.fp FROM f0 JOIN rare USING (fp))
+    SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@register(
+    "dedup_winnow_overlap",
+    _winnow_oracle(_WINNOW_MIN_SHARED, _WINNOW_MAX_DF),
+    "winnowing-fingerprint partial-overlap pairs (Schleimer et al. "
+    "SIGMOD'03): shared selected k-gram hashes catch a copied paragraph "
+    "inside otherwise-different documents, which whole-document Jaccard "
+    "dilutes; explode→df-cap→fp-join→count, never an O(n²) cross product",
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF,
+    )
+
+
+from dragnet_spark.ops.skew import (  # noqa: E402
+    salted_count_distinct,
+    salted_top_values,
+)
+
+
+@register(
+    "events_distinct_users_by_type",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    "skew-proof exact distinct count: two-stage (key, hash(v)%salt) "
+    "aggregation — a hot key fans out over salt reducers instead of "
+    "one task deduplicating billions of rows",
+)
+def events_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_count_distinct(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", salt=16
+    )
+
+
+@register(
+    "events_distinct_users_by_type_approx",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+           CAST(1 AS BOOLEAN) AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    "HyperLogLog++ distinct count (rsd=0.02): the 100 TB scale path — "
+    "a fixed-size sketch merges map-side, so the shuffle carries one "
+    "sketch per group instead of every distinct value. HLL estimates "
+    "are implementation-defined, so the ±3σ tolerance bound IS the "
+    "oracle row: the entry computes sketch AND exact twin in one "
+    "aggregation and emits (exact, |approx−exact| ≤ max(3, 6%)) — "
+    "both DuckDB-statable",
+)
+def events_distinct_users_by_type_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    approx = F.approx_count_distinct("user_id", rsd=0.02).cast("long")
+    exact = F.count_distinct("user_id").cast("long")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(approx.alias("__approx"), exact.alias("n_distinct_exact"))
+        .select(
+            "event_type",
+            "n_distinct_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_distinct_exact"))
+                <= F.greatest(
+                    F.lit(3.0), F.col("n_distinct_exact") * F.lit(0.06)
+                )
+            ).alias("approx_ok"),
+        )
+    )
+
+
+@register(
+    "events_value_percentiles_approx",
+    """
+    SELECT event_type,
+           CAST(1 AS BOOLEAN) AS p50_rank_ok,
+           CAST(1 AS BOOLEAN) AS p95_rank_ok
+    FROM (SELECT DISTINCT event_type FROM events)
+    """,
+    "approx_percentile(accuracy=10000): bounded-memory mergeable "
+    "quantile summary — at 100 TB the exact sort-based percentile "
+    "shuffles every value, the sketch ships one summary per group. "
+    "GK-summary values are implementation-defined, so the sketch's "
+    "own guarantee becomes the oracle: the returned value's RANK must "
+    "sit within ±(1/accuracy + slack) of the target quantile. The "
+    "per-group approx values broadcast back onto the events and one "
+    "aggregation computes each value's empirical rank bracket "
+    "(frac< , frac≤); the emitted booleans are DuckDB-statable TRUEs",
+)
+def events_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    ap = e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95"),
+    )
+    eps = 0.001  # 10x the 1/accuracy rank guarantee
+
+    def rank_ok(target: float, pcol: str) -> Column:
+        frac_lt = F.avg((F.col("value") < F.col(pcol)).cast("double"))
+        frac_le = F.avg((F.col("value") <= F.col(pcol)).cast("double"))
+        return (frac_lt - F.lit(eps) <= F.lit(target)) & (
+            F.lit(target) <= frac_le + F.lit(eps)
+        )
+
+    return (
+        e.join(F.broadcast(ap), "event_type")
+        .groupBy("event_type")
+        .agg(
+            rank_ok(0.5, "p50").alias("p50_rank_ok"),
+            rank_ok(0.95, "p95").alias("p95_rank_ok"),
+        )
+    )
+
+
+@register(
+    "events_top_users_by_type",
+    """
+    SELECT event_type, value, weight, rank FROM (
+      SELECT event_type, user_id AS value,
+             CAST(COUNT(*) AS BIGINT) AS weight,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY COUNT(*) DESC, user_id) AS INT) AS rank
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rank <= 5
+    """,
+    "skew-proof per-key top-N by weight: algebraic per-value counts, "
+    "candidate pruning per salt bucket, final re-rank "
+    "(the reference's future-work top-N, docs/design-stateful.md:166)",
+)
+def events_top_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_top_values(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", n=5, salt=16
+    )
+
+
+_EMB_T = 0.42  # driver's synthetic embeddings are near-orthogonal (max cos ≈ 0.51)
+_EMB_COS = (
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 6)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_EMB_COS} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_EMB_COS} >= {_EMB_T}
+    """,
+    "embedding-cosine near-dup pairs (exact all-pairs baseline; norms "
+    "precomputed per row so the quadratic stage is one dot per pair)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=_EMB_T
+    )
+
+
+_EMB_LSH_T = 0.9
+_EMB_COS_U = (
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 6)"
+)
+
+
+@register(
+    "dedup_embedding_lsh",
+    f"""
+    WITH u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_EMB_COS_U} AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE {_EMB_COS_U} >= {_EMB_LSH_T}
+    """,
+    "near-dup via sign-random-projection LSH at its working regime "
+    "(threshold 0.9): corpus ∪ exact twins; candidates collide on "
+    "16-bit sign buckets per band — the shuffle keys on (band, bucket), "
+    "never the O(n^2) cross product — then exact-cosine verification. "
+    "Identical vectors collide in every band, so recall is exactly 1 "
+    "here and the SQL oracle applies.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    return embedding_near_dup_lsh(
+        corpus,
+        threshold=_EMB_LSH_T,
+        dims=64,
+        bits_per_band=16,
+        bands=6,
+    ).select("id_a", "id_b", "cosine")
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+     scored AS (
+       SELECT q.query_id, c.neighbor_id,
+              round(list_cosine_similarity(q.qv, c.cv), 6) AS score
+       FROM q, c WHERE q.query_id <> c.neighbor_id
+     ),
+     ranked AS (
+       SELECT query_id, neighbor_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       FROM scored
+     )
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    _ANN_ORACLE,
+    "exact brute-force cosine top-5 for 10 query vectors (baseline ANN; "
+    "built-in zip_with/aggregate expressions, corpus side never shuffles)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ann_cosine_topk_blocked",
+    _ANN_ORACLE,
+    "same result via mapInPandas blocked BLAS matmul (the 100 TB "
+    "throughput path) — must agree with the expression path exactly",
+)
+def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, source, text
+      FROM documents
+      WHERE {_text.quality_sql('text')['n_tokens']} >= 10
+        AND {_text.quality_sql('text')['digit_ratio']} <= 0.3
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept GROUP BY {_text.fingerprint_sql('text')}
+    )
+    SELECT k.source, COUNT(*) AS n_docs,
+           CAST(SUM({_text.token_count_sql('k.text')}) AS BIGINT) AS total_tokens
+    FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+    GROUP BY k.source
+    """,
+    "end-to-end curation composite: quality gate -> exact-dedup "
+    "survivors -> per-source token budget, all in one declarative plan "
+    "(the shape of a real training-data prep job)",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    qc = _text.quality_columns("text")
+    kept = docs.filter((qc["n_tokens"] >= 10) & (qc["digit_ratio"] <= 0.3))
+    survivors = (
+        kept.groupBy(_text.fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        kept.join(survivors, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_text.token_count("text")).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    _ANN_ORACLE,  # n_probe == n_centroids is exhaustive, so the full
+    # IVF machinery (centroid training, cell assignment, cell join,
+    # scoring) must reproduce the exact top-k; the pruned-probe
+    # approximate path (n_probe < n_centroids) is pytest-covered
+    "IVF (inverted-file) ANN: k-means cells from a bounded driver "
+    "sample, distributed cell assignment, queries probe n_probe cells "
+    "— scan cost ~n_probe/n_centroids of the corpus (the scale path "
+    "beyond one blocked full pass per query batch)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=16
+    )
+
+
+@register(
+    "embedding_int8_audit",
+    """
+    SELECT vec_id AS id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(1 AS BOOLEAN) AS recon_ok,
+           CAST(1 AS BOOLEAN) AS codes_in_range
+    FROM embeddings
+    """,
+    "int8 embedding quantization audit: symmetric per-vector codes "
+    "(scale = max|v|/127, round-to-nearest) — the 4× storage/IO lever "
+    "for a 100 TB embedding corpus — with the quantizer's CONTRACT as "
+    "the oracle: every reconstruction error ≤ scale/2 and every code "
+    "in [-127,127], per vector. Pure transform/zip_with expressions, "
+    "narrow map, no Python; quantized-ANN recall is pytest-pinned "
+    "(test_ops)",
+)
+def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.similarity import dequantize_error_audit
+
+    return dequantize_error_audit(_t(spark, sf_dir, "embeddings"))
+
+
+_ANN_QUANT_ORACLE = """
+    WITH deq AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0 THEN
+               list_transform(embedding,
+                 x -> round(CAST(x AS DOUBLE) / (amax / 127.0))
+                      * (amax / 127.0))
+             ELSE list_transform(embedding, x -> 0.0) END AS v
+      FROM (SELECT vec_id, embedding,
+                   CAST(list_max(list_transform(embedding,
+                        x -> abs(x))) AS DOUBLE) AS amax
+            FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM deq WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM deq),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.qv, c.cv), 6) AS score
+      FROM q, c WHERE q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM ranked_src
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """.replace("ranked_src", "scored")
+
+
+@register(
+    "ann_quantized_topk",
+    _ANN_QUANT_ORACLE,
+    "end-to-end quantized ANN: the corpus quantizes to int8 "
+    "(ops/similarity.quantize_embeddings), DEQUANTIZED vectors rank "
+    "with the blocked matmul scorer, and — because symmetric "
+    "round-to-nearest is plain arithmetic — DuckDB reproduces the "
+    "entire chain (quantize → dequantize → cosine → rank) as the "
+    "exact oracle. This is the 4× IO configuration an embedding "
+    "corpus actually serves from, graded end to end rather than only "
+    "contract-audited",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = quantize_embeddings(emb).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    return cosine_topk_blocked(deq, deq.filter(F.col("vec_id") < 10), k=5)
+
+
+_VINDEX_CACHE: dict[str, str] = {}
+_FPSTORE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_incremental_probe",
+    f"""
+    WITH corpus AS (SELECT doc_id, {_text.fingerprint_sql('text')} AS fp
+                    FROM documents WHERE doc_id % 5 <> 0),
+    newb AS (SELECT doc_id, {_text.fingerprint_sql('text')} AS fp
+             FROM documents WHERE doc_id % 5 = 0),
+    hits AS (SELECT n.doc_id, MIN(c.doc_id) AS dup_of
+             FROM newb n JOIN corpus c ON n.fp = c.fp GROUP BY 1)
+    SELECT n.doc_id, n.fp, h.dup_of,
+           (h.dup_of IS NOT NULL) AS is_duplicate
+    FROM newb n LEFT JOIN hits h ON n.doc_id = h.doc_id
+    """,
+    "incremental ingest dedup against a MATERIALIZED fingerprint store "
+    "(index/fingerprints.py): the corpus slice (doc_id%5≠0) persists "
+    "as (fp_bucket, fp, doc_id) partitioned by the fingerprint's "
+    "first hex byte; the arriving batch (doc_id%5=0) fingerprints "
+    "itself, broadcast-joins the store on (bucket, fp) — dynamic "
+    "partition pruning skips buckets the batch doesn't hash into — "
+    "and reports dup_of without EVER re-reading corpus text. The "
+    "continuous-ingest shape a 100 TB pipeline runs per batch, "
+    "mirroring the reference's never-rescan index discipline",
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        build_fingerprint_store,
+        probe_new_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _FPSTORE_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_fpstore_")
+        build_fingerprint_store(
+            spark, docs.filter(F.col("doc_id") % 5 != 0), path
+        )
+        _FPSTORE_CACHE[sf_dir] = path
+    return probe_new_documents(
+        spark, _FPSTORE_CACHE[sf_dir], docs.filter(F.col("doc_id") % 5 == 0)
+    )
+
+
+_FPSTORE_MAINT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_probe_after_compact",
+    f"""
+    WITH corpus AS (SELECT doc_id, {_text.fingerprint_sql('text')} AS fp
+                    FROM documents WHERE doc_id % 5 <> 0),
+    newb AS (SELECT doc_id, {_text.fingerprint_sql('text')} AS fp
+             FROM documents WHERE doc_id % 5 = 0),
+    hits AS (SELECT n.doc_id, MIN(c.doc_id) AS dup_of
+             FROM newb n JOIN corpus c ON n.fp = c.fp GROUP BY 1)
+    SELECT n.doc_id, n.fp, h.dup_of,
+           (h.dup_of IS NOT NULL) AS is_duplicate
+    FROM newb n LEFT JOIN hits h ON n.doc_id = h.doc_id
+    """,
+    "store-maintenance equivalence, driver-graded: the fingerprint "
+    "store is built, then fragmented by re-appending its own corpus "
+    "slice (duplicate rows, extra files — a replayed ingest), then "
+    "COMPACTED (index/fingerprints.compact_fingerprint_store: "
+    "keep-min per fingerprint, stage-then-swap rewrite), and only "
+    "then probed. The oracle is dedup_incremental_probe's SQL "
+    "verbatim: replays and compaction must be invisible to every "
+    "probe answer — the maintenance job is graded against the same "
+    "truth as the clean build, not just unit-tested",
+)
+def dedup_probe_after_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        append_fingerprints,
+        build_fingerprint_store,
+        compact_fingerprint_store,
+        probe_new_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    if sf_dir not in _FPSTORE_MAINT_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_fpmaint_")
+        build_fingerprint_store(spark, corpus, path)
+        append_fingerprints(spark, corpus, path)  # replayed ingest
+        compact_fingerprint_store(spark, path)
+        _FPSTORE_MAINT_CACHE[sf_dir] = path
+    return probe_new_documents(
+        spark,
+        _FPSTORE_MAINT_CACHE[sf_dir],
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+@register(
+    "ann_vector_index_topk",
+    _ANN_ORACLE,  # exhaustive probing (n_probe == n_centroids) makes
+    # the materialized-index path exact, so the brute-force SQL top-k
+    # grades the whole build→persist→prune→score chain; the pruned
+    # approximate path and the partition-pruning plan shape are
+    # pytest-covered (test_vector_index.py)
+    "materialized IVF vector index (index/vector.py): the event-index "
+    "build-once pattern applied to embeddings — vectors persisted "
+    "partitionBy(cell) under seeded k-means centroids, queries probe "
+    "their cells driver-side and the scan's cell IN (...) filter "
+    "partition-prunes every other cell directory, so probe I/O is "
+    "~n_probe/n_centroids of the corpus at any scale",
+)
+def ann_vector_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.vector import (
+        build_vector_index,
+        query_vector_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _VINDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_vindex_")
+        build_vector_index(spark, emb, path, n_centroids=16)
+        _VINDEX_CACHE[sf_dir] = path
+    return query_vector_index(
+        spark,
+        _VINDEX_CACHE[sf_dir],
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_probe=16,
+    )
+
+
+_VINDEX_Q_CACHE: dict[str, str] = {}
+
+
+@register(
+    "ann_vector_index_quantized",
+    _ANN_QUANT_ORACLE,  # at n_probe == n_centroids the quantized index
+    # is exhaustive over DEQUANTIZED vectors, so DuckDB's
+    # quantize→dequantize→cosine→rank chain grades the whole persisted
+    # int8 path exactly; pruned-probe recall ≥0.9 vs the float index is
+    # pytest-pinned (test_vector_index.py)
+    "QUANTIZED materialized IVF index (index/vector.py, "
+    "quantize=True): cells persist int8 codes + one scale per vector "
+    "— ~4× less probe I/O than the float store at identical "
+    "partition-pruned plan shape — and the probe dequantizes inline "
+    "(q*scale, narrow transform) before the exact scorer. Symmetric "
+    "round-to-nearest is plain arithmetic, so the full build→persist→"
+    "prune→dequantize→score chain is graded bit-for-bit against the "
+    "SQL twin. This is the configuration a 100 TB embedding corpus "
+    "actually serves from: 1 byte/dim off disk, floats only in flight",
+)
+def ann_vector_index_quantized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.vector import (
+        build_vector_index,
+        query_vector_index,
+    )
+    from dragnet_spark.ops.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _VINDEX_Q_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_vindexq_")
+        build_vector_index(spark, emb, path, n_centroids=16, quantize=True)
+        _VINDEX_Q_CACHE[sf_dir] = path
+    # the oracle dequantizes the query side too — mirror it exactly
+    deq_q = quantize_embeddings(emb.filter(F.col("vec_id") < 10)).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    return query_vector_index(
+        spark, _VINDEX_Q_CACHE[sf_dir], deq_q, k=5, n_probe=16
+    )
+
+
+@register(
+    "multimodal_dhash_dedup",
+    """
+    SELECT d.doc_id, CAST(1 AS BOOLEAN) AS partner_in_bucket
+    FROM documents d
+    JOIN documents p ON p.doc_id = d.doc_id + 1 - 2 * (d.doc_id % 2)
+    """,
+    "perceptual image dedup via 64-bit dHash (difference hash): every "
+    "doc id synthesizes a 16×16 PNG whose pattern depends on id//2 "
+    "and whose BRIGHTNESS depends on id%2 — so each doc has a twin "
+    "that byte-level fingerprints cannot match (the payload bytes "
+    "differ) but the perceptual hash must (brightness shifts preserve "
+    "every adjacent-pixel comparison). The Spark side REALLY encodes, "
+    "REALLY decodes, hashes (ops/multimodal.perceptual_hash, "
+    "mapInPandas, payloads never shuffle), groups by the 8-byte hash, "
+    "and reports whether the twin landed in the same bucket; the "
+    "oracle states the invariant (all TRUE) over exactly the ids "
+    "whose twin id exists in the table — a self-join on the partner "
+    "id in BOTH engines, so an odd row count or id gap at a future "
+    "SF can never fail the gate for the generator's parity rather "
+    "than a real hash bug. The dedup shape is the text fingerprint "
+    "store's: only hashes ride the shuffle",
+)
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dragnet_spark.ops.multimodal import encode_png, perceptual_hash
+
+    all_docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # Graded population = ids whose brightness twin (id XOR 1) exists;
+    # mirrors the oracle's self-join so the invariant tests the HASH,
+    # never the generator's row-count parity.
+    partner_id = F.col("doc_id") + 1 - 2 * (F.col("doc_id") % 2)
+    docs = all_docs.join(
+        all_docs.select(F.col("doc_id").alias("__partner")),
+        partner_id == F.col("__partner"),
+    ).select("doc_id")
+
+    def gen(batches):
+        i = np.arange(16)[:, None]
+        j = np.arange(16)[None, :]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = ((did // 2) * 31 + i * 7 + j * 13) % 200
+                if did % 2:
+                    g = g + 20  # brightness twin; 199+20 < 255, no clip
+                px = np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="id long, media_type string, payload binary"
+    )
+    hashed = perceptual_hash(media, decode_stub=False).select("id", "dhash")
+    a = hashed.select(F.col("id").alias("doc_id"), "dhash")
+    b = hashed.select(F.col("id").alias("other_id"), "dhash")
+    expected = F.col("doc_id") + 1 - 2 * (F.col("doc_id") % 2)
+    res = (
+        a.join(b, "dhash")
+        .filter(F.col("other_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("other_id") == expected).alias("partner_in_bucket"))
+    )
+    return docs.join(res, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("partner_in_bucket", F.lit(False)).alias(
+            "partner_in_bucket"
+        ),
+    )
+
+
+@register(
+    "multimodal_audio_tone_probe",
+    """
+    SELECT doc_id,
+           CAST(100 + (doc_id % 30) * 20 AS DOUBLE) AS freq_hz,
+           CAST(1 AS BOOLEAN) AS centroid_ok,
+           CAST(1 AS BOOLEAN) AS rolloff_ok,
+           CAST(1 AS BOOLEAN) AS zcr_ok
+    FROM documents
+    """,
+    "audio DSP probe with a SQL oracle: each doc id synthesizes a "
+    "pure sine (freq = 100 + id%30·20 Hz, exactly periodic over the "
+    "0.5 s / 8 kHz buffer) and the REAL decode→rFFT pipeline "
+    "(ops/multimodal.audio_spectral_stats, mapInPandas) must recover "
+    "it — spectral centroid and 85% rolloff within 1 Hz of the tone, "
+    "zero-crossing rate within 1% of 2f/rate. The oracle is the "
+    "arithmetic the DSP must reproduce, so the whole encode→decode→"
+    "FFT chain is driver-graded without DuckDB touching a sample",
+)
+def multimodal_audio_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dragnet_spark.ops.multimodal import (
+        audio_spectral_stats, encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rate, n = 8000, 4000
+
+    def gen(batches):
+        t = np.arange(n) / rate
+        for pdf in batches:
+            payloads, freqs = [], []
+            for did in pdf["doc_id"]:
+                f = 100 + (int(did) % 30) * 20
+                payloads.append(
+                    encode_wav(0.5 * np.sin(2 * np.pi * f * t), rate)
+                )
+                freqs.append(float(f))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                    "freq_hz": freqs,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen,
+        schema="id long, media_type string, payload binary, freq_hz double",
+    )
+    stats = audio_spectral_stats(media)
+    joined = stats.join(
+        media.select("id", "freq_hz"), "id"
+    )
+    return joined.select(
+        F.col("id").alias("doc_id"),
+        "freq_hz",
+        (F.abs(F.col("spectral_centroid_hz") - F.col("freq_hz")) < 1.0).alias(
+            "centroid_ok"
+        ),
+        (F.abs(F.col("spectral_rolloff_hz") - F.col("freq_hz")) < 1.0).alias(
+            "rolloff_ok"
+        ),
+        (
+            F.abs(
+                F.col("zero_cross_rate") - 2 * F.col("freq_hz") / F.lit(rate)
+            )
+            < 0.01
+        ).alias("zcr_ok"),
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS id,
+           CASE (doc_id % 3 + 1) WHEN 1 THEN 'image/png'
+                WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(t.i AS BIGINT) AS dim,
+           -- the (4*i) % 28 wrap is INTENTIONAL and mirrors
+           -- ops/multimodal._fake_features exactly (dim 7 reuses
+           -- digest bytes 0-3; bytes 28-31 unused): change both
+           -- together or the cross-check breaks
+           CAST(('0x' || substr(sha256(text), ((4*t.i) % 28)*2 + 1, 8))
+                AS UBIGINT) / 4294967296.0 AS feature
+    FROM documents, range(8) t(i)
+    """,
+    "binary-column plumbing: payload bytes → deterministic stub features "
+    "via mapInPandas (decode step stubbed; schema/batching real). "
+    "Features exploded to (id, dim, feature) — scalar columns hash "
+    "cleanly in the cross-check, and the sha256-chunk formula is exact "
+    "in both engines (uint32/2^32 is lossless in a double)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs, "text", "doc_id")
+    feats = extract_features(media, decode_stub=True)
+    return feats.select(
+        "id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("features").alias("dim", "feature"),
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
+@register(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS id, CAST(u.i AS BIGINT) AS frame_index,
+           CAST(length(text) AS BIGINT) AS pixels
+    FROM documents,
+         UNNEST(range(0, greatest(CAST(FLOOR(octet_length(encode(text)) / 10.0) AS INT), 1))) AS u(i)
+    WHERE doc_id % 3 = 2
+    """,
+    "video frame-sampling plan: explode-to-work-units keeps per-task "
+    "memory flat when one video fans out to many frames",
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs, "text", "doc_id")
+    plan = frame_sample_plan(media, every_n=10)
+    return plan.select(
+        "id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.col("pixels").cast("long").alias("pixels"),
+    )
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS id, 'image/png' AS media_type,
+           GREATEST(CAST(FLOOR(octet_length(encode(text))
+                    * LEAST(4096.0 / GREATEST(length(text), 1), 1.0))
+                    AS BIGINT), 1) AS n_bytes,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height
+    FROM documents WHERE doc_id % 3 + 1 = 1
+    """,
+    "image resize plumbing: pure map over binary columns via "
+    "mapInPandas (decode stubbed, Arrow batch shape + meta update "
+    "real); payloads never cross a shuffle boundary. The stub's "
+    "output-size formula (src_bytes * min(target_px/src_px, 1), "
+    "floored, min 1) is deterministic, so it oracles exactly",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs, "text", "doc_id")
+    out = resize_media(media, target_width=64, target_height=64)
+    return out.select(
+        "id", "media_type", F.length("payload").cast("long").alias("n_bytes"),
+        "width", "height",
+    )
+
+
