@@ -67,6 +67,7 @@ _OPT_DEFS = {
     "out": True, "centroids": True, "k": True, "probe": True,
     "queries": True, "id-field": True, "vec-field": True,
     "text-field": True, "quantize": False, "hashes": True, "bands": True,
+    "bits": True, "vectors": True, "min-band-hits": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -849,6 +850,96 @@ def cmd_band_compact(argv, cat: Catalog, out):
     out.write("compacted band store at %s\n" % store)
 
 
+def cmd_srp_build(argv, cat: Catalog, out):
+    """dn srp-build <embeddings.parquet> --out=PATH [--bands=8]
+    [--bits=16] [--id-field=vec_id] [--vec-field=embedding]:
+    materialize the SRP band store (in-stream SEMANTIC near-dedup;
+    index/fingerprints.build_srp_store)."""
+    from dragnet_spark.index.fingerprints import build_srp_store
+
+    opts = _parse_args(
+        argv, ["out", "bands", "bits", "id-field", "vec-field"]
+    )
+    (src,) = _nargs(opts, 1)
+    if "out" not in opts:
+        raise UsageError('"out" option is required')
+    spark = _get_spark()
+    meta = build_srp_store(
+        spark,
+        spark.read.parquet(src),
+        opts["out"],
+        vec_col=opts.get("vec_field", "embedding"),
+        id_col=opts.get("id_field", "vec_id"),
+        bands=int(opts.get("bands", "8")),
+        bits_per_band=int(opts.get("bits", "16")),
+    )
+    out.write(
+        "built SRP store: %d bands x %d bits (%d dims) at %s\n"
+        % (meta["bands"], meta["bits_per_band"], meta["dims"], opts["out"])
+    )
+
+
+def cmd_srp_append(argv, cat: Catalog, out):
+    """dn srp-append <store-path> --vectors=<parquet>: append a new
+    batch's band keys with the store's PERSISTED planes."""
+    from dragnet_spark.index.fingerprints import append_srp_keys
+
+    opts = _parse_args(argv, ["vectors"])
+    (store,) = _nargs(opts, 1)
+    if "vectors" not in opts:
+        raise UsageError('"vectors" option is required')
+    spark = _get_spark()
+    append_srp_keys(spark, spark.read.parquet(opts["vectors"]), store)
+    out.write("appended SRP band keys into %s\n" % store)
+
+
+def cmd_srp_probe(argv, cat: Catalog, out):
+    """dn srp-probe <store-path> --queries=<parquet>
+    [--min-band-hits=1]: probe an arriving embedding batch for
+    SEMANTIC near-duplicates of the stored corpus; prints per-vector
+    NDJSON (vec_id, n_band_hits, dup_of, is_near_duplicate) and a
+    summary line."""
+    from dragnet_spark.index.fingerprints import probe_srp_near_duplicates
+
+    opts = _parse_args(argv, ["queries", "min-band-hits"])
+    (store,) = _nargs(opts, 1)
+    if "queries" not in opts:
+        raise UsageError('"queries" option is required')
+    spark = _get_spark()
+    res = probe_srp_near_duplicates(
+        spark,
+        store,
+        spark.read.parquet(opts["queries"]),
+        min_band_hits=int(opts.get("min_band_hits", "1")),
+    ).orderBy("vec_id")
+    rows = res.collect()  # presentation-layer: final result only
+    for r in rows:
+        out.write(
+            json.dumps(
+                {
+                    "vec_id": r["vec_id"],
+                    "n_band_hits": r["n_band_hits"],
+                    "dup_of": r["dup_of"],
+                    "is_near_duplicate": bool(r["is_near_duplicate"]),
+                }
+            )
+            + "\n"
+        )
+    n_near = sum(1 for r in rows if r["is_near_duplicate"])
+    out.write("%d of %d near-duplicate the corpus\n" % (n_near, len(rows)))
+
+
+def cmd_srp_compact(argv, cat: Catalog, out):
+    """dn srp-compact <store-path>: compact the SRP store (band and
+    band-pair keys) to distinct rows, one file per slice."""
+    from dragnet_spark.index.fingerprints import compact_srp_store
+
+    opts = _parse_args(argv, [])
+    (store,) = _nargs(opts, 1)
+    compact_srp_store(_get_spark(), store)
+    out.write("compacted SRP store at %s\n" % store)
+
+
 def cmd_vindex_compact(argv, cat: Catalog, out):
     """dn vindex-compact <index-path>: rewrite each cell to one file
     after appends (assignments/centroids untouched)."""
@@ -949,6 +1040,10 @@ COMMANDS = {
     "band-build": cmd_band_build,
     "band-probe": cmd_band_probe,
     "band-compact": cmd_band_compact,
+    "srp-build": cmd_srp_build,
+    "srp-append": cmd_srp_append,
+    "srp-probe": cmd_srp_probe,
+    "srp-compact": cmd_srp_compact,
 }
 
 

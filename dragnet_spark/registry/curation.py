@@ -460,6 +460,53 @@ def dedup_incremental_embedding_probe(
     )
 
 
+_SRPSTORE_MAINT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_embedding_probe_after_compact",
+    _srp_probe_oracle(8, 16, 42, 64),
+    "SRP-store maintenance equivalence, driver-graded (the "
+    "dedup_probe_after_compact discipline applied to the embedding "
+    "store): the SRP band store is built, fragmented by re-appending "
+    "its own corpus slice (replayed ingest — duplicate band AND "
+    "band-pair rows, extra files), COMPACTED "
+    "(index/fingerprints.compact_srp_store: distinct rows in both key "
+    "directories, stage-then-swap), and only then probed. The oracle "
+    "is dedup_incremental_embedding_probe's SQL verbatim: replays and "
+    "compaction must be invisible to every probe field including "
+    "n_band_hits — guaranteed by the probe's pre-count hit dedup",
+)
+def dedup_embedding_probe_after_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        append_srp_keys,
+        build_srp_store,
+        compact_srp_store,
+        probe_srp_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    if sf_dir not in _SRPSTORE_MAINT_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_srpmaint_")
+        build_srp_store(
+            spark, corpus, path, bands=8, bits_per_band=16, seed=42,
+            dims=64,
+        )
+        append_srp_keys(spark, corpus, path)  # replayed ingest
+        compact_srp_store(spark, path)
+        _SRPSTORE_MAINT_CACHE[sf_dir] = path
+    return probe_srp_near_duplicates(
+        spark,
+        _SRPSTORE_MAINT_CACHE[sf_dir],
+        emb.filter(F.col("vec_id") % 5 == 0),
+    )
+
+
 @register(
     "dedup_simhash",
     "SELECT doc_id, CAST(1 AS BOOLEAN) AS jvm_twin_match FROM documents",

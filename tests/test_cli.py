@@ -523,3 +523,54 @@ def test_vindex_stats_cli(cfg, tmp_path, spark):
     assert rc == 0
     assert "vectors in" in out and "max/mean skew" in out
     assert "recommendation:" in out
+
+
+def test_srp_store_cli_roundtrip(cfg, tmp_path, spark):
+    """srp-build + srp-append + srp-probe + srp-compact: CLI surface
+    over the SRP band store; a perturbed-embedding twin probes as a
+    semantic near-dup."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    base = rng.standard_normal((3, 16))
+    corpus = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(corpus)
+    store = str(tmp_path / "srps")
+    rc, out, _ = run(["srp-build", corpus, "--out", store], cfg)
+    assert rc == 0 and "8 bands x 16 bits (16 dims)" in out
+
+    extra = str(tmp_path / "extra.parquet")
+    newv = rng.standard_normal(16).tolist()
+    spark.createDataFrame(
+        [(50, newv)], "vec_id long, embedding array<double>"
+    ).write.parquet(extra)
+    rc, out, _ = run(["srp-append", store, "--vectors", extra], cfg)
+    assert rc == 0 and "appended SRP band keys" in out
+
+    q = str(tmp_path / "q.parquet")
+    twin = (base[1] + rng.standard_normal(16) * 1e-4).tolist()
+    fresh = (rng.standard_normal(16) * 2).tolist()
+    spark.createDataFrame(
+        [(10, twin), (11, fresh), (12, newv)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(q)
+    rc, out, _ = run(
+        ["srp-probe", store, "--queries", q, "--min-band-hits", "4"], cfg
+    )
+    assert rc == 0
+    lines = out.strip().splitlines()
+    rows = {json.loads(ln)["vec_id"]: json.loads(ln) for ln in lines[:-1]}
+    assert rows[10]["is_near_duplicate"] and rows[10]["dup_of"] == 1
+    assert not rows[11]["is_near_duplicate"]
+    assert rows[12]["is_near_duplicate"] and rows[12]["dup_of"] == 50
+    assert "2 of 3 near-duplicate" in lines[-1]
+
+    rc, out, _ = run(["srp-compact", store], cfg)
+    assert rc == 0 and "compacted SRP store" in out
+    rc, out, _ = run(
+        ["srp-probe", store, "--queries", q, "--min-band-hits", "4"], cfg
+    )
+    assert rc == 0 and "2 of 3 near-duplicate" in out
