@@ -114,6 +114,19 @@ BENCH_FAMILIES = [
 ]
 BENCH_QUERIES = [q for _, qs in BENCH_FAMILIES for q in qs]
 
+#: Entries whose store/index BUILD lives in a module-level cache
+#: (registry *_CACHE dicts) — their timing is the PROBE only, the
+#: per-batch recurring cost a pipeline actually pays (builds amortize
+#: and are timed by the soaks/BASELINE.md). Annotated in the output
+#: so the number is never mistaken for end-to-end build+probe cost.
+STORE_BACKED_PROBE_ONLY = [
+    "ann_vector_index_topk",
+    "ann_vector_index_quantized",
+    "dedup_incremental_probe",
+    "dedup_incremental_near_probe",
+    "dedup_incremental_embedding_probe",
+]
+
 
 HISTORY = Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl"
 
@@ -342,6 +355,9 @@ def main() -> None:
         "sf": sf,
         "load_note": note,
         "n_over_band": len(load_retried),
+        "store_backed_probe_only": [
+            q for q in STORE_BACKED_PROBE_ONLY if q in timings
+        ],
     }
     if load_retried:
         out["load_retried"] = {

@@ -768,7 +768,10 @@ def make_live_store_ingester(
     ``__dn_batch`` partition column they can ignore. The STORE side
     stays a plain append and merely tolerates replay double-appends
     (probes take min doc_id; compaction collapses them) — the next
-    compaction erases them.
+    compaction erases them. Staged sink dirs are keyed by BATCH ID
+    alone: pair each sink with exactly one checkpoint (a fresh
+    checkpoint restarts batch ids at 0 and would alias an old batch's
+    directory).
     """
     import hashlib
     import os as _os
@@ -828,6 +831,151 @@ def make_live_store_ingester(
                 pass
 
     return ingest
+
+
+def make_live_srp_ingester(
+    store_path: str,
+    sink_path: str,
+    id_field: str,
+    vec_field: str,
+    checkpoint: str | None = None,
+):
+    """foreachBatch body for :func:`stream_ingest_with_live_srp_store`
+    — the SEMANTIC twin of :func:`make_live_store_ingester`.
+
+    Per micro-batch: (1) compute the batch's SRP band array ONCE with
+    the store's persisted planes, (2) re-read the band-PAIR store's
+    CURRENT contents (fresh file listing — within-run freshness) and
+    drop every vector sharing ≥2 bands with ONE stored vector (the
+    corroborated-evidence rule, via the 28 pair-key anti-joins), (3)
+    write survivors to their ``__dn_batch=<id>`` staged sink dir —
+    reused verbatim on a replay whose ``_SUCCESS`` exists, the
+    exactly-once discipline of the exact-store loop — then (4) fold
+    the survivors' band AND pair keys straight back into the store so
+    the NEXT micro-batch already sees them. A paraphrase arriving ten
+    days after its original is dropped even though no watermark state
+    could span the gap. Survivors of the SAME batch are not checked
+    against each other (parity with the exact loop; the next batch
+    sees them all).
+
+    Staged sink dirs are keyed by BATCH ID alone: pair each sink with
+    exactly one checkpoint (a fresh checkpoint restarts batch ids at
+    0 and would alias an old batch's directory) — same contract as
+    :func:`make_live_store_ingester`.
+    """
+    import hashlib
+    import os as _os
+
+    from dragnet_spark.index.fingerprints import (
+        SRP_PAIR_DIR,
+        append_srp_keys,
+        load_srp_store_meta,
+    )
+    from dragnet_spark.ops.dedup import _band_buckets_udf
+
+    ledger = None
+    if checkpoint:
+        key = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
+        ledger = _os.path.join(store_path, "_dn_batch_ledger", key)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        marker = None
+        if ledger is not None:
+            marker = _os.path.join(ledger, f"{batch_id:012d}")
+            if _os.path.exists(marker):
+                return
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        meta = load_srp_store_meta(store_path)
+        bdir = _os.path.join(sink_path, f"__dn_batch={batch_id}")
+        if _os.path.exists(_os.path.join(bdir, "_SUCCESS")):
+            survivors = spark.read.parquet(bdir)
+        else:
+            udf = _band_buckets_udf(
+                meta["planes_q"], meta["bands"], meta["bits_per_band"]
+            )
+            out = batch_df.select(
+                "*", udf(F.col(vec_field)).alias("__dn_srp")
+            )
+            pairs = spark.read.parquet(
+                _os.path.join(store_path, SRP_PAIR_DIR)
+            )
+            bands = meta["bands"]
+            for i in range(bands):
+                for j in range(i + 1, bands):
+                    pid = i * bands + j
+                    slice_p = pairs.filter(F.col("pair") == pid).select(
+                        F.col("bucket").alias(f"__dn_store_pk_{pid}")
+                    )
+                    key_col = F.concat(
+                        F.col("__dn_srp")[i], F.lit("|"), F.col("__dn_srp")[j]
+                    )
+                    out = out.join(
+                        slice_p,
+                        key_col == F.col(f"__dn_store_pk_{pid}"),
+                        "left_anti",
+                    )
+            survivors = out.drop("__dn_srp").localCheckpoint(eager=True)
+            survivors.write.mode("overwrite").parquet(bdir)
+        append_srp_keys(
+            spark,
+            survivors.select(
+                F.col(id_field).alias(meta["id_col"]),
+                F.col(vec_field).alias(meta["vec_col"]),
+            ),
+            store_path,
+        )
+        if marker is not None:
+            _os.makedirs(ledger, exist_ok=True)
+            with open(marker, "w"):
+                pass
+
+    return ingest
+
+
+def stream_ingest_with_live_srp_store(
+    sdf: DataFrame,
+    store_path: str,
+    sink_path: str,
+    checkpoint: str,
+    vec_field: str = "embedding",
+    id_field: str = "vec_id",
+    time_field: str | None = None,
+    watermark: str = "1 hour",
+):
+    """The CLOSED semantic-ingest loop: exact-dedup within the
+    watermark horizon, probe the LIVE SRP store, sink survivors, fold
+    their band keys back in — every micro-batch.
+
+    :func:`stream_curate_against_srp_store` joins a plan-time store
+    snapshot (appends visible only across restarts — right for a
+    store that changes at compaction cadence); this variant pays a
+    per-batch pair-store listing so semantic ingest is self-feeding,
+    exactly as :func:`stream_ingest_with_live_store` is for exact
+    fingerprints. Returns the started StreamingQuery.
+    """
+    out = sdf
+    if time_field is not None:
+        out = out.filter(F.col(time_field).isNotNull())
+        if out.isStreaming:
+            out = out.withWatermark(time_field, watermark)
+    vfp = F.md5(F.to_json(F.struct(F.col(vec_field))))
+    out = out.withColumn("__dn_vfp", vfp)
+    if out.isStreaming and time_field is not None:
+        out = out.dropDuplicatesWithinWatermark(["__dn_vfp"])
+    else:
+        out = out.dropDuplicates(["__dn_vfp"])
+    out = out.drop("__dn_vfp")
+    ingest = make_live_srp_ingester(
+        store_path, sink_path, id_field, vec_field, checkpoint=checkpoint
+    )
+    return (
+        out.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
 
 
 def make_vindex_appender(index_path: str, checkpoint: str | None = None):

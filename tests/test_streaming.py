@@ -1043,3 +1043,86 @@ def test_stream_ingest_vector_index(spark, tmp_path):
         tuple(r) for r in cosine_topk(full, queries, k=3).collect()
     }
     assert got2 == want2
+
+
+def test_live_srp_store_self_feeds_across_batches(spark, tmp_path):
+    """stream_ingest_with_live_srp_store: a semantic near-dup arriving
+    in a LATER micro-batch is dropped because batch 1 folded its
+    original's band keys into the store the moment it was sunk — no
+    watermark state could span the gap."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from dragnet_spark.index.fingerprints import build_srp_store
+    from dragnet_spark.streaming.pipeline import (
+        stream_ingest_with_live_srp_store,
+    )
+
+    rng = np.random.RandomState(6)
+    sch = "vec_id long, embedding array<double>"
+    seeded = rng.standard_normal((3, 16))
+    store = str(tmp_path / "lsrp")
+    build_srp_store(
+        spark,
+        spark.createDataFrame(
+            [(i, seeded[i].tolist()) for i in range(3)], sch
+        ),
+        store,
+        dims=16,
+    )
+
+    first_fresh = rng.standard_normal(16)
+    rows1 = [
+        (100, first_fresh.tolist()),              # fresh -> survives
+        (101, (seeded[1] + rng.standard_normal(16) * 1e-4).tolist()),
+        # ^ twin of a PRE-SEEDED store vector -> dropped
+    ]
+    rows2 = [
+        (200, (first_fresh + rng.standard_normal(16) * 1e-4).tolist()),
+        # ^ twin of batch-1's survivor: only the LIVE fold-in catches it
+        (201, (rng.standard_normal(16) * 2).tolist()),  # fresh
+    ]
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    for i, rows in enumerate((rows1, rows2)):
+        stage = tmp_path / f"lstage{i}"
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(str(stage))
+        shutil.copyfile(
+            glob.glob(str(stage / "*.parquet"))[0], str(src / f"{i}.parquet")
+        )
+
+    sdf = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    sink = str(tmp_path / "lsink")
+    q = stream_ingest_with_live_srp_store(
+        sdf, store, sink, str(tmp_path / "lck")
+    )
+    deadline = __import__("time").time() + 120
+    while __import__("time").time() < deadline:
+        if not q.status["isDataAvailable"] and q.recentProgress:
+            break
+        __import__("time").sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+
+    got = {r["vec_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {100, 201}, got
+
+    # replay after fold-in: committed sink dir reused, not clobbered
+    from dragnet_spark.streaming.pipeline import make_live_srp_ingester
+
+    ing = make_live_srp_ingester(
+        store, sink, "vec_id", "embedding",
+        checkpoint=str(tmp_path / "lck2"),
+    )
+    batch1 = spark.createDataFrame(rows1, sch)
+    ing(batch1, 0)
+    shutil.rmtree(f"{store}/_dn_batch_ledger", ignore_errors=True)
+    ing(batch1, 0)  # replay: anti-join would now drop everything
+    sunk0 = spark.read.parquet(f"{sink}/__dn_batch=0")
+    assert sunk0.count() == 1  # batch-1's survivor kept, not erased
