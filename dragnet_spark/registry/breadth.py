@@ -74,19 +74,23 @@ def customers_inactive_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_share",
     """
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
-           CAST(SUM(CASE WHEN p_type = 'PROMO'
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
-                AS DOUBLE) AS promo_revenue,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS promo_revenue,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+                AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+                / 1000000 AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
     """,
     "TPC-H Q14 shape: conditional aggregation over a fact-dim join; "
-    "part is broadcast so the lineitem side never shuffles",
+    "part is broadcast so the lineitem side never shuffles. Money "
+    "leaves as e6 BIGINT → double ÷ 1e6 (the q1 discipline): a direct "
+    "decimal→double cast is 1-ulp off vs DuckDB once monthly sums "
+    "reach 17 significant digits — caught by the 100× tier",
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(18,4)")
@@ -96,14 +100,22 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     zero = F.lit(0).cast("decimal(18,6)")
+
+    def e6_double(agg):
+        return (agg * F.lit(1_000_000)).cast("long").cast("double") / F.lit(
+            1_000_000.0
+        )
+
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero))
-            .cast("double")
-            .alias("promo_revenue"),
-            F.sum(disc_price).cast("double").alias("total_revenue"),
+            e6_double(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)
+                )
+            ).alias("promo_revenue"),
+            e6_double(F.sum(disc_price)).alias("total_revenue"),
         )
     )
 
