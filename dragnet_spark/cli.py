@@ -68,6 +68,7 @@ _OPT_DEFS = {
     "queries": True, "id-field": True, "vec-field": True,
     "text-field": True, "quantize": False, "hashes": True, "bands": True,
     "bits": True, "vectors": True, "min-band-hits": True,
+    "stream-dir": True, "checkpoint": True, "no-recenter": False,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -993,6 +994,57 @@ def cmd_vindex_stats(argv, cat: Catalog, out):
         out.write("recommendation: healthy; no recenter needed\n")
 
 
+def cmd_vindex_ingest(argv, cat: Catalog, out):
+    """dn vindex-ingest <index-path> --stream-dir=DIR
+    --checkpoint=CKPT [--no-recenter]: drain all pending parquet
+    files from DIR into the index via the streaming ingest loop
+    (availableNow trigger — process everything, then exit), with the
+    batch-id ledger deduplicating replays and the ~4x skew trigger
+    checked at startup. Run it from cron for incremental ingest — the
+    reference's rebuild-the-affected-interval discipline, as a
+    drain-and-exit job."""
+    from dragnet_spark.index.vector import (
+        load_vector_index_meta,
+        vector_index_skew,
+    )
+    from dragnet_spark.streaming.pipeline import (
+        stream_ingest_vector_index,
+    )
+
+    opts = _parse_args(argv, ["stream-dir", "checkpoint", "no-recenter"])
+    (idx,) = _nargs(opts, 1)
+    for req in ("stream_dir", "checkpoint"):
+        if req not in opts:
+            raise UsageError(f'"{req.replace("_", "-")}" option is required')
+    spark = _get_spark()
+    meta = load_vector_index_meta(idx)
+    sdf = (
+        spark.readStream.schema(
+            f"{meta['id_col']} long, {meta['vec_col']} array<double>"
+        )
+        .parquet(opts["stream_dir"])
+    )
+    q = stream_ingest_vector_index(
+        sdf,
+        idx,
+        opts["checkpoint"],
+        recenter_trigger=None if "no_recenter" in opts else 4.0,
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    skew = vector_index_skew(spark, idx)
+    out.write(
+        "drained pending batches into %s; cell skew %.2f%s\n"
+        % (
+            idx,
+            skew,
+            " (over the recenter trigger — next run recenters)"
+            if skew >= 4.0
+            else "",
+        )
+    )
+
+
 def cmd_vindex_recenter(argv, cat: Catalog, out):
     """dn vindex-recenter <index-path> [--centroids=N]: retrain
     centroids on the current store contents and rebuild in place —
@@ -1032,6 +1084,7 @@ COMMANDS = {
     "vindex-append": cmd_vindex_append,
     "vindex-query": cmd_vindex_query,
     "vindex-compact": cmd_vindex_compact,
+    "vindex-ingest": cmd_vindex_ingest,
     "vindex-recenter": cmd_vindex_recenter,
     "vindex-stats": cmd_vindex_stats,
     "fp-build": cmd_fp_build,

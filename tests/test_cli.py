@@ -574,3 +574,48 @@ def test_srp_store_cli_roundtrip(cfg, tmp_path, spark):
         ["srp-probe", store, "--queries", q, "--min-band-hits", "4"], cfg
     )
     assert rc == 0 and "2 of 3 near-duplicate" in out
+
+
+def test_vindex_ingest_cli_drains_pending(cfg, tmp_path, spark):
+    """vindex-ingest: availableNow drain of pending parquet files into
+    the index through the streaming ingest loop; a re-run with the
+    same checkpoint is a no-op (nothing pending)."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from dragnet_spark.index.vector import build_vector_index
+
+    rng = np.random.RandomState(8)
+    sch = "vec_id long, embedding array<double>"
+    base = rng.standard_normal((60, 8))
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(60)], sch
+    )
+    idx = str(tmp_path / "ivx")
+    build_vector_index(spark, corpus, idx, n_centroids=4)
+
+    sdir = tmp_path / "pending"
+    sdir.mkdir()
+    batch = [(500 + i, rng.standard_normal(8).tolist()) for i in range(30)]
+    stage = tmp_path / "istage"
+    spark.createDataFrame(batch, sch).coalesce(1).write.parquet(str(stage))
+    shutil.copyfile(
+        glob.glob(str(stage / "*.parquet"))[0], str(sdir / "b0.parquet")
+    )
+
+    ck = str(tmp_path / "ick")
+    rc, out, _ = run(
+        ["vindex-ingest", idx, "--stream-dir", str(sdir),
+         "--checkpoint", ck], cfg
+    )
+    assert rc == 0 and "drained pending batches" in out
+    assert spark.read.parquet(f"{idx}/vectors").count() == 90
+    # idempotent re-run: checkpoint already consumed the file
+    rc, out, _ = run(
+        ["vindex-ingest", idx, "--stream-dir", str(sdir),
+         "--checkpoint", ck], cfg
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{idx}/vectors").count() == 90
