@@ -1018,9 +1018,14 @@ def cmd_vindex_ingest(argv, cat: Catalog, out):
             raise UsageError(f'"{req.replace("_", "-")}" option is required')
     spark = _get_spark()
     meta = load_vector_index_meta(idx)
+    # stream schema comes from the types persisted at build time (a
+    # string-id index must not be scanned as bigint); pre-1.1 indexes
+    # without persisted types fall back to the historical defaults
+    id_type = meta.get("id_type", "long")
+    vec_type = meta.get("vec_type", "array<double>")
     sdf = (
         spark.readStream.schema(
-            f"{meta['id_col']} long, {meta['vec_col']} array<double>"
+            f"`{meta['id_col']}` {id_type}, `{meta['vec_col']}` {vec_type}"
         )
         .parquet(opts["stream_dir"])
     )

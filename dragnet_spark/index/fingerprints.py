@@ -94,6 +94,28 @@ def _fp_token() -> str:
     return _layout_token({"version": "1.0", "algo": _FP_ALGO, "buckets": 256})
 
 
+def _check_fp_algo(path: str) -> None:
+    """Enforce the ``_FP_ALGO`` contract: a store built under a
+    different fingerprint algorithm (meta token != the CURRENT code's
+    :func:`_fp_token`) must fail loudly at probe/append/compact time —
+    probing it would silently miss every duplicate.
+    :func:`_check_layout` only compares the two PERSISTED tokens
+    (crash detection); this compares persisted vs code (algo drift).
+    Back-compat: pre-token stores (no meta token) pass unchecked."""
+    meta_path = os.path.join(path, FP_META)
+    if not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        expect = json.load(f).get("layout_token")
+    if expect and expect != _fp_token():
+        raise ValueError(
+            "fingerprint store was built with a different fingerprint "
+            f"algorithm (store token {expect!r}, current code "
+            f"{_fp_token()!r}) — probing it would miss every duplicate; "
+            "rebuild the store with build_fingerprint_store"
+        )
+
+
 def build_fingerprint_store(
     spark: SparkSession,
     docs: DataFrame,
@@ -132,6 +154,7 @@ def append_fingerprints(
     appending into a store left in a maintenance crash window would
     persist rows a later recovery can't distinguish from good ones."""
     _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
+    _check_fp_algo(path)
     (
         docs.select(
             _text.fingerprint(text_col).alias("fp"),
@@ -182,6 +205,7 @@ def probe_new_documents(
     """
     _recover_staged(os.path.join(path, STORE_DIR))
     _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
+    _check_fp_algo(path)
     store = spark.read.parquet(os.path.join(path, STORE_DIR)).select(
         "fp_bucket", "fp", F.col("doc_id").alias("existing_id")
     )
@@ -481,10 +505,20 @@ def build_srp_store(
     from dragnet_spark.ops.dedup import srp_planes_q
 
     if dims is None:
-        first = docs.select(F.size(F.col(vec_col)).alias("d")).first()
+        # infer from a NON-NULL row: F.size(NULL) is -1, and a -1 dims
+        # would filter every vector and silently build an empty store
+        first = (
+            docs.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
         if first is None:
-            raise ValueError("build_srp_store: empty corpus and no dims")
+            raise ValueError(
+                "build_srp_store: no non-null vectors and no dims"
+            )
         dims = int(first["d"])
+    if dims <= 0:
+        raise ValueError(f"build_srp_store: invalid dims {dims}")
     planes_q = srp_planes_q(dims, bands, bits_per_band, seed)
     (
         _srp_rows(docs, vec_col, id_col, planes_q, bands, bits_per_band, dims)
@@ -717,6 +751,7 @@ def compact_fingerprint_store(
     dest = os.path.join(path, STORE_DIR)
     _recover_staged(dest)
     _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
+    _check_fp_algo(path)
     df = spark.read.parquet(dest)
     compacted = df.groupBy("fp_bucket", "fp").agg(
         F.min("doc_id").alias("doc_id")
@@ -725,8 +760,25 @@ def compact_fingerprint_store(
         compacted, "fp_bucket", dest, "fp", files_per_partition
     )
     # the rewrite replaced the data directory; the layout is unchanged
-    # (same fingerprints, same buckets), so the token rides along
-    _write_layout(dest, _fp_token())
+    # (same fingerprints, same buckets) — rewrite the token the checks
+    # above VALIDATED from meta (not a freshly computed _fp_token():
+    # after an algo bump, writing the new token here while meta kept
+    # the old one would manufacture a phantom "maintenance crash").
+    # _check_fp_algo guarantees meta's token == _fp_token() when meta
+    # has one; a pre-token store gets today's token plus a meta upgrade
+    # so the pair stays in sync.
+    meta_path = os.path.join(path, FP_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    else:
+        meta = {"version": "1.0", "algo": _FP_ALGO}
+    tok = meta.get("layout_token") or _fp_token()
+    _write_layout(dest, tok)
+    if not meta.get("layout_token"):
+        meta["layout_token"] = tok
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
 
 
 def compact_band_store(

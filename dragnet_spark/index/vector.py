@@ -180,6 +180,13 @@ def build_vector_index(
         "centroids": [[float(x) for x in c] for c in cent],
     }
     meta["layout_token"] = _layout_token(meta)
+    # Spark DDL types of the source columns, persisted OUTSIDE the
+    # token basis (an id-type difference is not a layout difference):
+    # vindex-ingest builds its readStream schema from these instead of
+    # assuming (long, array<double>) — a string-id index would
+    # otherwise fail or mis-read at scan time.
+    meta["id_type"] = df.schema[id_col].dataType.simpleString()
+    meta["vec_type"] = df.schema[vec_col].dataType.simpleString()
     # the token lives in BOTH the meta file and inside the vectors dir
     # (underscore-prefixed: Spark's reader ignores it): any maintenance
     # crash that leaves the two out of sync — e.g. recenter dying

@@ -754,34 +754,36 @@ def make_live_store_ingester(
     skipped via the same batch-id marker ledger as the index build.
 
     Exactly-once on the SINK: each batch's survivors land in their own
-    ``__dn_batch=<id>`` subdirectory, which doubles as the commit
-    record. On replay, if that directory's ``_SUCCESS`` marker exists,
-    the anti-join is NOT recomputed — the committed directory IS the
+    ``__dn_batch=<id>`` subdirectory; a framework-owned
+    ``_dn_committed`` sentinel (written after the sink write, carrying
+    the checkpoint key — NOT Spark's ``_SUCCESS``, which is absent
+    under ``marksuccessfuljobs=false``) is the commit record. On
+    replay, if the sentinel exists with THIS checkpoint's key, the
+    anti-join is NOT recomputed — the committed directory IS the
     survivor set (recomputing would find zero survivors, because the
     first attempt's fold-in already put their fingerprints in the
     store, and overwriting would erase the sink output); the replay
-    just re-folds those fingerprints into the store. Without the
-    marker the partial directory is overwritten by a fresh anti-join
-    (the store was necessarily not folded yet — fold-in runs strictly
-    after the sink commit). Readers (``spark.read.parquet(sink_path)``)
-    therefore see each batch's rows exactly once, plus a discovered
-    ``__dn_batch`` partition column they can ignore. The STORE side
-    stays a plain append and merely tolerates replay double-appends
-    (probes take min doc_id; compaction collapses them) — the next
-    compaction erases them. Staged sink dirs are keyed by BATCH ID
-    alone: pair each sink with exactly one checkpoint (a fresh
-    checkpoint restarts batch ids at 0 and would alias an old batch's
-    directory).
+    just re-folds those fingerprints into the store. Without a
+    matching sentinel the partial directory is overwritten by a fresh
+    anti-join (the store was necessarily not folded yet — fold-in runs
+    strictly after the sink commit). A committed dir left by a
+    DIFFERENT checkpoint (fresh checkpoints restart batch ids at 0)
+    fails the key check and is recomputed rather than aliased. Readers
+    (``spark.read.parquet(sink_path)``) therefore see each batch's
+    rows exactly once, plus a discovered ``__dn_batch`` partition
+    column they can ignore. The STORE side stays a plain append and
+    merely tolerates replay double-appends (probes take min doc_id;
+    compaction collapses them) — the next compaction erases them.
     """
     import hashlib
     import os as _os
 
     from dragnet_spark.index.fingerprints import STORE_DIR
 
+    ckpt_key = hashlib.sha256((checkpoint or "").encode()).hexdigest()[:12]
     ledger = None
     if checkpoint:
-        key = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
-        ledger = _os.path.join(store_path, "_dn_batch_ledger", key)
+        ledger = _os.path.join(store_path, "_dn_batch_ledger", ckpt_key)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         marker = None
@@ -794,10 +796,12 @@ def make_live_store_ingester(
         spark = batch_df.sparkSession
         store_dir = _os.path.join(store_path, STORE_DIR)
         bdir = _os.path.join(sink_path, f"__dn_batch={batch_id}")
-        if _os.path.exists(_os.path.join(bdir, "_SUCCESS")):
-            # replayed batch whose sink write already committed: the
-            # directory is the survivor set (see docstring) — only the
-            # store fold-in needs to re-run
+        if _sink_committed(bdir, ckpt_key):
+            # replayed batch whose sink write already committed UNDER
+            # THIS CHECKPOINT: the directory is the survivor set (see
+            # docstring) — only the store fold-in needs to re-run. A
+            # dir committed by a DIFFERENT checkpoint (restarted batch
+            # ids) fails the sentinel key check and is recomputed.
             survivors = spark.read.parquet(bdir)
         else:
             store_fps = spark.read.parquet(store_dir).select(
@@ -808,6 +812,7 @@ def make_live_store_ingester(
             # two writes so the anti-join doesn't run twice
             survivors = survivors.localCheckpoint(eager=True)
             survivors.write.mode("overwrite").parquet(bdir)
+            _mark_sink_committed(bdir, ckpt_key)
         (
             survivors.select(
                 F.col("__dn_fp").alias("fp"),
@@ -833,6 +838,39 @@ def make_live_store_ingester(
     return ingest
 
 
+#: framework-owned sink-commit sentinel. Spark's _SUCCESS marker is
+#: NOT a reliable commit record: with
+#: mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common on
+#: object stores) no _SUCCESS is ever written, so a replay would
+#: recompute the anti-join against the already-folded store, find zero
+#: survivors, and OVERWRITE the committed batch dir — silent sink data
+#: loss. The sentinel is written by this framework after the sink
+#: write, independent of committer config, and records the checkpoint
+#: key so a committed ``__dn_batch=0`` from a PREVIOUS checkpoint
+#: (fresh checkpoints restart batch ids at 0) is never aliased as this
+#: run's survivor set.
+_COMMIT_SENTINEL = "_dn_committed"
+
+
+def _mark_sink_committed(bdir: str, ckpt_key: str) -> None:
+    import os as _os
+
+    with open(_os.path.join(bdir, _COMMIT_SENTINEL), "w") as f:
+        f.write(ckpt_key)
+
+
+def _sink_committed(bdir: str, ckpt_key: str) -> bool:
+    """True iff ``bdir`` holds a COMPLETE sink write from THIS
+    checkpoint's run — the only case where replay may reuse it."""
+    import os as _os
+
+    p = _os.path.join(bdir, _COMMIT_SENTINEL)
+    if not _os.path.exists(p):
+        return False
+    with open(p) as f:
+        return f.read().strip() == ckpt_key
+
+
 def make_live_srp_ingester(
     store_path: str,
     sink_path: str,
@@ -849,8 +887,9 @@ def make_live_srp_ingester(
     drop every vector sharing ≥2 bands with ONE stored vector (the
     corroborated-evidence rule, via the 28 pair-key anti-joins), (3)
     write survivors to their ``__dn_batch=<id>`` staged sink dir —
-    reused verbatim on a replay whose ``_SUCCESS`` exists, the
-    exactly-once discipline of the exact-store loop — then (4) fold
+    reused verbatim on a replay whose ``_dn_committed`` sentinel
+    carries this checkpoint's key, the exactly-once discipline of the
+    exact-store loop — then (4) fold
     the survivors' band AND pair keys straight back into the store so
     the NEXT micro-batch already sees them. A paraphrase arriving ten
     days after its original is dropped even though no watermark state
@@ -858,10 +897,9 @@ def make_live_srp_ingester(
     against each other (parity with the exact loop; the next batch
     sees them all).
 
-    Staged sink dirs are keyed by BATCH ID alone: pair each sink with
-    exactly one checkpoint (a fresh checkpoint restarts batch ids at
-    0 and would alias an old batch's directory) — same contract as
-    :func:`make_live_store_ingester`.
+    Commit records and checkpoint-aliasing protection are identical to
+    :func:`make_live_store_ingester` (``_dn_committed`` sentinel keyed
+    by checkpoint hash; see ``_COMMIT_SENTINEL``).
     """
     import hashlib
     import os as _os
@@ -873,10 +911,10 @@ def make_live_srp_ingester(
     )
     from dragnet_spark.ops.dedup import _band_buckets_udf
 
+    ckpt_key = hashlib.sha256((checkpoint or "").encode()).hexdigest()[:12]
     ledger = None
     if checkpoint:
-        key = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
-        ledger = _os.path.join(store_path, "_dn_batch_ledger", key)
+        ledger = _os.path.join(store_path, "_dn_batch_ledger", ckpt_key)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         marker = None
@@ -889,7 +927,7 @@ def make_live_srp_ingester(
         spark = batch_df.sparkSession
         meta = load_srp_store_meta(store_path)
         bdir = _os.path.join(sink_path, f"__dn_batch={batch_id}")
-        if _os.path.exists(_os.path.join(bdir, "_SUCCESS")):
+        if _sink_committed(bdir, ckpt_key):
             survivors = spark.read.parquet(bdir)
         else:
             udf = _band_buckets_udf(
@@ -918,6 +956,7 @@ def make_live_srp_ingester(
                     )
             survivors = out.drop("__dn_srp").localCheckpoint(eager=True)
             survivors.write.mode("overwrite").parquet(bdir)
+            _mark_sink_committed(bdir, ckpt_key)
         append_srp_keys(
             spark,
             survivors.select(

@@ -619,3 +619,49 @@ def test_vindex_ingest_cli_drains_pending(cfg, tmp_path, spark):
     )
     assert rc == 0
     assert spark.read.parquet(f"{idx}/vectors").count() == 90
+
+
+def test_vindex_ingest_cli_string_ids(cfg, tmp_path, spark):
+    """ADVICE r7 #4: the ingest stream schema must come from the
+    id/vec types PERSISTED at build time — a string-id index
+    previously failed (or mis-read) under the hardcoded
+    'id long, vec array<double>' schema."""
+    import glob
+    import json
+    import shutil
+
+    import numpy as np
+
+    from dragnet_spark.index.vector import build_vector_index
+
+    rng = np.random.RandomState(9)
+    sch = "doc string, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}", rng.standard_normal(8).tolist()) for i in range(40)],
+        sch,
+    )
+    idx = str(tmp_path / "svx")
+    build_vector_index(spark, corpus, idx, id_col="doc", n_centroids=4)
+    meta = json.load(open(f"{idx}/_vector_index.json"))
+    assert meta["id_type"] == "string"
+    assert meta["vec_type"] == "array<double>"
+
+    sdir = tmp_path / "spending"
+    sdir.mkdir()
+    batch = [
+        (f"new-{i}", rng.standard_normal(8).tolist()) for i in range(10)
+    ]
+    stage = tmp_path / "sstage"
+    spark.createDataFrame(batch, sch).coalesce(1).write.parquet(str(stage))
+    shutil.copyfile(
+        glob.glob(str(stage / "*.parquet"))[0], str(sdir / "b0.parquet")
+    )
+    rc, out, _ = run(
+        ["vindex-ingest", idx, "--stream-dir", str(sdir),
+         "--checkpoint", str(tmp_path / "sck")], cfg
+    )
+    assert rc == 0 and "drained pending batches" in out
+    got = spark.read.parquet(f"{idx}/vectors")
+    assert got.count() == 50
+    assert dict(got.dtypes)["vec_id"] == "string"
+    assert {r["vec_id"] for r in got.collect()} >= {"doc-0", "new-9"}

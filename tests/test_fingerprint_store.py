@@ -586,3 +586,64 @@ def test_srp_store_catches_planted_twins_on_real_corpus(spark, sf_dir):
     missed = [k for k, v in got.items() if not v[0]]
     assert not missed, f"planted twins missed by SRP store: {missed}"
     assert all(v[1] >= 4 for v in got.values())
+
+
+def test_fp_algo_drift_raises_and_compact_keeps_meta_token(
+    spark, store, monkeypatch
+):
+    """ADVICE r7 #2: a store built under a DIFFERENT fingerprint
+    algorithm (meta token != the current code's _fp_token) must fail
+    loudly at probe/append/compact — the persisted-vs-persisted check
+    alone would probe a stale store silently. And compaction must
+    rewrite the token it VALIDATED from meta, never a freshly
+    computed one (which would manufacture a phantom crash error after
+    an algo bump)."""
+    import json
+    import os
+
+    from dragnet_spark import index as _idx  # noqa: F401
+    from dragnet_spark.index import fingerprints as fps
+
+    # healthy store: compact leaves meta and disk token in agreement
+    fps.compact_fingerprint_store(spark, store)
+    with open(os.path.join(store, fps.FP_META)) as f:
+        meta_tok = json.load(f)["layout_token"]
+    with open(os.path.join(store, fps.STORE_DIR, fps.LAYOUT_FILE)) as f:
+        assert f.read().strip() == meta_tok
+
+    # simulate an algo bump in the CODE while the store stays stale
+    monkeypatch.setattr(fps, "_FP_ALGO", "md5-normalized-v2")
+    batch = spark.createDataFrame(
+        [(90, "hello world")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="different fingerprint algo"):
+        probe_new_documents(spark, store, batch).collect()
+    with pytest.raises(ValueError, match="different fingerprint algo"):
+        append_fingerprints(spark, batch, store)
+    with pytest.raises(ValueError, match="different fingerprint algo"):
+        fps.compact_fingerprint_store(spark, store)
+
+
+def test_srp_dims_inferred_from_non_null_row(spark, tmp_path):
+    """ADVICE r7 #5: a NULL first embedding must not poison dims
+    inference (F.size(NULL) = -1 silently built an EMPTY store —
+    every future probe then reported no near-duplicates)."""
+    from dragnet_spark.index.fingerprints import build_srp_store
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, [0.5] * 8), (3, [0.25] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "srp_null_first")
+    meta = build_srp_store(spark, docs, path)
+    assert meta["dims"] == 8
+    import os
+
+    got = spark.read.parquet(os.path.join(path, "srp_bands"))
+    assert got.select("vec_id").distinct().count() == 2  # non-null rows
+
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        build_srp_store(spark, all_null, str(tmp_path / "srp_empty"))

@@ -828,6 +828,13 @@ def test_live_store_ingester_replay_after_foldin_keeps_sink(spark, tmp_path):
     ingest(batch, 0)
     # crash before the marker: the ledger never recorded batch 0
     shutil.rmtree(f"{store}/_dn_batch_ledger")
+    # simulate mapreduce.fileoutputcommitter.marksuccessfuljobs=false
+    # (common on object stores): no _SUCCESS is ever written — the
+    # framework-owned _dn_committed sentinel must carry the commit
+    # record alone (ADVICE r7 #1)
+    import os as _os
+
+    _os.remove(f"{sink}/__dn_batch=0/_SUCCESS")
     ingest(batch, 0)  # full replay, store already folded
     sunk = spark.read.parquet(sink)
     assert sunk.count() == 2, "replay clobbered the committed sink dir"
@@ -1113,16 +1120,30 @@ def test_live_srp_store_self_feeds_across_batches(spark, tmp_path):
     got = {r["vec_id"] for r in spark.read.parquet(sink).collect()}
     assert got == {100, 201}, got
 
-    # replay after fold-in: committed sink dir reused, not clobbered
+    # replay after fold-in UNDER THE SAME CHECKPOINT: committed sink
+    # dir reused, not clobbered (the anti-join would now drop
+    # everything — their band keys are folded in)
     from dragnet_spark.streaming.pipeline import make_live_srp_ingester
 
     ing = make_live_srp_ingester(
         store, sink, "vec_id", "embedding",
-        checkpoint=str(tmp_path / "lck2"),
+        checkpoint=str(tmp_path / "lck"),  # SAME checkpoint as the stream
     )
     batch1 = spark.createDataFrame(rows1, sch)
-    ing(batch1, 0)
     shutil.rmtree(f"{store}/_dn_batch_ledger", ignore_errors=True)
-    ing(batch1, 0)  # replay: anti-join would now drop everything
+    ing(batch1, 0)  # replay: sentinel key matches -> dir reused
     sunk0 = spark.read.parquet(f"{sink}/__dn_batch=0")
     assert sunk0.count() == 1  # batch-1's survivor kept, not erased
+
+    # a DIFFERENT checkpoint replaying batch id 0 must NOT alias the
+    # old run's committed dir as its own survivor set (ADVICE r7 #3):
+    # the sentinel key mismatches, the anti-join recomputes, and —
+    # since every rows1 vector is already in the store — batch 0 of
+    # the NEW run legitimately has zero survivors
+    shutil.rmtree(f"{store}/_dn_batch_ledger", ignore_errors=True)
+    ing2 = make_live_srp_ingester(
+        store, sink, "vec_id", "embedding",
+        checkpoint=str(tmp_path / "lck2"),
+    )
+    ing2(batch1, 0)
+    assert spark.read.parquet(f"{sink}/__dn_batch=0").count() == 0
