@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dragnet_spark.fieldspec import Breakdown, parse_breakdowns
+from dragnet_spark.index.lease import hold_lease
 from dragnet_spark.krill import validate_predicate
 from dragnet_spark.query import QueryConfig
 from dragnet_spark.scan import VALUE_COL, scan, synthetic_date_column
@@ -321,11 +322,11 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
     periodic maintenance job that keeps a streaming view's file count
     and query-side merge work bounded.
 
-    NOT safe to run concurrently with an active writer: rows appended
-    to a bucket between the snapshot read and that bucket's overwrite
-    would be replaced by the stale aggregate. Stop (or pause the
-    trigger of) the continuous build for the compacted tree first —
-    the same contract as any overwrite-based maintenance job.
+    Writer concurrency is enforced by the store lease (lease.py): a
+    continuous build's micro-batch append and this job serialize, so
+    rows can no longer land between the snapshot read and a bucket's
+    overwrite and be silently replaced by the stale aggregate. A
+    late-comer waits its turn or fails loudly (LeaseHeldError).
 
     Staging lives beside the view (``<metric>.compact_tmp``), so it is
     on the same filesystem as the index (works on shared storage) and
@@ -337,6 +338,13 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
 
     meta = load_index_meta(index_path)
     interval = meta.get("interval", "day")
+    with hold_lease(index_path, "compact-index"):
+        _compact_index_locked(spark, index_path, meta, interval)
+
+
+def _compact_index_locked(spark, index_path, meta, interval):
+    import shutil
+
     for m in (Metric.from_json(j) for j in meta["metrics"]):
         path = os.path.join(index_path, m.name)
         df = spark.read.parquet(path)

@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dragnet_spark.index.lease import hold_lease
 from dragnet_spark.ops import text as _text
 
 STORE_DIR = "fingerprints"
@@ -152,19 +153,23 @@ def append_fingerprints(
     """Append a new batch's fingerprints into the same bucket layout.
     Validates the layout token first (same discipline as the probe):
     appending into a store left in a maintenance crash window would
-    persist rows a later recovery can't distinguish from good ones."""
-    _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
-    _check_fp_algo(path)
-    (
-        docs.select(
-            _text.fingerprint(text_col).alias("fp"),
-            F.col(id_col).alias("doc_id"),
+    persist rows a later recovery can't distinguish from good ones.
+    Serialized against compaction via the store lease (lease.py) —
+    an append landing mid-compaction would be silently dropped by the
+    directory swap."""
+    with hold_lease(path, "append-fp"):
+        _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
+        _check_fp_algo(path)
+        (
+            docs.select(
+                _text.fingerprint(text_col).alias("fp"),
+                F.col(id_col).alias("doc_id"),
+            )
+            .withColumn("fp_bucket", F.substring("fp", 1, 2))
+            .write.mode("append")
+            .partitionBy("fp_bucket")
+            .parquet(os.path.join(path, STORE_DIR))
         )
-        .withColumn("fp_bucket", F.substring("fp", 1, 2))
-        .write.mode("append")
-        .partitionBy("fp_bucket")
-        .parquet(os.path.join(path, STORE_DIR))
-    )
 
 
 #: Above this many probe rows the batch is no longer "small": a forced
@@ -335,18 +340,19 @@ def append_band_keys(
     the PERSISTED banding params (mirrors append_vector_index's
     persisted-centroid discipline). Validates the layout token first —
     appending through a maintenance crash window would mix keys from
-    two banding layouts."""
-    _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
-    meta = load_band_store_meta(path)
-    (
-        _banded_rows(
-            docs, meta["text_col"], meta["id_col"],
-            meta["num_hashes"], meta["bands"], meta["ngram"],
+    two banding layouts. Lease-serialized against compaction."""
+    with hold_lease(path, "append-band"):
+        _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
+        meta = load_band_store_meta(path)
+        (
+            _banded_rows(
+                docs, meta["text_col"], meta["id_col"],
+                meta["num_hashes"], meta["bands"], meta["ngram"],
+            )
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(os.path.join(path, BAND_DIR))
         )
-        .write.mode("append")
-        .partitionBy("band")
-        .parquet(os.path.join(path, BAND_DIR))
-    )
 
 
 def probe_near_duplicates(
@@ -570,25 +576,27 @@ def append_srp_keys(
     """Append a new batch's SRP band keys (and derived pair keys) with
     the PERSISTED planes. Token-checked first, like every store
     append. The banded batch is locally checkpointed so the sign
-    matmul runs once for both writes."""
-    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
-    _check_layout(path, SRP_META, SRP_PAIR_DIR, "SRP band store")
-    meta = load_srp_store_meta(path)
-    banded = _srp_rows(
-        docs, meta["vec_col"], meta["id_col"], meta["planes_q"],
-        meta["bands"], meta["bits_per_band"], meta["dims"],
-    ).localCheckpoint(eager=False)
-    (
-        banded.write.mode("append")
-        .partitionBy("band")
-        .parquet(os.path.join(path, SRP_DIR))
-    )
-    (
-        _pair_rows(banded, meta["bands"])
-        .write.mode("append")
-        .partitionBy("pair")
-        .parquet(os.path.join(path, SRP_PAIR_DIR))
-    )
+    matmul runs once for both writes. Lease-serialized against
+    compaction (and reentrant under the live ingester's lease)."""
+    with hold_lease(path, "append-srp"):
+        _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+        _check_layout(path, SRP_META, SRP_PAIR_DIR, "SRP band store")
+        meta = load_srp_store_meta(path)
+        banded = _srp_rows(
+            docs, meta["vec_col"], meta["id_col"], meta["planes_q"],
+            meta["bands"], meta["bits_per_band"], meta["dims"],
+        ).localCheckpoint(eager=False)
+        (
+            banded.write.mode("append")
+            .partitionBy("band")
+            .parquet(os.path.join(path, SRP_DIR))
+        )
+        (
+            _pair_rows(banded, meta["bands"])
+            .write.mode("append")
+            .partitionBy("pair")
+            .parquet(os.path.join(path, SRP_PAIR_DIR))
+        )
 
 
 def probe_srp_near_duplicates(
@@ -652,27 +660,29 @@ def compact_srp_store(
     ``files_per_partition`` files per band — answer-preserving because
     the probe deduplicates hits before counting (the band store's
     contract verbatim). The pair-key directory compacts the same way
-    (anti-join presence semantics: duplicates never change a result)."""
-    meta = load_srp_store_meta(path)
-    dest = os.path.join(path, SRP_DIR)
-    _recover_staged(dest)
-    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
-    df = spark.read.parquet(dest)
-    _staged_rewrite(
-        df.select("band", "bucket", "vec_id").distinct(), "band", dest,
-        "bucket", files_per_partition,
-    )
-    if meta.get("layout_token"):
-        _write_layout(dest, meta["layout_token"])
-    pdest = os.path.join(path, SRP_PAIR_DIR)
-    _recover_staged(pdest)
-    pdf = spark.read.parquet(pdest)
-    _staged_rewrite(
-        pdf.select("pair", "bucket", "vec_id").distinct(), "pair", pdest,
-        "bucket", files_per_partition,
-    )
-    if meta.get("layout_token"):
-        _write_layout(pdest, meta["layout_token"])
+    (anti-join presence semantics: duplicates never change a result).
+    Lease-serialized against live appenders (lease.py)."""
+    with hold_lease(path, "compact-srp"):
+        meta = load_srp_store_meta(path)
+        dest = os.path.join(path, SRP_DIR)
+        _recover_staged(dest)
+        _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+        df = spark.read.parquet(dest)
+        _staged_rewrite(
+            df.select("band", "bucket", "vec_id").distinct(), "band", dest,
+            "bucket", files_per_partition,
+        )
+        if meta.get("layout_token"):
+            _write_layout(dest, meta["layout_token"])
+        pdest = os.path.join(path, SRP_PAIR_DIR)
+        _recover_staged(pdest)
+        pdf = spark.read.parquet(pdest)
+        _staged_rewrite(
+            pdf.select("pair", "bucket", "vec_id").distinct(), "pair", pdest,
+            "bucket", files_per_partition,
+        )
+        if meta.get("layout_token"):
+            _write_layout(pdest, meta["layout_token"])
 
 
 # ---------------------------------------------------------- compaction
@@ -744,10 +754,17 @@ def compact_fingerprint_store(
     ``dup_of = min(existing_id)`` per fingerprint, so dropping the
     non-minimum rows can never change a probe result — it only shrinks
     the store (duplicate ingests collapse) and bounds file counts.
-    NOT safe concurrently with an active appender or a running
-    streaming query holding the old file listing (the event-index
-    compact contract: pause, compact, restart).
+    Serialized against live appenders via the store lease (lease.py):
+    a concurrent appender waits its turn or fails loudly — rows can
+    no longer vanish between this job's snapshot and its swap.
     """
+    with hold_lease(path, "compact-fp"):
+        _compact_fingerprint_store_locked(spark, path, files_per_partition)
+
+
+def _compact_fingerprint_store_locked(
+    spark: SparkSession, path: str, files_per_partition: int
+) -> None:
     dest = os.path.join(path, STORE_DIR)
     _recover_staged(dest)
     _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
@@ -795,15 +812,17 @@ def compact_band_store(
     size
     ``files_per_partition`` so one slice is one task's worth — the
     band dimension is only 8-wide, so the default 1 funnels 1/8 of
-    the store per task (fine locally, a bottleneck at 100 TB)."""
-    dest = os.path.join(path, BAND_DIR)
-    _recover_staged(dest)
-    _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
-    meta = load_band_store_meta(path)
-    df = spark.read.parquet(dest)
-    _staged_rewrite(
-        df.select("band", "bhash", "doc_id").distinct(), "band", dest,
-        "bhash", files_per_partition,
-    )
-    if meta.get("layout_token"):
-        _write_layout(dest, meta["layout_token"])
+    the store per task (fine locally, a bottleneck at 100 TB).
+    Lease-serialized against live appenders (lease.py)."""
+    with hold_lease(path, "compact-band"):
+        dest = os.path.join(path, BAND_DIR)
+        _recover_staged(dest)
+        _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
+        meta = load_band_store_meta(path)
+        df = spark.read.parquet(dest)
+        _staged_rewrite(
+            df.select("band", "bhash", "doc_id").distinct(), "band", dest,
+            "bhash", files_per_partition,
+        )
+        if meta.get("layout_token"):
+            _write_layout(dest, meta["layout_token"])

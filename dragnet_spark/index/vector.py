@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dragnet_spark.index.lease import hold_lease
 from dragnet_spark.ops.similarity import (
     _dot,
     _nearest_cells_udf,
@@ -223,28 +224,30 @@ def append_vector_index(
     fresh centroids — a full rewrite, scheduled like compaction, not
     per batch.
     """
-    meta = load_vector_index_meta(path)
-    _check_layout(path, meta)
-    cent = np.asarray(meta["centroids"], dtype=np.float64)
-    rows = _cell_rows(
-        df, cent, meta["id_col"], meta["vec_col"],
-        bool(meta.get("quantized")),
-    )
-    if files_per_cell is not None:
-        # per-batch appends from an N-task frame write up to N files in
-        # EVERY touched cell (the livestore soak's 49k-files lesson);
-        # routing each cell to one task bounds it to ~files_per_cell —
-        # the streaming ingester passes 1, batch callers keep their
-        # parallelism and rely on compact_vector_index
-        rows = rows.repartition(
-            F.col("cell"),
-            F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell)),
+    with hold_lease(path, "append-vectors"):
+        meta = load_vector_index_meta(path)
+        _check_layout(path, meta)
+        cent = np.asarray(meta["centroids"], dtype=np.float64)
+        rows = _cell_rows(
+            df, cent, meta["id_col"], meta["vec_col"],
+            bool(meta.get("quantized")),
         )
-    (
-        rows.write.mode("append")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, VECTORS_DIR))
-    )
+        if files_per_cell is not None:
+            # per-batch appends from an N-task frame write up to N
+            # files in EVERY touched cell (the livestore soak's
+            # 49k-files lesson); routing each cell to one task bounds
+            # it to ~files_per_cell — the streaming ingester passes 1,
+            # batch callers keep their parallelism and rely on
+            # compact_vector_index
+            rows = rows.repartition(
+                F.col("cell"),
+                F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell)),
+            )
+        (
+            rows.write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, VECTORS_DIR))
+        )
 
 
 def vector_index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -390,17 +393,18 @@ def compact_vector_index(
     centroid matrix) untouched — probe answers are exactly preserved.
     Delegates to the fingerprint store's ``_staged_rewrite`` (ONE
     implementation of the crash-safe stage-then-swap); not safe
-    concurrently with an appender. The layout token rides along
-    unchanged (assignments didn't change)."""
+    Lease-serialized against appenders (lease.py). The layout token
+    rides along unchanged (assignments didn't change)."""
     from dragnet_spark.index.fingerprints import _staged_rewrite
 
-    meta = load_vector_index_meta(path)
-    dest = os.path.join(path, VECTORS_DIR)
-    df = spark.read.parquet(dest)
-    _staged_rewrite(df, "cell", dest, "vec_id", files_per_partition)
-    if meta.get("layout_token"):
-        with open(os.path.join(dest, LAYOUT_FILE), "w") as f:
-            f.write(meta["layout_token"])
+    with hold_lease(path, "compact-vectors"):
+        meta = load_vector_index_meta(path)
+        dest = os.path.join(path, VECTORS_DIR)
+        df = spark.read.parquet(dest)
+        _staged_rewrite(df, "cell", dest, "vec_id", files_per_partition)
+        if meta.get("layout_token"):
+            with open(os.path.join(dest, LAYOUT_FILE), "w") as f:
+                f.write(meta["layout_token"])
 
 
 def recenter_vector_index(
@@ -416,6 +420,19 @@ def recenter_vector_index(
     ``vector_index_cell_stats`` skew passes the trigger, never per
     batch. Quantize mode and column names carry over; ``n_centroids``
     / ``seed`` default to the existing metadata."""
+    import shutil
+    import tempfile
+
+    with hold_lease(path, "recenter"):
+        return _recenter_vector_index_locked(spark, path, n_centroids, seed)
+
+
+def _recenter_vector_index_locked(
+    spark: SparkSession,
+    path: str,
+    n_centroids: int | None,
+    seed: int | None,
+) -> dict:
     import shutil
     import tempfile
 

@@ -193,17 +193,23 @@ def make_batch_appender(
         r = resolver
         if r is None and VARIANT_COL in batch_df.columns:
             r = VariantResolver()
-        build_index(
-            batch_df.sparkSession,
-            batch_df,
-            metrics,
-            index_path,
-            interval=interval,
-            time_field=time_field,
-            datasource_filter=datasource_filter,
-            mode="append",
-            resolver=r,
-        )
+        from dragnet_spark.index.lease import hold_lease
+
+        # serialize against compact_index: an append landing between
+        # its snapshot and a bucket overwrite would be silently
+        # replaced by the stale aggregate (lease.py)
+        with hold_lease(index_path, "append-index"):
+            build_index(
+                batch_df.sparkSession,
+                batch_df,
+                metrics,
+                index_path,
+                interval=interval,
+                time_field=time_field,
+                datasource_filter=datasource_filter,
+                mode="append",
+                resolver=r,
+            )
         if marker is not None:
             os.makedirs(ledger, exist_ok=True)
             with open(marker, "w"):
@@ -796,6 +802,16 @@ def make_live_store_ingester(
         spark = batch_df.sparkSession
         store_dir = _os.path.join(store_path, STORE_DIR)
         bdir = _os.path.join(sink_path, f"__dn_batch={batch_id}")
+        from dragnet_spark.index.lease import hold_lease
+
+        # the whole batch body (store listing + anti-join + fold-in)
+        # holds the store lease: compaction's snapshot-and-swap and
+        # this append serialize instead of silently losing rows, and
+        # the anti-join never reads a directory mid-swap (lease.py)
+        with hold_lease(store_path, "live-ingest"):
+            _ingest_locked(spark, batch_df, store_dir, bdir, marker)
+
+    def _ingest_locked(spark, batch_df, store_dir, bdir, marker):
         if _sink_committed(bdir, ckpt_key):
             # replayed batch whose sink write already committed UNDER
             # THIS CHECKPOINT: the directory is the survivor set (see
@@ -924,6 +940,16 @@ def make_live_srp_ingester(
                 return
         if batch_df.isEmpty():
             return
+        from dragnet_spark.index.lease import hold_lease
+
+        # whole-batch lease, as in make_live_store_ingester: the pair
+        # store listing, the 28 anti-joins, and the fold-in (via
+        # append_srp_keys — its own acquire is a reentrant no-op)
+        # serialize against compact_srp_store instead of losing rows
+        with hold_lease(store_path, "live-srp-ingest"):
+            _ingest_locked(batch_df, batch_id, marker)
+
+    def _ingest_locked(batch_df, batch_id, marker):
         spark = batch_df.sparkSession
         meta = load_srp_store_meta(store_path)
         bdir = _os.path.join(sink_path, f"__dn_batch={batch_id}")

@@ -9,9 +9,13 @@ K ways with disjoint key ranges (replica r shifts every key by
 r·SHIFT, and foreign keys shift together so referential integrity
 holds per replica) plus a per-replica price perturbation so replicas
 aren't byte-identical. Dimensions (``region nation supplier part``)
-and the curation tables (``documents embeddings``) copy through
-unscaled — dims staying small is the point (they must remain
-broadcastable at any fact scale).
+copy through unscaled — dims staying small is the point (they must
+remain broadcastable at any fact scale). The curation tables scale
+too (VERDICT r7 #1): ``documents`` with a structure-preserving
+per-replica token salt, ``embeddings`` under a per-replica signed
+permutation — each replica repeats the sf0.1 dedup/similarity
+structure exactly while cross-replica overlap stays out of every
+operator's thresholds (see the per-table comments in ``scaled_sql``).
 
 **Customer skew (default)**: ~30% of each replica's orders are
 remapped onto 5 hot customers (a deterministic Knuth-multiplicative
@@ -47,10 +51,10 @@ OSHIFT = 100_000_000  # order keys (room for --scale 100)
 CSHIFT = 1_000_000    # customer keys
 ESHIFT = 10_000_000   # event ids
 USHIFT = 100_000      # user ids
+DSHIFT = 100_000      # doc ids
+VSHIFT = 100_000      # embedding vec ids
 
-COPY_THROUGH = [
-    "region", "nation", "supplier", "part", "documents", "embeddings",
-]
+COPY_THROUGH = ["region", "nation", "supplier", "part"]
 
 #: deterministic per-order coin: Knuth multiplicative hash mod 100.
 #: < 30 → the order lands on one of 5 hot customers of its replica.
@@ -101,6 +105,60 @@ def scaled_sql(k: int, zipf: bool) -> dict[str, str]:
                    round(value * (1 + r.r * 0.001), 2) AS value,
                    props
             FROM read_parquet('{SRC}/events.parquet'), range({k}) r(r)
+        """,
+        # Documents replicate with a STRUCTURE-PRESERVING per-replica
+        # token salt: every whitespace token gets '~r<N>' appended, so
+        # within a replica the token/shingle sets are a bijective image
+        # of the sf0.1 corpus (every dedup/near-dup relation preserved,
+        # same pair counts per replica) while cross-replica shingle
+        # overlap is ZERO — total near-dup output grows linearly in K,
+        # the way an organically grown corpus does, instead of the K²
+        # blow-up naive replication gives (every doc would gain K-1
+        # exact twins). Replica 0 keeps the original text verbatim.
+        # n_chars is recomputed so the table stays self-consistent.
+        "documents": f"""
+            SELECT doc_id + r.r * {DSHIFT} AS doc_id,
+                   CASE WHEN r.r = 0 THEN text
+                        ELSE regexp_replace(text, '(\\S+)',
+                                            '\\1~r' || r.r, 'g')
+                   END AS text,
+                   lang,
+                   source,
+                   length(CASE WHEN r.r = 0 THEN text
+                               ELSE regexp_replace(text, '(\\S+)',
+                                                   '\\1~r' || r.r, 'g')
+                          END) AS n_chars
+            FROM read_parquet('{SRC}/documents.parquet'), range({k}) r(r)
+        """,
+        # Embeddings replicate under a per-replica SIGNED PERMUTATION
+        # (affine dim permutation π(i) = (a·i+b) mod d with a odd —
+        # bijective for d a power of two — times a hash-signed ±1 per
+        # dim): an exactly orthogonal transform whose entries are
+        # exactly representable in float, so within a replica every
+        # inner product, norm, and cosine is BIT-preserved and the
+        # sf0.1 near-dup structure repeats per replica. Across
+        # replicas, same-base cosines decorrelate to |cos| ≲ 0.45
+        # (permutation defeats the corpus's concentrated-energy dims,
+        # which sign flips alone cannot). Different-base cross-replica
+        # pairs behave like fresh random pairs — exactly what organic
+        # corpus growth produces. Replica 0 is the original, so fixed
+        # ANN query ids (vec_id < 10) keep their sf0.1 vectors.
+        "embeddings": f"""
+            SELECT vec_id + r.r * {VSHIFT} AS vec_id,
+                   CASE WHEN r.r = 0 THEN embedding
+                        ELSE CAST(list_transform(
+                                 range(len(embedding)),
+                                 i -> (CASE WHEN hash(i * 1000003 + r.r)
+                                                % 2 = 0
+                                            THEN 1 ELSE -1 END)
+                                      * embedding[
+                                          (((2 * ((r.r * 7) % 31) + 3)
+                                            * i + r.r * 13)
+                                           % len(embedding)) + 1])
+                             AS FLOAT[])
+                   END AS embedding,
+                   label
+            FROM read_parquet('{SRC}/embeddings.parquet'), range({k}) r(r)
         """,
     }
 
