@@ -345,7 +345,10 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
 def _compact_index_locked(spark, index_path, meta, interval):
     import shutil
 
+    from dragnet_spark.index.lease import ensure_lease
+
     for m in (Metric.from_json(j) for j in meta["metrics"]):
+        ensure_lease(index_path)  # stolen-lease check (lease.py)
         path = os.path.join(index_path, m.name)
         df = spark.read.parquet(path)
         group_cols = [c for c in df.columns if c != "value"]

@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dragnet_spark.index.lease import hold_lease
+from dragnet_spark.index.lease import ensure_lease, hold_lease
 from dragnet_spark.ops import text as _text
 
 STORE_DIR = "fingerprints"
@@ -737,6 +737,10 @@ def _staged_rewrite(
             .partitionBy(part_col)
             .parquet(stage)
         )
+        # a compactor that stalled past its TTL may have had its lease
+        # stolen by a live appender — fail loudly BEFORE the swap
+        # rather than clobber the thief's appends (lease.py contract)
+        ensure_lease(os.path.dirname(dest))
         os.rename(dest, old)
         os.rename(stage, dest)
         shutil.rmtree(old, ignore_errors=True)

@@ -1,5 +1,5 @@
 """Maintenance lease: writer-vs-compactor mutual exclusion for every
-materialized store (VERDICT r7 #2).
+materialized store (VERDICT r7 #2; hardened per r8 ADVICE).
 
 Every store in this package (event index, fingerprint/band/SRP
 stores, vector index) does periodic maintenance by snapshot →
@@ -16,23 +16,44 @@ Mechanics — one JSON file, ``<store>/_dn_lease``:
 
 * **acquire** = exclusive create (``O_CREAT|O_EXCL``, atomic on POSIX
   and on rename-consistent object-store adapters). Holder metadata
-  (op, pid, timestamp, ttl) is written into the file for diagnostics
-  and expiry.
+  (op, pid, timestamp, ttl, nonce) is written into the file for
+  diagnostics and steal-detection.
 * **contention** = poll until the file disappears; past ``wait_s``,
   raise ``LeaseHeldError`` naming the holder — the loud-refusal path.
+* **heartbeat** = while held, a daemon thread refreshes the lease
+  file every ``ttl_s/4`` (atomic tmp-file + ``os.replace``), so a
+  LIVE holder never goes stale no matter how long its compaction
+  runs — the TTL only ever expires a crashed/paused process. Callers
+  therefore do not need to size ``ttl_s`` to their job length.
 * **crash recovery** = a holder that died keeps nobody out forever:
-  a lease older than its own declared TTL is stale and is stolen by
-  the next acquirer (the layout-token + ``_recover_staged``
-  machinery already detects and repairs whatever the dead job left
-  half-done; the lease only needs to stop LIVE interleaving).
+  a lease whose file has not been refreshed for longer than its
+  declared TTL is stale and is stolen by the next acquirer. The
+  steal is an atomic ``os.rename`` to a nonce-suffixed sidecar —
+  exactly one stealer wins the rename; losers get ``OSError`` and
+  re-loop through ``O_EXCL`` — so two stealers can never both
+  proceed (the remove-then-recreate race the old remove-based steal
+  had). Staleness is judged by the lease file's **mtime**, not the
+  JSON timestamp: a holder that crashed mid-write leaves a torn/empty
+  file with no readable ``ts``, and mtime still ages it out; on a
+  shared filesystem mtime is stamped by the fs server, so writer-side
+  clock skew cannot fake freshness. (Reader-side skew vs the fs
+  clock can still mis-age a lease by the skew amount — the posture
+  here is posix-local or NTP-disciplined mounts; deployments beyond
+  that should point the lease at a lock service.)
+* **steal detection** = a holder can ask :func:`ensure_lease`
+  whether its nonce is still the one on disk; the staged-swap sites
+  call it immediately before their directory renames, so a
+  pathologically paused holder whose lease was stolen fails loudly
+  *before* clobbering the thief's work instead of after.
 * **reentrancy** = per-thread: a foreachBatch body that holds the
   store lease may call an append helper that also acquires it (the
   inner acquire is a no-op). Distinct threads/processes exclude each
   other normally.
 
 Scale posture: one tiny file create + delete per micro-batch or
-maintenance run — no Spark job, no listing. On object stores without
-atomic create-exclusive semantics this degrades to best-effort (the
+maintenance run, plus one tmp-rename per ``ttl_s/4`` while held — no
+Spark job, no listing. On object stores without atomic
+create-exclusive/rename semantics this degrades to best-effort (the
 window is the PUT race, milliseconds); a deployment that needs hard
 guarantees there should point ``_dn_lease`` at a posix-consistent
 path or a lock service — the call sites don't change.
@@ -41,15 +62,17 @@ path or a lock service — the call sites don't change.
 from __future__ import annotations
 
 import contextlib
+import glob as _glob
 import json
 import os
 import threading
 import time
 
 LEASE_FILE = "_dn_lease"
-#: how long a lease may sit before any other acquirer treats it as a
-#: crashed holder and steals it. Generous: a 100 TB-scale compaction
-#: holding longer should pass an explicit ttl_s.
+#: how long a lease file may sit UNREFRESHED before any other
+#: acquirer treats the holder as crashed and steals it. The heartbeat
+#: refreshes every ttl/4, so live holders of any job length are safe;
+#: this is purely the crashed-holder detection horizon.
 DEFAULT_TTL_S = 1800.0
 #: how long an acquirer polls before failing loudly.
 DEFAULT_WAIT_S = 300.0
@@ -63,6 +86,24 @@ class LeaseHeldError(RuntimeError):
     not release it within the wait budget."""
 
 
+class LeaseLostError(RuntimeError):
+    """This job's lease was stolen out from under it (it stalled past
+    its TTL and another job took over). Raised by :func:`ensure_lease`
+    before a directory swap so the stall fails loudly instead of
+    clobbering the new holder's work."""
+
+
+class _Hold:
+    __slots__ = ("count", "nonce", "stop", "thread", "lost")
+
+    def __init__(self, nonce: str):
+        self.count = 1
+        self.nonce = nonce
+        self.stop = threading.Event()
+        self.thread: threading.Thread | None = None
+        self.lost = False
+
+
 def _lease_path(store_path: str) -> str:
     return os.path.join(os.path.abspath(store_path), LEASE_FILE)
 
@@ -72,8 +113,9 @@ def _read_lease(p: str) -> dict | None:
         with open(p) as f:
             return json.load(f)
     except (OSError, ValueError):
-        # vanished between exists-check and read, or torn write —
-        # treat as contended-with-unknown-holder
+        # vanished between exists-check and read, or torn write from a
+        # holder that crashed mid-json.dump. Staleness falls back to
+        # the file's mtime so a torn lease cannot lock a store forever.
         return None
 
 
@@ -81,6 +123,49 @@ def _held_set() -> dict:
     if not hasattr(_held, "paths"):
         _held.paths = {}
     return _held.paths
+
+
+def _write_lease_payload(f, op: str, ttl_s: float, nonce: str) -> None:
+    json.dump(
+        {
+            "op": op,
+            "pid": os.getpid(),
+            "ts": time.time(),
+            "ttl_s": ttl_s,
+            "nonce": nonce,
+        },
+        f,
+    )
+
+
+def _heartbeat(p: str, op: str, ttl_s: float, hold: _Hold) -> None:
+    """Refresh the lease file's mtime/ts every ttl/4 while held. If the
+    on-disk nonce ever stops being ours (stolen after a stall), set
+    ``hold.lost`` and stop touching the file — the thief owns it now."""
+    interval = max(min(ttl_s / 4.0, 60.0), POLL_S)
+    while not hold.stop.wait(interval):
+        cur = _read_lease(p)
+        if cur is not None and cur.get("nonce") != hold.nonce:
+            hold.lost = True
+            return
+        tmp = p + f".hb.{hold.nonce}"
+        try:
+            with open(tmp, "w") as f:
+                _write_lease_payload(f, op, ttl_s, hold.nonce)
+            os.replace(tmp, p)
+        except OSError:
+            with contextlib.suppress(OSError):
+                os.remove(tmp)
+
+
+def _sweep_stale_sidecars(p: str) -> None:
+    """Remove nonce-suffixed sidecars left by a stealer or heartbeat
+    that crashed between its rename and its cleanup. Harmless junk —
+    they are never read — but unbounded accumulation is rude."""
+    for leftover in _glob.glob(p + ".stale.*") + _glob.glob(p + ".hb.*"):
+        with contextlib.suppress(OSError):
+            if time.time() - os.stat(leftover).st_mtime > DEFAULT_TTL_S:
+                os.remove(leftover)
 
 
 def acquire_lease(
@@ -97,8 +182,8 @@ def acquire_lease(
         wait_s = DEFAULT_WAIT_S
     p = _lease_path(store_path)
     held = _held_set()
-    if held.get(p):
-        held[p] += 1
+    if p in held:
+        held[p].count += 1
         return None
     os.makedirs(os.path.dirname(p), exist_ok=True)
     nonce = f"{os.getpid()}-{threading.get_ident()}-{time.monotonic_ns()}"
@@ -107,21 +192,37 @@ def acquire_lease(
         try:
             fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
+            try:
+                age = time.time() - os.stat(p).st_mtime
+            except OSError:
+                continue  # vanished: holder released — retry create
             cur = _read_lease(p)
-            if cur is not None and time.time() - cur.get("ts", 0) > cur.get(
-                "ttl_s", DEFAULT_TTL_S
-            ):
-                # stale: holder crashed. Steal by removal; the create
-                # race among stealers is settled by O_EXCL next loop.
+            ttl = (
+                cur.get("ttl_s", DEFAULT_TTL_S)
+                if cur is not None
+                else DEFAULT_TTL_S
+            )
+            if age > ttl:
+                # Stale: holder crashed (a live one heartbeats at
+                # ttl/4). Steal atomically by rename — exactly one
+                # stealer's rename succeeds; losers get OSError and
+                # re-loop through O_EXCL, so a slow stealer can never
+                # delete the fast stealer's freshly created lease
+                # (the remove-based steal's race).
+                stale = p + f".stale.{nonce}"
+                try:
+                    os.rename(p, stale)
+                except OSError:
+                    continue
                 with contextlib.suppress(OSError):
-                    os.remove(p)
+                    os.remove(stale)
                 continue
             if time.monotonic() >= deadline:
                 who = (
                     f"op={cur.get('op')!r} pid={cur.get('pid')} "
-                    f"age={time.time() - cur.get('ts', time.time()):.0f}s"
+                    f"age={age:.0f}s"
                     if cur
-                    else "unknown holder"
+                    else f"unknown holder age={age:.0f}s"
                 )
                 raise LeaseHeldError(
                     f"store {store_path!r} is locked by a concurrent "
@@ -133,18 +234,39 @@ def acquire_lease(
             time.sleep(POLL_S)
             continue
         with os.fdopen(fd, "w") as f:
-            json.dump(
-                {
-                    "op": op,
-                    "pid": os.getpid(),
-                    "ts": time.time(),
-                    "ttl_s": ttl_s,
-                    "nonce": nonce,
-                },
-                f,
-            )
-        held[p] = 1
+            _write_lease_payload(f, op, ttl_s, nonce)
+        _sweep_stale_sidecars(p)
+        hold = _Hold(nonce)
+        hold.thread = threading.Thread(
+            target=_heartbeat, args=(p, op, ttl_s, hold), daemon=True
+        )
+        hold.thread.start()
+        held[p] = hold
         return nonce
+
+
+def ensure_lease(store_path: str) -> None:
+    """Raise :class:`LeaseLostError` if this thread's lease on
+    ``store_path`` has been stolen (heartbeat observed a foreign
+    nonce, or the on-disk nonce no longer matches). No-op when this
+    thread does not hold the lease at all — direct unleased callers
+    (tests, one-off builds) keep working. Swap sites call this
+    immediately before their directory renames."""
+    p = _lease_path(store_path)
+    hold = _held_set().get(p)
+    if hold is None:
+        return
+    if not hold.lost:
+        cur = _read_lease(p)
+        if cur is not None and cur.get("nonce") == hold.nonce:
+            return
+        hold.lost = True
+    raise LeaseLostError(
+        f"lease on store {store_path!r} was stolen (this job stalled "
+        f"past its TTL and another writer took over); aborting before "
+        f"the directory swap to avoid clobbering the new holder's "
+        f"work. Re-run this job."
+    )
 
 
 def release_lease(store_path: str, token: str | None) -> None:
@@ -153,10 +275,15 @@ def release_lease(store_path: str, token: str | None) -> None:
     a lease stolen by someone else (nonce mismatch)."""
     p = _lease_path(store_path)
     held = _held_set()
-    if held.get(p, 0) > 1 or (token is None and held.get(p)):
-        held[p] -= 1
+    hold = held.get(p)
+    if hold is not None and (hold.count > 1 or token is None):
+        hold.count -= 1
         return
     held.pop(p, None)
+    if hold is not None:
+        hold.stop.set()
+        if hold.thread is not None:
+            hold.thread.join(timeout=5.0)
     cur = _read_lease(p)
     if cur is not None and cur.get("nonce") != token:
         return  # expired out from under us and stolen — not ours

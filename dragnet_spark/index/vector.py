@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dragnet_spark.index.lease import hold_lease
+from dragnet_spark.index.lease import ensure_lease, hold_lease
 from dragnet_spark.ops.similarity import (
     _dot,
     _nearest_cells_udf,
@@ -470,6 +470,7 @@ def _recenter_vector_index_locked(
     # two renames + a replace cannot be atomic together; the layout
     # token turns the crash window (new vectors + old meta) into a
     # loud probe-time error instead of silently wrong neighbors
+    ensure_lease(path)  # stolen-lease check before the swap (lease.py)
     os.rename(os.path.join(path, VECTORS_DIR), old)
     os.rename(os.path.join(stage, VECTORS_DIR), os.path.join(path, VECTORS_DIR))
     os.replace(os.path.join(stage, META_FILE), os.path.join(path, META_FILE))

@@ -877,11 +877,27 @@ def _mark_sink_committed(bdir: str, ckpt_key: str) -> None:
 
 def _sink_committed(bdir: str, ckpt_key: str) -> bool:
     """True iff ``bdir`` holds a COMPLETE sink write from THIS
-    checkpoint's run — the only case where replay may reuse it."""
+    checkpoint's run — the only case where replay may reuse it.
+
+    Upgrade path: batch dirs committed by the pre-sentinel code carry
+    Spark's ``_SUCCESS`` marker but no ``_dn_committed``. Treating
+    those as uncommitted would recompute the anti-join against the
+    already-folded store, find zero survivors, and OVERWRITE the
+    committed dir — the exact loss the sentinel exists to prevent. So
+    a legacy ``_SUCCESS``-only dir is accepted as committed and the
+    sentinel is stamped on first reuse (one-time in-place migration).
+    The checkpoint-aliasing hazard the key guards against cannot bite
+    here: pre-sentinel dirs were by definition written before this
+    code ran, so within THIS checkpoint's replay they are this run's
+    own survivors, and a fresh checkpoint against an old sink dir is
+    the documented operator error (new checkpoint ⇒ new sink path)."""
     import os as _os
 
     p = _os.path.join(bdir, _COMMIT_SENTINEL)
     if not _os.path.exists(p):
+        if _os.path.exists(_os.path.join(bdir, "_SUCCESS")):
+            _mark_sink_committed(bdir, ckpt_key)
+            return True
         return False
     with open(p) as f:
         return f.read().strip() == ckpt_key

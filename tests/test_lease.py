@@ -59,15 +59,119 @@ def acquire_lease_other_thread(p, wait_s):
     return result["tok"]
 
 
+def _simulate_crash(p):
+    """Drop the thread-local hold AND its heartbeat, as a killed
+    process would — a live holder's heartbeat keeps the lease fresh
+    forever, which is the point."""
+    held = lease._held_set()
+    hold = held.pop(lease._lease_path(p), None)
+    if hold is not None:
+        hold.stop.set()
+        hold.thread.join(timeout=5)
+
+
 def test_stale_lease_is_stolen(tmp_path):
     p = str(tmp_path / "store")
     os.makedirs(p)
     acquire_lease(p, "crashed-job", ttl_s=0.1, wait_s=1)
-    # simulate the holder dying without release: clear the thread-local
-    lease._held_set().clear()
+    _simulate_crash(p)
     time.sleep(0.15)
     tok = acquire_lease_other_thread(p, wait_s=2)
     assert tok  # expired lease did not block forever
+
+
+def test_heartbeat_keeps_long_job_alive(tmp_path):
+    """A holder whose job outlives its TTL is NOT stolen: the
+    heartbeat refreshes the lease file, so a second acquirer waits and
+    then fails loudly instead of stealing (r8 ADVICE: >TTL compaction
+    must not have its lease stolen mid-run)."""
+    p = str(tmp_path / "store")
+    os.makedirs(p)
+    tok = acquire_lease(p, "long-compact", ttl_s=0.6, wait_s=1)
+    time.sleep(1.3)  # well past the TTL; heartbeat ran at ttl/4
+    with pytest.raises(LeaseHeldError, match="long-compact"):
+        acquire_lease_other_thread(p, wait_s=0.5)
+    release_lease(p, tok)
+    assert not os.path.exists(os.path.join(p, lease.LEASE_FILE))
+
+
+def test_torn_lease_file_is_stolen_by_mtime(tmp_path):
+    """A holder that crashed between O_EXCL create and json.dump
+    leaves an empty/torn lease file. Staleness falls back to the
+    file's mtime, so it ages out instead of locking the store forever
+    (r8 ADVICE low #1)."""
+    p = str(tmp_path / "store")
+    os.makedirs(p)
+    lf = os.path.join(p, lease.LEASE_FILE)
+    with open(lf, "w"):
+        pass  # torn: exists, no readable ts
+    os.utime(lf, (1, 1))  # aged far past any TTL
+    tok = acquire_lease_other_thread(p, wait_s=2)
+    assert tok
+
+
+def test_concurrent_stealers_exclude_each_other(tmp_path):
+    """N threads race to steal one stale lease and then hold it
+    briefly; rename-steal guarantees at most one holder at a time.
+    (The old remove-based steal let a slow stealer delete a fast
+    stealer's freshly created lease — r8 ADVICE medium #1.)"""
+    p = str(tmp_path / "store")
+    os.makedirs(p)
+    lf = os.path.join(p, lease.LEASE_FILE)
+    with open(lf, "w") as f:
+        f.write('{"op": "dead", "ts": 1, "ttl_s": 0.01, "nonce": "x"}')
+    os.utime(lf, (1, 1))
+    import threading as _t
+
+    concurrency = {"cur": 0, "max": 0}
+    guard = _t.Lock()
+    errs = []
+
+    def worker():
+        try:
+            with hold_lease(p, "stealer", wait_s=10):
+                with guard:
+                    concurrency["cur"] += 1
+                    concurrency["max"] = max(
+                        concurrency["max"], concurrency["cur"]
+                    )
+                time.sleep(0.01)
+                with guard:
+                    concurrency["cur"] -= 1
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [_t.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert concurrency["max"] == 1
+    assert not os.path.exists(lf)
+
+
+def test_ensure_lease_detects_steal(tmp_path):
+    """A paused holder whose lease was stolen fails loudly at the
+    swap-site check instead of clobbering the thief's work."""
+    from dragnet_spark.index.lease import LeaseLostError, ensure_lease
+
+    p = str(tmp_path / "store")
+    os.makedirs(p)
+    lf = os.path.join(p, lease.LEASE_FILE)
+    tok = acquire_lease(p, "compact", ttl_s=30, wait_s=1)
+    ensure_lease(p)  # still ours: no-op
+    # thief overwrites the lease with a foreign nonce
+    with open(lf, "w") as f:
+        f.write('{"op": "append", "ts": 9e9, "ttl_s": 30, "nonce": "thief"}')
+    with pytest.raises(LeaseLostError, match="stolen"):
+        ensure_lease(p)
+    # release must NOT remove the thief's lease
+    release_lease(p, tok)
+    assert os.path.exists(lf)
+    os.remove(lf)
+    # not-held path is a no-op (direct unleased callers keep working)
+    ensure_lease(p)
 
 
 def test_reentrant_same_thread(tmp_path):

@@ -847,6 +847,52 @@ def test_live_store_ingester_replay_after_foldin_keeps_sink(spark, tmp_path):
     assert spark.read.parquet(f"{store}/fingerprints").count() == 3
 
 
+def test_live_store_ingester_legacy_success_dir_not_clobbered(
+    spark, tmp_path
+):
+    """Upgrade path (r8 ADVICE low #2): batch dirs committed by the
+    pre-sentinel code carry _SUCCESS but no _dn_committed. A replay
+    after upgrading must treat them as committed (the store is already
+    folded, so a recompute finds zero survivors and would overwrite
+    the dir with nothing) and stamp the sentinel on first reuse."""
+    import os as _os
+    import shutil
+
+    from dragnet_spark.index.fingerprints import build_fingerprint_store
+    from dragnet_spark.ops.text import fingerprint
+    from dragnet_spark.streaming.pipeline import (
+        _COMMIT_SENTINEL,
+        make_live_store_ingester,
+    )
+
+    store = str(tmp_path / "lstore")
+    build_fingerprint_store(
+        spark,
+        spark.createDataFrame([(1, "previously stored text here ok")],
+                              "doc_id long, text string"),
+        store,
+    )
+    sink = str(tmp_path / "lsink")
+    ingest = make_live_store_ingester(
+        store, sink, "id", checkpoint=str(tmp_path / "lck")
+    )
+    batch = spark.createDataFrame(
+        [("7", "some fresh survivor document text")],
+        "id string, text string",
+    ).select("id", fingerprint("text").alias("__dn_fp"))
+    ingest(batch, 0)
+    bdir = f"{sink}/__dn_batch=0"
+    # rewind to the pre-sentinel on-disk state: _SUCCESS present,
+    # sentinel absent, ledger lost, store already folded
+    _os.remove(f"{bdir}/{_COMMIT_SENTINEL}")
+    shutil.rmtree(f"{store}/_dn_batch_ledger")
+    ingest(batch, 0)  # replay under the upgraded code
+    sunk = spark.read.parquet(sink)
+    assert sunk.count() == 1, "replay clobbered a legacy committed dir"
+    # one-time migration: the sentinel is stamped on first reuse
+    assert _os.path.exists(f"{bdir}/{_COMMIT_SENTINEL}")
+
+
 def test_stream_curate_against_srp_store_drops_semantic_twins(spark, tmp_path):
     """VERDICT r7 #1: in-stream SEMANTIC near-dedup. Embeddings stream
     in as typed parquet micro-batches; perturbed twins of stored
