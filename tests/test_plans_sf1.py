@@ -25,14 +25,27 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "testdata_sf1
 
 @pytest.fixture(scope="module", autouse=True)
 def _ensure_tier():
-    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
-        import subprocess
-        import sys as _sys
+    ensure_sf1_tier(SF1_DIR)
 
+
+def ensure_sf1_tier(sf1_dir):
+    """(Re)generate the 10× tier when missing OR stale — a tier
+    stamped by an older generator version silently lacks the current
+    transforms (round 8's documents/embeddings scaling sat unexecuted
+    on disk for a full round because nothing checked)."""
+    import subprocess
+    import sys as _sys
+
+    sys_path = os.path.dirname(sf1_dir)
+    if sys_path not in _sys.path:
+        _sys.path.insert(0, sys_path)
+    from tools.gen_sf1 import GEN_VERSION, tier_meta
+
+    meta = tier_meta(sf1_dir)
+    if meta is None or meta.get("gen_version") != GEN_VERSION:
         subprocess.run(
             [_sys.executable,
-             os.path.join(os.path.dirname(SF1_DIR), "tools", "gen_sf1.py"),
-             SF1_DIR],
+             os.path.join(sys_path, "tools", "gen_sf1.py"), sf1_dir],
             check=True,
             capture_output=True,
         )
