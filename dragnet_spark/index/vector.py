@@ -280,9 +280,13 @@ def maybe_recenter_vector_index(
     when max/mean cell skew passes ``skew_trigger`` (appends drift
     away from centroids trained before they existed; probe cost is
     bounded by the largest probed cell). Returns whether a recenter
-    ran. Call this at RESTART boundaries — stream startup, compaction
-    windows — never per batch: recenter is a full rewrite and is not
-    safe concurrently with appenders or probers."""
+    ran. The skew read is cell-count metadata only; the recenter
+    itself is a full rewrite, lease-serialized against appenders and
+    compaction (lease.py) — the streaming ingest loop calls this
+    every N batches from its own foreachBatch thread (never
+    concurrent with its appends), and external callers serialize on
+    the store lease the same way. Still not free: call at a cadence
+    (every N batches / at restart boundaries), not per batch."""
     if vector_index_skew(spark, path) < skew_trigger:
         return False
     recenter_vector_index(spark, path)

@@ -282,3 +282,64 @@ def test_layout_meta_mismatch_raises(spark, sf_dir, tmp_path_factory):
         query_vector_index(
             spark, path, emb.filter(F.col("vec_id") < 2), k=1
         )
+
+
+def test_midrun_recenter_in_appender(spark, sf_dir, tmp_path_factory):
+    """VERDICT r8 #2: the foreachBatch appender's every-N-batches skew
+    check recenters MID-RUN — balanced batches leave the layout alone,
+    a drift batch past the trigger retrains in-loop, subsequent
+    appends land on the new centroids, and the store answers exactly
+    at full probe afterwards (no rows lost, no stale-centroid cells)."""
+    import numpy as np
+
+    from dragnet_spark.index.vector import (
+        load_vector_index_meta,
+        vector_index_skew,
+    )
+    from dragnet_spark.ops.similarity import cosine_topk_blocked
+    from dragnet_spark.streaming.pipeline import make_vindex_appender
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .limit(200)
+    )
+    path = str(tmp_path_factory.mktemp("vmidrun"))
+    build_vector_index(spark, emb, path, n_centroids=8, seed=7, quantize=True)
+    tok0 = load_vector_index_meta(path)["layout_token"]
+    app = make_vindex_appender(path, recenter_trigger=4.0, recenter_every=1)
+
+    # balanced batch: check runs, skew under trigger, no recenter
+    app(emb.selectExpr("vec_id + 1000000 AS vec_id", "embedding"), 0)
+    assert load_vector_index_meta(path)["layout_token"] == tok0
+
+    # drift batch: one tight cluster ~3x the store in one direction
+    base = np.asarray(emb.first()["embedding"], dtype=np.float64)
+    hot = base / np.linalg.norm(base)
+    rng = np.random.RandomState(11)
+    drift = spark.createDataFrame(
+        [(2_000_000 + i, (hot * 20 + rng.standard_normal(len(base))).tolist())
+         for i in range(1200)],
+        "vec_id long, embedding array<double>",
+    )
+    app(drift, 1)
+    tok1 = load_vector_index_meta(path)["layout_token"]
+    assert tok1 != tok0, "in-loop skew check did not recenter"
+    assert vector_index_skew(spark, path) < 4.0
+
+    # post-recenter append lands on the NEW centroids and probes exact
+    app(emb.selectExpr("vec_id + 3000000 AS vec_id", "embedding"), 2)
+    store = spark.read.parquet(f"{path}/vectors")
+    assert store.count() == 200 + 200 + 1200 + 200
+    meta = load_vector_index_meta(path)
+    dq = store.select(
+        F.col("vec_id"),
+        F.transform("qvec", lambda qv: qv.cast("double") * F.col("scale"))
+        .alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    got = rows_set(
+        query_vector_index(spark, path, q, k=3, n_probe=meta["n_centroids"])
+    )
+    want = rows_set(cosine_topk_blocked(dq, q, k=3))
+    assert got and got == want

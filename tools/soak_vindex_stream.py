@@ -15,10 +15,18 @@ stream startup recenters. Checks:
 * **recenter fires exactly once** — skew ≥ 4 after the drift phase,
   the next `stream_ingest_vector_index` startup recenters (layout
   token changes), a further startup does not;
+* **mid-run recenter** (VERDICT r8 #2) — a second drift wave arrives
+  WHILE a stream with ``recenter_every=1`` is consuming: startup sees
+  balanced cells (no recenter), the in-loop every-N-batches skew
+  check trips mid-run (layout token changes during the pass), the
+  trailing batches append against the NEW centroids, no rows are
+  lost, and an n_probe=4 probe equals a rebuild with the same
+  post-recenter centroids over the dequantized store;
 * **oracle-exact after recenter** — at n_probe == n_centroids the
   recentered quantized index is exhaustive over dequantized vectors:
   its top-k equals brute-force cosine over the same dequantized
-  corpus, bit-for-bit.
+  corpus, bit-for-bit (runs LAST, so it also covers the mid-run
+  recentered state).
 
 Usage: python tools/soak_vindex_stream.py [K] (default 16)
 Prints one JSON line (recorded in BASELINE.md).
@@ -100,7 +108,9 @@ def main() -> None:
         .parquet(str(src))
     )
     t0 = time.time()
-    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q = stream_ingest_vector_index(
+        sdf, path, ck, recenter_every=0, trigger_available_now=True
+    )
     q.awaitTermination(1200)
     t_stream = round(time.time() - t0, 2)
     n_streamed = spark.read.parquet(f"{path}/vectors").count()
@@ -156,23 +166,103 @@ def main() -> None:
     _drop_file(
         spark.createDataFrame(drift_rows, SCHEMA), src, root, "drift"
     )
-    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q = stream_ingest_vector_index(
+        sdf, path, ck, recenter_every=0, trigger_available_now=True
+    )
     q.awaitTermination(1200)
     skew_after_drift = round(vector_index_skew(spark, path), 2)
 
     tok_before = load_vector_index_meta(path)["layout_token"]
     t0 = time.time()
-    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q = stream_ingest_vector_index(
+        sdf, path, ck, recenter_every=0, trigger_available_now=True
+    )
     q.awaitTermination(1200)
     t_recenter = round(time.time() - t0, 2)
     tok_after = load_vector_index_meta(path)["layout_token"]
     recenter_fired = tok_after != tok_before
     skew_after_recenter = round(vector_index_skew(spark, path), 2)
-    q = stream_ingest_vector_index(sdf, path, ck, trigger_available_now=True)
+    q = stream_ingest_vector_index(
+        sdf, path, ck, recenter_every=0, trigger_available_now=True
+    )
     q.awaitTermination(1200)
     recenter_once = (
         load_vector_index_meta(path)["layout_token"] == tok_after
     )
+
+    # ---- MID-RUN recenter (VERDICT r8 #2): drift arrives WHILE the
+    # stream is running and the in-loop every-N-batches skew check
+    # must heal it without a restart. Drop a second hot cluster (~S/4
+    # rows aimed at a different base direction) plus trailing fresh
+    # batches, then run ONE stream pass with recenter_every=1:
+    # startup sees low skew (no recenter), the drift batch trips the
+    # in-loop check, and the trailing batches append against the NEW
+    # centroids.
+    s_before_mid = spark.read.parquet(f"{path}/vectors").count()
+    second = np.asarray(
+        emb.filter(F.col("vec_id") == 1).first()["embedding"],
+        dtype=np.float64,
+    )
+    hot2 = second / np.linalg.norm(second)
+    n_drift2 = s_before_mid // 4
+    drift2_rows = [
+        (60_000_000 + i, (hot2 * 8 + rng.standard_normal(64)).tolist())
+        for i in range(n_drift2)
+    ]
+    _drop_file(
+        spark.createDataFrame(drift2_rows, SCHEMA), src, root, "drift2"
+    )
+    for r in range(K, K + 4):
+        repl = embedding_replica(emb, r).select(
+            (F.col("vec_id") + r * 1_000_000).alias("vec_id"), "embedding"
+        )
+        _drop_file(repl, src, root, f"{r:03d}")
+    tok_mid_before = load_vector_index_meta(path)["layout_token"]
+    skew_at_start = round(vector_index_skew(spark, path), 2)
+    t0 = time.time()
+    q = stream_ingest_vector_index(
+        sdf, path, ck, recenter_every=1, trigger_available_now=True
+    )
+    q.awaitTermination(1800)
+    t_midrun = round(time.time() - t0, 2)
+    tok_mid_after = load_vector_index_meta(path)["layout_token"]
+    # startup could not have recentered (skew was < 4), so a changed
+    # token proves the IN-LOOP check fired while the stream ran
+    midrun_recenter_fired = (
+        skew_at_start < 4.0 and tok_mid_after != tok_mid_before
+    )
+    skew_after_midrun = round(vector_index_skew(spark, path), 2)
+    n_after_mid = spark.read.parquet(f"{path}/vectors").count()
+    midrun_no_rows_lost = (
+        n_after_mid == s_before_mid + n_drift2 + 4 * n0
+    )
+    # post-recenter probes == rebuild with the SAME (post-recenter)
+    # centroids over the dequantized store contents
+    meta_mid = load_vector_index_meta(path)
+    dq_store = spark.read.parquet(f"{path}/vectors").select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda qv: qv.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    rebuilt_mid = str(root / "rebuilt_mid")
+    build_vector_index(
+        spark, dq_store, rebuilt_mid,
+        centroids=meta_mid["centroids"], quantize=True,
+    )
+    got_mid = {
+        tuple(r)
+        for r in query_vector_index(
+            spark, path, queries, k=5, n_probe=4
+        ).collect()
+    }
+    want_mid = {
+        tuple(r)
+        for r in query_vector_index(
+            spark, rebuilt_mid, queries, k=5, n_probe=4
+        ).collect()
+    }
+    midrun_probe_equals_rebuild = got_mid == want_mid and len(got_mid) > 0
 
     # oracle-exact after recenter: exhaustive probe == brute force over
     # the dequantized store contents (quantization is part of the
@@ -216,6 +306,12 @@ def main() -> None:
         "probe_wall_sec_nprobe4": t_probe,
         "full_probe_wall_sec": t_full_probe,
         "oracle_exact_after_recenter": oracle_exact_after_recenter,
+        "midrun_skew_at_start": skew_at_start,
+        "midrun_wall_sec": t_midrun,
+        "midrun_recenter_fired": midrun_recenter_fired,
+        "skew_after_midrun": skew_after_midrun,
+        "midrun_no_rows_lost": midrun_no_rows_lost,
+        "midrun_probe_equals_rebuild": midrun_probe_equals_rebuild,
     }
     print(json.dumps(result))
     ok = (
@@ -224,6 +320,9 @@ def main() -> None:
         and skew_after_drift >= 4.0
         and recenter_fired
         and recenter_once
+        and midrun_recenter_fired
+        and midrun_no_rows_lost
+        and midrun_probe_equals_rebuild
         and oracle_exact_after_recenter
     )
     sys.exit(0 if ok else 1)
