@@ -27,19 +27,21 @@ Mechanics — one JSON file, ``<store>/_dn_lease``:
   therefore do not need to size ``ttl_s`` to their job length.
 * **crash recovery** = a holder that died keeps nobody out forever:
   a lease whose file has not been refreshed for longer than its
-  declared TTL is stale and is stolen by the next acquirer. The
-  steal is an atomic ``os.rename`` to a nonce-suffixed sidecar —
-  exactly one stealer wins the rename; losers get ``OSError`` and
-  re-loop through ``O_EXCL`` — so two stealers can never both
-  proceed (the remove-then-recreate race the old remove-based steal
-  had). Staleness is judged by the lease file's **mtime**, not the
-  JSON timestamp: a holder that crashed mid-write leaves a torn/empty
-  file with no readable ``ts``, and mtime still ages it out; on a
-  shared filesystem mtime is stamped by the fs server, so writer-side
-  clock skew cannot fake freshness. (Reader-side skew vs the fs
-  clock can still mis-age a lease by the skew amount — the posture
-  here is posix-local or NTP-disciplined mounts; deployments beyond
-  that should point the lease at a lock service.)
+  declared TTL is stale and is stolen by the next acquirer. Stealers
+  serialize on a short-lived ``O_EXCL`` guard file and RE-INSPECT
+  the lease under it before removing, so two stealers can never both
+  proceed and a steal can never remove a FRESH lease recreated by
+  the previous guard holder (both the remove-vs-remove race of a
+  naive steal and the stat-old/read-new TOCTOU — the inspection
+  fstats and reads through one open fd). Staleness is judged by the
+  lease file's **mtime**, not the JSON timestamp: a holder that
+  crashed mid-write leaves a torn/empty file with no readable
+  ``ts``, and mtime still ages it out; on a shared filesystem mtime
+  is stamped by the fs server, so writer-side clock skew cannot fake
+  freshness. (Reader-side skew vs the fs clock can still mis-age a
+  lease by the skew amount — the posture here is posix-local or
+  NTP-disciplined mounts; deployments beyond that should point the
+  lease at a lock service.)
 * **steal detection** = a holder can ask :func:`ensure_lease`
   whether its nonce is still the one on disk; the staged-swap sites
   call it immediately before their directory renames, so a
@@ -49,6 +51,27 @@ Mechanics — one JSON file, ``<store>/_dn_lease``:
   store lease may call an append helper that also acquires it (the
   inner acquire is a no-op). Distinct threads/processes exclude each
   other normally.
+
+**Readers (probes) are OUTSIDE the lease** — by design: probes are
+the hot path and must not serialize behind maintenance. The staged
+swap keeps them safe anyway: a probe sees either the old directory
+or the new one, because the swap is two renames and the store is
+never partially written in place. The only observable window is the
+instant BETWEEN the renames (directory absent); staged-state
+recovery (fingerprints._recover_staged) is lease-aware there — under
+a LIVE lease (:func:`lease_is_live`) a reader waits the microseconds
+the window lasts and proceeds, or raises the clean retryable
+:class:`StoreBusyError`; only a DEAD lease lets a reader repair the
+crashed compactor's leftovers. One more retryable shape exists
+upstream of this module: Spark binds a scan's FILE LIST at plan
+time, so a probe planned against the old directory whose tasks run
+after the swap fails loudly with ``FAILED_READ_FILE.FILE_NOT_EXIST``
+— a job-aborting (never partial-result) error; re-running the probe
+plans against the new directory and succeeds. Readers therefore see
+the old answer, the new answer, or one of those two retryable
+errors — never partial rows, and never clobber a live maintenance
+job (tests/test_lease.py's probe-vs-compaction loop asserts exactly
+this disjunction).
 
 Scale posture: one tiny file create + delete per micro-batch or
 maintenance run, plus one tmp-rename per ``ttl_s/4`` while held — no
@@ -91,6 +114,14 @@ class LeaseLostError(RuntimeError):
     its TTL and another job took over). Raised by :func:`ensure_lease`
     before a directory swap so the stall fails loudly instead of
     clobbering the new holder's work."""
+
+
+class StoreBusyError(RuntimeError):
+    """A reader found the store mid-maintenance (directory swap in
+    flight under a live lease) and the window didn't close within its
+    short wait. Clean and RETRYABLE: no partial data was read, nothing
+    was repaired or clobbered — just retry the probe after the
+    maintenance job finishes."""
 
 
 class _Hold:
@@ -159,13 +190,75 @@ def _heartbeat(p: str, op: str, ttl_s: float, hold: _Hold) -> None:
 
 
 def _sweep_stale_sidecars(p: str) -> None:
-    """Remove nonce-suffixed sidecars left by a stealer or heartbeat
-    that crashed between its rename and its cleanup. Harmless junk —
-    they are never read — but unbounded accumulation is rude."""
-    for leftover in _glob.glob(p + ".stale.*") + _glob.glob(p + ".hb.*"):
+    """Remove sidecars left by a heartbeat that crashed between its
+    tmp-write and its os.replace. Harmless junk — they are never
+    read — but unbounded accumulation is rude."""
+    for leftover in _glob.glob(p + ".hb.*"):
         with contextlib.suppress(OSError):
             if time.time() - os.stat(leftover).st_mtime > DEFAULT_TTL_S:
                 os.remove(leftover)
+
+
+def _inspect_lease(p: str):
+    """(age_s, ttl_s, payload|None) judged from ONE inode — fstat and
+    read share the open fd, so the age and the TTL can never come from
+    two different lease files (a stat-old/read-new TOCTOU let an
+    acquirer judge a FRESH lease stale). None when p is missing."""
+    try:
+        f = open(p, "rb")
+    except OSError:
+        return None
+    with f:
+        st = os.fstat(f.fileno())
+        try:
+            cur = json.loads(f.read().decode())
+        except (ValueError, UnicodeDecodeError):
+            cur = None  # torn write from a mid-dump crash: age by mtime
+    ttl = (
+        cur.get("ttl_s", DEFAULT_TTL_S)
+        if isinstance(cur, dict)
+        else DEFAULT_TTL_S
+    )
+    return time.time() - st.st_mtime, ttl, cur
+
+
+#: a stealer that dies INSIDE the steal guard leaves the guard file
+#: behind; it is aged out by mtime after this long. Far above the
+#: guarded section's microseconds, far below any real TTL.
+_STEAL_GUARD_TTL_S = 30.0
+
+
+def _steal_guarded(p: str) -> bool:
+    """Remove the stale lease at ``p`` under the exclusive steal
+    guard. Returns True when this caller performed (or confirmed) the
+    removal, False when another stealer holds the guard. Within the
+    guard, the lease is re-inspected: only a still-stale file is
+    removed, so a fresh lease recreated by the previous guard holder
+    is never touched."""
+    guard = p + ".steal"
+    try:
+        gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # guard busy — or orphaned by a stealer that died holding it
+        with contextlib.suppress(OSError):
+            if time.time() - os.stat(guard).st_mtime > _STEAL_GUARD_TTL_S:
+                os.remove(guard)
+        return False
+    except OSError:
+        return False
+    try:
+        ins = _inspect_lease(p)
+        if ins is None:
+            return True  # already stolen/released: contend via O_EXCL
+        age, ttl, _cur = ins
+        if age > ttl:
+            with contextlib.suppress(OSError):
+                os.remove(p)
+        return True
+    finally:
+        os.close(gfd)
+        with contextlib.suppress(OSError):
+            os.remove(guard)
 
 
 def acquire_lease(
@@ -192,30 +285,24 @@ def acquire_lease(
         try:
             fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            try:
-                age = time.time() - os.stat(p).st_mtime
-            except OSError:
+            ins = _inspect_lease(p)
+            if ins is None:
                 continue  # vanished: holder released — retry create
-            cur = _read_lease(p)
-            ttl = (
-                cur.get("ttl_s", DEFAULT_TTL_S)
-                if cur is not None
-                else DEFAULT_TTL_S
-            )
+            age, ttl, cur = ins
             if age > ttl:
                 # Stale: holder crashed (a live one heartbeats at
-                # ttl/4). Steal atomically by rename — exactly one
-                # stealer's rename succeeds; losers get OSError and
-                # re-loop through O_EXCL, so a slow stealer can never
-                # delete the fast stealer's freshly created lease
-                # (the remove-based steal's race).
-                stale = p + f".stale.{nonce}"
-                try:
-                    os.rename(p, stale)
-                except OSError:
-                    continue
-                with contextlib.suppress(OSError):
-                    os.remove(stale)
+                # ttl/4). Stealing must be mutually exclusive or two
+                # stealers race remove-vs-recreate and the slower one
+                # deletes the faster one's FRESH lease — so stealers
+                # serialize on a short-lived O_EXCL guard file and
+                # RE-INSPECT under it before removing. While we hold
+                # the guard and p exists, no O_EXCL creator can have
+                # replaced p (creation needs p absent), so the remove
+                # can only ever hit the inode we just judged stale.
+                if _steal_guarded(p):
+                    continue  # we removed the stale lease: race O_EXCL
+                # another stealer holds the guard — brief wait
+                time.sleep(POLL_S)
                 continue
             if time.monotonic() >= deadline:
                 who = (
@@ -243,6 +330,28 @@ def acquire_lease(
         hold.thread.start()
         held[p] = hold
         return nonce
+
+
+def lease_is_live(store_path: str) -> bool:
+    """True iff a lease file exists and is within its TTL (by mtime —
+    see the staleness rules in the module docstring). Readers use this
+    to tell an ACTIVE maintenance window (wait / retry) from a crashed
+    one (safe to run staged-state repair)."""
+    p = _lease_path(store_path)
+    try:
+        age = time.time() - os.stat(p).st_mtime
+    except OSError:
+        return False
+    cur = _read_lease(p)
+    ttl = cur.get("ttl_s", DEFAULT_TTL_S) if cur is not None else DEFAULT_TTL_S
+    return age <= ttl
+
+
+def held_by_this_thread(store_path: str) -> bool:
+    """True iff the calling thread holds the store lease (reentrant
+    holds count). Maintenance code uses this so its own staged-state
+    recovery never waits on itself."""
+    return _lease_path(store_path) in _held_set()
 
 
 def ensure_lease(store_path: str) -> None:
