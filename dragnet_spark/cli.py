@@ -360,6 +360,29 @@ def _print_counters(observations: dict, noutputs: int) -> None:
         line("json parser", "noutputs", nparsed)
         if ninputs > nparsed:
             line("json parser", "invalid json", ninputs - nparsed)
+    dt = observations.get("datetime")
+    dt_out = None
+    if dt is not None:
+        vals = dt.get
+        dt_in = vals.get("ninputs", 0)
+        baddate = vals.get("baddate") or 0
+        undef = vals.get("undef") or 0
+        dt_out = dt_in - baddate - undef
+        # reference prints counters alphabetically (vsDumpCounters);
+        # baddate/undef exist only once incremented
+        if baddate:
+            line("Datetime parser", "baddate", baddate)
+        line("Datetime parser", "ninputs", dt_in)
+        line("Datetime parser", "noutputs", dt_out)
+        if undef:
+            line("Datetime parser", "undef", undef)
+    tf = observations.get("timefilter")
+    if tf is not None and dt_out is not None:
+        tf_out = tf.get.get("noutputs", 0)
+        if dt_out > tf_out:
+            line("Time filter", "nfilteredout", dt_out - tf_out)
+        line("Time filter", "ninputs", dt_out)
+        line("Time filter", "noutputs", tf_out)
     line("Aggregator", "noutputs", noutputs)
 
 
@@ -389,7 +412,8 @@ def cmd_scan(argv, cat: Catalog, out):
         _render_result([], query, opts, out, dsname)
         return
     res = scan(df, query, datasource_filter=ds.filter,
-               value_col=value_col, resolver=resolver)
+               value_col=value_col, resolver=resolver,
+               observations=observations)
     rows = [tuple(r) for r in res.collect()]
     _render_result(rows, query, opts, out, dsname)
     if observations:

@@ -232,6 +232,7 @@ def scan(
     datasource_filter=None,
     value_col: str | None = None,
     resolver=None,
+    observations: dict | None = None,
 ) -> DataFrame:
     """Run a QueryConfig against a DataFrame of raw events.
 
@@ -243,6 +244,14 @@ def scan(
     Zero breakdowns → a single total row, 0 on empty input
     (tests/dn/local/tst.empty.sh.out); with breakdowns, empty input
     yields zero rows.
+
+    Pass a dict as ``observations`` (the --counters path) to
+    piggyback the reference's per-stage counters on the same single
+    pass: a "datetime" Observation (ninputs/baddate/undef — reference
+    "Datetime parser", lib/stream-synthetic.js counters) before the
+    date-validity drop, and a "timefilter" Observation after the time
+    bounds ("Time filter"). Zero extra jobs — Observations ride the
+    scan's one action.
     """
     resolver = resolver or SchemaResolver(df)
     out = df
@@ -253,15 +262,43 @@ def scan(
     if query.filter:
         out = out.filter(compile_predicate(query.filter, resolver.raw))
 
+    has_bounds = query.time_after is not None and query.time_field is not None
+    date_field = (
+        query.time_field
+        if has_bounds
+        else (query.synthetic_dates[0].field if query.synthetic_dates else None)
+    )
+    if observations is not None and date_field is not None:
+        from pyspark.sql import Observation
+
+        raw = resolver.raw(date_field)
+        secs = resolver.date_seconds(date_field)
+        obs = Observation("datetime")
+        observations["datetime"] = obs
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("ninputs"),
+            F.sum(raw.isNull().cast("long")).alias("undef"),
+            F.sum((raw.isNotNull() & secs.isNull()).cast("long")).alias(
+                "baddate"
+            ),
+        )
+
     # synthetic date columns; unparseable/missing dates are dropped
     # with a warning in the reference (lib/stream-synthetic.js:48-77)
-    if query.time_after is not None and query.time_field is not None:
+    if has_bounds:
         ts = resolver.date_seconds(query.time_field)
         out = out.filter(
             ts.isNotNull()
             & (ts >= F.lit(query.time_after))
             & (ts < F.lit(query.time_before))
         )
+        if observations is not None:
+            from pyspark.sql import Observation
+
+            tobs = Observation("timefilter")
+            observations["timefilter"] = tobs
+            out = out.observe(tobs, F.count(F.lit(1)).alias("noutputs"))
     for b in query.synthetic_dates:
         out = out.filter(resolver.date_seconds(b.field).isNotNull())
     # a bucketized non-date breakdown on a non-numeric/missing value is
