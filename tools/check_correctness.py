@@ -123,6 +123,24 @@ def main():
         qs = {n: f for n, f in qs.items() if n in keep}
     report = {}
     failures = 0
+    # CHECK_SKIP: "name=reason;name=reason" — entries whose cost is
+    # genuinely super-linear in a scaled table (e.g. the sanctioned
+    # all-pairs oracle baselines at the 100x octave). NO silent caps:
+    # every skip is recorded in the artifact with its reason.
+    skip_spec = os.environ.get("CHECK_SKIP", "")
+    skips = {}
+    for part in skip_spec.split(";"):
+        if "=" in part:
+            n, _, why = part.partition("=")
+            skips[n.strip()] = why.strip()
+    unknown = set(skips) - set(qs)
+    if unknown:
+        print(f"CHECK_SKIP names not in registry: {sorted(unknown)}")
+        sys.exit(2)
+    for name, why in skips.items():
+        report[name] = {"skipped": True, "reason": why}
+        print(f"SKIP  {name}: {why}")
+    qs = {n: f for n, f in qs.items() if n not in skips}
     for name, fn in qs.items():
         t0 = time.time()
         rec, detail = check_one(spark, con, name, fn, oracles)
