@@ -192,8 +192,8 @@ def main() -> None:
 
     # ---- MID-RUN recenter (VERDICT r8 #2): drift arrives WHILE the
     # stream is running and the in-loop every-N-batches skew check
-    # must heal it without a restart. Drop a second hot cluster (~S/4
-    # rows aimed at a different base direction) plus trailing fresh
+    # must heal it without a restart. Drop a second hot cluster (~S/2
+    # rows, tight: signal 20 vs noise ~8) plus trailing fresh
     # batches, then run ONE stream pass with recenter_every=1:
     # startup sees low skew (no recenter), the drift batch trips the
     # in-loop check, and the trailing batches append against the NEW
@@ -204,9 +204,9 @@ def main() -> None:
         dtype=np.float64,
     )
     hot2 = second / np.linalg.norm(second)
-    n_drift2 = s_before_mid // 4
+    n_drift2 = s_before_mid // 2
     drift2_rows = [
-        (60_000_000 + i, (hot2 * 8 + rng.standard_normal(64)).tolist())
+        (60_000_000 + i, (hot2 * 20 + rng.standard_normal(64)).tolist())
         for i in range(n_drift2)
     ]
     _drop_file(
