@@ -69,6 +69,7 @@ _OPT_DEFS = {
     "text-field": True, "quantize": False, "hashes": True, "bands": True,
     "bits": True, "vectors": True, "min-band-hits": True,
     "stream-dir": True, "checkpoint": True, "no-recenter": False,
+    "target-rows-per-cell": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -656,14 +657,19 @@ def cmd_compact(argv, cat: Catalog, out):
 def cmd_vindex_build(argv, cat: Catalog, out):
     """dn vindex-build <embeddings.parquet> --out=PATH
     [--centroids=16] [--quantize] [--id-field=vec_id]
-    [--vec-field=embedding]: materialize the IVF vector index
-    (beyond-reference; index/vector.py) — the reference's build-once
-    discipline applied to embeddings. --quantize stores int8 codes +
-    scale (~4× less probe I/O; probes dequantize inline)."""
+    [--vec-field=embedding] [--target-rows-per-cell=N]: materialize
+    the IVF vector index (beyond-reference; index/vector.py) — the
+    reference's build-once discipline applied to embeddings.
+    --quantize stores int8 codes + scale (~4× less probe I/O; probes
+    dequantize inline). --target-rows-per-cell persists the growth
+    policy: recenter then auto-sizes the cell count to the store
+    (auto_cell_count) so continuous ingest keeps probe cost flat."""
     from dragnet_spark.index.vector import build_vector_index
 
     opts = _parse_args(
-        argv, ["out", "centroids", "quantize", "id-field", "vec-field"]
+        argv,
+        ["out", "centroids", "quantize", "id-field", "vec-field",
+         "target-rows-per-cell"],
     )
     (src,) = _nargs(opts, 1)
     if "out" not in opts:
@@ -677,6 +683,11 @@ def cmd_vindex_build(argv, cat: Catalog, out):
         vec_col=opts.get("vec_field", "embedding"),
         n_centroids=int(opts.get("centroids", "16")),
         quantize=bool(opts.get("quantize")),
+        target_rows_per_cell=(
+            int(opts["target_rows_per_cell"])
+            if "target_rows_per_cell" in opts
+            else None
+        ),
     )
     out.write(
         "built vector index: %d cells, %d dims%s at %s\n"
@@ -1009,10 +1020,19 @@ def cmd_vindex_stats(argv, cat: Catalog, out):
     )
     for cell, n in rows:
         out.write("    cell=%-4d %d\n" % (cell, n))
-    if skew > 4.0 or len(counts) < meta["n_centroids"]:
+    target = meta.get("target_rows_per_cell")
+    outgrown = (
+        target is not None
+        and total / max(meta["n_centroids"], 1) >= 2 * target
+    )
+    if skew > 4.0 or len(counts) < meta["n_centroids"] or outgrown:
+        why = (
+            "mean rows/cell past 2x the target-rows-per-cell policy"
+            if outgrown
+            else "skew or empty cells past the trigger"
+        )
         out.write(
-            "recommendation: recenter (dn vindex-recenter) — skew or "
-            "empty cells past the trigger\n"
+            "recommendation: recenter (dn vindex-recenter) — %s\n" % why
         )
     else:
         out.write("recommendation: healthy; no recenter needed\n")

@@ -148,6 +148,7 @@ def build_vector_index(
     seed: int = 42,
     quantize: bool = False,
     centroids=None,
+    target_rows_per_cell: int | None = None,
 ) -> dict:
     """Materialize ``df``'s vectors under their nearest-centroid cell.
 
@@ -157,7 +158,13 @@ def build_vector_index(
     int8 codes + scale (~4× less probe I/O; the probe dequantizes
     inline). ``centroids`` injects a precomputed centroid matrix —
     used by recenter-free rebuild equivalence tests and by callers who
-    train centroids on a sample stream.
+    train centroids on a sample stream. ``target_rows_per_cell``
+    persists the cell-GROWTH policy for maintenance: recenter then
+    sizes the new cell count to ``ceil(rows / target)`` (see
+    :func:`auto_cell_count`) instead of keeping the build-time count
+    forever — without it, an index that grows 100× under continuous
+    ingest keeps its original cells and every probe pays 100× the
+    per-cell scan it was designed for.
     """
     cent = (
         np.asarray(centroids, dtype=np.float64)
@@ -188,6 +195,14 @@ def build_vector_index(
     # otherwise fail or mis-read at scan time.
     meta["id_type"] = df.schema[id_col].dataType.simpleString()
     meta["vec_type"] = df.schema[vec_col].dataType.simpleString()
+    # growth policy, persisted OUTSIDE the token basis (it describes
+    # when maintenance should change the layout, not the layout itself)
+    if target_rows_per_cell is not None:
+        if target_rows_per_cell <= 0:
+            raise ValueError(
+                f"target_rows_per_cell={target_rows_per_cell} must be > 0"
+            )
+        meta["target_rows_per_cell"] = int(target_rows_per_cell)
     # the token lives in BOTH the meta file and inside the vectors dir
     # (underscore-prefixed: Spark's reader ignores it): any maintenance
     # crash that leaves the two out of sync — e.g. recenter dying
@@ -271,23 +286,73 @@ def vector_index_skew(spark: SparkSession, path: str) -> float:
     return max(counts) / (sum(counts) / len(counts))
 
 
+#: auto_cell_count's hard ceiling. Tied to train_centroids'
+#: sample_size contract (4096 by default): k-means cannot produce
+#: more distinct centroids than sample vectors, so growing past the
+#: sample only manufactures empty cells.
+MAX_AUTO_CENTROIDS = 4096
+
+
+def auto_cell_count(
+    n_rows: int,
+    n_current: int,
+    target_rows_per_cell: int,
+    max_centroids: int = MAX_AUTO_CENTROIDS,
+) -> int:
+    """Cell count for a recenter under the growth policy:
+    ``ceil(n_rows / target)``, never below the current count, clamped
+    to ``max_centroids``.
+
+    Growth-only by design: probe cost is ~``n_probe × rows/cell``, so
+    an index that outgrew its build-time cell count MUST add cells to
+    keep probes flat — but shrinking a sparse index merely churns the
+    layout for a marginal metadata win, so a shrink requires an
+    explicit ``n_centroids``. Deterministic (no RNG) so a replayed
+    maintenance job reproduces the same layout decision."""
+    if target_rows_per_cell <= 0:
+        raise ValueError(
+            f"target_rows_per_cell={target_rows_per_cell} must be > 0"
+        )
+    want = -(-n_rows // target_rows_per_cell)  # ceil
+    return max(1, min(max(n_current, want), max_centroids))
+
+
 def maybe_recenter_vector_index(
     spark: SparkSession,
     path: str,
     skew_trigger: float = 4.0,
+    growth_trigger: float = 2.0,
 ) -> bool:
     """The documented recenter trigger as a callable policy: recenter
     when max/mean cell skew passes ``skew_trigger`` (appends drift
     away from centroids trained before they existed; probe cost is
-    bounded by the largest probed cell). Returns whether a recenter
-    ran. The skew read is cell-count metadata only; the recenter
-    itself is a full rewrite, lease-serialized against appenders and
-    compaction (lease.py) — the streaming ingest loop calls this
-    every N batches from its own foreachBatch thread (never
-    concurrent with its appends), and external callers serialize on
-    the store lease the same way. Still not free: call at a cadence
-    (every N batches / at restart boundaries), not per batch."""
-    if vector_index_skew(spark, path) < skew_trigger:
+    bounded by the largest probed cell), OR — when the store carries a
+    ``target_rows_per_cell`` growth policy — when the MEAN cell
+    population passes ``growth_trigger × target`` (a perfectly
+    balanced index that absorbed 10× its build size has skew ~1 but
+    every probe now scans 10× the rows it was designed for; skew
+    alone never fires). Returns whether a recenter ran. Both reads
+    are cell-count metadata only; the recenter itself is a full
+    rewrite, lease-serialized against appenders and compaction
+    (lease.py) — the streaming ingest loop calls this every N batches
+    from its own foreachBatch thread (never concurrent with its
+    appends), and external callers serialize on the store lease the
+    same way. Still not free: call at a cadence (every N batches / at
+    restart boundaries), not per batch."""
+    counts = [
+        r["n_vectors"]
+        for r in vector_index_cell_stats(spark, path).collect()
+    ]
+    if not counts:
+        return False
+    meta = load_vector_index_meta(path)
+    # mean over the METADATA cell count, not over non-empty cells:
+    # drift that empties cells must not inflate the apparent mean
+    mean = sum(counts) / max(int(meta.get("n_centroids", len(counts))), 1)
+    skewed = max(counts) / (sum(counts) / len(counts)) >= skew_trigger
+    target = meta.get("target_rows_per_cell")
+    outgrown = target is not None and mean >= growth_trigger * target
+    if not (skewed or outgrown):
         return False
     recenter_vector_index(spark, path)
     return True
@@ -422,8 +487,12 @@ def recenter_vector_index(
     contents (dequantizing codes when the store is quantized) and
     rebuild in place — a full rewrite, scheduled like compaction when
     ``vector_index_cell_stats`` skew passes the trigger, never per
-    batch. Quantize mode and column names carry over; ``n_centroids``
-    / ``seed`` default to the existing metadata."""
+    batch. Quantize mode and column names carry over; ``seed``
+    defaults to the existing metadata. Cell count: an explicit
+    ``n_centroids`` wins; else a persisted ``target_rows_per_cell``
+    growth policy sizes the new layout to the CURRENT row count via
+    :func:`auto_cell_count` (so a store that outgrew its build keeps
+    per-cell probe cost flat); else the old count carries over."""
     import shutil
     import tempfile
 
@@ -461,6 +530,14 @@ def _recenter_vector_index_locked(
     for leftover in _glob.glob(os.path.join(path, "vindex_recenter_*")):
         shutil.rmtree(leftover, ignore_errors=True)
     stage = tempfile.mkdtemp(prefix="vindex_recenter_", dir=path)
+    target = meta.get("target_rows_per_cell")
+    if n_centroids is None and target is not None:
+        # grow cells with the store (auto_cell_count): a larger sample
+        # keeps k-means meaningful once the cell count approaches the
+        # default 4096-vector sample
+        n_centroids = auto_cell_count(
+            vecs.count(), int(meta["n_centroids"]), int(target)
+        )
     new_meta = build_vector_index(
         spark,
         vecs,
@@ -470,6 +547,7 @@ def _recenter_vector_index_locked(
         n_centroids=n_centroids or meta["n_centroids"],
         seed=seed if seed is not None else meta["seed"],
         quantize=bool(meta.get("quantized")),
+        target_rows_per_cell=target,
     )
     # two renames + a replace cannot be atomic together; the layout
     # token turns the crash window (new vectors + old meta) into a

@@ -1159,7 +1159,12 @@ def stream_ingest_vector_index(
     embeddings drift recenters in-loop instead of degrading until the
     next restart. The skew check is cell-count metadata only; the
     recenter itself runs between appends in the foreachBatch thread,
-    lease-serialized against external maintenance. Pass
+    lease-serialized against external maintenance. An index built
+    with a ``target_rows_per_cell`` growth policy also recenters —
+    and GROWS its cell count (``index/vector.auto_cell_count``) —
+    once mean rows/cell passes 2× the target, so a store that
+    absorbs many times its build size keeps probe cost flat without
+    any ingest-loop configuration. Pass
     ``recenter_trigger=None`` to manage recentering externally, or
     ``recenter_every=0`` for the pre-r9 startup-only behavior. The
     input stream must carry the index's ``id_col``/``vec_col``

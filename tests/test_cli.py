@@ -665,3 +665,29 @@ def test_vindex_ingest_cli_string_ids(cfg, tmp_path, spark):
     assert got.count() == 50
     assert dict(got.dtypes)["vec_id"] == "string"
     assert {r["vec_id"] for r in got.collect()} >= {"doc-0", "new-9"}
+
+
+def test_vindex_growth_policy_cli(cfg, tmp_path, spark):
+    """--target-rows-per-cell persists the growth policy; vindex-stats
+    flags the outgrown store and vindex-recenter (no explicit
+    --centroids) auto-grows the cell count to the policy's size."""
+    from dragnet_spark.index.vector import load_vector_index_meta
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "vg")
+    assert run(
+        ["vindex-build", emb, "--out", idx, "--centroids", "2",
+         "--target-rows-per-cell", "5"], cfg
+    )[0] == 0
+    assert load_vector_index_meta(idx)["target_rows_per_cell"] == 5
+
+    # the 50-vector sf0.001 corpus over 2 cells is ~25 rows/cell —
+    # already past 2x the 5-row target, so stats recommends growth
+    rc, out, _ = run(["vindex-stats", idx], cfg)
+    assert rc == 0 and "target-rows-per-cell" in out
+
+    rc, out, _ = run(["vindex-recenter", idx], cfg)
+    assert rc == 0
+    meta = load_vector_index_meta(idx)
+    assert meta["n_centroids"] > 2  # grew without an explicit count
+    assert meta["target_rows_per_cell"] == 5

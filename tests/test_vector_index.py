@@ -343,3 +343,79 @@ def test_midrun_recenter_in_appender(spark, sf_dir, tmp_path_factory):
     )
     want = rows_set(cosine_topk_blocked(dq, q, k=3))
     assert got and got == want
+
+
+def test_auto_cell_count_policy():
+    """Growth-only, ceil(rows/target), clamped, deterministic."""
+    from dragnet_spark.index.vector import auto_cell_count
+
+    assert auto_cell_count(1000, 4, 100) == 10       # grows to ceil
+    assert auto_cell_count(1001, 4, 100) == 11       # ceil, not floor
+    assert auto_cell_count(100, 8, 100) == 8         # never shrinks
+    assert auto_cell_count(0, 4, 100) == 4           # empty keeps layout
+    assert auto_cell_count(10**9, 4, 100) == 4096    # MAX_AUTO_CENTROIDS
+    assert auto_cell_count(10**9, 4, 100, max_centroids=64) == 64
+    with pytest.raises(ValueError):
+        auto_cell_count(100, 4, 0)
+
+
+def test_recenter_grows_cells_with_store(spark, sf_dir, tmp_path_factory):
+    """Remaining half of VERDICT r8 gap #3: an index under continuous
+    ingest must GROW its cell count, not just rebalance a fixed one.
+    Build small with a target_rows_per_cell policy, append ~8x the
+    build size of BALANCED data (skew stays ~1, the old trigger never
+    fires), and assert maybe_recenter fires on the growth trigger,
+    auto-sizes cells to ceil(rows/target), and still answers exactly
+    at full probe."""
+    from dragnet_spark.index.vector import (
+        append_vector_index,
+        maybe_recenter_vector_index,
+        vector_index_skew,
+    )
+    from dragnet_spark.ops.similarity import cosine_topk_blocked
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .limit(800)
+    )
+    path = str(tmp_path_factory.mktemp("vgrow"))
+    build = emb.filter(F.col("vec_id") < 100)
+    n0 = build.count()
+    build_vector_index(
+        spark, build, path, n_centroids=4, seed=3, target_rows_per_cell=50
+    )
+    assert load_vector_index_meta(path)["target_rows_per_cell"] == 50
+
+    # balanced growth: shifted copies of the SAME distribution, so
+    # max/mean skew stays near the build's — only mean rows/cell moves
+    for i in range(1, 8):
+        append_vector_index(
+            spark,
+            emb.selectExpr(f"vec_id + {i * 1000000} AS vec_id", "embedding"),
+            path,
+        )
+    total = n0 + 7 * emb.count()  # limit(800) may cap at the table size
+    assert vector_index_skew(spark, path) < 4.0, "test premise: balanced"
+
+    assert maybe_recenter_vector_index(spark, path, skew_trigger=4.0)
+    meta = load_vector_index_meta(path)
+    from dragnet_spark.index.vector import auto_cell_count
+
+    assert meta["n_centroids"] == auto_cell_count(total, 4, 50)
+    assert meta["n_centroids"] > 4
+    assert meta["target_rows_per_cell"] == 50  # policy survives recenter
+
+    # immediately re-checking does not thrash: mean is back under 2x
+    assert not maybe_recenter_vector_index(spark, path, skew_trigger=4.0)
+
+    # exhaustive probe over the grown layout still equals brute force
+    store = spark.read.parquet(f"{path}/vectors").select(
+        "vec_id", F.col("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    got = rows_set(
+        query_vector_index(spark, path, q, k=3, n_probe=meta["n_centroids"])
+    )
+    want = rows_set(cosine_topk_blocked(store, q, k=3))
+    assert got and got == want
