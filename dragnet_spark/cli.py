@@ -69,7 +69,7 @@ _OPT_DEFS = {
     "text-field": True, "quantize": False, "hashes": True, "bands": True,
     "bits": True, "vectors": True, "min-band-hits": True,
     "stream-dir": True, "checkpoint": True, "no-recenter": False,
-    "target-rows-per-cell": True,
+    "target-rows-per-cell": True, "max-files": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1113,6 +1113,51 @@ def cmd_vindex_recenter(argv, cat: Catalog, out):
     )
 
 
+def cmd_maintain(argv, cat: Catalog, out):
+    """dn maintain <root> [--dry-run] [--max-files=4]: discover every
+    dragnet store under <root> (event index, fingerprint/band/SRP
+    stores, vector index — classified by marker file), read its health
+    signals (max files per partition; vindex cell skew + growth
+    policy), and run the lease-guarded maintenance each needs:
+    compact past --max-files, recenter a drifted or outgrown vector
+    index. --dry-run plans without touching anything. Cron-able: the
+    scheduled maintenance job for a fleet of continuously-appended
+    stores (index/maintain.py)."""
+    from dragnet_spark.index.maintain import run_maintenance
+
+    opts = _parse_args(argv, ["dry-run", "max-files"])
+    (root,) = _nargs(opts, 1)
+    plan = run_maintenance(
+        _get_spark(),
+        root,
+        dry_run=bool(opts.get("dry_run")),
+        max_files=int(opts.get("max_files", "4")),
+    )
+    for rec in plan:
+        sig = "max_files/part=%d" % rec["max_files_per_partition"]
+        if rec["kind"] == "vindex":
+            sig += ", skew=%.2f" % rec["skew"]
+            if rec.get("target_rows_per_cell") is not None:
+                sig += ", mean/cell=%.0f target=%d" % (
+                    rec["mean_rows_per_cell"],
+                    rec["target_rows_per_cell"],
+                )
+        verb = (
+            "would run" if bool(opts.get("dry_run")) else "ran"
+        )
+        what = ",".join(rec["actions"]) if rec["actions"] else "nothing"
+        line = "%-7s %s (%s): %s %s" % (
+            rec["kind"], rec["path"], sig, verb, what
+        )
+        if rec.get("error"):
+            line += " [ERROR %s]" % rec["error"]
+        out.write(line + "\n")
+    out.write(
+        "%d stores, %d with pending work\n"
+        % (len(plan), sum(1 for r in plan if r["actions"]))
+    )
+
+
 COMMANDS = {
     "datasource-add": cmd_datasource_add,
     "datasource-list": cmd_datasource_list,
@@ -1135,6 +1180,7 @@ COMMANDS = {
     "vindex-compact": cmd_vindex_compact,
     "vindex-ingest": cmd_vindex_ingest,
     "vindex-recenter": cmd_vindex_recenter,
+    "maintain": cmd_maintain,
     "vindex-stats": cmd_vindex_stats,
     "fp-build": cmd_fp_build,
     "fp-probe": cmd_fp_probe,

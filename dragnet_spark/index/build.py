@@ -309,7 +309,11 @@ def build_index(
         json.dump(meta, f, indent=2)
 
 
-def compact_index(spark: SparkSession, index_path: str) -> None:
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    wait_s: float | None = None,
+) -> None:
     """Compact a view tree that accumulated appended partial aggregates
     (the continuous-build path): re-aggregate each metric's rows to one
     row per group and rewrite, bucket partition by bucket partition.
@@ -338,7 +342,7 @@ def compact_index(spark: SparkSession, index_path: str) -> None:
 
     meta = load_index_meta(index_path)
     interval = meta.get("interval", "day")
-    with hold_lease(index_path, "compact-index"):
+    with hold_lease(index_path, "compact-index", wait_s=wait_s):
         _compact_index_locked(spark, index_path, meta, interval)
 
 

@@ -654,7 +654,10 @@ def probe_srp_near_duplicates(
 
 
 def compact_srp_store(
-    spark: SparkSession, path: str, files_per_partition: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_partition: int = 1,
+    wait_s: float | None = None,
 ) -> None:
     """Distinct (band, bucket, vec_id) rows rewritten to
     ``files_per_partition`` files per band — answer-preserving because
@@ -662,7 +665,7 @@ def compact_srp_store(
     contract verbatim). The pair-key directory compacts the same way
     (anti-join presence semantics: duplicates never change a result).
     Lease-serialized against live appenders (lease.py)."""
-    with hold_lease(path, "compact-srp"):
+    with hold_lease(path, "compact-srp", wait_s=wait_s):
         meta = load_srp_store_meta(path)
         dest = os.path.join(path, SRP_DIR)
         _recover_staged(dest)
@@ -799,7 +802,10 @@ def _staged_rewrite(
 
 
 def compact_fingerprint_store(
-    spark: SparkSession, path: str, files_per_partition: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_partition: int = 1,
+    wait_s: float | None = None,
 ) -> None:
     """Periodic maintenance for an append-heavy store: collapse each
     fingerprint to its minimum doc_id and rewrite one file per bucket.
@@ -812,7 +818,7 @@ def compact_fingerprint_store(
     a concurrent appender waits its turn or fails loudly — rows can
     no longer vanish between this job's snapshot and its swap.
     """
-    with hold_lease(path, "compact-fp"):
+    with hold_lease(path, "compact-fp", wait_s=wait_s):
         _compact_fingerprint_store_locked(spark, path, files_per_partition)
 
 
@@ -853,7 +859,10 @@ def _compact_fingerprint_store_locked(
 
 
 def compact_band_store(
-    spark: SparkSession, path: str, files_per_partition: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_partition: int = 1,
+    wait_s: float | None = None,
 ) -> None:
     """Same maintenance for the band store: distinct (band, bhash,
     doc_id) rows — repeated appends of the same document collapse —
@@ -868,7 +877,7 @@ def compact_band_store(
     band dimension is only 8-wide, so the default 1 funnels 1/8 of
     the store per task (fine locally, a bottleneck at 100 TB).
     Lease-serialized against live appenders (lease.py)."""
-    with hold_lease(path, "compact-band"):
+    with hold_lease(path, "compact-band", wait_s=wait_s):
         dest = os.path.join(path, BAND_DIR)
         _recover_staged(dest)
         _check_layout(path, BAND_META, BAND_DIR, "minhash band store")

@@ -149,6 +149,7 @@ def build_vector_index(
     quantize: bool = False,
     centroids=None,
     target_rows_per_cell: int | None = None,
+    files_per_cell: int | None = None,
 ) -> dict:
     """Materialize ``df``'s vectors under their nearest-centroid cell.
 
@@ -171,9 +172,16 @@ def build_vector_index(
         if centroids is not None
         else train_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
     )
+    rows = _cell_rows(df, cent, id_col, vec_col, quantize)
+    if files_per_cell is not None:
+        # same bounded-layout routing as append_vector_index: without
+        # it every writing task adds a file to every cell it touches
+        rows = rows.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell)),
+        )
     (
-        _cell_rows(df, cent, id_col, vec_col, quantize)
-        .write.mode("overwrite")
+        rows.write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, VECTORS_DIR))
     )
@@ -455,7 +463,10 @@ def query_vector_index(
 
 
 def compact_vector_index(
-    spark: SparkSession, path: str, files_per_partition: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_partition: int = 1,
+    wait_s: float | None = None,
 ) -> None:
     """File-count maintenance after appends: rewrite each cell to
     ``files_per_partition`` files, keeping assignments (and the
@@ -466,7 +477,7 @@ def compact_vector_index(
     rides along unchanged (assignments didn't change)."""
     from dragnet_spark.index.fingerprints import _staged_rewrite
 
-    with hold_lease(path, "compact-vectors"):
+    with hold_lease(path, "compact-vectors", wait_s=wait_s):
         meta = load_vector_index_meta(path)
         dest = os.path.join(path, VECTORS_DIR)
         df = spark.read.parquet(dest)
@@ -481,6 +492,7 @@ def recenter_vector_index(
     path: str,
     n_centroids: int | None = None,
     seed: int | None = None,
+    wait_s: float | None = None,
 ) -> dict:
     """The documented recenter action for a drifted index (see
     ``append_vector_index``): retrain centroids on the CURRENT store
@@ -496,7 +508,7 @@ def recenter_vector_index(
     import shutil
     import tempfile
 
-    with hold_lease(path, "recenter"):
+    with hold_lease(path, "recenter", wait_s=wait_s):
         return _recenter_vector_index_locked(spark, path, n_centroids, seed)
 
 
@@ -538,6 +550,9 @@ def _recenter_vector_index_locked(
         n_centroids = auto_cell_count(
             vecs.count(), int(meta["n_centroids"]), int(target)
         )
+    # maintenance writes the compacted layout directly (the repo's
+    # files_per_partition=1 norm) so a recenter never needs a
+    # follow-up compact — one rewrite, not two
     new_meta = build_vector_index(
         spark,
         vecs,
@@ -548,6 +563,7 @@ def _recenter_vector_index_locked(
         seed=seed if seed is not None else meta["seed"],
         quantize=bool(meta.get("quantized")),
         target_rows_per_cell=target,
+        files_per_cell=1,
     )
     # two renames + a replace cannot be atomic together; the layout
     # token turns the crash window (new vectors + old meta) into a

@@ -691,3 +691,38 @@ def test_vindex_growth_policy_cli(cfg, tmp_path, spark):
     meta = load_vector_index_meta(idx)
     assert meta["n_centroids"] > 2  # grew without an explicit count
     assert meta["target_rows_per_cell"] == 5
+
+
+def test_maintain_cli(cfg, tmp_path, spark):
+    """dn maintain: discovers the fleet, dry-run plans without
+    touching, apply heals; summary line counts pending work."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.fingerprints import (
+        append_fingerprints,
+        build_fingerprint_store,
+    )
+    from dragnet_spark.sources.tables import load_table
+
+    root = str(tmp_path / "fleet")
+    fp = root + "/fp"
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    build_fingerprint_store(spark, docs, fp)
+    for i in range(1, 6):
+        append_fingerprints(
+            spark,
+            docs.select((F.col("doc_id") + i * 10**6).alias("doc_id"), "text"),
+            fp,
+        )
+
+    rc, out, _ = run(["maintain", root, "--dry-run"], cfg)
+    assert rc == 0 and "would run compact" in out
+    assert "1 stores, 1 with pending work" in out
+
+    rc, out, _ = run(["maintain", root], cfg)
+    assert rc == 0 and "ran compact" in out
+
+    rc, out, _ = run(["maintain", root], cfg)
+    assert rc == 0 and "0 with pending work" in out

@@ -1,0 +1,204 @@
+"""Unified store maintenance (index/maintain.py): discovery classifies
+every store kind by marker file and prunes at store boundaries; the
+plan applies the documented policies (compact past max_files, recenter
+a drifted/outgrown vindex); apply is answer-preserving and one store's
+held lease never aborts the fleet's sweep."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dragnet_spark.index.fingerprints import (
+    append_fingerprints,
+    build_band_store,
+    build_fingerprint_store,
+)
+from dragnet_spark.index.maintain import (
+    discover_stores,
+    plan_maintenance,
+    run_maintenance,
+)
+from dragnet_spark.index.vector import (
+    append_vector_index,
+    build_vector_index,
+    load_vector_index_meta,
+    query_vector_index,
+)
+from dragnet_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def fleet(spark, sf_dir, tmp_path_factory):
+    """A root with three stores: a fragmented fingerprint store (3
+    appends → >4 files in hot buckets is NOT guaranteed at this size,
+    so fragmentation is judged per-store below), an OUTGROWN vector
+    index (balanced 6x ingest against a small target), and a healthy
+    just-built band store."""
+    root = str(tmp_path_factory.mktemp("fleet"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    fp = os.path.join(root, "stores", "fp")
+    build_fingerprint_store(spark, docs, fp)
+    for i in range(1, 6):
+        append_fingerprints(
+            spark,
+            docs.select(
+                (F.col("doc_id") + i * 1000000).alias("doc_id"), "text"
+            ),
+            fp,
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    vi = os.path.join(root, "stores", "vi")
+    build_vector_index(
+        spark, emb.limit(100), vi, n_centroids=4, seed=3,
+        target_rows_per_cell=60,
+    )
+    for i in range(1, 7):
+        append_vector_index(
+            spark,
+            emb.selectExpr(f"vec_id + {i * 1000000} AS vec_id", "embedding"),
+            vi,
+        )
+
+    # a just-compacted store is the canonical healthy state (even a
+    # fresh build carries one file per writing task per partition,
+    # which the file-count signal rightly counts — post-build
+    # compaction is real work, not a false positive)
+    from dragnet_spark.index.fingerprints import compact_band_store
+
+    band = os.path.join(root, "band")
+    build_band_store(spark, docs.limit(50), band)
+    compact_band_store(spark, band)
+    return root, fp, vi, band
+
+
+def test_discovery_classifies_and_prunes(fleet):
+    root, fp, vi, band = fleet
+    stores = discover_stores(root)
+    assert {(s["path"], s["kind"]) for s in stores} == {
+        (fp, "fp"), (vi, "vindex"), (band, "band"),
+    }
+    # nested dirs inside a store (bucket partitions) are never stores
+    assert all(not s["path"].startswith(fp + os.sep) for s in stores)
+
+
+def test_plan_policies(spark, fleet):
+    root, fp, vi, band = fleet
+    plan = {r["path"]: r for r in plan_maintenance(spark, root)}
+    # 6 appends → ≥6 files in the hottest fp bucket: compact
+    assert plan[fp]["max_files_per_partition"] > 4
+    assert plan[fp]["actions"] == ["compact"]
+    # balanced 6x growth against target 60: recenter (not compact,
+    # even though its cells are fragmented too — the rebuild subsumes)
+    assert plan[vi]["mean_rows_per_cell"] >= 2 * 60
+    assert plan[vi]["actions"] == ["recenter"]
+    # fresh single-write band store: healthy
+    assert plan[band]["actions"] == []
+
+
+def test_apply_heals_and_preserves_answers(spark, fleet):
+    root, fp, vi, band = fleet
+    before_fp = spark.read.parquet(os.path.join(fp, "fingerprints"))
+    fp_rows = before_fp.count()
+    fp_distinct = before_fp.select("fp").distinct().count()
+    vi_rows = spark.read.parquet(os.path.join(vi, "vectors")).count()
+
+    report = {r["path"]: r for r in run_maintenance(spark, root)}
+    assert report[fp]["applied"] == ["compact"]
+    assert report[vi]["applied"] == ["recenter"]
+    assert "error" not in report[fp] and "error" not in report[vi]
+
+    # healed: re-plan finds nothing to do anywhere
+    again = plan_maintenance(spark, root)
+    assert all(r["actions"] == [] for r in again), again
+
+    # answers preserved: compact collapses repeated identical
+    # fingerprints to min doc_id but the distinct fp set is intact
+    after_fp = spark.read.parquet(os.path.join(fp, "fingerprints"))
+    assert after_fp.select("fp").distinct().count() == fp_distinct
+    assert after_fp.count() <= fp_rows
+
+    # vindex: grew per policy, zero rows lost, probes still answer
+    meta = load_vector_index_meta(vi)
+    assert meta["n_centroids"] > 4
+    assert spark.read.parquet(os.path.join(vi, "vectors")).count() == vi_rows
+    q = spark.read.parquet(os.path.join(vi, "vectors")).limit(2).select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    assert query_vector_index(spark, vi, q, k=2, n_probe=2).count() > 0
+
+
+def test_dry_run_touches_nothing(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dry"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = os.path.join(root, "fp")
+    build_fingerprint_store(spark, docs, fp)
+    for i in range(1, 6):
+        append_fingerprints(
+            spark,
+            docs.select((F.col("doc_id") + i * 10**6).alias("doc_id"), "text"),
+            fp,
+        )
+
+    def listing():
+        return sorted(
+            os.path.join(d, f)
+            for d, _, fs in os.walk(fp) for f in fs
+        )
+
+    before = listing()
+    report = run_maintenance(spark, root, dry_run=True)
+    assert report[0]["actions"] == ["compact"] and report[0]["applied"] == []
+    assert listing() == before
+
+
+def test_held_lease_is_reported_not_fatal(spark, sf_dir, tmp_path_factory):
+    """One store's live writer (lease held by ANOTHER thread — the
+    lease is reentrant within a thread, so same-thread holding would
+    not contend) yields an error record; the other store's maintenance
+    still runs."""
+    import threading
+
+    from dragnet_spark.index.lease import hold_lease
+
+    root = str(tmp_path_factory.mktemp("held"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for name in ("a", "b"):
+        p = os.path.join(root, name)
+        build_fingerprint_store(spark, docs, p)
+        for i in range(1, 6):
+            append_fingerprints(
+                spark,
+                docs.select(
+                    (F.col("doc_id") + i * 10**6).alias("doc_id"), "text"
+                ),
+                p,
+            )
+    a, b = os.path.join(root, "a"), os.path.join(root, "b")
+
+    holding = threading.Event()
+    done = threading.Event()
+
+    def live_writer():
+        with hold_lease(a, "live-writer"):
+            holding.set()
+            done.wait(60)
+
+    t = threading.Thread(target=live_writer, daemon=True)
+    t.start()
+    assert holding.wait(10)
+    try:
+        report = {
+            r["path"]: r
+            for r in run_maintenance(spark, root, lease_wait_s=1.0)
+        }
+    finally:
+        done.set()
+        t.join(10)
+    assert "LeaseHeldError" in report[a].get("error", "")
+    assert report[a]["applied"] == []
+    assert report[b]["applied"] == ["compact"] and "error" not in report[b]
