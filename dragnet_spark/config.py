@@ -32,7 +32,7 @@ class DatasourceConfig:
     name: str
     path: str
     backend: str = "file"            # file | parquet | manta (any fs Spark reads)
-    data_format: str = "json"        # json | json-skinner | parquet | csv
+    data_format: str = "json"        # json | json-skinner | parquet | csv | orc
     index_path: str | None = None
     time_format: str | None = None   # %Y/%m/%d[/%H] subset, for path pruning
     time_field: str | None = None
@@ -42,7 +42,7 @@ class DatasourceConfig:
     def __post_init__(self):
         if self.backend not in ("file", "parquet", "manta"):
             raise ConfigError(f"unsupported backend: {self.backend}")
-        if self.data_format not in ("json", "json-skinner", "parquet", "csv"):
+        if self.data_format not in ("json", "json-skinner", "parquet", "csv", "orc"):
             raise ConfigError(f"unsupported data format: {self.data_format}")
         validate_predicate(self.filter)
 

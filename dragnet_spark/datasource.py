@@ -6,7 +6,7 @@ semantics are identical. Here every backend is "paths Spark can read",
 and the differences collapse into:
 
 * which reader (text→variant for raw NDJSON, schema'd JSON for
-  skinner points, parquet for columnar), and
+  skinner points, parquet/ORC for columnar, header'd CSV), and
 * time-partition pruning of the path list when the datasource has a
   ``time_format`` and the query has bounds (reference S5,
   lib/path-enum.js — at 100 TB this prunes the listing itself, so
@@ -99,6 +99,13 @@ def load_datasource(
 
     if ds.data_format == "parquet" or ds.backend == "parquet":
         df = spark.read.parquet(*paths)
+        return df, SchemaResolver(df), None
+
+    if ds.data_format == "orc":
+        # columnar sibling to parquet: schema rides the file, filters
+        # and column pruning push down the same way (Spark-native ORC
+        # reader; no extra package)
+        df = spark.read.option("recursiveFileLookup", "true").orc(*paths)
         return df, SchemaResolver(df), None
 
     if ds.data_format == "json-skinner":

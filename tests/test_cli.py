@@ -726,3 +726,23 @@ def test_maintain_cli(cfg, tmp_path, spark):
 
     rc, out, _ = run(["maintain", root], cfg)
     assert rc == 0 and "0 with pending work" in out
+
+
+def test_orc_datasource_scan(cfg, spark, tmp_path):
+    """ORC trees scan through the same CLI dispatch as parquet: schema
+    rides the file, filters and breakdowns work unchanged."""
+    d = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [("GET", 200), ("GET", 404), ("PUT", 204), ("GET", 200),
+         ("DELETE", 204)],
+        "op string, code int",
+    ).coalesce(1).write.orc(d)
+    run(["datasource-add", "oc", f"--path={d}", "--data-format=orc"], cfg)
+    rc, out, _ = run(["scan", "-b", "op", "oc"], cfg)
+    assert rc == 0
+    rows = {tuple(ln.split()) for ln in out.splitlines()[1:]}
+    assert rows == {("DELETE", "1"), ("GET", "3"), ("PUT", "1")}
+    rc, out, _ = run(["scan", "-b", "op",
+                      "-f", '{"eq": ["code", 200]}', "oc"], cfg)
+    assert rc == 0
+    assert {tuple(ln.split()) for ln in out.splitlines()[1:]} == {("GET", "2")}

@@ -25,8 +25,16 @@ stream startup recenters. Checks:
 * **oracle-exact after recenter** — at n_probe == n_centroids the
   recentered quantized index is exhaustive over dequantized vectors:
   its top-k equals brute-force cosine over the same dequantized
-  corpus, bit-for-bit (runs LAST, so it also covers the mid-run
-  recentered state).
+  corpus, bit-for-bit (runs LAST among the drift checks, so it also
+  covers the mid-run recentered state);
+* **mid-run cell GROWTH** (round 9) — a separate small index built
+  with a ``target_rows_per_cell`` policy absorbs K_g replicas of
+  BALANCED data while a ``recenter_every=2`` stream consumes: skew
+  stays ~1 the whole run (the drift trigger can never fire), the
+  growth trigger (mean ≥ 2× target) trips in-loop, the cell count
+  GROWS mid-run (layout token + n_centroids change during the pass),
+  no rows are lost, and the exhaustive probe over the grown layout
+  equals brute-force cosine bit-for-bit.
 
 Usage: python tools/soak_vindex_stream.py [K] (default 16)
 Prints one JSON line (recorded in BASELINE.md).
@@ -290,6 +298,67 @@ def main() -> None:
     }
     oracle_exact_after_recenter = got2 == want2 and len(got2) > 0
 
+    # ---- mid-run cell GROWTH (round 9): balanced ingest against a
+    # target_rows_per_cell policy. Skew stays ~1 for the whole run, so
+    # ONLY the growth trigger can recenter; it must fire in-loop and
+    # grow the cell count while the stream is consuming.
+    K_G = 8
+    g_path = str(root / "gindex")
+    g_src = root / "gin"
+    g_src.mkdir()
+    g_ck = str(root / "gck")
+    target = max(n0 // 8, 1)
+    build_vector_index(
+        spark, emb, g_path, n_centroids=8, quantize=True,
+        target_rows_per_cell=target,
+    )
+    g_cells0 = load_vector_index_meta(g_path)["n_centroids"]
+    g_tok0 = load_vector_index_meta(g_path)["layout_token"]
+    for r in range(1, K_G):
+        repl = embedding_replica(emb, 100 + r).select(
+            (F.col("vec_id") + (100 + r) * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        _drop_file(repl, g_src, root, f"g{r:03d}")
+    g_sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(g_src))
+    )
+    g_skew_start = round(vector_index_skew(spark, g_path), 2)
+    t0 = time.time()
+    q = stream_ingest_vector_index(
+        g_sdf, g_path, g_ck, recenter_every=2, trigger_available_now=True
+    )
+    q.awaitTermination(1800)
+    t_growth = round(time.time() - t0, 2)
+    g_meta = load_vector_index_meta(g_path)
+    g_skew_end = round(vector_index_skew(spark, g_path), 2)
+    growth_fired_midrun = (
+        g_skew_start < 4.0
+        and g_skew_end < 4.0
+        and g_meta["layout_token"] != g_tok0
+        and g_meta["n_centroids"] > g_cells0
+    )
+    g_rows = spark.read.parquet(f"{g_path}/vectors").count()
+    growth_no_rows_lost = g_rows == K_G * n0
+    g_store = spark.read.parquet(f"{g_path}/vectors").select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda qv: qv.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    got_g = {
+        tuple(r)
+        for r in query_vector_index(
+            spark, g_path, queries, k=5, n_probe=g_meta["n_centroids"]
+        ).collect()
+    }
+    want_g = {
+        tuple(r) for r in cosine_topk_blocked(g_store, queries, k=5).collect()
+    }
+    growth_oracle_exact = got_g == want_g and len(got_g) > 0
+
     result = {
         "soak": "vindex_stream_ingest",
         "K": K,
@@ -312,6 +381,15 @@ def main() -> None:
         "skew_after_midrun": skew_after_midrun,
         "midrun_no_rows_lost": midrun_no_rows_lost,
         "midrun_probe_equals_rebuild": midrun_probe_equals_rebuild,
+        "growth_K": K_G,
+        "growth_target_rows_per_cell": target,
+        "growth_skew_start": g_skew_start,
+        "growth_skew_end": g_skew_end,
+        "growth_cells": [g_cells0, g_meta["n_centroids"]],
+        "growth_wall_sec": t_growth,
+        "growth_fired_midrun": growth_fired_midrun,
+        "growth_no_rows_lost": growth_no_rows_lost,
+        "growth_oracle_exact": growth_oracle_exact,
     }
     print(json.dumps(result))
     ok = (
@@ -324,6 +402,9 @@ def main() -> None:
         and midrun_no_rows_lost
         and midrun_probe_equals_rebuild
         and oracle_exact_after_recenter
+        and growth_fired_midrun
+        and growth_no_rows_lost
+        and growth_oracle_exact
     )
     sys.exit(0 if ok else 1)
 
