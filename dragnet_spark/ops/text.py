@@ -1045,3 +1045,133 @@ def benchmark_overlap_sql(
     FROM train LEFT JOIN bench ON train.gh = bench.gh
     GROUP BY train.doc_id
     """
+
+
+# --------------------------------------------------------- BM25 rank
+
+
+def bm25_rank(
+    df, text_col: str, id_col: str, query_terms: list[str], k: int = 10,
+):
+    """Top-k documents for a keyword query, scored with BM25
+    (k1=1.2, b=0.75) using a LINEAR idf — the relevance-mining op a
+    training-data pipeline runs to pull topical documents out of a
+    100 TB corpus.
+
+    Cross-engine exactness (the repo's e-integer discipline): with
+    k1 = 6/5 and b = 3/4 every per-term score is a ratio of two exact
+    BIGINT products —
+
+        idf_lin   = (2N - 2df + 1) / (2df + 1)          # (N-df+.5)/(df+.5)
+        saturation = 44*T*tf / (20*T*tf + 6*T + 18*dl*N) # tf(k1+1)/(tf+k1(1-b+b*dl/avgdl)), avgdl=T/N
+        score_t   = (2N-2df+1)*44*T*tf / ((2df+1)*(20*T*tf + 6*T + 18*dl*N))
+
+    — ONE IEEE division per term, and the document score adds the
+    per-term doubles in the FIXED order of ``query_terms`` (conditional
+    pivot, not SUM over rows), so no engine can disagree on summation
+    order or libm ulp. Linear idf replaces log idf for the same
+    bit-reproducibility reason as ``tfidf_top_terms`` (documented
+    variant; monotone in df).
+
+    Scale shape: tokens are filtered to the query terms BEFORE the
+    (doc, term) aggregation, so only matching tokens shuffle; dl/T/N
+    come from one narrow token-count pass; the totals ride a broadcast
+    1-row cross join (sanctioned normalizer pattern). No UDF.
+
+    Returns (doc_id, score, rank) — rank 1..k, ties break on doc_id.
+    """
+    from dragnet_spark.ops import spread
+
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+
+    tok = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").alias("T"), F.count(F.lit(1)).alias("N")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score_t",
+            (
+                (2 * F.col("N") - 2 * F.col("df") + 1)
+                * (44 * F.col("T") * F.col("tf"))
+            ).cast("double")
+            / (
+                (2 * F.col("df") + 1)
+                * (
+                    20 * F.col("T") * F.col("tf")
+                    + 6 * F.col("T")
+                    + 18 * F.col("dl") * F.col("N")
+                )
+            ).cast("double"),
+        )
+    )
+    # fixed-order pivot: score = s(term_1) + s(term_2) + ... exactly as
+    # written, identical in any engine
+    agg = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("score_t"))),
+                F.lit(0.0),
+            ).alias(f"_s{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    score = F.col("_s0")
+    for i in range(1, len(query_terms)):
+        score = score + F.col(f"_s{i}")
+    # global rank without the single-partition WindowExec (banned
+    # registry-wide): distributed range sort + per-partition offsets
+    from dragnet_spark.ops.rank import global_row_number
+
+    return (
+        global_row_number(
+            agg.withColumn("score", score),
+            [F.desc("score"), F.asc("doc_id")],
+            "rank",
+        )
+        .withColumn("rank", F.col("rank").cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )
+
+
+def bm25_rank_sql(text_expr: str, query_terms: list[str], k: int = 10) -> str:
+    """DuckDB twin of bm25_rank over the documents table."""
+    terms_list = ", ".join(f"'{t}'" for t in query_terms)
+    pivot = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN score_t END), 0.0)"
+        for t in query_terms
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, t.term
+                 FROM documents, UNNEST({tokens_sql(text_expr)}) AS t(term)),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    totals AS (SELECT SUM(dl) AS T, COUNT(*) AS N FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ({terms_list}) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST((2*N - 2*df + 1) * (44*T*tf) AS DOUBLE)
+             / CAST((2*df + 1) * (20*T*tf + 6*T + 18*dl*N) AS DOUBLE)
+             AS score_t
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), totals),
+    agg AS (SELECT doc_id, {pivot} AS score
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM agg QUALIFY rank <= {k}
+    """

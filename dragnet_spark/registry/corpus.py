@@ -131,3 +131,26 @@ def index_month_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+from dragnet_spark.ops.text import bm25_rank, bm25_rank_sql  # noqa: E402
+
+_BM25_TERMS = ["spark", "window", "scan"]
+
+
+@register(
+    "text_bm25_rank",
+    bm25_rank_sql("text", _BM25_TERMS, k=10),
+    "top-10 documents for a 3-term keyword query, BM25 (k1=1.2, "
+    "b=0.75) with linear idf: every per-term score is one IEEE "
+    "division of two exact BIGINT products and the doc score adds "
+    "terms in fixed query order (conditional pivot), so the ranking "
+    "is bit-reproducible across engines; tokens filter to the query "
+    "terms BEFORE aggregation so only matching tokens shuffle, and "
+    "the global rank is the distributed range-sort (ops/rank.py), "
+    "never a single-partition window",
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_rank(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", _BM25_TERMS, k=10
+    )

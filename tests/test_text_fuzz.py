@@ -92,3 +92,41 @@ def test_text_op_matches_twin(spark, seed, opname, spark_fn, sql_fn):
         f"{opname} seed={seed}: {len(got)} spark vs {len(want)} oracle; "
         f"spark-only={sorted(got - want)[:2]} oracle-only={sorted(want - got)[:2]}"
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_bm25_matches_twin(spark, seed):
+    """BM25 over fuzzed corpora equals its DuckDB twin row-for-row —
+    exercises tf saturation, dl variance, absent terms, and the
+    fixed-order pivot at every tie the small vocab manufactures."""
+    docs = _gen_corpus(seed)
+    terms = ["data", "scan", "theta"]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = rows_set(_text.bm25_rank(sdf, "text", "doc_id", terms, k=7))
+    want = {
+        tuple(r)
+        for r in con.execute(_text.bm25_rank_sql("text", terms, k=7)).fetchall()
+    }
+    con.close()
+    assert got == want, (
+        f"bm25 seed={seed}: spark-only={sorted(got - want)[:2]} "
+        f"oracle-only={sorted(want - got)[:2]}"
+    )
+
+
+def test_bm25_stuffed_doc_ranks_first(spark):
+    """A document stuffed with the rarest query term outranks the
+    rest; duplicate/empty query terms are rejected."""
+    docs = [(i, "filler words only here") for i in range(6)]
+    docs.append((99, "needle needle needle needle"))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    top = _text.bm25_rank(sdf, "text", "doc_id", ["needle", "filler"], k=3)
+    first = top.orderBy("rank").first()
+    assert first["doc_id"] == 99 and first["rank"] == 1
+
+    with pytest.raises(ValueError):
+        _text.bm25_rank(sdf, "text", "doc_id", [], k=3)
+    with pytest.raises(ValueError):
+        _text.bm25_rank(sdf, "text", "doc_id", ["a", "a"], k=3)
