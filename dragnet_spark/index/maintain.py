@@ -40,7 +40,14 @@ marker file             store kind
 ``_band_store.json``    ``band`` (minhash LSH bands)
 ``_srp_store.json``     ``srp`` (SRP semantic bands)
 ``_vector_index.json``  ``vindex`` (IVF ANN index)
+``_dn_sink.json``       ``sink`` (curated streaming sink)
 ======================  ====================
+
+The curated sink's fragmentation unit is the BATCH DIRECTORY (one per
+micro-batch, unbounded over a stream's lifetime); past ``max_files``
+committed dirs it is folded into negative-id base segments by
+``streaming/sink.compact_sink`` (only provably-folded batches move —
+see that module's ledger proof).
 """
 
 from __future__ import annotations
@@ -56,6 +63,7 @@ _MARKERS = {
     "_band_store.json": ("band", ("bands",)),
     "_srp_store.json": ("srp", ("srp_bands", "srp_band_pairs")),
     "_vector_index.json": ("vindex", ("vectors",)),
+    "_dn_sink.json": ("sink", None),  # curated sink: batch-dir count
 }
 
 
@@ -116,6 +124,16 @@ def store_health(spark: SparkSession, path: str, kind: str) -> dict:
     """Health signals for one store. Filesystem-only except the vector
     index's cell stats (parquet row-group metadata)."""
     h: dict = {"path": path, "kind": kind}
+    if kind == "sink":
+        # the sink's fragmentation unit is the BATCH DIR, not files
+        # within one (one dir per micro-batch, unbounded over time)
+        from dragnet_spark.streaming.sink import _batch_dirs
+
+        h["n_batch_dirs"] = sum(
+            1 for i in _batch_dirs(path) if i >= 0
+        )
+        h["max_files_per_partition"] = h["n_batch_dirs"]
+        return h
     h["max_files_per_partition"] = max(
         (_max_files_per_leaf(d) for d in _data_dirs(path, kind)),
         default=0,
@@ -181,6 +199,7 @@ _COMPACT = {
     "band": "dragnet_spark.index.fingerprints:compact_band_store",
     "srp": "dragnet_spark.index.fingerprints:compact_srp_store",
     "vindex": "dragnet_spark.index.vector:compact_vector_index",
+    "sink": "dragnet_spark.streaming.sink:compact_sink",
 }
 
 

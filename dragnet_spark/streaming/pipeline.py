@@ -790,6 +790,21 @@ def make_live_store_ingester(
     ledger = None
     if checkpoint:
         ledger = _os.path.join(store_path, "_dn_batch_ledger", ckpt_key)
+    # sink marker: records which store's lease/ledger governs this
+    # sink, so maintenance (streaming/sink.compact_sink, dn maintain)
+    # and the guarded reader find the store without configuration
+    import json as _json
+
+    from dragnet_spark.streaming.sink import SINK_MARKER
+
+    _os.makedirs(sink_path, exist_ok=True)
+    _marker_path = _os.path.join(sink_path, SINK_MARKER)
+    if not _os.path.exists(_marker_path):
+        with open(_marker_path, "w") as f:
+            _json.dump(
+                {"version": "1.0",
+                 "store_path": _os.path.abspath(store_path)}, f
+            )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         marker = None
