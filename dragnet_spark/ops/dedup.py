@@ -120,6 +120,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.9,
+    ngram: int = 3,
+) -> DataFrame:
+    """Directed shingle-set CONTAINMENT ``|A∩B| / |A| ≥ threshold``:
+    the asymmetric near-dup relation Jaccard is blind to. A 50-token
+    quote lifted verbatim into a 5,000-token page has Jaccard ≈ 0.01
+    (never passes any sane symmetric threshold) but containment 1.0 —
+    exactly the partial-copy / quotation / boilerplate-inclusion
+    structure a training-data dedup pass must catch (Broder 1997
+    introduced containment alongside resemblance for this reason).
+
+    Emits (contained_id, container_id, containment): the row says
+    "contained_id's shingles are ≥ threshold inside container_id".
+    Both directions of every overlapping pair are tested from ONE
+    undirected shared-shingle aggregation (post-agg row doubling is
+    free; re-grouping directed pairs would double the shuffle).
+
+    Same scale shape as :func:`ngram_jaccard_pairs` — shared-shingle
+    equi-join, volume Σ_g C(df_g, 2), no BNLJ; bit-identical to the
+    all-pairs form for threshold > 0 since a zero-overlap pair has
+    containment 0. At 100 TB the same two disciplines apply verbatim:
+    grams ride as md5 hashes and stop-shingles get df-capped (a gram
+    shared by every boilerplate page would otherwise dominate
+    Σ C(df_g, 2)); candidates can also come from the minhash band
+    store, since band collision lower-bounds resemblance which
+    lower-bounds containment."""
+    if threshold <= 0:
+        raise ValueError(
+            "containment_pairs requires threshold > 0 (the equi-join "
+            "form cannot emit zero-overlap pairs)"
+        )
+    df = spread(df)
+    sets = token_sets(df, text_col, id_col, ngram)
+    ex = sets.select(
+        "id", F.size("tset").alias("sz"), F.explode("tset").alias("g")
+    )
+    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "sz_a", "id_b", "sz_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    directed = shared.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.col("sz_a").alias("sz"),
+                    F.col("shared"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.col("sz_b").alias("sz"),
+                    F.col("shared"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    cont = F.round(
+        F.col("shared").cast("double") / F.col("sz").cast("double"), 6
+    )
+    return (
+        directed.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

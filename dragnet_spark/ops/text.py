@@ -680,6 +680,122 @@ def unigram_logprob_sql(text_expr: str = "text") -> str:
     """
 
 
+def bigram_logprob(
+    df, text_col: str = "text", id_col: str = "doc_id", lam: float = 0.8
+):
+    """Interpolated bigram-LM quality score: each document's mean
+    log P(w_i | w_{i-1}) under the corpus's own bigram model with
+    unigram interpolation (Jelinek-Mercer smoothing),
+
+        P(v|u) = lam * c(u,v)/c(u,·) + (1-lam) * c(v)/T
+
+    where c(u,·) is u's count as a LEFT CONTEXT (occurrences with a
+    successor — the proper MLE denominator, no end-of-doc bias) and
+    c(v)/T is the corpus unigram prior. Catches the word-salad the
+    unigram gate (:func:`unigram_logprob`) is blind to: shuffled
+    common words keep their unigram score exactly but crater here,
+    while fluent text scores near the corpus mean. The standard
+    second-tier cheap LM gate before a neural perplexity model.
+
+    Exactness across engines: the interpolated probability is a fixed
+    left-to-right double expression written identically in both
+    engines (IEEE ops are deterministic; neither engine contracts to
+    FMA), its log is scaled to an e9 integer (boundary-safe: ln
+    outputs are transcendental), summed as exact bigints, mean via
+    the sign-safe truncating integer division — the same discipline
+    that keeps unigram_logprob hash-exact at every octave.
+
+    Scale shape: one (doc, bigram) explode grouped to per-doc
+    occurrence counts, then bigram-key and context-key aggregations
+    (map-side partial combine on both), a bigram-vocabulary join that
+    AQE broadcasts when small and shuffles when web-scale, and a
+    final doc-key aggregation. The corpus total rides a 1-row
+    broadcast. No driver-side state, no BNLJ."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops import spread
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # bigrams as (u, v) structs: zip the array with itself shifted by
+    # one — docs with < 2 tokens contribute nothing
+    bg = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda u, v: F.struct(u.alias("u"), v.alias("v")),
+    )
+    dbg = (
+        spread(df)
+        .filter(n >= 2)
+        .select(F.col(id_col), F.explode(bg).alias("b"))
+        .select(id_col, F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+    )
+    # per-doc bigram occurrence counts first (the vocab join then
+    # moves one row per distinct bigram per doc — unigram_logprob's
+    # measured discipline)
+    dbc = dbg.groupBy(id_col, "u", "v").agg(F.count(F.lit(1)).alias("n"))
+    c2 = dbc.groupBy("u", "v").agg(F.sum("n").alias("c2"))
+    cu = c2.groupBy("u").agg(F.sum("c2").alias("cu"))
+    # unigram prior over ALL token occurrences (not just contexts)
+    tok = spread(df).select(F.explode(toks).alias("v"))
+    c1 = tok.groupBy("v").agg(F.count(F.lit(1)).alias("c1"))
+    tot = c1.agg(F.sum("c1").alias("t"))
+    # fixed evaluation order, written identically in the SQL twin:
+    # lam * (c2/cu) + (1-lam) * (c1/t)
+    p = (
+        F.lit(lam) * (F.col("c2").cast("double") / F.col("cu"))
+        + F.lit(1.0 - lam) * (F.col("c1").cast("double") / F.col("t"))
+    )
+    probs = (
+        c2.join(cu, "u")
+        .join(c1, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "u", "v",
+            F.round(F.log(p) * F.lit(1e9), 0).cast("long").alias("logp_e9"),
+        )
+    )
+    per_doc = (
+        dbc.join(probs, ["u", "v"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.col("logp_e9") * F.col("n")).alias("sum_e9"),
+        )
+    )
+    mean = (
+        (-F.expr("(-sum_e9) div n_bigrams")).cast("double") / F.lit(1e9)
+    ).alias("mean_logp")
+    return per_doc.select(id_col, "n_bigrams", mean)
+
+
+def bigram_logprob_sql(text_expr: str = "text", lam: float = 0.8) -> str:
+    """DuckDB twin of bigram_logprob over the documents table."""
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    bg AS (SELECT doc_id, tk[i] AS u, tk[i + 1] AS v
+           FROM t, UNNEST(range(1, len(tk))) AS r(i)
+           WHERE len(tk) >= 2),
+    dbc AS (SELECT doc_id, u, v, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3),
+    c2 AS (SELECT u, v, SUM(n) AS c2 FROM dbc GROUP BY u, v),
+    cu AS (SELECT u, SUM(c2) AS cu FROM c2 GROUP BY u),
+    tok AS (SELECT unnest(tk) AS v FROM t),
+    c1 AS (SELECT v, COUNT(*) AS c1 FROM tok GROUP BY v),
+    tot AS (SELECT SUM(c1) AS t FROM c1),
+    p AS (SELECT c2.u, c2.v,
+                 CAST(ROUND(LN({lam} * (CAST(c2.c2 AS DOUBLE) / cu.cu)
+                                + {1.0 - lam} * (CAST(c1.c1 AS DOUBLE) / tot.t))
+                            * 1e9, 0) AS BIGINT) AS logp_e9
+          FROM c2 JOIN cu USING (u) JOIN c1 USING (v), tot)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(-((-SUM(logp_e9 * n)) // SUM(n)) AS DOUBLE) / 1e9
+             AS mean_logp
+    FROM dbc JOIN p USING (u, v)
+    GROUP BY doc_id
+    """
+
+
 def duplicate_spans(
     df, text_col: str = "text", id_col: str = "doc_id", n: int = 8
 ):

@@ -349,6 +349,19 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    _text.bigram_logprob_sql("text"),  # oracle lives beside the op
+    "interpolated bigram-LM quality gate (Jelinek-Mercer: lam*P_bigram "
+    "+ (1-lam)*P_unigram over the corpus's own counts): per-doc mean "
+    "log P(w_i|w_{i-1}); catches shuffled-word salad the unigram gate "
+    "scores identically. Same e9-integer exactness discipline as "
+    "text_unigram_logprob; bigram-vocab join sized by AQE",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "tokenizer_fertility_by_lang",
     f"""
     WITH t AS (

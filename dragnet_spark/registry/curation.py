@@ -244,6 +244,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_oracle(threshold: float, ngram: int = _NGRAM) -> str:
+    toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {toks} AS ts FROM documents),
+    s AS (SELECT id, len(ts) AS sz, unnest(ts) AS g FROM t),
+    p AS (SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 COUNT(*) AS shared
+          FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2, 3, 4),
+    d AS (SELECT id_a AS contained_id, id_b AS container_id,
+                 sz_a AS sz, shared FROM p
+          UNION ALL
+          SELECT id_b AS contained_id, id_a AS container_id,
+                 sz_b AS sz, shared FROM p)
+    SELECT contained_id, container_id,
+           round(CAST(shared AS DOUBLE) / sz, 6) AS containment
+    FROM d
+    WHERE round(CAST(shared AS DOUBLE) / sz, 6) >= {threshold}
+    """
+
+
+_CONTAIN_T = 0.9
+
+
+@register(
+    "dedup_containment",
+    _containment_oracle(_CONTAIN_T),
+    "directed shingle containment |A∩B|/|A| >= 0.9 — the asymmetric "
+    "partial-copy/quotation relation Jaccard misses (Broder 1997); same "
+    "shared-shingle equi-join shape as dedup_ngram_jaccard, both "
+    "directions emitted from one undirected aggregation",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=_CONTAIN_T, ngram=_NGRAM,
+    )
+
+
 def _minhash_lsh_oracle(
     num_hashes: int, bands: int, threshold: float, ngram: int = _NGRAM
 ) -> str:

@@ -37,6 +37,42 @@ def test_dedup_keep_first(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
 
 
+def test_containment_catches_quote_jaccard_misses(spark):
+    from dragnet_spark.ops.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    page = quote + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "unrelated totally different stuff here")],
+        "doc_id long, text string",
+    )
+    # the quote's 4 3-shingles are all inside the page → containment 1.0
+    # one direction only; Jaccard on the same pair is tiny
+    got = {
+        (r.contained_id, r.container_id, r.containment)
+        for r in containment_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    }
+    assert got == {(1, 2, 1.0)}
+    jac = rows_set(ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5))
+    assert not jac  # symmetric measure misses the partial copy
+
+
+def test_bigram_logprob_catches_word_salad(spark):
+    from dragnet_spark.ops.text import bigram_logprob, unigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # same token MULTISET, scrambled order: unigram-identical word salad
+    salad = "on the the sat rug cat mat dog the and on sat the"
+    corpus = [(i, fluent) for i in range(8)] + [(8, salad)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    uni = {r.doc_id: r.mean_logp for r in unigram_logprob(df).collect()}
+    assert uni[8] == uni[0]  # unigram gate is blind to word order
+    bi = {r.doc_id: r.mean_logp for r in bigram_logprob(df).collect()}
+    assert bi[8] < bi[0] - 0.5  # bigram gate craters on the salad
+    n = {r.doc_id: r.n_bigrams for r in bigram_logprob(df).collect()}
+    assert n[0] == len(fluent.split()) - 1
+
+
 def test_lsh_pairs_subset_of_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(120)
     exact = rows_set(ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8))
