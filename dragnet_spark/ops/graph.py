@@ -94,6 +94,150 @@ def connected_components(
         edges.unpersist()
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge set, in EXACT
+    integer fixed-point arithmetic so every engine computes the same
+    bits. Centrality over the near-dup graph picks the best *cluster
+    representative* (the doc most doc-like among its duplicates —
+    min-id canonical selection keeps an arbitrary one), and is the
+    TrustRank-style quality-propagation primitive over any similarity
+    graph.
+
+    Exactness: floating-point PageRank sums neighbor contributions in
+    engine-specific order — unhashable across engines. Here ranks are
+    ``scale``-scaled BIGINTs; one iteration is
+
+        r'(v) = ((100-d)*scale) div (100*n)
+                + (d * (Σ_{u→v} (r(u) div deg(u)) + dangling div n)) div 100
+
+    with ``d = damping_pct`` and ``dangling = Σ_{deg(u)=0} r(u)``.
+    Every operation is integer (truncating ``div`` == floor on these
+    non-negative values in both Spark and DuckDB), every sum is a sum
+    of integers (order-independent), so K iterations are bit-identical
+    anywhere. Mass leaks a few units per node per round to flooring —
+    a deterministic definition, not an approximation to grade against.
+    Final ``pagerank`` is r/scale: int64→double conversion and one
+    power-of-ten divide, IEEE-identical in both engines (r ≤ scale
+    < 2^53). Headroom: 100*scale*... the widest intermediate is
+    d*(contrib+dangling/n) ≤ 85*scale = 8.5e13 « 2^63.
+
+    Scale shape: per iteration one edge⋈rank join (src-key shuffle),
+    one dst-key aggregation (map-side partial combine), a 1-row
+    broadcast for the dangling mass and node count, and a left join
+    back to nodes. localCheckpoint every round keeps the logical plan
+    depth bounded (the connected_components lesson). Driver state:
+    none — n and dangling ride 1-row broadcasts."""
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (0, 100)")
+    edges = edges.persist()
+    edges.count()
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .persist()
+    )
+    ids = nodes.select(F.col(id_col).alias("id"))
+    nn = ids.agg(F.count(F.lit(1)).alias("n"))
+    deg = sym.groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+    S = F.lit(scale)
+    ranks = ids.crossJoin(F.broadcast(nn)).select(
+        "id", F.expr(f"{scale} div n").alias("r")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(iterations):
+            shares = ranks.join(deg, "id").select(
+                "id", F.expr("r div deg").alias("share")
+            )
+            contrib = (
+                sym.join(shares, sym.s == shares.id)
+                .groupBy(F.col("d").alias("id"))
+                .agg(F.sum("share").alias("c"))
+            )
+            dang = ranks.join(deg, "id", "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
+            )
+            ranks = (
+                ids.crossJoin(F.broadcast(nn))
+                .crossJoin(F.broadcast(dang))
+                .join(contrib, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.expr(f"((100 - {damping_pct}) * {scale})"
+                               f" div (100 * n)")
+                        + F.expr(f"({damping_pct} * (coalesce(c, 0)"
+                                 f" + dang div n)) div 100")
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select(
+            "id", (F.col("r").cast("double") / S).alias("pagerank")
+        )
+    finally:
+        sym.unpersist()
+        deg.unpersist()
+        edges.unpersist()
+
+
+def pagerank_sql(
+    nodes_sql: str,
+    pairs_sql: str,
+    iterations: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the same integer fixed-point
+    iteration unrolled as one CTE chain. ``nodes_sql`` yields (id);
+    ``pairs_sql`` yields undirected (id_a, id_b)."""
+    d, S = damping_pct, scale
+    parts = [
+        f"nodes AS ({nodes_sql})",
+        f"prs AS ({pairs_sql})",
+        "e AS (SELECT id_a AS s, id_b AS d FROM prs"
+        " UNION SELECT id_b AS s, id_a AS d FROM prs)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT s AS id, COUNT(*) AS deg FROM e GROUP BY s)",
+        f"r0 AS (SELECT id, {S} // n AS r FROM nodes, nn)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS (SELECT e.d AS id, SUM(r.r // deg.deg) AS c"
+            f" FROM e JOIN r{p} r ON e.s = r.id"
+            f" JOIN deg ON deg.id = r.id GROUP BY e.d)"
+        )
+        parts.append(
+            f"d{k} AS (SELECT COALESCE(SUM(r.r), 0) AS dang"
+            f" FROM r{p} r LEFT JOIN deg ON deg.id = r.id"
+            f" WHERE deg.id IS NULL)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT nd.id,"
+            f" ((100 - {d}) * {S}) // (100 * nn.n)"
+            f" + ({d} * (COALESCE(c.c, 0) + dk.dang // nn.n)) // 100 AS r"
+            f" FROM nodes nd CROSS JOIN nn CROSS JOIN d{k} dk"
+            f" LEFT JOIN c{k} c ON c.id = nd.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(r AS DOUBLE) / {S} AS pagerank"
+        f" FROM r{iterations}"
+    )
+
+
 def dedup_cluster_assignments(
     df: DataFrame, id_col: str, pairs: DataFrame
 ) -> DataFrame:

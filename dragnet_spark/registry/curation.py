@@ -265,6 +265,36 @@ def _containment_oracle(threshold: float, ngram: int = _NGRAM) -> str:
     """
 
 
+def _pagerank_oracle() -> str:
+    from dragnet_spark.ops.graph import pagerank_sql
+
+    sql = pagerank_sql(
+        "SELECT doc_id AS id FROM documents",
+        _jaccard_oracle(_JACCARD_T),
+    )
+    return f"SELECT id AS doc_id, pagerank FROM ({sql})"
+
+
+@register(
+    "docs_neardup_pagerank",
+    _pagerank_oracle(),
+    "4-iteration PageRank centrality over the shingle-Jaccard near-dup "
+    "graph in exact integer fixed-point (bit-identical across engines; "
+    "float PageRank's order-dependent sums can't be hash-graded) — the "
+    "cluster-representative / quality-propagation primitive",
+)
+def docs_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_JACCARD_T, ngram=_NGRAM
+    )
+    return pagerank(docs, pairs, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "pagerank"
+    )
+
+
 _CONTAIN_T = 0.9
 
 

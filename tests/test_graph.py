@@ -43,3 +43,54 @@ def test_cluster_assignments_keeper_flag(spark):
         for r in dedup_cluster_assignments(df, "doc_id", pairs).collect()
     }
     assert got == {7: (7, True), 8: (8, True), 9: (8, False), 10: (10, True)}
+
+
+def _pagerank_py(n_ids, edges, iterations=4, d=85, S=10**12):
+    """Pure-Python twin of the exact integer fixed-point iteration."""
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(n_ids)
+    r = {i: S // n for i in n_ids}
+    for _ in range(iterations):
+        contrib = {i: 0 for i in n_ids}
+        for s, t in sym:
+            contrib[t] += r[s] // deg[s]
+        dang = sum(r[i] for i in n_ids if i not in deg)
+        base = ((100 - d) * S) // (100 * n)
+        r = {
+            i: base + (d * (contrib[i] + dang // n)) // 100
+            for i in n_ids
+        }
+    return {i: r[i] / S for i in n_ids}
+
+
+def test_pagerank_star_center_wins_and_matches_python_twin(spark):
+    from dragnet_spark.ops.graph import pagerank
+
+    # star: 0 at the center of 1..4, plus isolated 5 (dangling)
+    ids = list(range(6))
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.pagerank for r in pagerank(nodes, e).collect()}
+    want = _pagerank_py(ids, edges)
+    assert got == want  # bit-exact, not approximately equal
+    assert got[0] == max(got.values())  # the hub dominates
+    assert got[1] == got[2] == got[3] == got[4]  # leaves symmetric
+    assert got[5] < got[1]  # the isolate holds only base + dangling share
+
+
+def test_pagerank_no_edges_is_uniform(spark):
+    from dragnet_spark.ops.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r.id: r.pagerank for r in pagerank(nodes, e).collect()}
+    want = _pagerank_py(list(range(5)), [])
+    assert got == want
+    assert len(set(got.values())) == 1

@@ -209,6 +209,7 @@ _SCALAR_CROSS_JOIN_OK = {
     "source_mixture_weights",     # 1-row mixture normalizer
     "source_unigram_kl",          # 1-row vocab totals
     "text_unigram_logprob",       # 1-row corpus token count
+    "text_bigram_logprob",        # 1-row corpus token count
     "pack_documents",             # 1-row distinct-bin audit scalar
     # bounded-broadcast brute-force baselines: the query side is a
     # hard-capped batch (max_queries contract) broadcast against the
@@ -216,7 +217,8 @@ _SCALAR_CROSS_JOIN_OK = {
     # index variants, which this sweep verifies stay NLJ-free
     "ann_cosine_topk",
     "ann_hard_negatives",
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine left this list when its all-pairs stage
+    # became a broadcast + blocked BLAS matmul (no BNLJ in the plan)
 }
 
 
