@@ -1113,16 +1113,51 @@ def cmd_vindex_recenter(argv, cat: Catalog, out):
     )
 
 
+def cmd_sink_compact(argv, cat: Catalog, out):
+    """dn sink-compact <sink-path> [--min-batches=2] [--keep-last=0]:
+    fold the curated sink's committed-and-ledgered ``__dn_batch``
+    directories into a consolidated base segment (negative batch id;
+    readers keep working). Only provably-folded batches move; the
+    swap holds the governing store's lease, so it is safe against a
+    live ingest stream (streaming/sink.py)."""
+    from dragnet_spark.streaming.sink import compact_sink
+
+    opts = _parse_args(argv, ["min-batches", "keep-last"])
+    (sink,) = _nargs(opts, 1)
+    report = compact_sink(
+        _get_spark(),
+        sink,
+        min_batches=int(opts.get("min_batches", "2")),
+        keep_last=int(opts.get("keep_last", "0")),
+    )
+    if report["segment"]:
+        out.write(
+            "folded %d batch dirs into %s at %s\n"
+            % (len(report["folded"]), report["segment"], sink)
+        )
+    else:
+        out.write("nothing to fold at %s\n" % sink)
+    if report["skipped_unledgered"]:
+        out.write(
+            "skipped %d unledgered dirs (replay sources): %s\n"
+            % (
+                len(report["skipped_unledgered"]),
+                ",".join(report["skipped_unledgered"]),
+            )
+        )
+
+
 def cmd_maintain(argv, cat: Catalog, out):
     """dn maintain <root> [--dry-run] [--max-files=4]: discover every
     dragnet store under <root> (event index, fingerprint/band/SRP
-    stores, vector index — classified by marker file), read its health
-    signals (max files per partition; vindex cell skew + growth
-    policy), and run the lease-guarded maintenance each needs:
-    compact past --max-files, recenter a drifted or outgrown vector
-    index. --dry-run plans without touching anything. Cron-able: the
-    scheduled maintenance job for a fleet of continuously-appended
-    stores (index/maintain.py)."""
+    stores, vector index, curated streaming sink — classified by
+    marker file), read its health signals (max files per partition;
+    vindex cell skew + growth policy; sink batch-dir count), and run
+    the lease-guarded maintenance each needs: compact past
+    --max-files, recenter a drifted or outgrown vector index, fold an
+    outgrown sink's batch dirs. --dry-run plans without touching
+    anything. Cron-able: the scheduled maintenance job for a fleet of
+    continuously-appended stores (index/maintain.py)."""
     from dragnet_spark.index.maintain import run_maintenance
 
     opts = _parse_args(argv, ["dry-run", "max-files"])
@@ -1181,6 +1216,7 @@ COMMANDS = {
     "vindex-ingest": cmd_vindex_ingest,
     "vindex-recenter": cmd_vindex_recenter,
     "maintain": cmd_maintain,
+    "sink-compact": cmd_sink_compact,
     "vindex-stats": cmd_vindex_stats,
     "fp-build": cmd_fp_build,
     "fp-probe": cmd_fp_probe,

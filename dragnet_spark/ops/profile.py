@@ -1,0 +1,139 @@
+"""One-pass table profiler: per-column nulls / distincts / ranges.
+
+The first question against any 100 TB drop is "what's in it?" —
+null rates, cardinalities, value ranges, per column. The naive form
+is one scan per column (M scans of 100 TB); this operator computes
+every column's statistics in ONE scan: a single ``agg`` carrying
+``count``/``count_distinct``/``min``/``max`` for every column at
+once, which Catalyst plans as one pass with an Expand for the
+multi-distinct (the same single-scan machinery CUBE uses), then the
+1-row wide result is exploded into the long (col_name, stats) shape.
+Everything after the scan touches one row.
+
+Cross-engine exactness: numeric ranges are emitted as DOUBLE from
+integer/double minima (bigint→double exact below 2^53 — epoch
+micros ≈ 1.7e15 qualify), string ranges as strings (lexicographic,
+no float-formatting divergence), and time columns go through the
+sanctioned epoch-micros recipe (ops/temporal.ts_micros /
+``epoch_us(CAST(x AS TIMESTAMP))``) so NTZ parquet time matches
+DuckDB. No row-level values ride doubles through engine-ordered
+sums — counts are exact integers.
+
+Reference parity: the reference has no profiler; this is a
+beyond-reference addition in the spirit of its ``--counters``
+introspection (``bin/dn`` surfaces scan counters; a profile is the
+table-shaped version of "what did I just read").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dragnet_spark.ops.temporal import ts_micros
+
+#: profile row schema, in output order
+_FIELDS = (
+    "col_name", "n_rows", "n_nulls", "n_distinct",
+    "min_num", "max_num", "min_str", "max_str",
+)
+
+
+def _kind(dt: T.DataType) -> str:
+    """'num' | 'time' | 'str' — how a column's range is profiled."""
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "time"
+    if isinstance(dt, T.NumericType):
+        return "num"
+    return "str"
+
+
+def _range_col(name: str, kind: str) -> Column:
+    if kind == "time":
+        return ts_micros(F.col(name))
+    return F.col(name)
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str) for every top-level column of ``df``, computed
+    in one scan. Numeric and time columns fill ``*_num`` (time as
+    epoch micros); string-like columns fill ``*_str``; the other pair
+    is null. Nested/array/binary columns profile nulls and distincts
+    (by their canonical form) with null ranges."""
+    aggs = [F.count(F.lit(1)).alias("__nr")]
+    kinds: dict[str, str] = {}
+    for f in df.schema.fields:
+        n = f.name
+        k = _kind(f.dataType)
+        if k != "str" or isinstance(f.dataType, (T.StringType, T.BooleanType)):
+            rangeable = True
+        else:
+            rangeable = False  # arrays/structs/binary: no total order
+        kinds[n] = k if rangeable else "none"
+        c = F.col(n)
+        aggs.append(F.count(c).alias(f"__nn_{n}"))
+        aggs.append(F.count_distinct(c).alias(f"__nd_{n}"))
+        if not rangeable:
+            continue
+        r = _range_col(n, k)
+        if k in ("num", "time"):
+            aggs.append(F.min(r).cast("double").alias(f"__mn_{n}"))
+            aggs.append(F.max(r).cast("double").alias(f"__mx_{n}"))
+        else:
+            aggs.append(F.min(r.cast("string")).alias(f"__mn_{n}"))
+            aggs.append(F.max(r.cast("string")).alias(f"__mx_{n}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for f in df.schema.fields:
+        n, k = f.name, kinds[f.name]
+        num = k in ("num", "time")
+        rows.append(
+            F.struct(
+                F.lit(n).alias("col_name"),
+                F.col("__nr").alias("n_rows"),
+                (F.col("__nr") - F.col(f"__nn_{n}")).alias("n_nulls"),
+                F.col(f"__nd_{n}").alias("n_distinct"),
+                (F.col(f"__mn_{n}") if num
+                 else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"__mx_{n}") if num
+                 else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"__mn_{n}") if k == "str"
+                 else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"__mx_{n}") if k == "str"
+                 else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def profile_sql(table: str, cols: dict[str, str]) -> str:
+    """DuckDB twin: one UNION ALL branch per column (the oracle may
+    scan M times; the Spark side is the one-scan path). ``cols`` maps
+    column name → 'num' | 'time' | 'str'."""
+    branches = []
+    for n, k in cols.items():
+        if k == "time":
+            rng = f"epoch_us(CAST({n} AS TIMESTAMP))"
+        else:
+            rng = n
+        if k in ("num", "time"):
+            mn = f"CAST(MIN({rng}) AS DOUBLE)"
+            mx = f"CAST(MAX({rng}) AS DOUBLE)"
+            ms = "CAST(NULL AS VARCHAR)"
+            xs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ms = f"MIN(CAST({n} AS VARCHAR))"
+            xs = f"MAX(CAST({n} AS VARCHAR))"
+        branches.append(
+            f"SELECT '{n}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({n}) AS n_nulls,"
+            f" COUNT(DISTINCT {n}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {ms} AS min_str, {xs} AS max_str"
+            f" FROM {table}"
+        )
+    return "\nUNION ALL\n".join(branches)

@@ -773,3 +773,24 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+from dragnet_spark.ops.profile import profile_sql, profile_table  # noqa: E402
+
+_EVENTS_PROFILE_COLS = {
+    "event_id": "num", "ts": "time", "user_id": "num",
+    "event_type": "str", "value": "num", "props": "str",
+}
+
+
+@register(
+    "events_profile",
+    profile_sql("events", _EVENTS_PROFILE_COLS),
+    "one-scan table profiler: per-column nulls/distincts/ranges for "
+    "the whole table in a single pass (multi-count_distinct Expand — "
+    "the naive form is one 100 TB scan PER column); time ranges via "
+    "the sanctioned epoch-micros recipe, numeric ranges as exact-"
+    "below-2^53 doubles, string ranges lexicographic",
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(_t(spark, sf_dir, "events"))

@@ -728,6 +728,44 @@ def test_maintain_cli(cfg, tmp_path, spark):
     assert rc == 0 and "0 with pending work" in out
 
 
+def test_sink_compact_cli(cfg, tmp_path, spark):
+    """dn sink-compact: folds a curated sink's batch dirs via the CLI;
+    reader-visible rows unchanged."""
+    import os
+
+    from dragnet_spark.index.fingerprints import build_fingerprint_store
+    from dragnet_spark.ops.text import fingerprint
+    from dragnet_spark.streaming.pipeline import make_live_store_ingester
+
+    store = str(tmp_path / "store")
+    build_fingerprint_store(
+        spark,
+        spark.createDataFrame(
+            [(1, "previously stored text here ok")], "doc_id long, text string"
+        ),
+        store,
+    )
+    sink = str(tmp_path / "sink")
+    ingest = make_live_store_ingester(
+        store, sink, "id", checkpoint=str(tmp_path / "ck")
+    )
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(str(10 * i + j), f"cli sink doc {i} {j} words") for j in range(2)],
+            "id string, text string",
+        )
+        ingest(b.select("id", "text", fingerprint("text").alias("__dn_fp")), i)
+    before = spark.read.parquet(sink).count()
+
+    rc, out, _ = run(["sink-compact", sink], cfg)
+    assert rc == 0 and "folded 3 batch dirs into __dn_batch=-1" in out
+    assert spark.read.parquet(sink).count() == before
+    assert sorted(os.listdir(sink)) == ["__dn_batch=-1", "_dn_sink.json"]
+
+    rc, out, _ = run(["sink-compact", sink], cfg)
+    assert rc == 0 and "nothing to fold" in out
+
+
 def test_orc_datasource_scan(cfg, spark, tmp_path):
     """ORC trees scan through the same CLI dispatch as parquet: schema
     rides the file, filters and breakdowns work unchanged."""

@@ -14,7 +14,7 @@ appends survivors to a parquet sink. At the end:
 * stable latency — last-third vs first-third median micro-batch
   duration (fingerprint-dedup state must not degrade throughput).
 
-Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store|bandstore|livestore|livestore-compact]
+Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store|bandstore|livestore|livestore-compact|livestore-sinkcompact]
 With the optional ``store`` argument the soak pre-builds a
 MATERIALIZED fingerprint store holding every planted duplicate
 cluster's text (index/fingerprints.py) and runs
@@ -47,6 +47,16 @@ serializes each compaction with each micro-batch's probe+fold-in.
 End checks are the livestore set (zero lost rows: stream==batch
 exact, store == seed + survivors) plus the number of compactions
 that ran concurrently.
+
+With ``livestore-sinkcompact`` (round-9) the maintenance thread
+attacks the SINK as well: every ~5 s it folds the sink's committed
+batch dirs into base segments (streaming/sink.compact_sink) and every
+other round also compacts the store — both maintenance legs racing
+the live writer under one lease. End checks are the livestore set
+(stream==batch exact through every fold, store == seed + survivors)
+plus the sink-fold count and the end-state batch-dir count (bounded,
+where the uncompacted run grows one dir per micro-batch); the final
+read goes through the guarded reader (read_curated_sink).
 """
 
 from __future__ import annotations
@@ -126,8 +136,11 @@ def main() -> None:
     mode = sys.argv[3] if len(sys.argv) > 3 else ""
     store_mode = mode == "store"
     band_mode = mode == "bandstore"
-    live_mode = mode in ("livestore", "livestore-compact")
+    live_mode = mode in (
+        "livestore", "livestore-compact", "livestore-sinkcompact"
+    )
     compact_mode = mode == "livestore-compact"
+    sink_compact_mode = mode == "livestore-sinkcompact"
     spark = get_spark(app_name="soak_curate")
     root = Path(tempfile.mkdtemp(prefix="curate_soak_"))
     src = root / "in"
@@ -229,8 +242,34 @@ def main() -> None:
             .start()
         )
     n_compactions = {"n": 0}
+    n_sink_folds = {"n": 0}
     tc = None
-    if compact_mode:
+    if sink_compact_mode:
+        # round-9: BOTH maintenance legs race the live writer — the
+        # sink fold every round, the store compaction every other
+        # round, all serialized by the one store lease. compact_sink
+        # only moves batch dirs whose ledger marker proves their rows
+        # are in the store, so no fold can strand a replay source.
+        from dragnet_spark.index.fingerprints import (
+            compact_fingerprint_store,
+        )
+        from dragnet_spark.streaming.sink import compact_sink
+
+        def sink_compactor():
+            rounds = 0
+            while not stop.is_set():
+                time.sleep(5)
+                rep = compact_sink(spark, str(sink))
+                if rep["segment"]:
+                    n_sink_folds["n"] += 1
+                rounds += 1
+                if rounds % 2 == 0:
+                    compact_fingerprint_store(spark, store_path)
+                    n_compactions["n"] += 1
+
+        tc = threading.Thread(target=sink_compactor, daemon=True)
+        tc.start()
+    elif compact_mode:
         # VERDICT r7 #2: compaction runs CONCURRENTLY against the live
         # ingest loop — no stop/restart. The store lease (lease.py)
         # serializes each compaction with each micro-batch's
@@ -272,7 +311,16 @@ def main() -> None:
     q.stop()
     q.awaitTermination(60)
 
-    streamed = spark.read.parquet(str(sink)).select("id", "__dn_fp")
+    if sink_compact_mode:
+        # the guarded reader is the contract-following path over a
+        # sink that maintenance may be mid-swap on
+        from dragnet_spark.streaming.sink import read_curated_sink
+
+        streamed = read_curated_sink(spark, str(sink)).select(
+            "id", "__dn_fp"
+        )
+    else:
+        streamed = spark.read.parquet(str(sink)).select("id", "__dn_fp")
     # batch twin over the same files
     from dragnet_spark.scan import VARIANT_COL
 
@@ -348,6 +396,14 @@ def main() -> None:
         out["survivors_missing_from_store"] = missing
         if compact_mode:
             out["concurrent_compactions"] = n_compactions["n"]
+        if sink_compact_mode:
+            from dragnet_spark.streaming.sink import _batch_dirs
+
+            dirs = _batch_dirs(str(sink))
+            out["concurrent_sink_folds"] = n_sink_folds["n"]
+            out["concurrent_store_compactions"] = n_compactions["n"]
+            out["sink_batch_dirs_end"] = sum(1 for i in dirs if i >= 0)
+            out["sink_base_segments_end"] = sum(1 for i in dirs if i < 0)
     if band_mode:
         from dragnet_spark.index.fingerprints import probe_near_duplicates
 
