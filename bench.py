@@ -75,6 +75,8 @@ BENCH_FAMILIES = [
         "events_pivot_type_by_day",
         "events_p99_outliers",
         "events_cube_type_day",
+        # round-9 addition: one-scan profiler
+        "events_profile",
     ]),
     ("text", [
         "text_tokens_by_source",
@@ -91,6 +93,9 @@ BENCH_FAMILIES = [
         "docs_source_mix_weights",
         "corpus_token_spectrum",
         "docs_weighted_sample",
+        # round-9 additions: ranked retrieval + second-order LM gate
+        "text_bm25_rank",
+        "text_bigram_logprob",
     ]),
     ("ann", [
         "ann_hard_negatives",
@@ -108,6 +113,9 @@ BENCH_FAMILIES = [
         "dedup_incremental_probe",
         "dedup_incremental_near_probe",
         "dedup_incremental_embedding_probe",
+        # round-9 additions: asymmetric containment + graph centrality
+        "dedup_containment",
+        "docs_neardup_pagerank",
     ]),
     # decode-path regressions must trip the trailing-median grading
     # like every other family (VERDICT r6 #4) — multimodal throughput

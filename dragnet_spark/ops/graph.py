@@ -205,8 +205,8 @@ def pagerank_sql(
     d, S = damping_pct, scale
     parts = [
         f"nodes AS ({nodes_sql})",
-        f"prs AS ({pairs_sql})",
-        "e AS (SELECT id_a AS s, id_b AS d FROM prs"
+        f"prs AS MATERIALIZED ({pairs_sql})",
+        "e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM prs"
         " UNION SELECT id_b AS s, id_a AS d FROM prs)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         "deg AS (SELECT s AS id, COUNT(*) AS deg FROM e GROUP BY s)",
@@ -235,6 +235,56 @@ def pagerank_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT id, CAST(r AS DOUBLE) / {S} AS pagerank"
         f" FROM r{iterations}"
+    )
+
+
+def minlabel_closure_sql(
+    ids_sql: str, pairs_sql: str, rounds: int = 12
+) -> str:
+    """DuckDB oracle for :func:`connected_components` WITHOUT the
+    transitive-closure blow-up. The textbook ``WITH RECURSIVE
+    reach(id, r)`` oracle materializes every (node, reachable-node)
+    pair — Σ m² rows over component sizes m, which a tail-threshold
+    similarity graph (giant component spanning the corpus) turns into
+    hours/OOM: measured 2h+ without completing at 20k nodes / 54k
+    edges, where the pair stage alone costs ~2 min. DuckDB 1.0 can't
+    aggregate inside a recursive CTE (min-label propagation needs
+    GROUP BY; ``USING KEY`` arrives in 1.3), so instead this unrolls
+    a FIXED number of (neighbor-min, pointer-jump) rounds as plain
+    CTEs:
+
+        m_k(v) = min(l_{k-1}(v), min over neighbors l_{k-1}(u))
+        l_k(v) = l_k-1-composed: m_k(m_k(v))   -- pointer jumping
+
+    Pointer jumping at least doubles the propagated distance per
+    round, so ``rounds=12`` converges for any diameter ≤ 2^12 — far
+    past any real similarity graph (random-graph diameter ~log n). A
+    graph that somehow needed more rounds cannot fail silently: the
+    oracle's labels would differ from the engine's converged labels
+    and the value-hash comparison fails loudly. ``ids_sql`` yields
+    (id); ``pairs_sql`` yields undirected (id_a, id_b). Output:
+    (id, component)."""
+    parts = [
+        f"ids AS MATERIALIZED ({ids_sql})",
+        f"prs AS MATERIALIZED ({pairs_sql})",
+        "e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM prs"
+        " UNION SELECT id_b AS s, id_a AS d FROM prs)",
+        "l0 AS MATERIALIZED (SELECT id, id AS l FROM ids)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT i.id, LEAST(i.l, COALESCE(MIN(n.l), i.l))"
+            f" AS l FROM l{p} i LEFT JOIN e ON e.d = i.id"
+            f" LEFT JOIN l{p} n ON n.id = e.s GROUP BY i.id, i.l)"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT a.id, b.l FROM m{k} a JOIN m{k} b"
+            f" ON a.l = b.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, l AS component FROM l{rounds}"
     )
 
 

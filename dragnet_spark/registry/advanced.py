@@ -303,25 +303,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_clusters_oracle() -> str:
+    # pointer-jumping min-label oracle: the old WITH RECURSIVE
+    # transitive-closure form materialized Σ m² reach rows and ran
+    # 2h+ without completing once the 10× tier's 0.42-threshold
+    # graph grew a giant component (54k edges over 20k vectors);
+    # see ops/graph.minlabel_closure_sql
+    from dragnet_spark.ops.graph import minlabel_closure_sql
+
+    closure = minlabel_closure_sql(
+        "SELECT vec_id AS id FROM embeddings",
+        f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_EMB_COS} >= {_EMB_T}""",
+    )
+    return (
+        f"SELECT id AS vec_id, component AS canonical_id,"
+        f" (id = component) AS is_canonical FROM ({closure})"
+    )
+
+
 @register(
     "dedup_embedding_clusters",
-    f"""
-    WITH RECURSIVE pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE {_EMB_COS} >= {_EMB_T}
-    ),
-    ids AS (SELECT vec_id AS id FROM embeddings),
-    reach(id, r) AS (
-      SELECT id, id FROM ids
-      UNION
-      SELECT reach.id, CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
-      FROM reach JOIN pairs e ON reach.r = e.id_a OR reach.r = e.id_b
-    )
-    SELECT id AS vec_id, MIN(r) AS canonical_id,
-           (id = MIN(r)) AS is_canonical
-    FROM reach GROUP BY id
-    """,
+    _emb_clusters_oracle(),
     "SemDeDup-style semantic dedup: connected components over the "
     "embedding-cosine near-dup graph (A~B, B~C ⇒ one semantic group "
     "even if A~C scores under threshold); same min-label propagation "

@@ -94,3 +94,38 @@ def test_pagerank_no_edges_is_uniform(spark):
     want = _pagerank_py(list(range(5)), [])
     assert got == want
     assert len(set(got.values())) == 1
+
+
+def test_minlabel_closure_sql_matches_engine_on_long_chain(spark):
+    """The unrolled pointer-jump oracle converges on a diameter-60
+    chain (needs log-doubling; plain 12-round propagation would not
+    reach) and matches connected_components exactly."""
+    import duckdb
+
+    from dragnet_spark.ops.graph import (
+        connected_components,
+        minlabel_closure_sql,
+    )
+
+    n = 61
+    chain = [(i, i + 1) for i in range(100, 100 + n - 1)]  # one chain
+    iso = [(500,), (501,)]
+    ids = [(i,) for i in range(100, 100 + n)] + iso
+    nodes = spark.createDataFrame(ids, "id long")
+    e = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components(nodes, e, max_iter=70).collect()
+    }
+    con = duckdb.connect()
+    ids_sql = "SELECT * FROM (VALUES " + ",".join(
+        f"({i})" for i, in ids
+    ) + ") t(id)"
+    pairs_sql = "SELECT * FROM (VALUES " + ",".join(
+        f"({a},{b})" for a, b in chain
+    ) + ") t(id_a, id_b)"
+    want = set(
+        con.execute(minlabel_closure_sql(ids_sql, pairs_sql)).fetchall()
+    )
+    assert got == want
+    assert all(c == 100 for i, c in got if 100 <= i < 100 + n)
