@@ -1114,21 +1114,24 @@ def cmd_vindex_recenter(argv, cat: Catalog, out):
 
 
 def cmd_sink_compact(argv, cat: Catalog, out):
-    """dn sink-compact <sink-path> [--min-batches=2] [--keep-last=0]:
-    fold the curated sink's committed-and-ledgered ``__dn_batch``
-    directories into a consolidated base segment (negative batch id;
-    readers keep working). Only provably-folded batches move; the
-    swap holds the governing store's lease, so it is safe against a
-    live ingest stream (streaming/sink.py)."""
+    """dn sink-compact <sink-path> [--min-batches=2] [--keep-last=0]
+    [--order-by=COL]: fold the curated sink's committed-and-ledgered
+    ``__dn_batch`` directories into a consolidated base segment
+    (negative batch id; readers keep working). Only provably-folded
+    batches move; the swap holds the governing store's lease, so it
+    is safe against a live ingest stream. --order-by clusters the
+    segment on a column so parquet min/max stats prune probes
+    (streaming/sink.py)."""
     from dragnet_spark.streaming.sink import compact_sink
 
-    opts = _parse_args(argv, ["min-batches", "keep-last"])
+    opts = _parse_args(argv, ["min-batches", "keep-last", "order-by"])
     (sink,) = _nargs(opts, 1)
     report = compact_sink(
         _get_spark(),
         sink,
         min_batches=int(opts.get("min_batches", "2")),
         keep_last=int(opts.get("keep_last", "0")),
+        order_by=opts.get("order_by"),
     )
     if report["segment"]:
         out.write(
@@ -1143,6 +1146,35 @@ def cmd_sink_compact(argv, cat: Catalog, out):
             % (
                 len(report["skipped_unledgered"]),
                 ",".join(report["skipped_unledgered"]),
+            )
+        )
+
+
+def cmd_profile(argv, cat: Catalog, out):
+    """dn profile <path> [--format=parquet]: one-scan per-column
+    profile of a table — null counts, exact distincts, numeric/time
+    ranges (epoch micros), string ranges. Single pass regardless of
+    column count (ops/profile.py); the collect is one row per column."""
+    from dragnet_spark.ops.profile import profile_table
+
+    opts = _parse_args(argv, ["format"])
+    (path,) = _nargs(opts, 1)
+    fmt = opts.get("format", "parquet")
+    df = _get_spark().read.format(fmt).load(path)
+    rows = profile_table(df).collect()
+    out.write(
+        "%-16s %12s %10s %10s %22s %22s\n"
+        % ("COLUMN", "ROWS", "NULLS", "DISTINCT", "MIN", "MAX")
+    )
+    for r in rows:
+        mn = r["min_num"] if r["min_num"] is not None else r["min_str"]
+        mx = r["max_num"] if r["max_num"] is not None else r["max_str"]
+        out.write(
+            "%-16s %12d %10d %10d %22s %22s\n"
+            % (
+                r["col_name"], r["n_rows"], r["n_nulls"], r["n_distinct"],
+                "" if mn is None else str(mn)[:22],
+                "" if mx is None else str(mx)[:22],
             )
         )
 
@@ -1217,6 +1249,7 @@ COMMANDS = {
     "vindex-recenter": cmd_vindex_recenter,
     "maintain": cmd_maintain,
     "sink-compact": cmd_sink_compact,
+    "profile": cmd_profile,
     "vindex-stats": cmd_vindex_stats,
     "fp-build": cmd_fp_build,
     "fp-probe": cmd_fp_probe,

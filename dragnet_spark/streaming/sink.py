@@ -128,13 +128,22 @@ def compact_sink(
     keep_last: int = 0,
     files_per_segment: int = 8,
     wait_s: float | None = None,
+    order_by: str | None = None,
 ) -> dict:
     """Fold every provably-folded ``__dn_batch`` dir into one new base
     segment. Returns a report dict (``folded``, ``segment``,
     ``skipped_unledgered``). ``store_path`` defaults to the sink
     marker's recorded store; ``keep_last`` optionally exempts the
     highest N real batch ids; ``files_per_segment`` bounds the
-    segment's file count (the whole point is fewer files)."""
+    segment's file count (the whole point is fewer files).
+
+    ``order_by`` sorts the segment by a column while folding
+    (range-partitioned sort → one sorted parquet file per range), so
+    parquet row-group min/max statistics become selective for that
+    column: a downstream filter or store probe on it prunes most of
+    the segment's row groups instead of scanning the year's corpus.
+    Micro-batch dirs are written in arrival order and can't have this
+    layout — compaction is exactly the place clustering is free."""
     store_path = store_path or load_sink_marker(sink_path)["store_path"]
     ledger_root = os.path.join(store_path, "_dn_batch_ledger")
     with hold_lease(store_path, "compact-sink", wait_s=wait_s):
@@ -174,11 +183,12 @@ def compact_sink(
         src_paths = [os.path.join(sink_path, n) for n in safe]
         df = spark.read.parquet(*src_paths)
         n_rows = df.count()
-        (
-            df.repartition(files_per_segment)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
+        if order_by:
+            df = df.repartitionByRange(files_per_segment, order_by)
+            df = df.sortWithinPartitions(order_by)
+        else:
+            df = df.repartition(files_per_segment)
+        df.write.mode("overwrite").parquet(stage)
         with open(os.path.join(stage, SEGMENT_MANIFEST), "w") as f:
             json.dump(
                 {"sources": safe, "rows": n_rows, "target": target}, f

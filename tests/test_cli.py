@@ -766,6 +766,23 @@ def test_sink_compact_cli(cfg, tmp_path, spark):
     assert rc == 0 and "nothing to fold" in out
 
 
+def test_profile_cli(cfg, spark, tmp_path):
+    """dn profile: one-scan per-column stats over a parquet table."""
+    d = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (3, None, 7.5)],
+        "k long, s string, v double",
+    ).write.parquet(d)
+    rc, out, _ = run(["profile", d], cfg)
+    assert rc == 0
+    lines = {ln.split()[0]: ln.split() for ln in out.splitlines()[1:] if ln}
+    assert lines["k"][1:4] == ["3", "0", "3"]
+    assert lines["s"][1:4] == ["3", "1", "2"]
+    assert lines["v"][1:4] == ["3", "1", "2"]
+    assert lines["v"][4] == "2.5" and lines["v"][5] == "7.5"
+    assert lines["s"][4] == "a" and lines["s"][5] == "b"
+
+
 def test_orc_datasource_scan(cfg, spark, tmp_path):
     """ORC trees scan through the same CLI dispatch as parquet: schema
     rides the file, filters and breakdowns work unchanged."""

@@ -205,6 +205,40 @@ def test_reader_busy_during_live_swap(spark, sinkworld):
     assert not os.path.exists(os.path.join(sink, ".dn_compact_swap"))
 
 
+def test_ordered_fold_clusters_rowgroups(spark, sinkworld):
+    """compact_sink(order_by=...) writes range-disjoint sorted files:
+    parquet min/max stats become selective for the cluster column."""
+    import pyarrow.parquet as pq
+
+    store, sink, _ = sinkworld
+    before = {tuple(r) for r in spark.read.parquet(sink)
+              .select("id", "text").collect()}
+    report = compact_sink(spark, sink, files_per_segment=3,
+                          order_by="id")
+    assert len(report["folded"]) == 6
+    seg = os.path.join(sink, report["segment"])
+    ranges = []
+    for f in sorted(os.listdir(seg)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(seg, f)).metadata
+        col = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "id"
+        )
+        stats = [md.row_group(g).column(col).statistics
+                 for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats),
+                       max(s.max for s in stats)))
+    assert len(ranges) >= 2  # actually split into ranges
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: min/max stats prune probes
+    after = {tuple(r) for r in read_curated_sink(spark, sink)
+             .select("id", "text").collect()}
+    assert after == before
+
+
 def test_maintain_folds_outgrown_sink(spark, sinkworld):
     from dragnet_spark.index.maintain import plan_maintenance, run_maintenance
 
