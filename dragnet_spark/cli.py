@@ -70,6 +70,10 @@ _OPT_DEFS = {
     "bits": True, "vectors": True, "min-band-hits": True,
     "stream-dir": True, "checkpoint": True, "no-recenter": False,
     "target-rows-per-cell": True, "max-files": True,
+    # round-9: sink fold, profiler, LM store
+    "min-batches": True, "keep-last": True, "order-by": True,
+    "format": True, "docs": True, "min-count": True, "lam-pct": True,
+    "min-mean-logp": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1150,6 +1154,70 @@ def cmd_sink_compact(argv, cat: Catalog, out):
         )
 
 
+def cmd_lm_build(argv, cat: Catalog, out):
+    """dn lm-build <docs.parquet> --out=PATH [--text-field=text]
+    [--min-count=2] [--lam-pct=80]: freeze the reference corpus's
+    interpolated bigram-LM counts into an LM store (index/lm.py) for
+    ingest gating — the judged data must never shift the judge."""
+    from dragnet_spark.index.lm import build_lm_store
+
+    opts = _parse_args(argv, ["out", "text-field", "min-count", "lam-pct"])
+    (src,) = _nargs(opts, 1)
+    if "out" not in opts:
+        raise UsageError('"out" option is required')
+    spark = _get_spark()
+    meta = build_lm_store(
+        spark,
+        spark.read.parquet(src),
+        opts["out"],
+        text_col=opts.get("text_field", "text"),
+        min_count=int(opts.get("min_count", "2")),
+        lam_pct=int(opts.get("lam_pct", "80")),
+    )
+    out.write(
+        "built LM store at %s: %d tokens, %d vocab, bigrams c2>=%d\n"
+        % (opts["out"], meta["total_tokens"], meta["vocab_size"],
+           meta["min_count"])
+    )
+
+
+def cmd_lm_score(argv, cat: Catalog, out):
+    """dn lm-score <lm-path> --docs=<parquet> [--id-field=doc_id]
+    [--text-field=text] [--min-mean-logp=X]: score (or, with the
+    threshold, gate) a batch under the frozen reference LM; prints
+    per-doc NDJSON and a summary line."""
+    import json as _json
+
+    from dragnet_spark.index.lm import lm_gate, score_against_lm_store
+
+    opts = _parse_args(
+        argv, ["docs", "id-field", "text-field", "min-mean-logp"]
+    )
+    (lm,) = _nargs(opts, 1)
+    if "docs" not in opts:
+        raise UsageError('"docs" option is required')
+    spark = _get_spark()
+    docs = spark.read.parquet(opts["docs"])
+    idc = opts.get("id_field", "doc_id")
+    txt = opts.get("text_field", "text")
+    if "min_mean_logp" in opts:
+        kept = lm_gate(
+            spark, lm, docs, float(opts["min_mean_logp"]),
+            text_col=txt, id_col=idc,
+        )
+        n_in, n_out = docs.count(), kept.count()
+        for r in kept.select(idc).collect():
+            out.write(_json.dumps({idc: r[idc]}) + "\n")
+        out.write("kept %d of %d docs\n" % (n_out, n_in))
+        return
+    rows = score_against_lm_store(
+        spark, lm, docs, text_col=txt, id_col=idc
+    ).collect()
+    for r in rows:
+        out.write(_json.dumps(r.asDict()) + "\n")
+    out.write("scored %d docs\n" % len(rows))
+
+
 def cmd_profile(argv, cat: Catalog, out):
     """dn profile <path> [--format=parquet]: one-scan per-column
     profile of a table — null counts, exact distincts, numeric/time
@@ -1250,6 +1318,8 @@ COMMANDS = {
     "maintain": cmd_maintain,
     "sink-compact": cmd_sink_compact,
     "profile": cmd_profile,
+    "lm-build": cmd_lm_build,
+    "lm-score": cmd_lm_score,
     "vindex-stats": cmd_vindex_stats,
     "fp-build": cmd_fp_build,
     "fp-probe": cmd_fp_probe,

@@ -1504,3 +1504,78 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_LM_STORE_CACHE: dict[str, str] = {}
+_LM_MIN_COUNT = 2
+_LM_LAM_PCT = 80
+
+
+def _lm_scores_oracle() -> str:
+    lam = _LM_LAM_PCT / 100.0
+    toks = _text.tokens_sql("text")
+    return f"""
+    WITH ref AS (SELECT {toks} AS tk FROM documents WHERE doc_id % 5 <> 0),
+    rtok AS (SELECT unnest(tk) AS tok FROM ref),
+    c1 AS (SELECT tok, COUNT(*) AS c1 FROM rtok GROUP BY tok),
+    rbg AS (SELECT tk[i] AS u, tk[i + 1] AS v
+            FROM ref, UNNEST(range(1, len(tk))) AS r(i)
+            WHERE len(tk) >= 2),
+    c2a AS (SELECT u, v, COUNT(*) AS c2 FROM rbg GROUP BY u, v),
+    cu AS (SELECT u, SUM(c2) AS cu FROM c2a GROUP BY u),
+    big AS (SELECT * FROM c2a WHERE c2 >= {_LM_MIN_COUNT}),
+    tv AS (SELECT SUM(c1) AS t, COUNT(*) AS v FROM c1),
+    nt AS (SELECT doc_id, {toks} AS tk FROM documents WHERE doc_id % 5 = 0),
+    nbg AS (SELECT doc_id, tk[i] AS u, tk[i + 1] AS v
+            FROM nt, UNNEST(range(1, len(tk))) AS r(i)
+            WHERE len(tk) >= 2),
+    dbc AS (SELECT doc_id, u, v, COUNT(*) AS n FROM nbg GROUP BY 1, 2, 3),
+    p AS (SELECT dbc.doc_id, dbc.n,
+                 CAST(ROUND(LN({lam!r} * COALESCE(CAST(big.c2 AS DOUBLE)
+                                                  / cu.cu, 0.0)
+                               + {1.0 - lam!r} * ((CAST(COALESCE(c1.c1, 0)
+                                                        AS DOUBLE) + 1.0)
+                                                  / (tv.t + tv.v + 1.0)))
+                            * 1e9, 0) AS BIGINT) AS logp_e9
+          FROM dbc
+          LEFT JOIN big USING (u, v)
+          LEFT JOIN cu USING (u)
+          LEFT JOIN c1 ON c1.tok = dbc.v, tv)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(-((-SUM(logp_e9 * n)) // SUM(n)) AS DOUBLE) / 1e9
+             AS mean_logp
+    FROM p GROUP BY doc_id
+    """
+
+
+@register(
+    "lm_reference_scores",
+    _lm_scores_oracle(),
+    "frozen reference-LM gate (index/lm.py): the corpus slice "
+    "(doc_id%5!=0) freezes interpolated bigram+add-one-unigram counts "
+    "into an LM STORE; the arriving slice (doc_id%5=0) is scored under "
+    "it without the judged data ever shifting the judge — the ingest-"
+    "gating shape, vs text_bigram_logprob's self-scored corpus. Same "
+    "e9-integer exactness discipline; df-capped bigram table (c2>=2) "
+    "keeps the join broadcastable at web scale",
+)
+def lm_reference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.lm import (
+        build_lm_store,
+        score_against_lm_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _LM_STORE_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_lmstore_")
+        build_lm_store(
+            spark, docs.filter(F.col("doc_id") % 5 != 0), path,
+            min_count=_LM_MIN_COUNT, lam_pct=_LM_LAM_PCT,
+        )
+        _LM_STORE_CACHE[sf_dir] = path
+    return score_against_lm_store(
+        spark, _LM_STORE_CACHE[sf_dir],
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )

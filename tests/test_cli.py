@@ -766,6 +766,32 @@ def test_sink_compact_cli(cfg, tmp_path, spark):
     assert rc == 0 and "nothing to fold" in out
 
 
+def test_lm_build_score_cli(cfg, spark, tmp_path):
+    """dn lm-build / lm-score: freeze a reference LM, score and gate
+    a batch through the CLI."""
+    ref = str(tmp_path / "ref")
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    spark.createDataFrame(
+        [(i, fluent) for i in range(8)], "doc_id long, text string"
+    ).write.parquet(ref)
+    lm = str(tmp_path / "lm")
+    rc, out, _ = run(["lm-build", ref, f"--out={lm}"], cfg)
+    assert rc == 0 and "104 tokens, 8 vocab" in out  # 8 x 13 tokens
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1, fluent), (2, "zz qq ww ee rr")], "doc_id long, text string"
+    ).write.parquet(batch)
+    rc, out, _ = run(["lm-score", lm, f"--docs={batch}"], cfg)
+    assert rc == 0 and "scored 2 docs" in out
+
+    rc, out, _ = run(
+        ["lm-score", lm, f"--docs={batch}", "--min-mean-logp=-5.0"], cfg
+    )
+    assert rc == 0 and "kept 1 of 2 docs" in out
+    assert '"doc_id": 1' in out
+
+
 def test_profile_cli(cfg, spark, tmp_path):
     """dn profile: one-scan per-column stats over a parquet table."""
     d = str(tmp_path / "t")
