@@ -64,6 +64,9 @@ _MARKERS = {
     "_srp_store.json": ("srp", ("srp_bands", "srp_band_pairs")),
     "_vector_index.json": ("vindex", ("vectors",)),
     "_dn_sink.json": ("sink", None),  # curated sink: batch-dir count
+    # immutable by contract (the frozen-judge property, index/lm.py):
+    # listed so the fleet view is complete, never compacted
+    "_lm_store.json": ("lm", ("unigrams", "bigrams")),
 }
 
 
@@ -97,12 +100,7 @@ def _data_dirs(path: str, kind: str) -> list[str]:
             os.path.join(path, m["name"])
             for m in meta.get("metrics", [])
         ]
-    subs = _MARKERS[{
-        "fp": "_fp_store.json",
-        "band": "_band_store.json",
-        "srp": "_srp_store.json",
-        "vindex": "_vector_index.json",
-    }[kind]][1]
+    subs = next(s for _m, (k, s) in _MARKERS.items() if k == kind)
     return [os.path.join(path, s) for s in subs]
 
 
@@ -186,7 +184,11 @@ def plan_maintenance(
                 and h["mean_rows_per_cell"] >= growth_trigger * target
             ):
                 actions.append("recenter")
-        if not actions and h["max_files_per_partition"] > max_files:
+        if (
+            not actions
+            and store["kind"] != "lm"  # immutable by contract
+            and h["max_files_per_partition"] > max_files
+        ):
             actions.append("compact")
         h["actions"] = actions
         plan.append(h)

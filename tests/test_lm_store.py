@@ -125,3 +125,15 @@ def test_lm_gate_composes_with_live_ingester(spark, tmp_path):
     assert sunk == {"0", "100"}  # OOV junk gated before the sink
     n_store = spark.read.parquet(f"{store}/fingerprints").count()
     assert n_store == 1 + 2  # seed + the two fluent survivors
+
+
+def test_lm_store_in_fleet_view_never_compacts(spark, tmp_path):
+    from dragnet_spark.index.maintain import plan_maintenance
+
+    lm = str(tmp_path / "fleet" / "lm")
+    build_lm_store(spark, _ref(spark), lm)
+    plan = {r["path"]: r for r in plan_maintenance(
+        spark, str(tmp_path / "fleet"), max_files=0
+    )}
+    assert plan[lm]["kind"] == "lm"
+    assert plan[lm]["actions"] == []  # immutable: even max_files=0
