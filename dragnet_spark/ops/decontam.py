@@ -1,0 +1,177 @@
+"""Bloom-prefiltered benchmark decontamination — the 100 TB scale path.
+
+:func:`ops.text.benchmark_overlap` broadcasts the eval set's distinct
+gram-hash table to probe every training gram. That is the right plan
+while the eval set is small, but a real decontamination run screens
+against every published benchmark at once — easily 10⁸ distinct
+grams, a multi-GB broadcast. The scale path here replaces that
+broadcast with a fixed-size packed Bloom bitset (~10 bits per eval
+gram) and demotes the exact gram table to one side of an ordinary
+shuffle join that only *candidate* grams ever enter:
+
+1. Build the bitset distributively: eval grams hash to ``k`` bit
+   positions JVM-side (``xxhash64(gh, seed)``), each input partition
+   ORs its positions into a local ``m/8``-byte array inside
+   ``mapInPandas``, and the driver ORs the per-partition arrays —
+   one small row per partition crosses the wire, never the grams.
+2. Probe every training gram against the broadcast bitset with an
+   Arrow-batched Pandas UDF (pure NumPy gather, no Python per row).
+   Bloom filters have **no false negatives**, so a gram whose bits
+   aren't all set is *certainly* clean and never enters the join.
+3. Only might-contain grams (true hits + the fpp-bounded false
+   positives) join the exact eval gram table to confirm — at target
+   fpp that join is ~#true-hits-sized regardless of corpus size, so
+   AQE is free to pick shuffle or broadcast.
+
+The output is bit-identical to :func:`benchmark_overlap` (same
+columns, same rounding), which is why the DuckDB oracle for this
+entry is the *exact* SQL twin — the Bloom layer is provably
+answer-preserving, and the oracle check enforces it every run.
+
+No dragnet analog (the reference has no decontamination surface);
+this is a beyond-reference LLM-pipeline operator, see SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dragnet_spark.ops.text import doc_gram_hashes
+
+#: default bitset size / hash count: 2^20 bits = 128 KiB handles
+#: ~10^5 eval grams at fpp ≈ 0.6% with k=5. Size m ≈ 1.44 · n ·
+#: log2(1/fpp) bits for a real run (2^30 bits = 128 MiB → 10^8 grams
+#: at 1% — still one broadcast where the gram table would be ~6 GB).
+DEFAULT_M_BITS = 1 << 20
+DEFAULT_K = 5
+
+
+def _bit_positions(gh_col: str, m_bits: int, k: int) -> list:
+    """k bloom bit positions for a gram hash, as JVM column exprs.
+
+    ``xxhash64`` is seeded per slot by appending a literal int to the
+    hashed tuple — k independent 64-bit hashes, all JVM-side.
+    ``pmod`` keeps positions non-negative.
+    """
+    return [
+        F.pmod(F.xxhash64(F.col(gh_col), F.lit(i)), F.lit(m_bits)).alias(
+            f"p{i}"
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    gh_df: DataFrame,
+    gh_col: str = "gh",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> bytes:
+    """Aggregate a DataFrame of gram hashes into one packed Bloom
+    bitset (little-endian bit order within each byte).
+
+    Distributive build: each partition reduces to a single
+    ``m_bits/8``-byte row; the driver ORs the per-partition rows.
+    Driver traffic is ``num_partitions × m/8`` bytes — independent
+    of the gram count. (At very large m, coalesce the position frame
+    first or tree-OR in two rounds; at m = 2^30 and 1000 partitions
+    that's a 128 GB collect without it.)
+    """
+    nbytes = m_bits // 8
+    pos = gh_df.select(
+        F.explode(F.array(*_bit_positions(gh_col, m_bits, k))).alias("p")
+    )
+
+    def _to_bits(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            p = pdf["p"].to_numpy(dtype=np.int64)
+            if len(p):
+                seen = True
+                # unbuffered |= so duplicate byte indices all land
+                np.bitwise_or.at(
+                    bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                )
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in pos.mapInPandas(_to_bits, "bits binary").collect():
+        out |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def benchmark_overlap_bloom(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_mod: int = 97,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Bit-identical to :func:`ops.text.benchmark_overlap`, computed
+    via the Bloom prefilter: every training gram is screened against
+    the broadcast bitset; only might-contain grams join the exact
+    eval gram table. Columns: (id_col, n_grams, n_hit_grams,
+    hit_frac, contaminated).
+    """
+    spark = df.sparkSession
+    pos = doc_gram_hashes(df, text_col, id_col, n)
+    is_bench = F.col(id_col) % bench_mod == 0
+    bench = pos.filter(is_bench).select("gh").distinct()
+    train = pos.filter(~is_bench)
+
+    bits_b = spark.sparkContext.broadcast(
+        bloom_build(bench, "gh", m_bits=m_bits, k=k)
+    )
+
+    @F.pandas_udf("boolean")
+    def _might(parr: pd.Series) -> pd.Series:
+        if len(parr) == 0:
+            return pd.Series([], dtype=bool)
+        bits = np.frombuffer(bits_b.value, dtype=np.uint8)
+        P = np.stack(parr.to_numpy())  # (rows, k) int64
+        hit = (bits[P >> 3] >> (P & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    g = train.withColumn(
+        "might", _might(F.array(*_bit_positions("gh", m_bits, k)))
+    )
+    # one branch counts per-doc totals; the verify branch recomputes
+    # lineage but filters might=true before its join, so only the
+    # candidate sliver shuffles
+    per_doc = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        g.filter("might")
+        .join(bench.withColumn("__hit", F.lit(1)), "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("__n_hit")
+        )
+    )
+    return (
+        per_doc.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("__n_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_hit_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit_grams",
+            F.round(
+                F.col("n_hit_grams").cast("double") / F.col("n_grams"), 9
+            ).alias("hit_frac"),
+            (F.col("n_hit_grams") > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -1067,6 +1067,41 @@ def repetition_stats_sql(text_expr: str = "text") -> str:
     """
 
 
+def doc_gram_hashes(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+):
+    """One row per overlapping n-token gram per document: (id_col,
+    gh) where gh is the md5 of the space-joined gram. Occurrence-
+    weighted (a gram repeated in a doc yields multiple rows). Docs
+    shorter than n tokens emit nothing. Gram assembly is the same
+    lead()-window pass as duplicate_spans — one doc-key shuffle, no
+    array materialization.
+    """
+    from pyspark.sql import Window as W
+
+    from dragnet_spark.ops import spread
+
+    tok = spread(df).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", k).over(w) for k in range(1, n)]
+    )
+    return (
+        tok.select(
+            F.col(id_col),
+            F.md5(gram).alias("gh"),
+            F.lead("tok", n - 1).over(w).isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full")
+    )
+
+
 def benchmark_overlap(
     df,
     text_col: str = "text",
@@ -1091,26 +1126,7 @@ def benchmark_overlap(
     shuffle). Docs shorter than n tokens have no grams and are
     definitionally clean (absent from the report on both engines).
     """
-    from pyspark.sql import Window as W
-
-    from dragnet_spark.ops import spread
-
-    tok = spread(df).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    w = W.partitionBy(id_col).orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", k).over(w) for k in range(1, n)]
-    )
-    pos = (
-        tok.select(
-            F.col(id_col),
-            F.md5(gram).alias("gh"),
-            F.lead("tok", n - 1).over(w).isNotNull().alias("__full"),
-        )
-        .filter(F.col("__full"))
-        .drop("__full")
-    )
+    pos = doc_gram_hashes(df, text_col, id_col, n)
     is_bench = F.col(id_col) % bench_mod == 0
     bench_grams = (
         pos.filter(is_bench).select("gh").distinct().withColumn(
