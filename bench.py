@@ -94,8 +94,10 @@ BENCH_FAMILIES = [
         "corpus_token_spectrum",
         "docs_weighted_sample",
         # round-9 additions: ranked retrieval + second-order LM gate
+        # + bloom-prefiltered decontam (scale twin of the exact entry)
         "text_bm25_rank",
         "text_bigram_logprob",
+        "decontam_bloom_prefilter",
     ]),
     ("ann", [
         "ann_hard_negatives",

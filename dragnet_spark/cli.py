@@ -73,7 +73,8 @@ _OPT_DEFS = {
     # round-9: sink fold, profiler, LM store
     "min-batches": True, "keep-last": True, "order-by": True,
     "format": True, "docs": True, "min-count": True, "lam-pct": True,
-    "min-mean-logp": True,
+    "min-mean-logp": True, "gram-n": True, "m-bits": True, "k": True,
+    "max-hit-frac": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1218,6 +1219,75 @@ def cmd_lm_score(argv, cat: Catalog, out):
     out.write("scored %d docs\n" % len(rows))
 
 
+def cmd_bloom_build(argv, cat: Catalog, out):
+    """dn bloom-build <bench.parquet> --out=PATH [--text-field=text]
+    [--gram-n=8] [--m-bits=1048576] [--k=5]: freeze the benchmark
+    corpus's distinct gram hashes into a Bloom store (index/bloom.py)
+    for ingest decontamination — bitset broadcast screens every
+    arriving gram, only candidates touch the exact gram table."""
+    from dragnet_spark.index.bloom import build_bloom_store
+
+    opts = _parse_args(argv, ["out", "text-field", "gram-n", "m-bits", "k"])
+    (src,) = _nargs(opts, 1)
+    if "out" not in opts:
+        raise UsageError('"out" option is required')
+    spark = _get_spark()
+    meta = build_bloom_store(
+        spark,
+        spark.read.parquet(src),
+        opts["out"],
+        text_col=opts.get("text_field", "text"),
+        gram_n=int(opts.get("gram_n", "8")),
+        m_bits=int(opts.get("m_bits", str(1 << 20))),
+        k=int(opts.get("k", "5")),
+    )
+    out.write(
+        "built bloom store at %s: %d grams (n=%d), m=%d bits, k=%d\n"
+        % (opts["out"], meta["n_grams"], meta["gram_n"], meta["m_bits"],
+           meta["k"])
+    )
+
+
+def cmd_bloom_gate(argv, cat: Catalog, out):
+    """dn bloom-gate <store-path> --docs=<parquet> [--id-field=doc_id]
+    [--text-field=text] [--max-hit-frac=X]: score a batch against the
+    frozen benchmark gram store; with --max-hit-frac, print the kept
+    doc ids (the gate), else per-doc NDJSON overlap reports."""
+    import json as _json
+
+    from dragnet_spark.index.bloom import (
+        decontam_gate,
+        score_against_bloom_store,
+    )
+
+    opts = _parse_args(
+        argv, ["docs", "id-field", "text-field", "max-hit-frac"]
+    )
+    (store,) = _nargs(opts, 1)
+    if "docs" not in opts:
+        raise UsageError('"docs" option is required')
+    spark = _get_spark()
+    docs = spark.read.parquet(opts["docs"])
+    idc = opts.get("id_field", "doc_id")
+    txt = opts.get("text_field", "text")
+    if "max_hit_frac" in opts:
+        kept = decontam_gate(
+            spark, store, docs, float(opts["max_hit_frac"]),
+            text_col=txt, id_col=idc,
+        )
+        n_in, n_out = docs.count(), kept.count()
+        for r in kept.select(idc).collect():
+            out.write(_json.dumps({idc: r[idc]}) + "\n")
+        out.write("kept %d of %d docs\n" % (n_out, n_in))
+        return
+    rows = score_against_bloom_store(
+        spark, store, docs, text_col=txt, id_col=idc
+    ).collect()
+    for r in rows:
+        out.write(_json.dumps(r.asDict()) + "\n")
+    out.write("scored %d docs\n" % len(rows))
+
+
 def cmd_profile(argv, cat: Catalog, out):
     """dn profile <path> [--format=parquet]: one-scan per-column
     profile of a table — null counts, exact distincts, numeric/time
@@ -1320,6 +1390,8 @@ COMMANDS = {
     "profile": cmd_profile,
     "lm-build": cmd_lm_build,
     "lm-score": cmd_lm_score,
+    "bloom-build": cmd_bloom_build,
+    "bloom-gate": cmd_bloom_gate,
     "vindex-stats": cmd_vindex_stats,
     "fp-build": cmd_fp_build,
     "fp-probe": cmd_fp_probe,

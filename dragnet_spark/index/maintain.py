@@ -64,10 +64,17 @@ _MARKERS = {
     "_srp_store.json": ("srp", ("srp_bands", "srp_band_pairs")),
     "_vector_index.json": ("vindex", ("vectors",)),
     "_dn_sink.json": ("sink", None),  # curated sink: batch-dir count
-    # immutable by contract (the frozen-judge property, index/lm.py):
-    # listed so the fleet view is complete, never compacted
+    # immutable by contract (the frozen-judge property, index/lm.py,
+    # index/bloom.py): listed so the fleet view is complete, never
+    # compacted
     "_lm_store.json": ("lm", ("unigrams", "bigrams")),
+    "_bloom_store.json": ("bloom", ("grams",)),
 }
+
+#: store kinds whose layout is written once at build and never
+#: appended to — the maintenance planner lists them but never
+#: schedules a compaction
+IMMUTABLE_KINDS = ("lm", "bloom")
 
 
 def discover_stores(root: str) -> list[dict]:
@@ -186,7 +193,7 @@ def plan_maintenance(
                 actions.append("recenter")
         if (
             not actions
-            and store["kind"] != "lm"  # immutable by contract
+            and store["kind"] not in IMMUTABLE_KINDS
             and h["max_files_per_partition"] > max_files
         ):
             actions.append("compact")

@@ -105,30 +105,23 @@ def bloom_build(
     return out.tobytes()
 
 
-def benchmark_overlap_bloom(
-    df: DataFrame,
-    text_col: str = "text",
+def overlap_report(
+    grams: DataFrame,
+    bench: DataFrame,
+    bitset: bytes,
     id_col: str = "doc_id",
-    n: int = 8,
-    bench_mod: int = 97,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
 ) -> DataFrame:
-    """Bit-identical to :func:`ops.text.benchmark_overlap`, computed
-    via the Bloom prefilter: every training gram is screened against
-    the broadcast bitset; only might-contain grams join the exact
-    eval gram table. Columns: (id_col, n_grams, n_hit_grams,
-    hit_frac, contaminated).
+    """Screen a (id_col, gh) gram frame against a packed Bloom
+    ``bitset``; exactly verify might-contain grams against the
+    distinct (gh) frame ``bench`` the bitset was built from. Returns
+    (id_col, n_grams, n_hit_grams, hit_frac, contaminated) — the
+    same columns and rounding as :func:`ops.text.benchmark_overlap`.
     """
-    spark = df.sparkSession
-    pos = doc_gram_hashes(df, text_col, id_col, n)
-    is_bench = F.col(id_col) % bench_mod == 0
-    bench = pos.filter(is_bench).select("gh").distinct()
-    train = pos.filter(~is_bench)
-
-    bits_b = spark.sparkContext.broadcast(
-        bloom_build(bench, "gh", m_bits=m_bits, k=k)
-    )
+    spark = grams.sparkSession
+    train = grams
+    bits_b = spark.sparkContext.broadcast(bitset)
 
     @F.pandas_udf("boolean")
     def _might(parr: pd.Series) -> pd.Series:
@@ -174,4 +167,29 @@ def benchmark_overlap_bloom(
             ).alias("hit_frac"),
             (F.col("n_hit_grams") > 0).cast("int").alias("contaminated"),
         )
+    )
+
+
+def benchmark_overlap_bloom(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    bench_mod: int = 97,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Bit-identical to :func:`ops.text.benchmark_overlap`, computed
+    via the Bloom prefilter: every training gram is screened against
+    the broadcast bitset; only might-contain grams join the exact
+    eval gram table. Columns: (id_col, n_grams, n_hit_grams,
+    hit_frac, contaminated).
+    """
+    pos = doc_gram_hashes(df, text_col, id_col, n)
+    is_bench = F.col(id_col) % bench_mod == 0
+    bench = pos.filter(is_bench).select("gh").distinct()
+    train = pos.filter(~is_bench)
+    bitset = bloom_build(bench, "gh", m_bits=m_bits, k=k)
+    return overlap_report(
+        train, bench, bitset, id_col=id_col, m_bits=m_bits, k=k
     )

@@ -707,6 +707,55 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOMSTORE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "decontam_store_gate",
+    """
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 md5(array_to_string(toks[u.i + 1 : u.i + 8], ' ')) AS gh
+          FROM t, UNNEST(range(0, GREATEST(len(toks) - 8 + 1, 0))) AS u(i)),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gh)
+            WHERE g.doc_id % 97 <> 0)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    "gate the training slice through a MATERIALIZED frozen Bloom "
+    "store (index/bloom.build_bloom_store): the benchmark slice "
+    "(doc_id%97=0) freezes its distinct 8-gram hashes once (128 KiB "
+    "bitset + exact gram table); every later batch screens its grams "
+    "against the broadcast bitset and only might-contain grams touch "
+    "the on-disk gram table, dropping any doc that shares a gram "
+    "with the benchmark. The probe never re-reads benchmark text — "
+    "the ingest-loop counterpart of decontam_bloom_prefilter, same "
+    "frozen-judge discipline as the LM store. Docs too short for a "
+    "gram are definitionally clean and pass",
+)
+def decontam_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.bloom import build_bloom_store, decontam_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BLOOMSTORE_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_bloomstore_")
+        build_bloom_store(
+            spark, docs.filter(F.col("doc_id") % 97 == 0), path, gram_n=8
+        )
+        _BLOOMSTORE_CACHE[sf_dir] = path
+    return decontam_gate(
+        spark,
+        _BLOOMSTORE_CACHE[sf_dir],
+        docs.filter(F.col("doc_id") % 97 != 0),
+    ).select("doc_id")
+
+
 @register(
     "dedup_cross_source_matrix",
     """

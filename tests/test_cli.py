@@ -792,6 +792,34 @@ def test_lm_build_score_cli(cfg, spark, tmp_path):
     assert '"doc_id": 1' in out
 
 
+def test_bloom_build_gate_cli(cfg, spark, tmp_path):
+    """dn bloom-build / bloom-gate: freeze the benchmark gram set,
+    score and gate a batch through the CLI."""
+    bench = str(tmp_path / "bench")
+    leaked = "the quick brown fox jumps over the lazy dog tonight"
+    spark.createDataFrame([(leaked,)], "text string").write.parquet(bench)
+    store = str(tmp_path / "bloom")
+    rc, out, _ = run(["bloom-build", bench, f"--out={store}"], cfg)
+    assert rc == 0 and "3 grams (n=8)" in out  # 10 tokens -> 3 8-grams
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [
+            (1, leaked + " verbatim"),
+            (2, "completely unrelated sentence with eight other tokens here"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+    rc, out, _ = run(["bloom-gate", store, f"--docs={batch}"], cfg)
+    assert rc == 0 and "scored 2 docs" in out
+
+    rc, out, _ = run(
+        ["bloom-gate", store, f"--docs={batch}", "--max-hit-frac=0"], cfg
+    )
+    assert rc == 0 and "kept 1 of 2 docs" in out
+    assert '"doc_id": 2' in out
+
+
 def test_profile_cli(cfg, spark, tmp_path):
     """dn profile: one-scan per-column stats over a parquet table."""
     d = str(tmp_path / "t")
