@@ -14,7 +14,7 @@ appends survivors to a parquet sink. At the end:
 * stable latency — last-third vs first-third median micro-batch
   duration (fingerprint-dedup state must not degrade throughput).
 
-Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store|bandstore|livestore|livestore-compact|livestore-sinkcompact]
+Usage: python tools/soak_curate.py [DURATION_SEC] [DOCS_PER_FILE] [store|bandstore|livestore|livestore-compact|livestore-sinkcompact|bloomgate]
 With the optional ``store`` argument the soak pre-builds a
 MATERIALIZED fingerprint store holding every planted duplicate
 cluster's text (index/fingerprints.py) and runs
@@ -47,6 +47,15 @@ serializes each compaction with each micro-batch's probe+fold-in.
 End checks are the livestore set (zero lost rows: stream==batch
 exact, store == seed + survivors) plus the number of compactions
 that ran concurrently.
+
+With ``bloomgate`` (round-9) the feeder plants LEAKED BENCHMARK
+COPIES (style 6 — a frozen benchmark sentence plus a unique suffix:
+new exact fingerprint, so only gram-level decontamination can catch
+it) and the stream runs `stream_curate` with the frozen Bloom store's
+`decontam_gate` (index/bloom.py) inside foreachBatch, ahead of the
+sink. End checks add: stream==batch survivors through the gate, zero
+contaminated survivors (post-hoc `score_against_bloom_store` over the
+sunk set), and the planted-leak count that was gated.
 
 With ``livestore-sinkcompact`` (round-9) the maintenance thread
 attacks the SINK as well: every ~5 s it folds the sink's committed
@@ -104,12 +113,32 @@ def twin_text(kk: int) -> str:
     return " ".join(toks)
 
 
-def make_doc(rng: random.Random, doc_id: int, band_mode: bool = False):
+def bench_text(j: int) -> str:
+    """Frozen benchmark sentence j: 12 deterministic tokens — 5 full
+    8-grams for the bloom gate to recognize."""
+    rng = random.Random(7000 + j)
+    return " ".join(rng.choice(WORDS) for _ in range(12))
+
+
+def make_doc(
+    rng: random.Random,
+    doc_id: int,
+    band_mode: bool = False,
+    bloom_mode: bool = False,
+):
     style = doc_id % 10
     if band_mode and style == 6:  # token-swapped twin of stored text
         return {
             "id": doc_id,
             "text": twin_text(doc_id % 50),
+            "time": f"2024-01-01T{(doc_id // 3600) % 24:02d}:"
+            f"{(doc_id // 60) % 60:02d}:{doc_id % 60:02d}.000Z",
+        }
+    if bloom_mode and style == 6:  # leaked benchmark copy — unique
+        # fingerprint (suffix), catchable only at gram level
+        return {
+            "id": doc_id,
+            "text": bench_text(doc_id % 10) + f" leak{doc_id}",
             "time": f"2024-01-01T{(doc_id // 3600) % 24:02d}:"
             f"{(doc_id // 60) % 60:02d}:{doc_id % 60:02d}.000Z",
         }
@@ -141,6 +170,7 @@ def main() -> None:
     )
     compact_mode = mode == "livestore-compact"
     sink_compact_mode = mode == "livestore-sinkcompact"
+    bloom_mode = mode == "bloomgate"
     spark = get_spark(app_name="soak_curate")
     root = Path(tempfile.mkdtemp(prefix="curate_soak_"))
     src = root / "in"
@@ -155,7 +185,7 @@ def main() -> None:
         doc_id = 0
         while not stop.is_set():
             rows = [
-                make_doc(rng, doc_id + i, band_mode)
+                make_doc(rng, doc_id + i, band_mode, bloom_mode)
                 for i in range(per_file)
             ]
             doc_id += per_file
@@ -188,6 +218,18 @@ def main() -> None:
             store_path,
             num_hashes=16,
             bands=8,
+        )
+    if bloom_mode:
+        from dragnet_spark.index.bloom import build_bloom_store
+
+        store_path = str(root / "bloomstore")
+        build_bloom_store(
+            spark,
+            spark.createDataFrame(
+                [(bench_text(j),) for j in range(10)], "text string"
+            ),
+            store_path,
+            gram_n=8,
         )
     if store_mode:
         # the 50 duplicate-cluster texts are "already ingested": every
@@ -233,7 +275,24 @@ def main() -> None:
             sdf, "text", "time", fields=["id", "text"], min_tokens=5,
             watermark="24 hours",
         )
-    if not live_mode:
+    if bloom_mode:
+        # gate inside foreachBatch, ahead of the sink — per micro-batch
+        # it is exactly the batch gate, so stream == batch by
+        # construction (the end check proves it)
+        from dragnet_spark.index.bloom import decontam_gate
+
+        def _gated_sink(batch_df, _bid):
+            decontam_gate(
+                spark, store_path, batch_df, id_col="id"
+            ).write.mode("append").parquet(str(sink))
+
+        q = (
+            cur.writeStream.foreachBatch(_gated_sink)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+    elif not live_mode:
         q = (
             cur.writeStream.format("parquet")
             .option("path", str(sink))
@@ -354,6 +413,17 @@ def main() -> None:
             bdf, store_path, "text", "time", fields=["id", "text"],
             min_tokens=5,
         )
+    elif bloom_mode:
+        from dragnet_spark.index.bloom import decontam_gate as _dg
+
+        bout = _dg(
+            spark,
+            store_path,
+            stream_curate(
+                bdf, "text", "time", fields=["id", "text"], min_tokens=5
+            ),
+            id_col="id",
+        )
     else:
         bout = stream_curate(bdf, "text", "time", fields=["id", "text"],
                              min_tokens=5)
@@ -440,6 +510,19 @@ def main() -> None:
         }
         out["store_mode"] = True
         out["store_dups_leaked"] = len(s_fps & store_fps)
+    if bloom_mode:
+        from dragnet_spark.index.bloom import score_against_bloom_store
+
+        survivors = spark.read.parquet(str(sink)).select("id", "text")
+        out["bloom_mode"] = True
+        out["contaminated_survivors"] = (
+            score_against_bloom_store(
+                spark, store_path, survivors, id_col="id"
+            )
+            .filter(F.col("contaminated") == 1)
+            .count()
+        )
+        out["planted_leaks"] = fed["docs"] // 10  # style 6 rate
     print(json.dumps(out), flush=True)
     shutil.rmtree(root, ignore_errors=True)
     assert out["fingerprint_sets_equal"], "stream/batch survivor mismatch"
@@ -449,6 +532,8 @@ def main() -> None:
         assert out["near_dups_leaked"] == 0, "near-duplicates leaked"
     if live_mode:
         assert out["survivors_missing_from_store"] == 0, "fold-in missed"
+    if bloom_mode:
+        assert out["contaminated_survivors"] == 0, "benchmark leak sunk"
 
 
 if __name__ == "__main__":
