@@ -49,19 +49,34 @@ DEFAULT_M_BITS = 1 << 20
 DEFAULT_K = 5
 
 
-def _bit_positions(gh_col: str, m_bits: int, k: int) -> list:
-    """k bloom bit positions for a gram hash, as JVM column exprs.
-
-    ``xxhash64`` is seeded per slot by appending a literal int to the
-    hashed tuple — k independent 64-bit hashes, all JVM-side.
-    ``pmod`` keeps positions non-negative.
+def _hash_pair(gh_col: str) -> list:
+    """The two base hashes per gram, as JVM column exprs. Only these
+    16 bytes per gram ever cross the JVM→Arrow boundary; the k bit
+    positions are derived numpy-side (:func:`_positions_np`) with the
+    Kirsch–Mitzenmacher double-hashing construction — a bloom built
+    from (h1 + i·h2) mod m has the same asymptotic fpp as k
+    independent hashes (Kirsch & Mitzenmacher, ESA 2006), and, like
+    any bloom, no false negatives.
     """
     return [
-        F.pmod(F.xxhash64(F.col(gh_col), F.lit(i)), F.lit(m_bits)).alias(
-            f"p{i}"
-        )
-        for i in range(k)
+        F.xxhash64(F.col(gh_col)).alias("h1"),
+        F.xxhash64(F.col(gh_col), F.lit(1)).alias("h2"),
     ]
+
+
+def _positions_np(h1, h2, m_bits: int, k: int):
+    """(n, k) int64 bit positions from the two base hashes. uint64
+    wraparound arithmetic, identical on build and probe — the only
+    definition of the bitset layout."""
+    h1 = h1.astype(np.uint64, copy=False)
+    # force h2 odd so it is invertible mod the power-of-two m and the
+    # k probes never collapse onto one position
+    h2 = h2.astype(np.uint64, copy=False) | np.uint64(1)
+    steps = np.arange(k, dtype=np.uint64)
+    pos = (h1[:, None] + steps[None, :] * h2[:, None]) & np.uint64(
+        m_bits - 1
+    )
+    return pos.astype(np.int64)
 
 
 def bloom_build(
@@ -71,7 +86,8 @@ def bloom_build(
     k: int = DEFAULT_K,
 ) -> bytes:
     """Aggregate a DataFrame of gram hashes into one packed Bloom
-    bitset (little-endian bit order within each byte).
+    bitset (little-endian bit order within each byte). ``m_bits``
+    must be a power of two (the position derivation masks).
 
     Distributive build: each partition reduces to a single
     ``m_bits/8``-byte row; the driver ORs the per-partition rows.
@@ -80,18 +96,22 @@ def bloom_build(
     first or tree-OR in two rounds; at m = 2^30 and 1000 partitions
     that's a 128 GB collect without it.)
     """
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
     nbytes = m_bits // 8
-    pos = gh_df.select(
-        F.explode(F.array(*_bit_positions(gh_col, m_bits, k))).alias("p")
-    )
+    hp = gh_df.select(*_hash_pair(gh_col))
 
     def _to_bits(batches):
         bits = np.zeros(nbytes, dtype=np.uint8)
         seen = False
         for pdf in batches:
-            p = pdf["p"].to_numpy(dtype=np.int64)
-            if len(p):
+            if len(pdf):
                 seen = True
+                p = _positions_np(
+                    pdf["h1"].to_numpy(np.int64),
+                    pdf["h2"].to_numpy(np.int64),
+                    m_bits, k,
+                ).ravel()
                 # unbuffered |= so duplicate byte indices all land
                 np.bitwise_or.at(
                     bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
@@ -100,7 +120,7 @@ def bloom_build(
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
     out = np.zeros(nbytes, dtype=np.uint8)
-    for row in pos.mapInPandas(_to_bits, "bits binary").collect():
+    for row in hp.mapInPandas(_to_bits, "bits binary").collect():
         out |= np.frombuffer(row["bits"], dtype=np.uint8)
     return out.tobytes()
 
@@ -124,17 +144,17 @@ def overlap_report(
     bits_b = spark.sparkContext.broadcast(bitset)
 
     @F.pandas_udf("boolean")
-    def _might(parr: pd.Series) -> pd.Series:
-        if len(parr) == 0:
+    def _might(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if len(h1) == 0:
             return pd.Series([], dtype=bool)
         bits = np.frombuffer(bits_b.value, dtype=np.uint8)
-        P = np.stack(parr.to_numpy())  # (rows, k) int64
+        P = _positions_np(
+            h1.to_numpy(np.int64), h2.to_numpy(np.int64), m_bits, k
+        )
         hit = (bits[P >> 3] >> (P & 7).astype(np.uint8)) & 1
         return pd.Series(hit.all(axis=1))
 
-    g = train.withColumn(
-        "might", _might(F.array(*_bit_positions("gh", m_bits, k)))
-    )
+    g = train.withColumn("might", _might(*_hash_pair("gh")))
     # one branch counts per-doc totals; the verify branch recomputes
     # lineage but filters might=true before its join, so only the
     # candidate sliver shuffles

@@ -7,7 +7,8 @@ import pytest
 from dragnet_spark.ops.decontam import (
     benchmark_overlap_bloom,
     bloom_build,
-    _bit_positions,
+    _hash_pair,
+    _positions_np,
 )
 from dragnet_spark.ops.text import benchmark_overlap, doc_gram_hashes
 from dragnet_spark.sources.tables import load_table
@@ -51,13 +52,17 @@ def test_bloom_no_false_negatives_and_prunes(spark, sf_dir):
 
     arr = np.frombuffer(bits.value, dtype=np.uint8)
 
-    probed = train.select(
-        "gh", F.array(*_bit_positions("gh", 1 << 20, 5)).alias("parr")
-    ).join(bench.withColumn("truth", F.lit(1)), "gh", "left")
+    probed = train.select("gh", *_hash_pair("gh")).join(
+        bench.withColumn("truth", F.lit(1)), "gh", "left"
+    )
     rows = probed.collect()
     n_might = 0
     for r in rows:
-        P = np.asarray(r["parr"], dtype=np.int64)
+        P = _positions_np(
+            np.array([r["h1"]], dtype=np.int64),
+            np.array([r["h2"]], dtype=np.int64),
+            1 << 20, 5,
+        )[0]
         might = bool(np.all((arr[P >> 3] >> (P & 7).astype(np.uint8)) & 1))
         n_might += might
         if r["truth"] == 1:
