@@ -74,7 +74,7 @@ _OPT_DEFS = {
     "min-batches": True, "keep-last": True, "order-by": True,
     "format": True, "docs": True, "min-count": True, "lam-pct": True,
     "min-mean-logp": True, "gram-n": True, "m-bits": True, "k": True,
-    "max-hit-frac": True,
+    "max-hit-frac": True, "src-field": True, "attribute": False,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1221,13 +1221,17 @@ def cmd_lm_score(argv, cat: Catalog, out):
 
 def cmd_bloom_build(argv, cat: Catalog, out):
     """dn bloom-build <bench.parquet> --out=PATH [--text-field=text]
-    [--gram-n=8] [--m-bits=1048576] [--k=5]: freeze the benchmark
-    corpus's distinct gram hashes into a Bloom store (index/bloom.py)
-    for ingest decontamination — bitset broadcast screens every
-    arriving gram, only candidates touch the exact gram table."""
+    [--gram-n=8] [--m-bits=1048576] [--k=5] [--src-field=COL]: freeze
+    the benchmark corpus's distinct gram hashes into a Bloom store
+    (index/bloom.py) for ingest decontamination — bitset broadcast
+    screens every arriving gram, only candidates touch the exact
+    gram table. With --src-field the gram table carries which
+    benchmark each gram belongs to (enables bloom-gate --attribute)."""
     from dragnet_spark.index.bloom import build_bloom_store
 
-    opts = _parse_args(argv, ["out", "text-field", "gram-n", "m-bits", "k"])
+    opts = _parse_args(
+        argv, ["out", "text-field", "gram-n", "m-bits", "k", "src-field"]
+    )
     (src,) = _nargs(opts, 1)
     if "out" not in opts:
         raise UsageError('"out" option is required')
@@ -1240,28 +1244,35 @@ def cmd_bloom_build(argv, cat: Catalog, out):
         gram_n=int(opts.get("gram_n", "8")),
         m_bits=int(opts.get("m_bits", str(1 << 20))),
         k=int(opts.get("k", "5")),
+        src_col=opts.get("src_field"),
     )
     out.write(
-        "built bloom store at %s: %d grams (n=%d), m=%d bits, k=%d\n"
+        "built bloom store at %s: %d grams (n=%d), m=%d bits, k=%d%s\n"
         % (opts["out"], meta["n_grams"], meta["gram_n"], meta["m_bits"],
-           meta["k"])
+           meta["k"],
+           ", with src attribution" if meta["src_attribution"] else "")
     )
 
 
 def cmd_bloom_gate(argv, cat: Catalog, out):
     """dn bloom-gate <store-path> --docs=<parquet> [--id-field=doc_id]
-    [--text-field=text] [--max-hit-frac=X]: score a batch against the
-    frozen benchmark gram store; with --max-hit-frac, print the kept
-    doc ids (the gate), else per-doc NDJSON overlap reports."""
+    [--text-field=text] [--max-hit-frac=X] [--attribute]: score a
+    batch against the frozen benchmark gram store; with
+    --max-hit-frac, print the kept doc ids (the gate); with
+    --attribute, print per-(doc, benchmark) leak tallies (requires a
+    store built with --src-field); else per-doc NDJSON overlap
+    reports."""
     import json as _json
 
     from dragnet_spark.index.bloom import (
+        attribute_against_bloom_store,
         decontam_gate,
         score_against_bloom_store,
     )
 
     opts = _parse_args(
-        argv, ["docs", "id-field", "text-field", "max-hit-frac"]
+        argv, ["docs", "id-field", "text-field", "max-hit-frac",
+               "attribute"]
     )
     (store,) = _nargs(opts, 1)
     if "docs" not in opts:
@@ -1270,6 +1281,14 @@ def cmd_bloom_gate(argv, cat: Catalog, out):
     docs = spark.read.parquet(opts["docs"])
     idc = opts.get("id_field", "doc_id")
     txt = opts.get("text_field", "text")
+    if opts.get("attribute"):
+        rows = attribute_against_bloom_store(
+            spark, store, docs, text_col=txt, id_col=idc
+        ).collect()
+        for r in rows:
+            out.write(_json.dumps(r.asDict()) + "\n")
+        out.write("attributed %d (doc, benchmark) leaks\n" % len(rows))
+        return
     if "max_hit_frac" in opts:
         kept = decontam_gate(
             spark, store, docs, float(opts["max_hit_frac"]),
@@ -1340,6 +1359,10 @@ def cmd_maintain(argv, cat: Catalog, out):
     )
     for rec in plan:
         sig = "max_files/part=%d" % rec["max_files_per_partition"]
+        if rec["kind"] == "bloom":
+            sig += ", fill=%.3f est_fpp=%.2e" % (
+                rec["bloom_fill"], rec["bloom_est_fpp"]
+            )
         if rec["kind"] == "vindex":
             sig += ", skew=%.2f" % rec["skew"]
             if rec.get("target_rows_per_cell") is not None:
@@ -1354,6 +1377,8 @@ def cmd_maintain(argv, cat: Catalog, out):
         line = "%-7s %s (%s): %s %s" % (
             rec["kind"], rec["path"], sig, verb, what
         )
+        if rec.get("advisories"):
+            line += " [ADVISORY %s]" % ",".join(rec["advisories"])
         if rec.get("error"):
             line += " [ERROR %s]" % rec["error"]
         out.write(line + "\n")

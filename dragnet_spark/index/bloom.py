@@ -61,21 +61,39 @@ def build_bloom_store(
     gram_n: int = 8,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    src_col: str | None = None,
 ) -> dict:
     """Freeze the benchmark corpus's distinct gram hashes at ``path``
-    (bitset + exact gram table). Returns the meta dict."""
+    (bitset + exact gram table). Returns the meta dict.
+
+    With ``src_col`` the gram table carries WHICH benchmark each gram
+    belongs to — (gh, src) distinct pairs instead of bare (gh) — so
+    :func:`attribute_against_bloom_store` can report per-benchmark
+    hit counts. The bitset and the gate/score semantics are
+    unchanged (scoring dedups to distinct gh first); a gram shared
+    by several benchmarks attributes to each.
+    """
     # doc_gram_hashes needs an id column; synthesize one so callers
     # can pass a bare (text) benchmark frame
     with_id = df.withColumn("__bid", F.monotonically_increasing_id())
-    grams = (
-        doc_gram_hashes(with_id, text_col, "__bid", gram_n)
-        .select("gh")
-        .distinct()
-    )
+    g = doc_gram_hashes(with_id, text_col, "__bid", gram_n)
+    if src_col is not None:
+        grams = (
+            g.join(
+                with_id.select("__bid", F.col(src_col).alias("src")),
+                "__bid",
+            )
+            .select("gh", "src")
+            .distinct()
+        )
+    else:
+        grams = g.select("gh").distinct()
     os.makedirs(path, exist_ok=True)
     grams.write.mode("overwrite").parquet(os.path.join(path, "grams"))
     stored = spark.read.parquet(os.path.join(path, "grams"))
-    bitset = bloom_build(stored, "gh", m_bits=m_bits, k=k)
+    bitset = bloom_build(
+        stored.select("gh").distinct(), "gh", m_bits=m_bits, k=k
+    )
     tmp = os.path.join(path, "bitset.bin.tmp")
     with open(tmp, "wb") as f:
         f.write(bitset)
@@ -85,7 +103,8 @@ def build_bloom_store(
         "m_bits": m_bits,
         "k": k,
         "gram_n": gram_n,
-        "n_grams": stored.count(),
+        "n_grams": stored.select("gh").distinct().count(),
+        "src_attribution": src_col is not None,
     }
     mtmp = os.path.join(path, BLOOM_MARKER + ".tmp")
     with open(mtmp, "w") as f:
@@ -115,6 +134,10 @@ def score_against_bloom_store(
     with open(os.path.join(store_path, "bitset.bin"), "rb") as f:
         bitset = f.read()
     bench = spark.read.parquet(os.path.join(store_path, "grams"))
+    if meta.get("src_attribution"):
+        # the gram table carries (gh, src) pairs; scoring needs each
+        # gram once regardless of how many benchmarks contain it
+        bench = bench.select("gh").distinct()
     grams = doc_gram_hashes(df, text_col, id_col, meta["gram_n"])
     return overlap_report(
         grams,
@@ -123,6 +146,47 @@ def score_against_bloom_store(
         id_col=id_col,
         m_bits=meta["m_bits"],
         k=meta["k"],
+    )
+
+
+def attribute_against_bloom_store(
+    spark: SparkSession,
+    store_path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, bench_src, n_hit_grams) — per document, WHICH
+    benchmark(s) it shares grams with and how many (occurrence-
+    weighted on the document side, like the score). Requires a store
+    built with ``src_col``; clean documents are absent. The removal
+    decision is :func:`decontam_gate`'s; this is the audit a real
+    decontamination run files — per-benchmark leak tallies.
+
+    Same plan shape as the score: every gram screens against the
+    broadcast bitset; only might-contain grams join the (gh, src)
+    table, so the join stays ~true-hit-sized. A gram shared by
+    several benchmarks attributes to each.
+    """
+    meta = load_bloom_meta(store_path)
+    if not meta.get("src_attribution"):
+        raise ValueError(
+            "store was built without src_col; rebuild with "
+            "build_bloom_store(..., src_col=...) to attribute"
+        )
+    with open(os.path.join(store_path, "bitset.bin"), "rb") as f:
+        bitset = f.read()
+    bench = spark.read.parquet(os.path.join(store_path, "grams"))
+    grams = doc_gram_hashes(df, text_col, id_col, meta["gram_n"])
+    from dragnet_spark.ops.decontam import bloom_candidates
+
+    cand = bloom_candidates(
+        grams, bitset, m_bits=meta["m_bits"], k=meta["k"]
+    )
+    return (
+        cand.join(bench, "gh")  # inner: false positives drop out here
+        .groupBy(id_col, F.col("src").alias("bench_src"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_grams"))
     )
 
 

@@ -23,6 +23,13 @@ policies:
 * **growth** (vector index built with ``target_rows_per_cell``):
   mean rows/cell past 2× the target → recenter with cell-count
   growth (``auto_cell_count``).
+* **saturation** (bloom store): bitset fill factor and the implied
+  false-positive rate (fill^k). The store is immutable by contract,
+  so a saturated bitset (est. fpp past ``fpp_advisory``) yields an
+  ADVISORY — ``rebuild-recommended(larger m_bits)`` in the record's
+  ``advisories`` — never an executed action: a bloom past its design
+  fpp still never loses a true hit (no false negatives), it just
+  pays a bigger verify join, so the rebuild is an operator decision.
 
 Every action runs through the store's own API, so the lease,
 staged-rewrite crash recovery, and layout-token machinery all apply;
@@ -143,6 +150,19 @@ def store_health(spark: SparkSession, path: str, kind: str) -> dict:
         (_max_files_per_leaf(d) for d in _data_dirs(path, kind)),
         default=0,
     )
+    if kind == "bloom":
+        import numpy as np
+
+        from dragnet_spark.index.bloom import load_bloom_meta
+
+        meta = load_bloom_meta(path)
+        bits = np.fromfile(
+            os.path.join(path, "bitset.bin"), dtype=np.uint8
+        )
+        fill = float(np.unpackbits(bits).mean()) if len(bits) else 0.0
+        h["bloom_fill"] = round(fill, 6)
+        h["bloom_est_fpp"] = round(fill ** meta["k"], 9)
+        h["n_grams"] = meta["n_grams"]
     if kind == "vindex":
         from dragnet_spark.index.vector import (
             load_vector_index_meta,
@@ -173,17 +193,23 @@ def plan_maintenance(
     max_files: int = 4,
     skew_trigger: float = 4.0,
     growth_trigger: float = 2.0,
+    fpp_advisory: float = 0.01,
 ) -> list[dict]:
     """Health-check every store under ``root`` and decide its actions.
     Returns one record per store: the health dict plus ``actions``
-    (possibly empty). Decision order: a vindex that needs recentering
+    (possibly empty) and ``advisories`` (flags the planner never
+    executes). Decision order: a vindex that needs recentering
     (drift OR growth) gets ``recenter`` alone — the rebuild rewrites
     every cell, so a compact would be wasted work; otherwise any store
-    past ``max_files`` gets ``compact``."""
+    past ``max_files`` gets ``compact``. A bloom store whose implied
+    fpp exceeds ``fpp_advisory`` gets the rebuild advisory."""
     plan = []
     for store in discover_stores(root):
         h = store_health(spark, store["path"], store["kind"])
         actions = []
+        h["advisories"] = []
+        if store["kind"] == "bloom" and h["bloom_est_fpp"] > fpp_advisory:
+            h["advisories"].append("rebuild-recommended(larger m_bits)")
         if store["kind"] == "vindex":
             target = h.get("target_rows_per_cell")
             if (h["skew"] and h["skew"] >= skew_trigger) or (

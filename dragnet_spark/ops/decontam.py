@@ -125,6 +125,44 @@ def bloom_build(
     return out.tobytes()
 
 
+def _with_might(
+    grams: DataFrame, bitset: bytes, m_bits: int, k: int
+) -> DataFrame:
+    """``grams`` plus a boolean ``might`` column: whether the packed
+    ``bitset`` has all k bits set for the gram — Arrow-batched numpy
+    gather over the broadcast bitset, 16 bytes of hash per gram on
+    the wire."""
+    bits_b = grams.sparkSession.sparkContext.broadcast(bitset)
+
+    @F.pandas_udf("boolean")
+    def _might(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if len(h1) == 0:
+            return pd.Series([], dtype=bool)
+        bits = np.frombuffer(bits_b.value, dtype=np.uint8)
+        P = _positions_np(
+            h1.to_numpy(np.int64), h2.to_numpy(np.int64), m_bits, k
+        )
+        hit = (bits[P >> 3] >> (P & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    return grams.withColumn("might", _might(*_hash_pair("gh")))
+
+
+def bloom_candidates(
+    grams: DataFrame,
+    bitset: bytes,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Filter a (…, gh) gram frame to the rows the ``bitset`` might
+    contain — the fpp-bounded candidate sliver (true hits are all
+    kept: no false negatives). Whatever joins this output downstream
+    is ~true-hit-sized."""
+    return _with_might(grams, bitset, m_bits, k).filter("might").drop(
+        "might"
+    )
+
+
 def overlap_report(
     grams: DataFrame,
     bench: DataFrame,
@@ -139,22 +177,7 @@ def overlap_report(
     (id_col, n_grams, n_hit_grams, hit_frac, contaminated) — the
     same columns and rounding as :func:`ops.text.benchmark_overlap`.
     """
-    spark = grams.sparkSession
-    train = grams
-    bits_b = spark.sparkContext.broadcast(bitset)
-
-    @F.pandas_udf("boolean")
-    def _might(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        if len(h1) == 0:
-            return pd.Series([], dtype=bool)
-        bits = np.frombuffer(bits_b.value, dtype=np.uint8)
-        P = _positions_np(
-            h1.to_numpy(np.int64), h2.to_numpy(np.int64), m_bits, k
-        )
-        hit = (bits[P >> 3] >> (P & 7).astype(np.uint8)) & 1
-        return pd.Series(hit.all(axis=1))
-
-    g = train.withColumn("might", _might(*_hash_pair("gh")))
+    g = _with_might(grams, bitset, m_bits, k)
     # one branch counts per-doc totals; the verify branch recomputes
     # lineage but filters might=true before its join, so only the
     # candidate sliver shuffles

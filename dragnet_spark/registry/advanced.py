@@ -756,6 +756,62 @@ def decontam_store_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+_BLOOMSRC_CACHE: dict[str, str] = {}
+
+
+@register(
+    "decontam_attribution",
+    """
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 md5(array_to_string(toks[u.i + 1 : u.i + 8], ' ')) AS gh
+          FROM t, UNNEST(range(0, GREATEST(len(toks) - 8 + 1, 0))) AS u(i)),
+    bench AS (SELECT DISTINCT g.gh, d.source AS src
+              FROM g JOIN documents d USING (doc_id)
+              WHERE g.doc_id % 97 = 0),
+    train AS (SELECT * FROM g WHERE doc_id % 97 <> 0)
+    SELECT train.doc_id, bench.src AS bench_src,
+           COUNT(*) AS n_hit_grams
+    FROM train JOIN bench ON train.gh = bench.gh
+    GROUP BY 1, 2
+    """,
+    "per-benchmark leak attribution: for every contaminated training "
+    "doc, WHICH benchmark (the eval slice's source column stands in "
+    "for per-benchmark identity) it shares 8-grams with and how many "
+    "— the audit a real decontamination run files alongside the "
+    "removal. Store grams carry (gh, src) pairs; the probe screens "
+    "every gram against the broadcast bitset and only might-contain "
+    "grams join the attribution table, so the join is ~true-hit-"
+    "sized. Grams shared by several benchmarks attribute to each",
+)
+def decontam_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.bloom import (
+        attribute_against_bloom_store,
+        build_bloom_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BLOOMSRC_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_bloomsrc_")
+        build_bloom_store(
+            spark,
+            docs.filter(F.col("doc_id") % 97 == 0),
+            path,
+            gram_n=8,
+            src_col="source",
+        )
+        _BLOOMSRC_CACHE[sf_dir] = path
+    return attribute_against_bloom_store(
+        spark,
+        _BLOOMSRC_CACHE[sf_dir],
+        docs.filter(F.col("doc_id") % 97 != 0),
+    )
+
+
 @register(
     "dedup_cross_source_matrix",
     """

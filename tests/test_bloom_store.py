@@ -144,6 +144,56 @@ def test_gate_composes_with_live_ingester(spark, tmp_path):
     assert n_store == 1 + 2  # seed + the two clean survivors
 
 
+BENCH2 = "pack my box with five dozen brown jugs and a flask"
+
+
+def test_attribution_names_the_leaked_benchmark(spark, tmp_path):
+    store = str(tmp_path / "bloom")
+    bench = spark.createDataFrame(
+        [(BENCH, "mmlu"), (BENCH2, "gsm8k")], "text string, src string"
+    )
+    build_bloom_store(spark, bench, store, gram_n=8, src_col="src")
+
+    from dragnet_spark.index.bloom import attribute_against_bloom_store
+
+    batch = spark.createDataFrame(
+        [
+            (1, BENCH + " leaked here"),      # 3 grams from mmlu only
+            (2, CLEAN),
+            (3, BENCH + " and " + BENCH2),    # leaks from both
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.bench_src): r.n_hit_grams
+        for r in attribute_against_bloom_store(spark, store, batch).collect()
+    }
+    assert rows[(1, "mmlu")] == 3
+    assert (1, "gsm8k") not in rows
+    assert 2 not in {d for d, _ in rows}
+    assert rows[(3, "mmlu")] == 3 and rows[(3, "gsm8k")] >= 3
+
+    # the gate/score semantics are unchanged by attribution storage
+    kept = sorted(
+        r.doc_id for r in decontam_gate(spark, store, batch).collect()
+    )
+    assert kept == [2]
+
+
+def test_attribution_requires_src_built_store(spark, tmp_path):
+    import pytest
+
+    from dragnet_spark.index.bloom import attribute_against_bloom_store
+
+    store = str(tmp_path / "bloom")
+    build_bloom_store(spark, _bench(spark), store, gram_n=8)
+    batch = spark.createDataFrame(
+        [(1, BENCH)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="src_col"):
+        attribute_against_bloom_store(spark, store, batch).collect()
+
+
 def test_bloom_store_in_fleet_view_never_compacts(spark, tmp_path):
     from dragnet_spark.index.maintain import plan_maintenance
 
@@ -154,3 +204,23 @@ def test_bloom_store_in_fleet_view_never_compacts(spark, tmp_path):
     )}
     assert plan[path]["kind"] == "bloom"
     assert plan[path]["actions"] == []  # immutable: even max_files=0
+    # healthy bitset: 3 grams in 2^20 bits -> fill ~1.4e-5, no advisory
+    assert plan[path]["bloom_fill"] < 1e-4
+    assert plan[path]["advisories"] == []
+
+
+def test_bloom_saturation_yields_advisory_not_action(spark, tmp_path):
+    from dragnet_spark.index.maintain import plan_maintenance
+
+    path = str(tmp_path / "fleet" / "bloom")
+    # 3 grams x k=2 into 16 bits: fill >= 1/4, est fpp way past 1%
+    build_bloom_store(
+        spark, _bench(spark), path, gram_n=8, m_bits=16, k=2
+    )
+    plan = {r["path"]: r for r in plan_maintenance(
+        spark, str(tmp_path / "fleet")
+    )}
+    rec = plan[path]
+    assert rec["bloom_est_fpp"] > 0.01
+    assert rec["advisories"] == ["rebuild-recommended(larger m_bits)"]
+    assert rec["actions"] == []  # advisory only: nothing to execute

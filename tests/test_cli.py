@@ -819,6 +819,23 @@ def test_bloom_build_gate_cli(cfg, spark, tmp_path):
     assert rc == 0 and "kept 1 of 2 docs" in out
     assert '"doc_id": 2' in out
 
+    # attribution: rebuild the store with --src-field, ask which
+    # benchmark doc 1 leaked from
+    bench2 = str(tmp_path / "bench2")
+    spark.createDataFrame(
+        [(leaked, "mmlu")], "text string, src string"
+    ).write.parquet(bench2)
+    store2 = str(tmp_path / "bloom2")
+    rc, out, _ = run(
+        ["bloom-build", bench2, f"--out={store2}", "--src-field=src"], cfg
+    )
+    assert rc == 0 and "with src attribution" in out
+    rc, out, _ = run(
+        ["bloom-gate", store2, f"--docs={batch}", "--attribute"], cfg
+    )
+    assert rc == 0 and "attributed 1 (doc, benchmark) leaks" in out
+    assert '"bench_src": "mmlu"' in out and '"n_hit_grams": 3' in out
+
 
 def test_profile_cli(cfg, spark, tmp_path):
     """dn profile: one-scan per-column stats over a parquet table."""
