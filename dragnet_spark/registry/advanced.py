@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 from dragnet_spark.registry._base import DataFrame, F, SparkSession, W, _dec4, _t, register  # noqa: F401
+from dragnet_spark.registry import curation as _c
 from dragnet_spark.registry.curation import _EMB_COS, _EMB_T, _Q, _text, embedding_near_dup_pairs  # noqa: F401
 from dragnet_spark.registry.temporal import dedup_cluster_assignments  # noqa: F401
 from dragnet_spark.registry.tpch import _DISC_PRICE_SQL, _disc_price  # noqa: F401
@@ -809,6 +810,107 @@ def decontam_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         _BLOOMSRC_CACHE[sf_dir],
         docs.filter(F.col("doc_id") % 97 != 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The decontamination SPECTRUM: the Bloom store catches verbatim gram
+# overlap; reworded contamination needs token-level LSH and paraphrased
+# contamination needs embedding-level LSH. Both reuse the materialized
+# band stores (index/fingerprints.py) with the benchmark slice as the
+# small FROZEN side and the training corpus as the probe side — the
+# right orientation at 100 TB: the store is built once from the small
+# benchmark suite, and the big side streams through a plain join that
+# AQE broadcasts.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_BAND_CACHE: dict[str, str] = {}
+
+
+@register(
+    "decontam_near_probe",
+    _c._band_probe_oracle(
+        16, 8, _c._NGRAM,
+        probe_pred="id % 97 <> 0", store_pred="id % 97 = 0",
+    ),
+    "REWORDED contamination: minhash band store frozen from the "
+    "benchmark slice (doc_id%97=0), the training corpus (doc_id%97<>0) "
+    "probes it — training docs whose LSH bands collide with a "
+    "benchmark doc are near-contamination candidates even when no "
+    "8-gram survives verbatim (token swaps, light edits). Store side "
+    "is the SMALL frozen one, so at 100 TB the big side streams "
+    "through a broadcast join; band keys only, text never moves. "
+    "DuckDB reproduces signature->band->collision exactly",
+)
+def decontam_near_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        build_band_store,
+        probe_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    if sf_dir not in _DECONTAM_BAND_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_decontam_band_")
+        build_band_store(
+            spark,
+            docs.filter(F.col("doc_id") % 97 == 0),
+            path,
+            num_hashes=16,
+            bands=8,
+            ngram=_c._NGRAM,
+        )
+        _DECONTAM_BAND_CACHE[sf_dir] = path
+    return probe_near_duplicates(
+        spark,
+        _DECONTAM_BAND_CACHE[sf_dir],
+        docs.filter(F.col("doc_id") % 97 != 0),
+    )
+
+
+_DECONTAM_SRP_CACHE: dict[str, str] = {}
+
+
+@register(
+    "decontam_semantic_probe",
+    _c._srp_probe_oracle(
+        8, 16, 42, 64,
+        probe_pred="id % 97 <> 0", store_pred="id % 97 = 0",
+    ),
+    "PARAPHRASED contamination: SRP band store frozen from the "
+    "benchmark slice's embeddings (vec_id%97=0), the training "
+    "corpus's embeddings probe it — different tokens, near-identical "
+    "meaning still collides in sign-random-projection bands, the "
+    "contamination neither gram hashing nor token LSH can see. Same "
+    "frozen-small-side orientation; quantized int64 projections keep "
+    "the chain engine-exact so DuckDB reproduces it as the oracle",
+)
+def decontam_semantic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        build_srp_store,
+        probe_srp_near_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _DECONTAM_SRP_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_decontam_srp_")
+        build_srp_store(
+            spark,
+            emb.filter(F.col("vec_id") % 97 == 0),
+            path,
+            bands=8,
+            bits_per_band=16,
+            seed=42,
+            dims=64,
+        )
+        _DECONTAM_SRP_CACHE[sf_dir] = path
+    return probe_srp_near_duplicates(
+        spark,
+        _DECONTAM_SRP_CACHE[sf_dir],
+        emb.filter(F.col("vec_id") % 97 != 0),
     )
 
 

@@ -363,12 +363,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_probe_oracle(num_hashes: int, bands: int, ngram: int) -> str:
+def _band_probe_oracle(
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+    probe_pred: str = "id % 5 = 0",
+    store_pred: str = "id % 5 <> 0",
+) -> str:
     r = num_hashes // bands
     sig = _text.minhash_signature_sql("text", num_hashes, ngram)
     band_hash = " || chr(31) || ".join(
         f"CAST(sig[{{i}}*{r} + {j + 1}] AS VARCHAR)" for j in range(r)
     )
+    probe_rows = probe_pred.replace("id", "doc_id")
     return f"""
     WITH t AS (SELECT doc_id AS id, {sig} AS sig FROM documents),
     banded AS (
@@ -380,14 +387,14 @@ def _band_probe_oracle(num_hashes: int, bands: int, ngram: int) -> str:
              COUNT(*) AS n_band_hits,
              MIN(c.id) AS dup_of
       FROM banded n JOIN banded c ON n.band = c.band AND n.bhash = c.bhash
-      WHERE n.id % 5 = 0 AND c.id % 5 <> 0
+      WHERE n.{probe_pred} AND c.{store_pred}
       GROUP BY n.id
     )
     SELECT p.doc_id,
            CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
            h.dup_of,
            (h.dup_of IS NOT NULL) AS is_near_duplicate
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) p
+    FROM (SELECT doc_id FROM documents WHERE {probe_rows}) p
     LEFT JOIN hits h ON h.doc_id = p.doc_id
     """
 
@@ -441,7 +448,12 @@ def dedup_incremental_near_probe(
 
 
 def _srp_probe_oracle(
-    bands: int, bits_per_band: int, seed: int, dims: int
+    bands: int,
+    bits_per_band: int,
+    seed: int,
+    dims: int,
+    probe_pred: str = "id % 5 = 0",
+    store_pred: str = "id % 5 <> 0",
 ) -> str:
     """DuckDB reproduces the ENTIRE quantize→sign-projection→band→
     collision chain: the quantized plane matrix embeds as integer
@@ -457,6 +469,7 @@ def _srp_probe_oracle(
 
     planes = srp_planes_q(dims, bands, bits_per_band, seed)
     banded = srp_banded_sql(planes, bands, bits_per_band)
+    probe_rows = probe_pred.replace("id", "vec_id")
     return f"""
     WITH qv_src AS (SELECT vec_id AS id, {srp_quantize_sql()} AS qv
                     FROM embeddings),
@@ -464,7 +477,7 @@ def _srp_probe_oracle(
     pair AS (
       SELECT n.id AS vec_id, c.id AS existing_id, COUNT(*) AS cnt
       FROM banded n JOIN banded c ON n.band = c.band AND n.bucket = c.bucket
-      WHERE n.id % 5 = 0 AND c.id % 5 <> 0
+      WHERE n.{probe_pred} AND c.{store_pred}
       GROUP BY n.id, c.id
     ),
     hits AS (
@@ -476,7 +489,7 @@ def _srp_probe_oracle(
            CAST(COALESCE(h.n_band_hits, 0) AS BIGINT) AS n_band_hits,
            h.dup_of,
            (h.dup_of IS NOT NULL) AS is_near_duplicate
-    FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) p
+    FROM (SELECT vec_id FROM embeddings WHERE {probe_rows}) p
     LEFT JOIN hits h ON h.vec_id = p.vec_id
     """
 
