@@ -1457,7 +1457,17 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dragnet_spark.ops.avi import encode_avi_mjpeg
     from dragnet_spark.ops.multimodal import decode_video_frames
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Fan the codec work out across every core BEFORE any payload
+    # exists: sf-sized documents.parquet is one small file -> one input
+    # partition, which would serialize ~15k frame encodes+decodes onto
+    # a single task. Repartitioning here shuffles only (doc_id, text)
+    # scalars; the synthesized AVI payloads stay inside the narrow
+    # gen -> decode chain and never cross a shuffle boundary.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         for pdf in batches:
