@@ -64,6 +64,41 @@ def token_sets(
     )
 
 
+def _shared_gram_counts(ex: DataFrame) -> DataFrame:
+    """Count shared grams per document pair from ONE exploded
+    (id, sz, g) table: (id_a, sz_a, id_b, sz_b, shared).
+
+    The join is a deliberately-shuffled self-join (merge hint on both
+    sides) rather than the planner's default. Two reasons, both scale:
+
+    * AQE would otherwise BROADCAST the exploded gram table when the
+      sf is small — a plan that dies at corpus scale (the build side
+      IS the corpus's shingle inventory). Forcing the shuffle keeps
+      the plan shape the one a 1000-executor run needs: both sides
+      hash-partitioned on the gram, AQE skew-split available for
+      stop-shingle-dense grams.
+    * With both sides canonically identical (same DataFrame, alias
+      only), AQE materializes the gram-partitioned shuffle ONCE and
+      feeds the second side from a ReusedExchange — the scan, the
+      shingle transform, and the explode run a single time instead of
+      twice (shingling dominates the wall time: tokenize + slice +
+      concat per position per doc).
+    """
+    A, B = ex.alias("A"), ex.alias("B")
+    return (
+        A.hint("merge")
+        .join(B.hint("merge"), F.col("A.g") == F.col("B.g"))
+        .filter(F.col("A.id") < F.col("B.id"))
+        .groupBy(
+            F.col("A.id").alias("id_a"),
+            F.col("A.sz").alias("sz_a"),
+            F.col("B.id").alias("id_b"),
+            F.col("B.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
@@ -100,14 +135,7 @@ def ngram_jaccard_pairs(
     ex = sets.select(
         "id", F.size("tset").alias("sz"), F.explode("tset").alias("g")
     )
-    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
-    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
-    shared = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "sz_a", "id_b", "sz_b")
-        .agg(F.count("*").alias("shared"))
-    )
+    shared = _shared_gram_counts(ex)
     jac = F.round(
         F.col("shared").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
@@ -157,14 +185,7 @@ def containment_pairs(
     ex = sets.select(
         "id", F.size("tset").alias("sz"), F.explode("tset").alias("g")
     )
-    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
-    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
-    shared = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "sz_a", "id_b", "sz_b")
-        .agg(F.count("*").alias("shared"))
-    )
+    shared = _shared_gram_counts(ex)
     directed = shared.select(
         F.explode(
             F.array(
@@ -719,12 +740,16 @@ def winnow_overlap_pairs(
         .select("fp")
     )
     fps = fps.join(rare, "fp")
-    a = fps.select(F.col("fp"), F.col("id").alias("id_a"))
-    b = fps.select(F.col("fp"), F.col("id").alias("id_b"))
+    # self-alias + merge hint: same discipline as _shared_gram_counts —
+    # no broadcast of the fingerprint inventory, and the df-capped
+    # fingerprint table (hashing every k-gram + the rare-join) is
+    # materialized once and fed to both sides via ReusedExchange.
+    A, B = fps.alias("A"), fps.alias("B")
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        A.hint("merge")
+        .join(B.hint("merge"), F.col("A.fp") == F.col("B.fp"))
+        .filter(F.col("A.id") < F.col("B.id"))
+        .groupBy(F.col("A.id").alias("id_a"), F.col("B.id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
@@ -819,12 +844,20 @@ def fuzzy_key_pairs(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
     v = df.select(
         F.col(id_col).alias("id"), k.alias("__fk"), F.explode(variants).alias("var")
     )
-    a = v.select(F.col("id").alias("id_a"), F.col("__fk").alias("ka"), "var")
-    b = v.select(F.col("id").alias("id_b"), F.col("__fk").alias("kb"), "var")
+    # self-alias + merge hint (see _shared_gram_counts): the variant
+    # table shuffles once and both join sides read the ReusedExchange;
+    # no broadcast of the full variant inventory at any sf.
+    A, B = v.alias("A"), v.alias("B")
     cand = (
-        a.join(b, "var")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ka", "kb")
+        A.hint("merge")
+        .join(B.hint("merge"), F.col("A.var") == F.col("B.var"))
+        .filter(F.col("A.id") < F.col("B.id"))
+        .select(
+            F.col("A.id").alias("id_a"),
+            F.col("B.id").alias("id_b"),
+            F.col("A.__fk").alias("ka"),
+            F.col("B.__fk").alias("kb"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
