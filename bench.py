@@ -118,6 +118,10 @@ BENCH_FAMILIES = [
         # round-9 additions: asymmetric containment + graph centrality
         "dedup_containment",
         "docs_neardup_pagerank",
+        # round-9 additions: SemDeDup — exact fixed-point k-means and
+        # the cluster-restricted semantic prune it enables
+        "semdedup_kmeans",
+        "semdedup_prune",
     ]),
     # decode-path regressions must trip the trailing-median grading
     # like every other family (VERDICT r6 #4) — multimodal throughput

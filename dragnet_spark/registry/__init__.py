@@ -75,6 +75,7 @@ _EXPOSURE_PRIORITY = [
     # embeddings: near-dup + ANN
     "dedup_embedding_cosine", "dedup_embedding_lsh", "ann_cosine_topk",
     "ann_cosine_topk_blocked", "ann_ivf_topk",
+    "semdedup_kmeans", "semdedup_prune",
     # composite + multimodal
     "curation_pipeline", "multimodal_features", "multimodal_frame_plan",
     "multimodal_resize",

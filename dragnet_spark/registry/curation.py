@@ -25,7 +25,12 @@ from dragnet_spark.ops.multimodal import (  # noqa: E402
     frame_sample_plan,
     resize_media,
 )
-from dragnet_spark.ops.similarity import cosine_topk, cosine_topk_blocked  # noqa: E402
+from dragnet_spark.ops.similarity import (  # noqa: E402
+    _dot as _ops_vdot,
+    _safe_norm as _ops_vnorm,
+    cosine_topk,
+    cosine_topk_blocked,
+)
 
 _Q = {k: v for k, v in _text.quality_sql("text").items()}
 
@@ -847,6 +852,107 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits_per_band=16,
         bands=6,
     ).select("id_a", "id_b", "cosine")
+
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    from dragnet_spark.ops.kmeans import kmeans_sql
+
+    return kmeans_sql(k=_KM_K, iterations=_KM_ITERS)
+
+
+@register(
+    "semdedup_kmeans",
+    _kmeans_oracle(),
+    "exact fixed-point k-means (Lloyd, 3 rounds, k=8) over quantized "
+    "embeddings — the clustering stage of SemDeDup semantic dedup. "
+    "Every step is integer arithmetic (quantize, squared-L2, "
+    "lexicographic argmin, truncating-div centroid update, md5 seed "
+    "draw), so an ITERATIVE algorithm value-hash grades across engines "
+    "(the PageRank discipline, ops/kmeans.py). Centroids are k×dims "
+    "driver/broadcast state; per round: one codegen'd assignment pass "
+    "+ one (cluster,dim) partial-agg whose output is k·dims rows",
+)
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_KM_K, iterations=_KM_ITERS).select(
+        F.col("id").alias("vec_id"), "cluster", "dist"
+    )
+
+
+def _semdedup_prune_oracle(threshold: float) -> str:
+    from dragnet_spark.ops.kmeans import kmeans_sql
+
+    km = kmeans_sql(k=_KM_K, iterations=_KM_ITERS)
+    cos = (
+        "round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+        "CAST(y.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT a.vec_id AS id, a.cluster, e.embedding
+      FROM ({km}) a JOIN embeddings e ON e.vec_id = a.vec_id
+    )
+    SELECT x.cluster, x.id AS kept_id, y.id AS dropped_id, {cos} AS cosine
+    FROM v x JOIN v y ON x.cluster = y.cluster AND x.id < y.id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "semdedup_prune",
+    _semdedup_prune_oracle(_EMB_T),
+    "SemDeDup pruning: near-dup pair search restricted to k-means "
+    "cluster mates — the CLUSTER equi-join replaces the O(n²) cross "
+    "product, turning semantic dedup into k independent (n/k)² "
+    "searches (Abbas et al. 2023). Keeps the lower id of each "
+    "within-cluster pair with cosine >= threshold. Recall vs the "
+    "all-pairs baseline is by construction the fraction of near-dup "
+    "pairs that co-cluster (true near-identical pairs, cos→1, "
+    "co-cluster almost surely; this corpus's near-orthogonal 0.42s "
+    "split across boundaries — dedup_embedding_cosine remains the "
+    "exhaustive twin)",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=_KM_K, iterations=_KM_ITERS).select(
+        "id", "cluster"
+    )
+    v = (
+        emb.select(F.col("vec_id").cast("long").alias("id"), "embedding")
+        .join(assign, "id")
+        # norms once per ROW here, not per pair after the join — the
+        # quadratic stage pays one interpreted fold (the dot), not three
+        .withColumn("nrm", _ops_vnorm(F.col("embedding")))
+    )
+    # self-alias + merge hint: one shuffle of the assigned vectors,
+    # both sides from the ReusedExchange (ops/dedup discipline); the
+    # join key is the cluster — pair volume Σ_c C(n_c, 2), never n².
+    A, B = v.alias("A"), v.alias("B")
+    cos = F.round(
+        _ops_vdot(F.col("A.embedding"), F.col("B.embedding"))
+        / (F.col("A.nrm") * F.col("B.nrm")),
+        6,
+    )
+    return (
+        A.hint("merge")
+        .join(B.hint("merge"), F.col("A.cluster") == F.col("B.cluster"))
+        .filter(F.col("A.id") < F.col("B.id"))
+        .select(
+            F.col("A.cluster").alias("cluster"),
+            F.col("A.id").alias("kept_id"),
+            F.col("B.id").alias("dropped_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _EMB_T)
+    )
 
 
 _ANN_ORACLE = """
