@@ -98,6 +98,8 @@ BENCH_FAMILIES = [
         "text_bm25_rank",
         "text_bigram_logprob",
         "decontam_bloom_prefilter",
+        # round-9 addition: deterministic KMV cardinality sketch
+        "corpus_vocab_kmv",
     ]),
     ("ann", [
         "ann_hard_negatives",

@@ -1,0 +1,122 @@
+"""K-minimum-values (KMV) distinct-count sketch — the mergeable
+cardinality estimator (Bar-Yossef et al. 2002; the bottom-k form
+DataSketches ships as Theta). Hash every value into [0, 2⁶⁰); the
+k-th smallest DISTINCT hash h_k estimates the cardinality as
+(k−1)·2⁶⁰ / h_k (uniform order statistics: k points at spacing
+≈ space/n put the k-th at ≈ k·space/n). With fewer than k distinct
+values the sketch degenerates to the exact count.
+
+Why this sketch here: unlike HyperLogLog (engine-specific register
+layouts, unportable) the KMV estimate is a pure function of the k
+smallest md5 prefixes — DETERMINISTIC, so a DuckDB twin computes the
+bit-identical estimate and the operator is value-hash gradable like
+everything else in the registry. The error is the usual
+O(1/√k) (k=256 → ~6%), and two sketches MERGE exactly: the k
+smallest of a union are among the union of each side's k smallest —
+the property that lets per-partition partial sketches combine into
+the global one with no approximation on top of the sketch itself.
+
+Scale shape: phase 1 prunes per Arrow batch to each group's k
+smallest distinct hashes (pandas sort+head — output ≤ k rows per
+group per batch, so the shuffle that follows carries sketch-sized
+data, never the corpus); phase 2 is one distinct + one
+group-partitioned row_number over the pruned rows (≤ k·n_batches per
+group) to find h_k. The full corpus is scanned once and hashed
+JVM-side (md5 expression); Python only ever sees (group, hash)
+longs. This is exactly how a 100 TB vocabulary census should run —
+the alternative exact COUNT(DISTINCT) shuffles every distinct token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: hash space: first 15 hex chars of md5 → 60 bits, exact in BIGINT
+#: and in an IEEE double (2⁶⁰ < 2⁶³; the estimate's single division
+#: is one double op, identical in any engine)
+HASH_BITS = 60
+HASH_SPACE = 1 << HASH_BITS
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """Value → uniform 60-bit BIGINT via md5 prefix (the registry's
+    portable-hash idiom; DuckDB twin:
+    ``CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per group: ``est_distinct`` — the KMV estimate of the number
+    of distinct ``value_col`` values (exact when a group has < k
+    distinct values). Deterministic: same input → same estimate on
+    any engine."""
+    if k < 2:
+        raise ValueError("KMV needs k >= 2 (the estimator is (k-1)/h_k)")
+    import pandas as pd  # noqa: F401 — mapInPandas dependency
+
+    rows = df.select(*group_cols, kmv_hash(value_col).alias("h"))
+    schema = rows.schema
+
+    def prune(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            d = pdf.drop_duplicates()
+            yield d.sort_values([*group_cols, "h"]).groupby(
+                list(group_cols), sort=False
+            ).head(k)
+
+    pruned = rows.mapInPandas(prune, schema=schema).distinct()
+    w = W.partitionBy(*group_cols).orderBy("h")
+    ranked = pruned.withColumn("rn", F.row_number().over(w))
+    est = F.when(
+        F.col("hk").isNull(), F.col("nd")  # < k distinct: sketch is exact
+    ).otherwise(
+        F.floor(
+            F.lit(float((k - 1) * HASH_SPACE)) / F.col("hk").cast("double")
+        ).cast("long")
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        )
+        .select(*group_cols, est.cast("long").alias("est_distinct"))
+    )
+
+
+def kmv_distinct_sql(
+    value_expr: str,
+    group_cols: list[str],
+    source_sql: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (no pruning phase — the
+    k-th order statistic is the k-th order statistic): yields
+    (*group_cols, est_distinct)."""
+    g = ", ".join(group_cols)
+    return f"""
+    WITH src AS ({source_sql}),
+    h AS (SELECT DISTINCT {g},
+                 CAST('0x' || substring(md5({value_expr}), 1, 15) AS BIGINT) AS h
+          FROM src),
+    ranked AS (SELECT {g}, h,
+                      row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn
+               FROM h),
+    agg AS (SELECT {g}, COUNT(*) AS nd,
+                   MAX(CASE WHEN rn = {k} THEN h END) AS hk
+            FROM ranked GROUP BY {g})
+    SELECT {g},
+           CAST(CASE WHEN hk IS NULL THEN nd
+                ELSE floor({float((k - 1) * HASH_SPACE)} / CAST(hk AS DOUBLE))
+           END AS BIGINT) AS est_distinct
+    FROM agg
+    """

@@ -66,7 +66,7 @@ _EXPOSURE_PRIORITY = [
     "top_customers_per_nation", "orders_with_discounted_lines",
     # text analysis
     "text_quality", "text_lang_id", "text_tokens_by_source",
-    "text_token_stats",
+    "text_token_stats", "corpus_vocab_kmv",
     # dedup family
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_winnow_overlap", "dedup_clusters",

@@ -154,3 +154,54 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(
         _t(spark, sf_dir, "documents"), "text", "doc_id", _BM25_TERMS, k=10
     )
+
+
+from dragnet_spark.ops.sketch import kmv_distinct, kmv_distinct_sql  # noqa: E402
+
+_KMV_K = 256
+
+
+def _vocab_kmv_oracle() -> str:
+    toks = _text.tokens_sql("text")
+    est = kmv_distinct_sql(
+        "tok",
+        ["source"],
+        f"SELECT source, unnest({toks}) AS tok FROM documents",
+        k=_KMV_K,
+    )
+    return f"""
+    WITH est AS ({est}),
+    ex AS (
+      SELECT source, COUNT(DISTINCT t.tok) AS exact_distinct
+      FROM documents, UNNEST({toks}) t(tok) GROUP BY source
+    )
+    SELECT est.source, est.est_distinct, ex.exact_distinct
+    FROM est JOIN ex USING (source)
+    """
+
+
+@register(
+    "corpus_vocab_kmv",
+    _vocab_kmv_oracle(),
+    "per-source vocabulary census via the KMV bottom-k sketch "
+    "(k=256): deterministic md5-prefix order statistics make a "
+    "CARDINALITY ESTIMATOR value-hash gradable cross-engine (HLL "
+    "never is — register layouts are engine-private), alongside the "
+    "exact COUNT(DISTINCT) for the error to be read off. Mergeable: "
+    "per-batch bottom-k partials combine exactly, so only "
+    "sketch-sized rows ever shuffle (ops/sketch.py)",
+)
+def corpus_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    est = kmv_distinct(toks, "tok", ["source"], k=_KMV_K)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source", "est_distinct", "exact_distinct"
+    )
