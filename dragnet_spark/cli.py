@@ -75,6 +75,9 @@ _OPT_DEFS = {
     "format": True, "docs": True, "min-count": True, "lam-pct": True,
     "min-mean-logp": True, "gram-n": True, "m-bits": True, "k": True,
     "max-hit-frac": True, "src-field": True, "attribute": False,
+    # round-9: semdedup + KMV distinct
+    "iterations": True, "threshold": True, "id-col": True,
+    "vec-col": True, "col": True, "group-by": True, "exact": False,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1388,6 +1391,100 @@ def cmd_maintain(argv, cat: Catalog, out):
     )
 
 
+def cmd_semdedup(argv, cat: Catalog, out):
+    """dn semdedup <vectors> [--k=8] [--iterations=3]
+    [--threshold=0.9] [--id-col=vec_id] [--vec-col=embedding]
+    [--format=parquet] [--out=PATH]: SemDeDup semantic dedup — exact
+    fixed-point k-means over the embedding column, then near-dup
+    pair search restricted to cluster mates (ops/kmeans.py). Prints
+    cluster sizes and the pairs found; --out writes the SURVIVOR ids
+    (corpus minus every dropped_id) as parquet."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops.kmeans import kmeans_assign, semdedup_prune_pairs
+
+    opts = _parse_args(
+        argv,
+        ["k", "iterations", "threshold", "id-col", "vec-col", "format", "out"],
+    )
+    (path,) = _nargs(opts, 1)
+    k = int(opts.get("k", "8"))
+    iters = int(opts.get("iterations", "3"))
+    thr = float(opts.get("threshold", "0.9"))
+    id_col = opts.get("id_col", "vec_id")
+    vec_col = opts.get("vec_col", "embedding")
+    spark = _get_spark()
+    df = spark.read.format(opts.get("format", "parquet")).load(path)
+    assign = kmeans_assign(df, vec_col=vec_col, id_col=id_col, k=k, iterations=iters)
+    sizes = sorted(
+        (r["cluster"], r["n"])
+        for r in assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    out.write(
+        "k-means: %d vectors -> %d clusters (sizes %s)\n"
+        % (sum(n for _, n in sizes), len(sizes), ",".join(str(n) for _, n in sizes))
+    )
+    pairs = semdedup_prune_pairs(
+        df, assign, vec_col=vec_col, id_col=id_col, threshold=thr
+    )
+    dropped = pairs.select(F.col("dropped_id").alias("id")).distinct()
+    n_pairs = pairs.count()
+    n_drop = dropped.count()
+    out.write(
+        "semdedup: %d within-cluster pairs >= %.2f, %d docs dropped\n"
+        % (n_pairs, thr, n_drop)
+    )
+    if opts.get("out"):
+        survivors = (
+            df.select(F.col(id_col).cast("long").alias("id"))
+            .join(dropped, "id", "left_anti")
+            .select(F.col("id").alias(id_col))
+        )
+        survivors.write.mode("error").parquet(opts["out"])
+        out.write("survivors -> %s\n" % opts["out"])
+
+
+def cmd_distinct(argv, cat: Catalog, out):
+    """dn distinct <path> --col=C [--group-by=G] [--k=256] [--exact]
+    [--format=parquet]: KMV bottom-k estimate of COUNT(DISTINCT C),
+    optionally per group (ops/sketch.py — deterministic md5 order
+    statistics, exact below k distinct values). --exact adds the true
+    count next to the estimate (full distinct shuffle — the cost the
+    sketch exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops.sketch import kmv_distinct
+
+    opts = _parse_args(argv, ["col", "group-by", "k", "exact", "format"])
+    (path,) = _nargs(opts, 1)
+    col = opts.get("col")
+    if not col:
+        raise UsageError("--col is required")
+    k = int(opts.get("k", "256"))
+    grp = opts.get("group_by")
+    spark = _get_spark()
+    df = spark.read.format(opts.get("format", "parquet")).load(path)
+    gcols = [grp] if grp else ["__g"]
+    if not grp:
+        df = df.withColumn("__g", F.lit("all"))
+    est = kmv_distinct(df, col, gcols, k=k)
+    if opts.get("exact"):
+        exact = df.groupBy(*gcols).agg(
+            F.countDistinct(col).alias("exact_distinct")
+        )
+        est = est.join(exact, gcols)
+    rows = est.orderBy(gcols[0]).collect()
+    hdr = "%-24s %14s" % (grp or "group", "est_distinct")
+    if opts.get("exact"):
+        hdr += " %14s" % "exact_distinct"
+    out.write(hdr + "\n")
+    for r in rows:
+        line = "%-24s %14d" % (r[gcols[0]], r["est_distinct"])
+        if opts.get("exact"):
+            line += " %14d" % r["exact_distinct"]
+        out.write(line + "\n")
+
+
 COMMANDS = {
     "datasource-add": cmd_datasource_add,
     "datasource-list": cmd_datasource_list,
@@ -1411,6 +1508,8 @@ COMMANDS = {
     "vindex-ingest": cmd_vindex_ingest,
     "vindex-recenter": cmd_vindex_recenter,
     "maintain": cmd_maintain,
+    "semdedup": cmd_semdedup,
+    "distinct": cmd_distinct,
     "sink-compact": cmd_sink_compact,
     "profile": cmd_profile,
     "lm-build": cmd_lm_build,

@@ -179,6 +179,47 @@ def kmeans_assign(
         raise
 
 
+def semdedup_prune_pairs(
+    df: DataFrame,
+    assign: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs: (cluster, kept_id,
+    dropped_id, cosine) for every same-cluster pair with
+    round(cosine, 6) >= threshold, keeping the lower id. ``assign``
+    is :func:`kmeans_assign` output (id, cluster). The cluster
+    equi-join bounds pair volume at Σ_c C(n_c, 2) — SemDeDup's point:
+    k independent (n/k)² searches instead of one n². Norms are
+    computed once per row before the pair stage."""
+    from dragnet_spark.ops.similarity import _dot, _safe_norm
+
+    v = (
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col))
+        .join(assign.select("id", "cluster"), "id")
+        .withColumn("nrm", _safe_norm(F.col(vec_col)))
+    )
+    A, B = v.alias("A"), v.alias("B")
+    cos = F.round(
+        _dot(F.col(f"A.{vec_col}"), F.col(f"B.{vec_col}"))
+        / (F.col("A.nrm") * F.col("B.nrm")),
+        6,
+    )
+    return (
+        A.hint("merge")
+        .join(B.hint("merge"), F.col("A.cluster") == F.col("B.cluster"))
+        .filter(F.col("A.id") < F.col("B.id"))
+        .select(
+            F.col("A.cluster").alias("cluster"),
+            F.col("A.id").alias("kept_id"),
+            F.col("B.id").alias("dropped_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def kmeans_sql(
     k: int = 8,
     iterations: int = 3,

@@ -25,12 +25,7 @@ from dragnet_spark.ops.multimodal import (  # noqa: E402
     frame_sample_plan,
     resize_media,
 )
-from dragnet_spark.ops.similarity import (  # noqa: E402
-    _dot as _ops_vdot,
-    _safe_norm as _ops_vnorm,
-    cosine_topk,
-    cosine_topk_blocked,
-)
+from dragnet_spark.ops.similarity import cosine_topk, cosine_topk_blocked  # noqa: E402
 
 _Q = {k: v for k, v in _text.quality_sql("text").items()}
 
@@ -919,40 +914,11 @@ def _semdedup_prune_oracle(threshold: float) -> str:
     "exhaustive twin)",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dragnet_spark.ops.kmeans import kmeans_assign
+    from dragnet_spark.ops.kmeans import kmeans_assign, semdedup_prune_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(emb, k=_KM_K, iterations=_KM_ITERS).select(
-        "id", "cluster"
-    )
-    v = (
-        emb.select(F.col("vec_id").cast("long").alias("id"), "embedding")
-        .join(assign, "id")
-        # norms once per ROW here, not per pair after the join — the
-        # quadratic stage pays one interpreted fold (the dot), not three
-        .withColumn("nrm", _ops_vnorm(F.col("embedding")))
-    )
-    # self-alias + merge hint: one shuffle of the assigned vectors,
-    # both sides from the ReusedExchange (ops/dedup discipline); the
-    # join key is the cluster — pair volume Σ_c C(n_c, 2), never n².
-    A, B = v.alias("A"), v.alias("B")
-    cos = F.round(
-        _ops_vdot(F.col("A.embedding"), F.col("B.embedding"))
-        / (F.col("A.nrm") * F.col("B.nrm")),
-        6,
-    )
-    return (
-        A.hint("merge")
-        .join(B.hint("merge"), F.col("A.cluster") == F.col("B.cluster"))
-        .filter(F.col("A.id") < F.col("B.id"))
-        .select(
-            F.col("A.cluster").alias("cluster"),
-            F.col("A.id").alias("kept_id"),
-            F.col("B.id").alias("dropped_id"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= _EMB_T)
-    )
+    assign = kmeans_assign(emb, k=_KM_K, iterations=_KM_ITERS)
+    return semdedup_prune_pairs(emb, assign, threshold=_EMB_T)
 
 
 _ANN_ORACLE = """

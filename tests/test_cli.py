@@ -872,3 +872,55 @@ def test_orc_datasource_scan(cfg, spark, tmp_path):
                       "-f", '{"eq": ["code", 200]}', "oc"], cfg)
     assert rc == 0
     assert {tuple(ln.split()) for ln in out.splitlines()[1:]} == {("GET", "2")}
+
+
+def test_semdedup_cli(cfg, tmp_path, spark):
+    """dn semdedup: k-means + within-cluster prune + survivor output.
+    Two exact-duplicate pairs among well-separated vectors must each
+    drop one member; survivors parquet excludes exactly the dropped."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((6, 16))
+    rows = [(i, base[i].tolist()) for i in range(6)]
+    rows.append((100, base[0].tolist()))  # exact dup of 0
+    rows.append((101, base[3].tolist()))  # exact dup of 3
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(src)
+    outp = str(tmp_path / "kept.parquet")
+    rc, out, _ = run(
+        ["semdedup", src, "--k", "2", "--iterations", "2",
+         "--threshold", "0.99", "--out", outp],
+        cfg,
+    )
+    assert rc == 0
+    assert "8 vectors -> 2 clusters" in out
+    assert "2 within-cluster pairs >= 0.99, 2 docs dropped" in out
+    kept = {r["vec_id"] for r in spark.read.parquet(outp).collect()}
+    assert kept == {0, 1, 2, 3, 4, 5}  # lower ids win
+
+
+def test_distinct_cli(cfg, tmp_path, spark):
+    """dn distinct: exact below k, grouped + --exact columns, and the
+    global (no --group-by) path."""
+    src = str(tmp_path / "t.parquet")
+    rows = [("a", f"w{i % 30}") for i in range(200)] + [
+        ("b", f"w{i}") for i in range(50)
+    ]
+    spark.createDataFrame(rows, "src string, tok string").write.parquet(src)
+    rc, out, _ = run(
+        ["distinct", src, "--col", "tok", "--group-by", "src",
+         "--k", "64", "--exact"],
+        cfg,
+    )
+    assert rc == 0
+    lines = [ln.split() for ln in out.strip().splitlines()[1:]]
+    got = {ln[0]: (int(ln[1]), int(ln[2])) for ln in lines}
+    assert got["a"] == (30, 30)  # below k: sketch is exact
+    assert got["b"] == (50, 50)
+    rc, out, _ = run(["distinct", src, "--col", "tok"], cfg)
+    assert rc == 0 and out.splitlines()[1].split()[0] == "all"
+    rc, _, err = run(["distinct", src], cfg)
+    assert rc != 0  # --col required

@@ -58,6 +58,11 @@ SUBSET = [
     "ann_ivf_topk",
     "ann_vector_index_topk",
     "embedding_label_outliers",
+    # round-9: iterative exact k-means over all 200k vectors (the
+    # SemDeDup clustering stage; prune itself is cluster-quadratic by
+    # contract at fixed k and carries a CHECK_SKIP like the all-pairs
+    # baselines)
+    "semdedup_kmeans",
 ]
 
 
