@@ -64,6 +64,27 @@ def token_sets(
     )
 
 
+def _exploded_gram_hashes(sets: DataFrame) -> DataFrame:
+    """(id, sz, g): explode a (id, tset) shingle-set table with the
+    gram riding as a 56-bit md5-prefix BIGINT, not the string. The
+    gram string never crosses the shuffle: the sort/join key is 8
+    bytes instead of a ~30-char UTF8 blob (duplicate_spans'
+    discipline, applied to the pair-finding family). ``sz`` is the
+    true distinct-STRING shingle count, fixed before hashing; both
+    engines hash with the same md5 prefix, so the cross-engine
+    comparison stays exact even in the astronomically-unlikely
+    collision case (both sides would count the same collision)."""
+    return sets.select(
+        "id", F.size("tset").alias("sz"), F.explode("tset").alias("gs")
+    ).select(
+        "id",
+        "sz",
+        F.conv(F.substring(F.md5("gs"), 1, 14), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
+
+
 def _shared_gram_counts(ex: DataFrame) -> DataFrame:
     """Count shared grams per document pair from ONE exploded
     (id, sz, g) table: (id_a, sz_a, id_b, sz_b, shared).
@@ -132,10 +153,7 @@ def ngram_jaccard_pairs(
         )
     df = spread(df)
     sets = token_sets(df, text_col, id_col, ngram)
-    ex = sets.select(
-        "id", F.size("tset").alias("sz"), F.explode("tset").alias("g")
-    )
-    shared = _shared_gram_counts(ex)
+    shared = _shared_gram_counts(_exploded_gram_hashes(sets))
     jac = F.round(
         F.col("shared").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
@@ -182,10 +200,7 @@ def containment_pairs(
         )
     df = spread(df)
     sets = token_sets(df, text_col, id_col, ngram)
-    ex = sets.select(
-        "id", F.size("tset").alias("sz"), F.explode("tset").alias("g")
-    )
-    shared = _shared_gram_counts(ex)
+    shared = _shared_gram_counts(_exploded_gram_hashes(sets))
     directed = shared.select(
         F.explode(
             F.array(

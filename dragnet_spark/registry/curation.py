@@ -213,11 +213,16 @@ def _jaccard_oracle(threshold: float, ngram: int = _NGRAM) -> str:
     # same shared-shingle equi-join reformulation as the Spark side
     # (ops/dedup.py ngram_jaccard_pairs): identical values for any
     # threshold > 0, and the all-pairs list_intersect — which
-    # single-threads DuckDB for minutes at sf0.1 — never materializes
+    # single-threads DuckDB for minutes at sf0.1 — never materializes.
+    # Grams ride as 56-bit md5 prefixes on BOTH sides (the
+    # duplicate_spans discipline) — the join key is 8 bytes, and both
+    # engines would count the same hash collision identically
     toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
     return f"""
     WITH t AS MATERIALIZED (SELECT doc_id AS id, {toks} AS ts FROM documents),
-    s AS (SELECT id, len(ts) AS sz, unnest(ts) AS g FROM t),
+    s AS (SELECT id, len(ts) AS sz,
+                 CAST('0x' || substring(md5(unnest(ts)), 1, 14) AS BIGINT) AS g
+          FROM t),
     p AS (SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
                  COUNT(*) AS shared
           FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
@@ -245,10 +250,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_oracle(threshold: float, ngram: int = _NGRAM) -> str:
+    # grams as md5-prefix BIGINTs, mirroring the Spark side — see
+    # _jaccard_oracle
     toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
     return f"""
     WITH t AS (SELECT doc_id AS id, {toks} AS ts FROM documents),
-    s AS (SELECT id, len(ts) AS sz, unnest(ts) AS g FROM t),
+    s AS (SELECT id, len(ts) AS sz,
+                 CAST('0x' || substring(md5(unnest(ts)), 1, 14) AS BIGINT) AS g
+          FROM t),
     p AS (SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
                  COUNT(*) AS shared
           FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
@@ -292,6 +301,35 @@ def docs_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(docs, pairs, id_col="doc_id").select(
         F.col("id").alias("doc_id"), "pagerank"
+    )
+
+
+def _triangles_oracle() -> str:
+    from dragnet_spark.ops.graph import triangle_counts_sql
+
+    sql = triangle_counts_sql(_jaccard_oracle(_JACCARD_T))
+    return f"SELECT id AS doc_id, n_triangles FROM ({sql})"
+
+
+@register(
+    "docs_neardup_triangles",
+    _triangles_oracle(),
+    "exact per-node triangle counts over the shingle-Jaccard near-dup "
+    "graph via degree orientation + wedge closure (Suri & "
+    "Vassilvitskii WWW'11): clique-density tells bulk-droppable dup "
+    "GROUPS (triangle-rich) from chains of borderline matches "
+    "(triangle-poor). Out-degree after orientation is <= sqrt(2m) on "
+    "any graph, so wedge volume is bounded even at a 10^6-degree hub",
+)
+def docs_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_JACCARD_T, ngram=_NGRAM
+    )
+    return triangle_counts(pairs).select(
+        F.col("id").alias("doc_id"), "n_triangles"
     )
 
 

@@ -129,3 +129,46 @@ def test_minlabel_closure_sql_matches_engine_on_long_chain(spark):
     )
     assert got == want
     assert all(c == 100 for i, c in got if 100 <= i < 100 + n)
+
+
+def _tri(spark, edges):
+    from dragnet_spark.ops.graph import triangle_counts
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r["id"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+
+
+def test_triangle_single(spark):
+    assert _tri(spark, [(0, 1), (1, 2), (2, 0)]) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_square_has_none(spark):
+    assert _tri(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]) == {}
+
+
+def test_triangle_k4(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    # K4: C(3,2)=3 triangles per node, 4 total
+    assert _tri(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_dup_and_reversed_edges_collapse(spark):
+    got = _tri(spark, [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (1, 1)])
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_star_hub_has_none(spark):
+    # degree-oriented: all edges point INTO the hub, no wedges close
+    assert _tri(spark, [(9, i) for i in range(6)]) == {}
+
+
+def test_triangle_sql_twin(spark):
+    import duckdb
+    from dragnet_spark.ops.graph import triangle_counts_sql
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5) if (a + b) % 3]
+    got = _tri(spark, edges)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", edges)
+    want = dict(con.execute(
+        triangle_counts_sql("SELECT id_a, id_b FROM p")).fetchall())
+    assert got == want
