@@ -78,6 +78,7 @@ _OPT_DEFS = {
     # round-9: semdedup + KMV distinct
     "iterations": True, "threshold": True, "id-col": True,
     "vec-col": True, "col": True, "group-by": True, "exact": False,
+    "data": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1485,6 +1486,73 @@ def cmd_distinct(argv, cat: Catalog, out):
         out.write(line + "\n")
 
 
+def _kmv_print_estimates(spark, store, out):
+    from dragnet_spark.index.kmv import kmv_store_estimate, load_kmv_meta
+
+    meta = load_kmv_meta(store)
+    g = meta["group_cols"]
+    rows = kmv_store_estimate(spark, store).orderBy(*g).collect()
+    out.write("%-24s %14s\n" % (",".join(g), "est_distinct"))
+    for r in rows:
+        key = ",".join(str(r[c]) for c in g)
+        out.write("%-24s %14d\n" % (key, r["est_distinct"]))
+
+
+def cmd_kmv_build(argv, cat: Catalog, out):
+    """dn kmv-build <data> --col=C --out=STORE [--group-by=G]
+    [--k=256] [--format=parquet]: materialize a bottom-k KMV
+    cardinality sketch (index/kmv.py) — O(groups·k) state a live
+    pipeline folds every batch into with dn kmv-merge."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.kmv import build_kmv_store
+
+    opts = _parse_args(argv, ["col", "group-by", "k", "out", "format"])
+    (path,) = _nargs(opts, 1)
+    if not opts.get("col") or not opts.get("out"):
+        raise UsageError("--col and --out are required")
+    spark = _get_spark()
+    df = spark.read.format(opts.get("format", "parquet")).load(path)
+    grp = opts.get("group_by")
+    gcols = [grp] if grp else ["__g"]
+    if not grp:
+        df = df.withColumn("__g", F.lit("all"))
+    build_kmv_store(
+        spark, df, opts["out"], opts["col"], gcols, k=int(opts.get("k", "256"))
+    )
+    out.write("built KMV sketch (k=%s) at %s\n" % (opts.get("k", "256"), opts["out"]))
+    _kmv_print_estimates(spark, opts["out"], out)
+
+
+def cmd_kmv_merge(argv, cat: Catalog, out):
+    """dn kmv-merge <store> --data=BATCH [--format=parquet]: fold one
+    arriving batch into the sketch (lease-guarded stage-then-swap;
+    bit-identical to rebuilding over everything ingested so far)."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.kmv import load_kmv_meta, merge_kmv_batch
+
+    opts = _parse_args(argv, ["data", "format"])
+    (store,) = _nargs(opts, 1)
+    if not opts.get("data"):
+        raise UsageError("--data is required")
+    spark = _get_spark()
+    df = spark.read.format(opts.get("format", "parquet")).load(opts["data"])
+    if load_kmv_meta(store)["group_cols"] == ["__g"]:
+        df = df.withColumn("__g", F.lit("all"))
+    merge_kmv_batch(spark, df, store)
+    out.write("merged %s into %s\n" % (opts["data"], store))
+    _kmv_print_estimates(spark, store, out)
+
+
+def cmd_kmv_est(argv, cat: Catalog, out):
+    """dn kmv-est <store>: print the per-group distinct estimates the
+    persisted sketch implies — no corpus scan."""
+    opts = _parse_args(argv, [])
+    (store,) = _nargs(opts, 1)
+    _kmv_print_estimates(_get_spark(), store, out)
+
+
 COMMANDS = {
     "datasource-add": cmd_datasource_add,
     "datasource-list": cmd_datasource_list,
@@ -1510,6 +1578,9 @@ COMMANDS = {
     "maintain": cmd_maintain,
     "semdedup": cmd_semdedup,
     "distinct": cmd_distinct,
+    "kmv-build": cmd_kmv_build,
+    "kmv-merge": cmd_kmv_merge,
+    "kmv-est": cmd_kmv_est,
     "sink-compact": cmd_sink_compact,
     "profile": cmd_profile,
     "lm-build": cmd_lm_build,

@@ -76,12 +76,17 @@ _MARKERS = {
     # compacted
     "_lm_store.json": ("lm", ("unigrams", "bigrams")),
     "_bloom_store.json": ("bloom", ("grams",)),
+    # self-compacting: every merge stage-swaps the whole (sketch-sized)
+    # state back to one file, so there is never fold-in debt to sweep
+    "_kmv_store.json": ("kmv", ("sketch",)),
 }
 
 #: store kinds whose layout is written once at build and never
 #: appended to — the maintenance planner lists them but never
-#: schedules a compaction
-IMMUTABLE_KINDS = ("lm", "bloom")
+#: schedules a compaction. The kmv store is mutable but rewrites
+#: itself whole on every merge, so it carries no compactable debt
+#: either.
+IMMUTABLE_KINDS = ("lm", "bloom", "kmv")
 
 
 def discover_stores(root: str) -> list[dict]:

@@ -47,21 +47,33 @@ def kmv_hash(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def kmv_distinct(
+def kmv_sketch_rows(
     df: DataFrame,
     value_col: str,
     group_cols: list[str],
     k: int = 256,
 ) -> DataFrame:
-    """Per group: ``est_distinct`` — the KMV estimate of the number
-    of distinct ``value_col`` values (exact when a group has < k
-    distinct values). Deterministic: same input → same estimate on
-    any engine."""
+    """The SKETCH itself: per group, exactly the k smallest distinct
+    60-bit hashes of ``value_col`` (all of them when a group has < k
+    distinct values) as (*group_cols, h) rows. This is the mergeable
+    state — bottom-k of a union == bottom-k over the union of two
+    bottom-k sets, so per-batch sketch rows fold into a running store
+    with zero approximation on top of the sketch
+    (:mod:`dragnet_spark.index.kmv`)."""
     if k < 2:
         raise ValueError("KMV needs k >= 2 (the estimator is (k-1)/h_k)")
+    rows = df.select(*group_cols, kmv_hash(value_col).alias("h"))
+    return bottom_k(rows, group_cols, k)
+
+
+def bottom_k(rows: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Exact per-group k smallest DISTINCT ``h`` values of a
+    (*group_cols, h) table. Phase 1 prunes per Arrow batch (≤ k rows
+    per group per batch survive — sketch-sized shuffle); phase 2 is
+    one distinct + group-partitioned row_number over the pruned
+    superset."""
     import pandas as pd  # noqa: F401 — mapInPandas dependency
 
-    rows = df.select(*group_cols, kmv_hash(value_col).alias("h"))
     schema = rows.schema
 
     def prune(batches):
@@ -75,21 +87,45 @@ def kmv_distinct(
 
     pruned = rows.mapInPandas(prune, schema=schema).distinct()
     w = W.partitionBy(*group_cols).orderBy("h")
-    ranked = pruned.withColumn("rn", F.row_number().over(w))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def estimate_from_sketch(
+    sketch: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """(group, est_distinct) from exact bottom-k sketch rows: a group
+    holding fewer than k hashes IS its exact distinct count; at k the
+    estimator is floor((k-1)·2⁶⁰ / h_k)."""
     est = F.when(
-        F.col("hk").isNull(), F.col("nd")  # < k distinct: sketch is exact
+        F.col("nd") < k, F.col("nd")  # < k distinct: sketch is exact
     ).otherwise(
         F.floor(
             F.lit(float((k - 1) * HASH_SPACE)) / F.col("hk").cast("double")
         ).cast("long")
     )
     return (
-        ranked.groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("nd"),
-            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
-        )
+        sketch.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("nd"), F.max("h").alias("hk"))
         .select(*group_cols, est.cast("long").alias("est_distinct"))
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per group: ``est_distinct`` — the KMV estimate of the number
+    of distinct ``value_col`` values (exact when a group has < k
+    distinct values). Deterministic: same input → same estimate on
+    any engine."""
+    return estimate_from_sketch(
+        kmv_sketch_rows(df, value_col, group_cols, k), group_cols, k
     )
 
 

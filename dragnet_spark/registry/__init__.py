@@ -69,7 +69,7 @@ _EXPOSURE_PRIORITY = [
     "text_token_stats", "corpus_vocab_kmv",
     # dedup family
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_winnow_overlap", "dedup_clusters",
+    "dedup_winnow_overlap", "dedup_clusters", "docs_neardup_triangles",
     # skew-proof event analytics
     "events_distinct_users_by_type", "events_top_users_by_type",
     # embeddings: near-dup + ANN

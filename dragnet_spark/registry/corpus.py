@@ -180,6 +180,61 @@ def _vocab_kmv_oracle() -> str:
     """
 
 
+_KMV_STORE_CACHE: dict[str, str] = {}
+
+
+def _vocab_kmv_inc_oracle() -> str:
+    from dragnet_spark.ops.sketch import kmv_distinct_sql
+
+    toks = _text.tokens_sql("text")
+    return kmv_distinct_sql(
+        "tok",
+        ["source"],
+        f"SELECT source, unnest({toks}) AS tok FROM documents",
+        k=_KMV_K,
+    )
+
+
+@register(
+    "vocab_kmv_incremental",
+    _vocab_kmv_inc_oracle(),
+    "continuous-ingest vocabulary census: the corpus slice "
+    "(doc_id%4≠0) builds a persisted bottom-k KMV store "
+    "(index/kmv.py), the arriving slice (doc_id%4=0) FOLDS in as a "
+    "batch (lease-guarded sketch merge — two sketch-sized sides, the "
+    "batch reduces to ≤k rows per group before touching the store), "
+    "and the estimate reads off the swapped sketch. Bottom-k merges "
+    "exactly, so the fold is bit-identical to the one-shot sketch "
+    "over ALL documents — which is what the oracle computes",
+)
+def vocab_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dragnet_spark.index.kmv import (
+        build_kmv_store,
+        kmv_store_estimate,
+        merge_kmv_batch,
+    )
+    from dragnet_spark.ops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tok")
+    )
+    if sf_dir not in _KMV_STORE_CACHE:
+        path = tempfile.mkdtemp(prefix="dragnet_kmv_")
+        build_kmv_store(
+            spark,
+            toks.filter(F.col("doc_id") % 4 != 0),
+            path,
+            "tok",
+            ["source"],
+            k=_KMV_K,
+        )
+        merge_kmv_batch(spark, toks.filter(F.col("doc_id") % 4 == 0), path)
+        _KMV_STORE_CACHE[sf_dir] = path
+    return kmv_store_estimate(spark, _KMV_STORE_CACHE[sf_dir])
+
 @register(
     "corpus_vocab_kmv",
     _vocab_kmv_oracle(),
@@ -191,6 +246,7 @@ def _vocab_kmv_oracle() -> str:
     "per-batch bottom-k partials combine exactly, so only "
     "sketch-sized rows ever shuffle (ops/sketch.py)",
 )
+
 def corpus_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dragnet_spark.ops.text import tokens
 

@@ -924,3 +924,29 @@ def test_distinct_cli(cfg, tmp_path, spark):
     assert rc == 0 and out.splitlines()[1].split()[0] == "all"
     rc, _, err = run(["distinct", src], cfg)
     assert rc != 0  # --col required
+
+
+def test_kmv_store_cli_roundtrip(cfg, tmp_path, spark):
+    """kmv-build + kmv-merge + kmv-est: the sketch folds a batch in
+    and the estimate tracks (exact below k)."""
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [("x", "t%d" % i) for i in range(30)], "src string, tok string"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [("x", "t%d" % i) for i in range(20, 70)], "src string, tok string"
+    ).write.parquet(b)
+    store = str(tmp_path / "kmv")
+    rc, out, _ = run(
+        ["kmv-build", a, "--col", "tok", "--group-by", "src",
+         "--out", store, "--k", "128"],
+        cfg,
+    )
+    assert rc == 0 and out.splitlines()[-1].split() == ["x", "30"]
+    rc, out, _ = run(["kmv-merge", store, "--data", b], cfg)
+    assert rc == 0 and out.splitlines()[-1].split() == ["x", "70"]
+    rc, out, _ = run(["kmv-est", store], cfg)
+    assert rc == 0 and out.splitlines()[-1].split() == ["x", "70"]
+    rc, _, _ = run(["kmv-merge", store], cfg)
+    assert rc != 0  # --data required
