@@ -1263,3 +1263,44 @@ def stream_ingest_with_live_store(
         .outputMode("append")
         .start()
     )
+
+
+def make_kmv_vocab_ingester(
+    store_path: str,
+    text_field: str = "text",
+    group_field: str = "source",
+):
+    """foreachBatch hook: fold each micro-batch's token hashes into a
+    persisted KMV vocabulary sketch (index/kmv.py) — the live "how big
+    is each source's vocabulary" census, O(groups·k) state however
+    long the stream runs.
+
+    No replay ledger needed, unlike the sink-writing ingesters:
+    bottom-k folding is IDEMPOTENT (re-merging an already-folded
+    batch unions values the sketch already minimized over — the
+    bottom-k is unchanged), so at-least-once foreachBatch delivery is
+    exactly-once state for free. The merge itself is lease-guarded
+    and stage-swapped by merge_kmv_batch, so it also serializes
+    against any concurrent dn kmv-merge / dn maintain sweep."""
+    from dragnet_spark.index.kmv import load_kmv_meta, merge_kmv_batch
+    from dragnet_spark.ops.text import tokens
+
+    meta = load_kmv_meta(store_path)  # fail at wiring time, not batch 1
+    vcol = meta["value_col"]
+    if len(meta["group_cols"]) != 1:
+        raise ValueError(
+            "make_kmv_vocab_ingester supports single-group stores, got "
+            f"{meta['group_cols']}"
+        )
+    (gcol,) = meta["group_cols"]
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(
+            F.col(group_field).alias(gcol),
+            F.explode(tokens(text_field)).alias(vcol),
+        )
+        merge_kmv_batch(batch_df.sparkSession, toks, store_path)
+
+    return ingest

@@ -1193,3 +1193,69 @@ def test_live_srp_store_self_feeds_across_batches(spark, tmp_path):
     )
     ing2(batch1, 0)
     assert spark.read.parquet(f"{sink}/__dn_batch=0").count() == 0
+
+
+def test_stream_kmv_vocab_census_matches_batch(spark, tmp_path):
+    """make_kmv_vocab_ingester: N micro-batch folds of the vocab
+    sketch are bit-identical to one build over the concatenated data
+    (bottom-k mergeability), and re-folding a batch (at-least-once
+    replay) changes nothing."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.kmv import build_kmv_store, merge_kmv_batch
+    from dragnet_spark.ops.text import tokens
+    from dragnet_spark.streaming.pipeline import make_kmv_vocab_ingester
+
+    d = tmp_path / "in"
+    d.mkdir()
+    texts = {}
+    for b in range(3):
+        lines = []
+        for i in range(40):
+            t = " ".join(f"w{(b * 37 + i * 11 + j) % 300}" for j in range(12))
+            texts[(b, i)] = t
+            lines.append(json.dumps({"src": f"s{i % 2}", "text": t}))
+        (d / f"{b}.json").write_text("\n".join(lines) + "\n")
+
+    store = str(tmp_path / "vocab")
+    empty = spark.createDataFrame([], "src string, tok string")
+    build_kmv_store(spark, empty, store, "tok", ["src"], k=64)
+
+    sch = "src string, text string"
+    sdf = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    ingest = make_kmv_vocab_ingester(store, "text", "src")
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    def sketch_rows(path):
+        return sorted(map(tuple, spark.read.parquet(path + "/sketch").collect()))
+
+    one = str(tmp_path / "oneshot")
+    alldocs = spark.read.schema(sch).json(str(d))
+    build_kmv_store(
+        spark,
+        alldocs.select("src", F.explode(tokens("text")).alias("tok")),
+        one, "tok", ["src"], k=64,
+    )
+    assert sketch_rows(store) == sketch_rows(one)
+
+    # at-least-once replay: re-fold batch 0, sketch must not move
+    replay = spark.read.schema(sch).json(str(d / "0.json"))
+    merge_kmv_batch(
+        spark,
+        replay.select("src", F.explode(tokens("text")).alias("tok")),
+        store,
+    )
+    assert sketch_rows(store) == sketch_rows(one)
