@@ -78,7 +78,7 @@ _OPT_DEFS = {
     # round-9: semdedup + KMV distinct
     "iterations": True, "threshold": True, "id-col": True,
     "vec-col": True, "col": True, "group-by": True, "exact": False,
-    "data": True,
+    "data": True, "glob": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1486,6 +1486,48 @@ def cmd_distinct(argv, cat: Catalog, out):
         out.write(line + "\n")
 
 
+def cmd_media_probe(argv, cat: Catalog, out):
+    """dn media-probe <dir> [--glob=*.png] [--verbose]: ingest a
+    media directory via the binaryFile source (sources/media.py) and
+    run the header-only metadata probe — detected format, dimensions,
+    duration, and the declared-vs-detected mismatch flag. Prints a
+    per-format rollup; --verbose lists every mismatched file."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops.multimodal import probe_media_metadata
+    from dragnet_spark.sources.media import read_media_dir
+
+    opts = _parse_args(argv, ["glob", "verbose"])
+    (path,) = _nargs(opts, 1)
+    spark = _get_spark()
+    media = read_media_dir(spark, path, glob=opts.get("glob"))
+    probed = probe_media_metadata(
+        media.select("id", "media_type", "payload")
+    ).join(media.select("id", "path"), "id")
+    roll = (
+        probed.groupBy("detected_format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("bytes"),
+            F.sum("type_mismatch").alias("mismatched"),
+        )
+        .orderBy("detected_format")
+        .collect()
+    )
+    out.write("%-12s %8s %14s %10s\n" % ("FORMAT", "FILES", "BYTES", "MISMATCH"))
+    for r in roll:
+        out.write(
+            "%-12s %8d %14d %10d\n"
+            % (r["detected_format"], r["n"], r["bytes"], r["mismatched"])
+        )
+    if opts.get("verbose"):
+        for r in probed.filter(F.col("type_mismatch") == 1).orderBy("path").collect():
+            out.write(
+                "MISMATCH %s declared=%s detected=%s\n"
+                % (r["path"], r["declared_type"], r["detected_format"])
+            )
+
+
 def _kmv_print_estimates(spark, store, out):
     from dragnet_spark.index.kmv import kmv_store_estimate, load_kmv_meta
 
@@ -1578,6 +1620,7 @@ COMMANDS = {
     "maintain": cmd_maintain,
     "semdedup": cmd_semdedup,
     "distinct": cmd_distinct,
+    "media-probe": cmd_media_probe,
     "kmv-build": cmd_kmv_build,
     "kmv-merge": cmd_kmv_merge,
     "kmv-est": cmd_kmv_est,
