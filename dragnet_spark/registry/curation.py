@@ -304,6 +304,47 @@ def docs_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_oracle_strings(threshold: float, ngram: int = _NGRAM) -> str:
+    # string-gram twin of _jaccard_oracle (no hashing): the prefix
+    # entry verifies with array_intersect over STRING sets, so its
+    # oracle intersects strings too — exact at any corpus size
+    toks = f"list_distinct({_text.shingles_sql('text', ngram)})"
+    return f"""
+    WITH t AS MATERIALIZED (SELECT doc_id AS id, {toks} AS ts FROM documents),
+    s AS (SELECT id, len(ts) AS sz, unnest(ts) AS g FROM t),
+    p AS (SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                 COUNT(*) AS shared
+          FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (sz_a + sz_b - shared), 6) AS jaccard
+    FROM p
+    WHERE round(CAST(shared AS DOUBLE) / (sz_a + sz_b - shared), 6)
+          >= {threshold}
+    """
+
+
+@register(
+    "dedup_jaccard_prefix",
+    _jaccard_oracle_strings(_JACCARD_T),
+    "same exact Jaccard pairs as dedup_ngram_jaccard via PREFIX "
+    "FILTERING (PPJoin family): shingles ordered rarest-first, only "
+    "each doc's (1-t)-fraction prefix acts as a join key — candidate "
+    "volume collapses to the rare-gram df's and boilerplate "
+    "mega-grams never key a candidate; verification intersects the "
+    "full STRING sets per candidate pair only. The verified-exact "
+    "pair search that survives stop-shingle-dense corpora without a "
+    "df cap",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=_JACCARD_T, ngram=_NGRAM,
+    )
+
+
 def _triangles_oracle() -> str:
     from dragnet_spark.ops.graph import triangle_counts_sql
 

@@ -725,3 +725,83 @@ def test_int8_zero_vector(spark):
     rows = {r["id"]: r for r in quantize_embeddings(df).collect()}
     assert rows[1]["qvec"] == [0, 0, 0] and rows[1]["scale"] == 0.0
     assert rows[2]["qvec"][1] == -127  # max-magnitude dim hits the rail
+
+
+def test_jaccard_prefix_equals_equijoin(spark):
+    """Prefix filtering is lossless: identical pairs and values to the
+    shared-shingle equi-join form, including boundary-threshold pairs
+    and single-shingle docs (prefix length exceeding the set size)."""
+    from dragnet_spark.ops.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",      # high overlap with 0
+        "a b c d e f g h",      # exact dup of 0
+        "p q r s t u v w",      # disjoint
+        "p q r s t u v y",      # high overlap with 3
+        "one two",              # single-shingle doc
+        "one two",              # its exact dup
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for t in (0.3, 0.5, 0.8, 1.0):
+        a = sorted(map(tuple, ngram_jaccard_pairs(df, "text", "doc_id", t).collect()))
+        b = sorted(map(tuple, jaccard_prefix_pairs(df, "text", "doc_id", t).collect()))
+        assert a == b, (t, a, b)
+
+
+def test_jaccard_prefix_threshold_validation(spark):
+    import pytest as _pytest
+
+    from dragnet_spark.ops.dedup import jaccard_prefix_pairs
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold > 0"):
+        jaccard_prefix_pairs(df, "text", "doc_id", threshold=0)
+
+
+def test_jaccard_prefix_kills_boilerplate_blowup(spark):
+    """The regime prefix filtering exists for: every doc sharing a
+    boilerplate sentence. The full gram equi-join materializes
+    C(n,2)·(boilerplate grams) candidate rows; the rarest-first prefix
+    join materializes ~none (no pair can reach the threshold, and the
+    prefix keys are the unique tail grams). Results still identical."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+        token_sets,
+    )
+
+    boiler = "terms of service apply to all content on this site"
+    rows = [
+        (i, f"{boiler} unique tail {i} alpha {i * 7} beta {i * 13}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = token_sets(df, "text", "doc_id", 3)
+    ex = sets.select(
+        "id", F.size("tset").alias("sz"), F.explode("tset").alias("g")
+    )
+
+    def gram_pair_volume(keyed):
+        return (
+            keyed.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum(F.expr("d*(d-1) div 2")).alias("v"))
+            .collect()[0]["v"]
+        )
+
+    full_vol = gram_pair_volume(ex)
+    gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(gdf, "g").withColumn(
+        "rnk", F.row_number().over(W.partitionBy("id").orderBy("df", "g"))
+    )
+    L = F.col("sz") - F.floor(F.lit(0.8) * F.col("sz")).cast("int") + F.lit(1)
+    pref_vol = gram_pair_volume(ranked.filter(F.col("rnk") <= L))
+    assert full_vol > 100 * max(pref_vol, 1)  # 49,500 vs 0 measured
+    a = sorted(map(tuple, ngram_jaccard_pairs(df, "text", "doc_id", 0.8).collect()))
+    b = sorted(map(tuple, jaccard_prefix_pairs(df, "text", "doc_id", 0.8).collect()))
+    assert a == b == []
