@@ -68,7 +68,8 @@ _EXPOSURE_PRIORITY = [
     "text_quality", "text_lang_id", "text_tokens_by_source",
     "text_token_stats", "corpus_vocab_kmv",
     # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
     "dedup_winnow_overlap", "dedup_clusters", "docs_neardup_triangles",
     # skew-proof event analytics
     "events_distinct_users_by_type", "events_top_users_by_type",
