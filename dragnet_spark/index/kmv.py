@@ -127,7 +127,11 @@ def kmv_store_contains(
     meta = load_kmv_meta(path)
     gcols, vcol = meta["group_cols"], meta["value_col"]
     sk = spark.read.parquet(os.path.join(path, SKETCH_DIR))
-    rows = df.select(*gcols, kmv_hash(vcol).alias("h")).distinct()
+    rows = (
+        df.select(*gcols, kmv_hash(vcol).alias("h"))
+        .filter(F.col("h").isNotNull())  # NULL values never enter a sketch
+        .distinct()
+    )
     hit = F.when(F.col("known"), 1).otherwise(0)
     return (
         rows.join(

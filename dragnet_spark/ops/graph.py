@@ -323,9 +323,13 @@ def triangle_counts(edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_
     (wedge build keyed on the pivot, closure keyed on the (b, c)
     pair); AQE skew-split covers residual hot pivots.
 
-    Returns (id, n_triangles) for every node incident to ≥1 edge
-    (isolated nodes trivially have 0). All integers — hash-gradable;
-    DuckDB twin: :func:`triangle_counts_sql`.
+    Returns (id, n_triangles) for every node that participates in at
+    least one TRIANGLE — zero-triangle nodes are absent (counts come
+    from exploding closed wedges, so a node on no closed wedge never
+    emits a row; the DuckDB twin matches). Consumers needing explicit
+    zeros (e.g. per-node clustering density) should left-join this
+    onto the node/degree table and coalesce to 0. All integers —
+    hash-gradable; DuckDB twin: :func:`triangle_counts_sql`.
     """
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))

@@ -62,7 +62,13 @@ def kmv_sketch_rows(
     (:mod:`dragnet_spark.index.kmv`)."""
     if k < 2:
         raise ValueError("KMV needs k >= 2 (the estimator is (k-1)/h_k)")
-    rows = df.select(*group_cols, kmv_hash(value_col).alias("h"))
+    # NULL values are excluded, matching SQL COUNT(DISTINCT) semantics
+    # — md5(NULL) hashes to NULL, which Spark's window would sort
+    # NULLS FIRST and DuckDB's NULLS LAST, so an unfiltered NULL would
+    # silently diverge the two engines' k-th minimum
+    rows = df.select(*group_cols, kmv_hash(value_col).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     return bottom_k(rows, group_cols, k)
 
 
@@ -71,7 +77,11 @@ def bottom_k(rows: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     (*group_cols, h) table. Phase 1 prunes per Arrow batch (≤ k rows
     per group per batch survive — sketch-sized shuffle); phase 2 is
     one distinct + group-partitioned row_number over the pruned
-    superset."""
+    superset. NULL group keys are a group like any other (SQL GROUP BY
+    semantics — the pandas prune passes ``dropna=False``, since the
+    default would silently drop NULL-keyed groups from the sketch);
+    ``h`` must be non-null (callers hash with :func:`kmv_hash` and
+    filter — NULL sorts differently in Spark and DuckDB windows)."""
     import pandas as pd  # noqa: F401 — mapInPandas dependency
 
     schema = rows.schema
@@ -81,8 +91,11 @@ def bottom_k(rows: DataFrame, group_cols: list[str], k: int) -> DataFrame:
             if not len(pdf):
                 continue
             d = pdf.drop_duplicates()
-            yield d.sort_values([*group_cols, "h"]).groupby(
-                list(group_cols), sort=False
+            # sort by h alone: groupby(...).head(k) preserves row
+            # order, so each group keeps its k smallest regardless of
+            # how NULL group keys would sort as a leading sort key
+            yield d.sort_values("h").groupby(
+                list(group_cols), sort=False, dropna=False
             ).head(k)
 
     pruned = rows.mapInPandas(prune, schema=schema).distinct()
@@ -143,7 +156,8 @@ def kmv_distinct_sql(
     WITH src AS ({source_sql}),
     h AS (SELECT DISTINCT {g},
                  CAST('0x' || substring(md5({value_expr}), 1, 15) AS BIGINT) AS h
-          FROM src),
+          FROM src
+          WHERE {value_expr} IS NOT NULL),
     ranked AS (SELECT {g}, h,
                       row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn
                FROM h),

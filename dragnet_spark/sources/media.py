@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import re
+from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +59,20 @@ def declared_type_for(path_col) -> Column:
     return expr
 
 
+def _rel_base(path: str) -> str:
+    """The base-directory prefix stripped from scan paths to form the
+    mount-stable relative path. abspath() only applies to LOCAL input
+    paths — it would mangle a scheme-qualified one (s3a://bucket/dir →
+    /cwd/s3a:/bucket/dir, so the prefix would never match the scan's
+    ``path`` column); for URI inputs the base is the URI's own path
+    component, which IS what appears after the scheme/authority in the
+    scan paths."""
+    parsed = urlparse(path)
+    if parsed.scheme and len(parsed.scheme) > 1:  # len>1: not a C: drive
+        return parsed.path.rstrip("/") + "/"
+    return os.path.abspath(path).rstrip("/") + "/"
+
+
 def read_media_dir(
     spark: SparkSession,
     path: str,
@@ -78,10 +93,9 @@ def read_media_dir(
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     df = reader.load(path)
-    base = os.path.abspath(path).rstrip("/") + "/"
-    # path arrives scheme-qualified (file:/..., s3a://...); strip any
-    # scheme plus the base dir so the id hashes the RELATIVE path
-    rel = F.regexp_replace(F.col("path"), "^.*?" + re.escape(base), "")
+    rel = F.regexp_replace(
+        F.col("path"), "^.*?" + re.escape(_rel_base(path)), ""
+    )
     rid = F.conv(F.substring(F.md5(rel), 1, 15), 16, 10).cast("long")
     return df.select(
         rid.alias("id"),

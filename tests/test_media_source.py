@@ -91,3 +91,17 @@ def test_media_probe_cli(tmp_path, spark):
     text = out.getvalue()
     assert "png" in text and "wav" in text
     assert "MISMATCH liar.jpg declared=image/jpeg detected=png" in text
+
+
+def test_rel_base_uri_vs_local(tmp_path):
+    """URI inputs must not be abspath()-mangled: the base for
+    s3a://bucket/dir is the URI path component, so ids stay
+    mount-stable across schemes (sources/media.py:_rel_base)."""
+    from dragnet_spark.sources.media import _rel_base
+
+    assert _rel_base("s3a://bucket/data/media") == "/data/media/"
+    assert _rel_base("hdfs://nn:8020/warehouse/m") == "/warehouse/m/"
+    assert _rel_base("file:/tmp/media") == "/tmp/media/"
+    local = _rel_base(str(tmp_path) + "/media")
+    assert local == str(tmp_path) + "/media/"
+    assert "s3a:" not in _rel_base("s3a://bucket/data/media")

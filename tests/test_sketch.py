@@ -50,6 +50,30 @@ def test_k_validation(spark):
         kmv_distinct(_vals(spark, ["a"]), "v", ["grp"], k=1)
 
 
+def test_null_groups_and_null_values(spark):
+    """NULL group keys form a group (SQL GROUP BY semantics — the
+    pandas prune must not dropna them); NULL values are excluded like
+    COUNT(DISTINCT) excludes them, identically on both engines."""
+    rows = (
+        [("a", f"w{i}") for i in range(20)]
+        + [(None, f"n{i}") for i in range(30)]  # NULL-keyed group
+        + [("a", None), (None, None)]  # NULL values: ignored
+    )
+    df = spark.createDataFrame(rows, "grp string, v string").repartition(7)
+    got = {
+        r["grp"]: r["est_distinct"]
+        for r in kmv_distinct(df, "v", ["grp"], k=16).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp STRING, v STRING)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = kmv_distinct_sql("v", ["grp"], "SELECT grp, v FROM t", k=16)
+    want = {g: e for g, e in con.execute(sql).fetchall()}
+    assert got == want
+    assert got["a"] == 20  # exact below k; the NULL value didn't count
+    assert None in got and got[None] >= 1  # NULL group survives the prune
+
+
 def test_sql_twin_parity(spark):
     words = [f"item{i % 700}" for i in range(2000)]
     got = kmv_distinct(
