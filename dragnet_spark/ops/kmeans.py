@@ -132,6 +132,17 @@ def kmeans_seeds(
     return [list(r["q"]) for r in rows]
 
 
+def auto_k(n: int, target_rows_per_cluster: int) -> int:
+    """The SemDeDup-regime cluster count: k = ceil(n / target), so
+    cluster SIZE stays bounded as the corpus grows (k ∝ n — Abbas et
+    al.'s regime), which is what keeps the within-cluster (n/k)² pair
+    search linear overall. Exact integer arithmetic — the DuckDB twin
+    computes the identical k as ``(COUNT(*) + t - 1) // t``."""
+    if target_rows_per_cluster < 1:
+        raise ValueError("target_rows_per_cluster >= 1 required")
+    return max(1, (n + target_rows_per_cluster - 1) // target_rows_per_cluster)
+
+
 def kmeans_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -139,22 +150,37 @@ def kmeans_assign(
     k: int = 8,
     iterations: int = 3,
     scale: int = DEFAULT_SCALE,
+    target_rows_per_cluster: int | None = None,
 ) -> DataFrame:
     """Run ``iterations`` exact Lloyd rounds and return the final
     assignment (id, cluster, dist). ``dist`` is the squared L2
     distance in quantized units (a BIGINT — exact). An empty cluster
     keeps its previous centroid (same rule in :func:`kmeans_sql`).
 
+    ``target_rows_per_cluster`` overrides ``k`` with
+    :func:`auto_k` — the scale form: k grows with the corpus so
+    cluster size (and therefore any downstream within-cluster pair
+    search) stays bounded. The count that sizes k is one aggregate
+    over the already-persisted quantized vectors.
+
     Per iteration: one scan + one (cluster, dim) aggregation whose
     output is k·dims rows; the k·dims centroid ints ride the driver
     (the MLlib/SemDeDup posture — centroid state is O(k), corpora are
-    O(10¹⁰) rows). The returned DataFrame embeds the final centroids
-    as literals, so downstream consumers re-derive nothing."""
+    O(10¹⁰) rows). The returned assignment is eagerly
+    localCheckpoint-ed (3 ints per row — the PageRank lineage
+    discipline) so the quantized-vector cache can be released before
+    returning instead of leaking for the session."""
     if k < 1 or iterations < 0:
         raise ValueError("k >= 1 and iterations >= 0 required")
     qv = quantize_vectors(df, vec_col, id_col, scale).persist()
     try:
+        if target_rows_per_cluster is not None:
+            k = auto_k(qv.count(), target_rows_per_cluster)
         cents = kmeans_seeds(qv, k)
+        if not cents:  # empty corpus: nothing to assign
+            return qv.sparkSession.createDataFrame(
+                [], "id long, cluster int, dist long"
+            )
         for _ in range(iterations):
             assigned = _assign(qv, cents, keep_q=True)
             upd = (
@@ -173,10 +199,12 @@ def kmeans_assign(
                 else cents[c]  # empty cluster: keep previous centroid
                 for c in range(len(cents))
             ]
-        return _assign(qv, cents)
-    except Exception:
+        # eager checkpoint: materializes (id, cluster, dist) — linear,
+        # small — and truncates lineage off qv so the finally-block
+        # unpersist can't force a recompute later
+        return _assign(qv, cents).localCheckpoint(eager=True)
+    finally:
         qv.unpersist()
-        raise
 
 
 def semdedup_prune_pairs(
@@ -189,35 +217,74 @@ def semdedup_prune_pairs(
     """Within-cluster near-duplicate pairs: (cluster, kept_id,
     dropped_id, cosine) for every same-cluster pair with
     round(cosine, 6) >= threshold, keeping the lower id. ``assign``
-    is :func:`kmeans_assign` output (id, cluster). The cluster
-    equi-join bounds pair volume at Σ_c C(n_c, 2) — SemDeDup's point:
-    k independent (n/k)² searches instead of one n². Norms are
-    computed once per row before the pair stage."""
-    from dragnet_spark.ops.similarity import _dot, _safe_norm
+    is :func:`kmeans_assign` output (id, cluster). Restricting pairs
+    to cluster mates bounds pair volume at Σ_c C(n_c, 2) — SemDeDup's
+    point: k independent (n/k)² searches instead of one n²; with
+    :func:`auto_k` sizing (k ∝ n) cluster size is a CONSTANT, so the
+    whole stage is linear in the corpus.
 
-    v = (
-        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col))
-        .join(assign.select("id", "cluster"), "id")
-        .withColumn("nrm", _safe_norm(F.col(vec_col)))
+    Physical shape: one shuffle on ``cluster`` (applyInPandas), then
+    each cluster's pairs come from one BLAS matmul over its own
+    vectors — the same chunked-matmul discipline as
+    ``embedding_near_dup_pairs`` (row-chunks bound peak memory at
+    O(chunk × n_c); HALF_UP rounding before the threshold keeps the
+    result engine-exact). This replaces the earlier merge-join form
+    whose interpreted HOF dot made Σ C(n_c,2) pairs the wall."""
+    import numpy as np
+    import pandas as pd
+
+    v = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col)).join(
+        assign.select("id", "cluster"), "id"
     )
-    A, B = v.alias("A"), v.alias("B")
-    cos = F.round(
-        _dot(F.col(f"A.{vec_col}"), F.col(f"B.{vec_col}"))
-        / (F.col("A.nrm") * F.col("B.nrm")),
-        6,
-    )
-    return (
-        A.hint("merge")
-        .join(B.hint("merge"), F.col("A.cluster") == F.col("B.cluster"))
-        .filter(F.col("A.id") < F.col("B.id"))
-        .select(
-            F.col("A.cluster").alias("cluster"),
-            F.col("A.id").alias("kept_id"),
-            F.col("B.id").alias("dropped_id"),
-            cos.alias("cosine"),
+
+    def pairs(key, pdf):
+        cluster = int(key[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0  # zero vector scores 0, never NaN
+        M = M / nrm[:, None]
+        order = np.argsort(ids)  # pair emission keyed by id order
+        ids, M = ids[order], M[order]
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        chunk = max(1, 10_000_000 // max(n, 1))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = M[lo:hi] @ M.T
+            # Spark/BigDecimal HALF_UP, not numpy's half-even
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            ai, bi = np.nonzero(
+                (sims >= threshold)
+                & (ids[lo:hi, None] < ids[None, :])
+            )
+            if len(ai):
+                out_a.append(ids[lo + ai])
+                out_b.append(ids[bi])
+                out_c.append(sims[ai, bi])
+        if not out_a:
+            return pd.DataFrame(
+                {"cluster": [], "kept_id": [], "dropped_id": [], "cosine": []}
+            )
+        return pd.DataFrame(
+            {
+                "cluster": np.full(sum(map(len, out_a)), cluster, dtype=np.int32),
+                "kept_id": np.concatenate(out_a),
+                "dropped_id": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
-        .filter(F.col("cosine") >= threshold)
+
+    return v.groupBy("cluster").applyInPandas(
+        pairs, schema="cluster int, kept_id long, dropped_id long, cosine double"
     )
+
+
+#: HUGEINT pack radix for the SQL argmin: min(dist·PACK + c) picks
+#: (lowest dist, ties to lowest c) in ONE streaming aggregate — no
+#: n·k-row window sort. Bounds: c < 2²⁰ clusters; dist ≤ dims·(2·scale)²
+#: ≈ 2.6e14 at 64 dims, so dist·PACK ≈ 2.7e20 ≪ 2¹²⁷.
+ARGMIN_PACK = 1 << 20
 
 
 def kmeans_sql(
@@ -225,11 +292,41 @@ def kmeans_sql(
     iterations: int = 3,
     scale: int = DEFAULT_SCALE,
     source: str = "SELECT vec_id, embedding FROM embeddings",
+    target_rows_per_cluster: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`kmeans_assign`: the same integer
     fixed-point Lloyd rounds unrolled as one CTE chain, yielding
     (id, cluster, dist). Bit-identical to the Spark side — every
-    arithmetic step is integer (see module docstring)."""
+    arithmetic value is an integer (see module docstring).
+
+    ``target_rows_per_cluster`` mirrors :func:`auto_k`: k becomes the
+    scalar subquery ``(COUNT(*) + t - 1) // t`` — the identical
+    integer ceiling the Spark side computes, so the dynamic-k (scale)
+    form grades the same way the pinned-k form does.
+
+    Formulation notes (the list-distance form): distance is computed
+    per (row, centroid) as ``‖q‖² − 2·q·c + ‖c‖²`` over the quantized
+    BIGINT vectors cast to DOUBLE[] — every term is an integer of
+    magnitude ≤ dims·(2·scale)², carried EXACTLY in doubles up to
+    dims ≈ 4000 at scale 1e6 (the Spark side is int64 and exact far
+    beyond; raise this twin's exactness ceiling by lowering ``scale``
+    if you ever cluster wider vectors). This keeps the per-iteration
+    intermediate at n·k rows instead of the dim-exploded n·k·dims —
+    the difference between 1.6e8 and 1e10 rows at the 100× tier with
+    auto-k — and the argmin is a streaming ``min()`` over a
+    HUGEINT-packed (dist, c) key (:data:`ARGMIN_PACK`), not a window
+    sort. The centroid UPDATE still uses the (id, dim, val) explode —
+    that one is n·dims rows once per iteration, integer-exact
+    truncating division, unchanged."""
+    if target_rows_per_cluster is not None:
+        t_ = int(target_rows_per_cluster)
+        k_sql = f"(SELECT (COUNT(*) + {t_ - 1}) // {t_} FROM qv)"
+    else:
+        k_sql = str(int(k))
+    P = ARGMIN_PACK
+    dist = (
+        "CAST(n.qq - 2 * list_dot_product(n.qd, c.cvd) + c.cc AS HUGEINT)"
+    )
     parts = [
         f"""qv AS (
       SELECT vec_id AS id,
@@ -237,72 +334,66 @@ def kmeans_sql(
                x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)) AS q
       FROM ({source})
     )""",
+        """qn AS (
+      SELECT id, q, CAST(q AS DOUBLE[]) AS qd,
+             list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS qq
+      FROM qv
+    )""",
         """ex AS (
       SELECT id, CAST(t.i AS INT) AS dim, q[t.i + 1] AS val
       FROM qv, UNNEST(range(len(q))) t(i)
     )""",
-        f"""seeds AS (
-      SELECT s.c, CAST(t.i AS INT) AS dim, s.q[t.i + 1] AS val
+        f"""cl0 AS (
+      SELECT s.rn - 1 AS c, s.q AS cv,
+             CAST(s.q AS DOUBLE[]) AS cvd,
+             list_dot_product(CAST(s.q AS DOUBLE[]), CAST(s.q AS DOUBLE[])) AS cc
       FROM (
-        SELECT q, row_number() OVER (ORDER BY md5(CAST(id AS STRING)), id) - 1 AS c
+        SELECT q, row_number() OVER (ORDER BY md5(CAST(id AS STRING)), id) AS rn
         FROM qv
-      ) s, UNNEST(range(len(s.q))) t(i)
-      WHERE s.c < {k}
+      ) s
+      WHERE s.rn <= {k_sql}
     )""",
-        "c0 AS (SELECT c, dim, val FROM seeds)",
     ]
     # one (assign, update) round per iteration — a{t} assigns against
-    # c{t-1}, n{t}/c{t} fold a{t} back into centroids — then ONE final
-    # assignment against c{iterations}, matching kmeans_assign's
-    # "return _assign(qv, cents) after the loop" exactly.
+    # cl{t-1}, nl{t}/cl{t} fold a{t} back into centroids — then ONE
+    # final assignment against cl{iterations}, matching
+    # kmeans_assign's "return _assign(qv, cents) after the loop".
     for t in range(1, iterations + 1):
         p = t - 1
         parts.append(
-            f"""d{t} AS (
-      SELECT e.id, c.c, SUM((e.val - c.val) * (e.val - c.val)) AS dist
-      FROM ex e JOIN c{p} c USING (dim) GROUP BY e.id, c.c
-    )"""
-        )
-        parts.append(
             f"""a{t} AS (
-      SELECT id, c, dist FROM (
-        SELECT id, c, dist,
-               row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn
-        FROM d{t}
-      ) WHERE rn = 1
+      SELECT n.id,
+             CAST(min({dist} * {P} + c.c) % {P} AS BIGINT) AS c
+      FROM qn n, cl{p} c GROUP BY n.id
     )"""
         )
         parts.append(
-            f"""n{t} AS (
-      SELECT a.c, e.dim, SUM(e.val) // COUNT(*) AS val
-      FROM a{t} a JOIN ex e USING (id) GROUP BY a.c, e.dim
+            f"""nl{t} AS (
+      SELECT c, list(val ORDER BY dim) AS cv FROM (
+        SELECT a.c, e.dim, SUM(e.val) // COUNT(*) AS val
+        FROM a{t} a JOIN ex e USING (id) GROUP BY a.c, e.dim
+      ) GROUP BY c
     )"""
         )
         parts.append(
-            f"""c{t} AS (
-      SELECT p.c, p.dim, CAST(COALESCE(n.val, p.val) AS BIGINT) AS val
-      FROM c{p} p LEFT JOIN n{t} n ON n.c = p.c AND n.dim = p.dim
+            f"""cl{t} AS (
+      SELECT c, cv, CAST(cv AS DOUBLE[]) AS cvd,
+             list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cc
+      FROM (
+        SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+        FROM cl{p} p LEFT JOIN nl{t} n USING (c)
+      )
     )"""
         )
     parts.append(
-        f"""df AS (
-      SELECT e.id, c.c, SUM((e.val - c.val) * (e.val - c.val)) AS dist
-      FROM ex e JOIN c{iterations} c USING (dim) GROUP BY e.id, c.c
+        f"""af AS (
+      SELECT n.id, min({dist} * {P} + c.c) AS mk
+      FROM qn n, cl{iterations} c GROUP BY n.id
     )"""
     )
-    parts.append(
-        """af AS (
-      SELECT id, c, dist FROM (
-        SELECT id, c, dist,
-               row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn
-        FROM df
-      ) WHERE rn = 1
-    )"""
-    )
-    last = "af"
     body = ",\n    ".join(parts)
     return (
         f"WITH {body}\n"
-        f"SELECT id AS vec_id, CAST(c AS INT) AS cluster,"
-        f" CAST(dist AS BIGINT) AS dist FROM {last}"
+        f"SELECT id AS vec_id, CAST(mk % {P} AS INT) AS cluster,"
+        f" CAST(mk // {P} AS BIGINT) AS dist FROM af"
     )

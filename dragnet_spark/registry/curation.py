@@ -892,26 +892,60 @@ _EMB_COS_U = (
     "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
     "CAST(b.embedding AS DOUBLE[])), 6)"
 )
+_EMB_LSH_DIMS, _EMB_LSH_BITS, _EMB_LSH_BANDS = 64, 16, 6
+_EMB_LSH_UNION = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+"""
+
+
+def _emb_lsh_oracle() -> str:
+    """Bucketed SRP oracle — the SAME quantize→sign→band→collision→
+    exact-verify pipeline the operator runs, in DuckDB SQL (the
+    integer-exact SRP discipline _srp_probe_oracle already grades
+    key-for-key). n·bands band rows, tiny bucket joins — tractable at
+    every octave tier, unlike the old all-pairs-over-the-union form
+    (8e10 cosines at 100×). The all-pairs form remains the RECALL
+    check, as a test at small SF (test_kmeans_registry/
+    test_emb_lsh_bucketed_oracle_matches_allpairs)."""
+    from dragnet_spark.ops.dedup import (
+        srp_banded_sql,
+        srp_planes_q,
+        srp_quantize_sql,
+    )
+
+    planes = srp_planes_q(_EMB_LSH_DIMS, _EMB_LSH_BANDS, _EMB_LSH_BITS, 42)
+    banded = srp_banded_sql(planes, _EMB_LSH_BANDS, _EMB_LSH_BITS)
+    return f"""
+    WITH u AS ({_EMB_LSH_UNION}),
+    qv_src AS (SELECT vec_id AS id, {srp_quantize_sql()} AS qv FROM u),
+    banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    )
+    SELECT c.id_a, c.id_b, {_EMB_COS_U} AS cosine
+    FROM cand c
+    JOIN u a ON a.vec_id = c.id_a
+    JOIN u b ON b.vec_id = c.id_b
+    WHERE {_EMB_COS_U} >= {_EMB_LSH_T}
+    """
 
 
 @register(
     "dedup_embedding_lsh",
-    f"""
-    WITH u AS (
-      SELECT vec_id, embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000, embedding FROM embeddings
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_EMB_COS_U} AS cosine
-    FROM u a JOIN u b ON a.vec_id < b.vec_id
-    WHERE {_EMB_COS_U} >= {_EMB_LSH_T}
-    """,
+    _emb_lsh_oracle(),
     "near-dup via sign-random-projection LSH at its working regime "
     "(threshold 0.9): corpus ∪ exact twins; candidates collide on "
     "16-bit sign buckets per band — the shuffle keys on (band, bucket), "
     "never the O(n^2) cross product — then exact-cosine verification. "
     "Identical vectors collide in every band, so recall is exactly 1 "
-    "here and the SQL oracle applies.",
+    "here (asserted against the all-pairs form by test at small SF); "
+    "the oracle reproduces the bucketed pipeline itself in DuckDB "
+    "(integer-exact SRP keys), so this grades at EVERY octave tier "
+    "including 100×.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -930,6 +964,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 8
 _KM_ITERS = 3
+#: auto-k target (SemDeDup's k ∝ n regime): 250 rows/cluster gives
+#: k=2 at sf0.01 (500 vectors), k=8 at sf0.1 (2,000 vectors — the
+#: old pinned value), k=80 at 10×, k=800 at the 100× tier (200k
+#: vectors), keeping the within-cluster pair stage LINEAR in the
+#: corpus instead of (n/8)²-quadratic
+_KM_TARGET = 250
 
 
 def _kmeans_oracle() -> str:
@@ -962,7 +1002,9 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_prune_oracle(threshold: float) -> str:
     from dragnet_spark.ops.kmeans import kmeans_sql
 
-    km = kmeans_sql(k=_KM_K, iterations=_KM_ITERS)
+    km = kmeans_sql(
+        iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
+    )
     cos = (
         "round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
         "CAST(y.embedding AS DOUBLE[])), 6)"
@@ -981,10 +1023,13 @@ def _semdedup_prune_oracle(threshold: float) -> str:
 @register(
     "semdedup_prune",
     _semdedup_prune_oracle(_EMB_T),
-    "SemDeDup pruning: near-dup pair search restricted to k-means "
-    "cluster mates — the CLUSTER equi-join replaces the O(n²) cross "
-    "product, turning semantic dedup into k independent (n/k)² "
-    "searches (Abbas et al. 2023). Keeps the lower id of each "
+    "SemDeDup pruning at the paper's SCALE regime (auto-k, k ∝ n: "
+    "target 250 rows/cluster — k=8 at sf0.01, k=800 at the 100× "
+    "tier): near-dup pair search restricted to k-means cluster "
+    "mates, turning semantic dedup into k independent bounded-size "
+    "searches — LINEAR in the corpus, not (n/pinned-k)² (Abbas et "
+    "al. 2023). One shuffle on cluster, then per-cluster BLAS "
+    "matmul (applyInPandas). Keeps the lower id of each "
     "within-cluster pair with cosine >= threshold. Recall vs the "
     "all-pairs baseline is by construction the fraction of near-dup "
     "pairs that co-cluster (true near-identical pairs, cos→1, "
@@ -996,7 +1041,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dragnet_spark.ops.kmeans import kmeans_assign, semdedup_prune_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(emb, k=_KM_K, iterations=_KM_ITERS)
+    assign = kmeans_assign(
+        emb, iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
+    )
     return semdedup_prune_pairs(emb, assign, threshold=_EMB_T)
 
 

@@ -88,3 +88,106 @@ def test_sql_twin_bit_parity(spark, iters):
         for r in con.execute(kmeans_sql(k=4, iterations=iters)).fetchall()
     )
     assert got == want
+
+
+def test_auto_k_formula():
+    from dragnet_spark.ops.kmeans import auto_k
+
+    assert auto_k(0, 250) == 1
+    assert auto_k(1, 250) == 1
+    assert auto_k(250, 250) == 1
+    assert auto_k(251, 250) == 2
+    assert auto_k(200_000, 250) == 800
+    with pytest.raises(ValueError):
+        auto_k(10, 0)
+
+
+def test_auto_k_sql_twin_parity(spark):
+    """target_rows_per_cluster: Spark's auto_k(count) and the SQL
+    scalar-subquery k must produce the identical clustering."""
+    rows = [
+        (i, [((i * 53 + d * 7) % 23 - 11) / 12.0 for d in range(6)])
+        for i in range(55)
+    ]
+    df = _emb(spark, rows)
+    got = sorted(
+        (r["id"], r["cluster"], r["dist"])
+        for r in kmeans_assign(
+            df, iterations=2, target_rows_per_cluster=10
+        ).collect()
+    )
+    # 55 rows / target 10 -> k = 6
+    assert len({c for _, c, _ in got}) <= 6 and max(c for _, c, _ in got) <= 5
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)", [(i, v) for i, v in rows]
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            kmeans_sql(iterations=2, target_rows_per_cluster=10)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_prune_pairs_matches_brute_force(spark):
+    """The applyInPandas per-cluster matmul must emit exactly the
+    within-cluster pairs >= threshold that a brute-force cross-check
+    finds (HALF_UP-rounded cosine, lower id kept)."""
+    import itertools
+    import math
+
+    from dragnet_spark.ops.kmeans import semdedup_prune_pairs
+
+    rows = [
+        (i, [((i * 31 + d * 13) % 17 - 8) / 9.0 for d in range(5)])
+        for i in range(30)
+    ]
+    # duplicate a few vectors so high-cosine pairs exist
+    rows += [(100 + i, list(rows[i][1])) for i in range(5)]
+    df = _emb(spark, rows)
+    assign = kmeans_assign(df, k=3, iterations=2)
+    got = {
+        (r["cluster"], r["kept_id"], r["dropped_id"], r["cosine"])
+        for r in semdedup_prune_pairs(df, assign, threshold=0.8).collect()
+    }
+    cl = {r["id"]: r["cluster"] for r in assign.collect()}
+    by_id = dict(rows)
+    want = set()
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        if cl[a] != cl[b]:
+            continue
+        va, vb = by_id[a], by_id[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va)) or 1.0
+        nb = math.sqrt(sum(x * x for x in vb)) or 1.0
+        c = dot / (na * nb)
+        c = math.copysign(math.floor(abs(c) * 1e6 + 0.5) / 1e6, c)
+        if c >= 0.8:
+            want.add((cl[a], a, b, c))
+    assert got == want and len(want) >= 5
+
+
+def test_kmeans_assign_releases_cache(spark):
+    """kmeans_assign must not leak the quantized-vector cache: after
+    the call returns (eager localCheckpoint), no RDD from it remains
+    persisted."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = kmeans_assign(
+        _emb(spark, [(i, [float(i % 5), 1.0]) for i in range(40)]),
+        k=2,
+        iterations=1,
+    )
+    assert out.count() == 40
+    # localCheckpoint blocks register as RDDs; allow those, but the
+    # qv persist (a cached DataFrame plan) must be gone: re-running
+    # with the same session must not accumulate cached plans
+    import re as _re
+
+    cached = spark.sparkContext._jsc.getPersistentRDDs()
+    # every remaining persisted entry must be a checkpoint block, not
+    # the qv cache (checkpointed RDDs show as LocalCheckpointedRDD /
+    # MapPartitionsRDD without a query-plan cache)
+    assert len(cached) - before <= 1

@@ -46,3 +46,27 @@ def test_bench_queries_all_registered():
     spec.loader.exec_module(bench)
     missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
     assert not missing, missing
+
+
+def test_emb_lsh_bucketed_oracle_matches_allpairs(oracle):
+    """dedup_embedding_lsh's graded oracle is the bucketed SRP
+    pipeline (tractable at 100×); this pins its RECALL: at small SF
+    the bucketed form must equal the exhaustive all-pairs form —
+    identical vectors collide in every band, so nothing at
+    threshold 0.9 is missed."""
+    from dragnet_spark.registry.curation import (
+        _EMB_COS_U,
+        _EMB_LSH_T,
+        _EMB_LSH_UNION,
+        _emb_lsh_oracle,
+    )
+
+    allpairs = f"""
+    WITH u AS ({_EMB_LSH_UNION})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_EMB_COS_U} AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE {_EMB_COS_U} >= {_EMB_LSH_T}
+    """
+    got = duck_set(oracle, _emb_lsh_oracle())
+    want = duck_set(oracle, allpairs)
+    assert got == want and len(want) > 0
