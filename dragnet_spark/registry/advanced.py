@@ -331,12 +331,76 @@ def _emb_clusters_oracle() -> str:
     "embedding-cosine near-dup graph (A~B, B~C ⇒ one semantic group "
     "even if A~C scores under threshold); same min-label propagation "
     "as the text-shingle clusters — O(diameter) join rounds, no "
-    "driver-side graph state; canonical = min vec_id",
+    "driver-side graph state; canonical = min vec_id. The PAIR stage "
+    "here is the declared all-pairs baseline (this corpus's 0.42 "
+    "working threshold sits at θ≈65° where no LSH family can prune); "
+    "the corpus-scale form is dedup_embedding_clusters_lsh — same "
+    "closure over SRP-bucketed pairs at LSH's working regime",
 )
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, threshold=_EMB_T)
     return dedup_cluster_assignments(emb, "vec_id", pairs)
+
+
+def _emb_clusters_lsh_oracle() -> str:
+    """Min-label closure over the BUCKETED SRP pair stage — every CTE
+    tractable at the 100× tier (n·bands band rows; tiny bucket joins;
+    O(log diameter) unrolled closure rounds)."""
+    from dragnet_spark.ops.graph import minlabel_closure_sql
+    from dragnet_spark.registry.curation import (
+        _EMB_LSH_UNION,
+        _emb_lsh_oracle,
+    )
+
+    closure = minlabel_closure_sql(
+        f"SELECT vec_id AS id FROM ({_EMB_LSH_UNION})",
+        f"SELECT id_a, id_b FROM ({_emb_lsh_oracle()})",
+    )
+    return (
+        f"SELECT id AS vec_id, component AS canonical_id,"
+        f" (id = component) AS is_canonical FROM ({closure})"
+    )
+
+
+@register(
+    "dedup_embedding_clusters_lsh",
+    _emb_clusters_lsh_oracle(),
+    "semantic-dedup clusters at CORPUS scale: connected components "
+    "over sign-random-projection LSH pairs (threshold 0.9, corpus ∪ "
+    "exact twins — dedup_embedding_lsh's regime, where identical "
+    "vectors collide in every band and recall is exactly 1). The "
+    "pair stage shuffles on (band, bucket) — n·bands rows, never the "
+    "n² cross product the all-pairs clusters entry declares — and "
+    "the same min-label propagation labels components in O(diameter) "
+    "join rounds. The oracle reproduces quantize→sign→band→collision→"
+    "verify→closure entirely in DuckDB, so this grades at every "
+    "octave tier including 100×",
+)
+def dedup_embedding_clusters_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dragnet_spark.ops.dedup import embedding_near_dup_lsh
+    from dragnet_spark.registry.curation import (
+        _EMB_LSH_BANDS,
+        _EMB_LSH_BITS,
+        _EMB_LSH_DIMS,
+        _EMB_LSH_T,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + _c._TWIN_SHIFT).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    pairs = embedding_near_dup_lsh(
+        corpus,
+        threshold=_EMB_LSH_T,
+        dims=_EMB_LSH_DIMS,
+        bits_per_band=_EMB_LSH_BITS,
+        bands=_EMB_LSH_BANDS,
+    )
+    return dedup_cluster_assignments(corpus, "vec_id", pairs)
 
 
 @register(
@@ -1323,7 +1387,7 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM documents
            WHERE doc_id % 11 <> 3
            UNION ALL
-           SELECT doc_id + 1000000 AS doc_id,
+           SELECT doc_id + 1000000000000 AS doc_id,
                   {_text.fingerprint_sql("text || ' new'")} AS fp
            FROM documents WHERE doc_id % 13 = 1),
     j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
@@ -1361,7 +1425,7 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 13 == 1).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (F.col("doc_id") + _c._TWIN_SHIFT).alias("doc_id"),
                 _text.fingerprint(
                     F.concat(F.col("text"), F.lit(" new"))
                 ).alias("fp"),

@@ -893,10 +893,18 @@ _EMB_COS_U = (
     "CAST(b.embedding AS DOUBLE[])), 6)"
 )
 _EMB_LSH_DIMS, _EMB_LSH_BITS, _EMB_LSH_BANDS = 64, 16, 6
-_EMB_LSH_UNION = """
+#: synthetic-twin id offset. Must sit ABOVE every tier's real id range:
+#: the octave generators replicate ids with large offsets (vec_id up to
+#: 9.9e6 / doc_id up to 9.9e6 at the 100× tier), and a colliding shift
+#: silently merges a twin with an unrelated real row — both engines
+#: agreed (it graded green) but the "corpus ∪ exact twins" semantics
+#: were mush at 100×. 1e12 clears any plausible octave tier; ids stay
+#: far below 2^63.
+_TWIN_SHIFT = 10**12
+_EMB_LSH_UNION = f"""
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 1000000, embedding FROM embeddings
+      SELECT vec_id + {_TWIN_SHIFT}, embedding FROM embeddings
 """
 
 
@@ -950,7 +958,7 @@ def _emb_lsh_oracle() -> str:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     twins = emb.select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+        (F.col("vec_id") + _TWIN_SHIFT).alias("vec_id"), F.col("embedding")
     )
     corpus = emb.select("vec_id", "embedding").unionByName(twins)
     return embedding_near_dup_lsh(
@@ -1696,6 +1704,81 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.col("mean_r").cast("int").alias("luma"),
+    )
+
+
+@register(
+    "multimodal_injected_decoder",
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) % 5 + 3 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 9 + 2 AS INT) AS height,
+           CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS luma,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    "the decoders={media_type: fn} injection hook, registry-graded "
+    "end to end (VERDICT r9 #5): formats whose frames need an entropy "
+    "codec this dependency-free engine doesn't carry (H.264/VP9 in "
+    "mp4/webm) plug in through extract_features(decoders=...) — here "
+    "a deterministic stand-in codec for 'video/mp4' builds a solid "
+    "(len%9+2, len%5+3, 3) frame at sha256(payload) byte 0, and the "
+    "oracle recomputes width/height/luma from first principles, so "
+    "the hook's batching, feature layout ([w, h, means, n_bytes, 0, "
+    "6.0]), and error normalization are under the same value-hash "
+    "gate as the native codecs. Payloads synthesize in-task and "
+    "never shuffle (mapInPandas end to end)",
+)
+def multimodal_injected_decoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from dragnet_spark.ops.multimodal import extract_features
+
+    # fan the codec work across every core BEFORE any payload exists —
+    # sf-sized documents.parquet is one file -> one input partition
+    # (the multimodal_video_frames lesson); only (doc_id, text)
+    # scalars ride the shuffle, payloads stay in their task
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "media_type": "video/mp4",
+                    "payload": [t.encode("utf-8") for t in pdf["text"]],
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="id long, media_type string, payload binary"
+    )
+
+    def fake_mp4(payload: bytes):
+        d = hashlib.sha256(payload).digest()
+        return np.full(
+            (len(payload) % 9 + 2, len(payload) % 5 + 3, 3),
+            d[0],
+            dtype=np.uint8,
+        )
+
+    feats = extract_features(
+        media, decode_stub=False, decoders={"video/mp4": fake_mp4}
+    )
+    return feats.select(
+        "id",
+        F.col("features")[0].cast("int").alias("width"),
+        F.col("features")[1].cast("int").alias("height"),
+        F.round(F.col("features")[2] * 255, 0).cast("int").alias("luma"),
+        "n_bytes",
     )
 
 

@@ -1,0 +1,76 @@
+"""One-pass profiler (ops/profile.py): exactness on narrow tables,
+the wide-table approx-distinct posture (no Expand row multiplication
+above the column threshold), and the mode override."""
+
+from pyspark.sql import functions as F
+
+from dragnet_spark.ops.profile import (
+    EXACT_DISTINCT_MAX_COLS,
+    profile_table,
+)
+
+
+def _narrow(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 2.5), (3, "a", 2.5)],
+        "k long, s string, x double",
+    )
+
+
+def _wide(spark, n_cols):
+    base = spark.range(500)
+    cols = [
+        (F.col("id") % (i + 2)).cast("long").alias(f"c{i}")
+        for i in range(n_cols)
+    ]
+    return base.select(*cols)
+
+
+def test_narrow_is_exact(spark):
+    rows = {r["col_name"]: r for r in profile_table(_narrow(spark)).collect()}
+    assert rows["k"]["n_distinct"] == 3 and rows["k"]["n_nulls"] == 0
+    assert rows["s"]["n_distinct"] == 2 and rows["s"]["n_nulls"] == 1
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+    assert rows["x"]["min_num"] == 1.5 and rows["x"]["max_num"] == 2.5
+
+
+def test_wide_table_auto_switches_to_approx_and_drops_expand(spark):
+    """Above EXACT_DISTINCT_MAX_COLS the profiler must plan WITHOUT
+    Expand (exact multi-distinct replicates every scanned row once
+    per aggregate — the 100-column profile of a 100 TB table must not
+    become a 100-fold shuffle input) and the HLL estimates must sit
+    within the configured relative error."""
+    n = EXACT_DISTINCT_MAX_COLS + 8
+    df = _wide(spark, n)
+    prof = profile_table(df)  # auto: approx above the threshold
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    rows = {r["col_name"]: r for r in prof.collect()}
+    assert len(rows) == n
+    for i in range(n):
+        exact = i + 2  # c_i = id % (i+2) over 500 rows: i+2 distincts
+        got = rows[f"c{i}"]["n_distinct"]
+        assert abs(got - exact) <= max(2, 0.15 * exact), (i, got, exact)
+    # narrow tables keep the exact plan (Expand present = exact path)
+    narrow_plan = (
+        profile_table(_wide(spark, 4))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in narrow_plan
+
+
+def test_mode_override(spark):
+    """exact_distinct=True pins exact counts even on a wide table;
+    False pins the sketch even on a narrow one."""
+    wide = _wide(spark, EXACT_DISTINCT_MAX_COLS + 4)
+    exact_rows = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(wide, exact_distinct=True).collect()
+    }
+    for i in range(EXACT_DISTINCT_MAX_COLS + 4):
+        assert exact_rows[f"c{i}"] == i + 2
+    plan = (
+        profile_table(_wide(spark, 3), exact_distinct=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
