@@ -79,6 +79,8 @@ _OPT_DEFS = {
     "iterations": True, "threshold": True, "id-col": True,
     "vec-col": True, "col": True, "group-by": True, "exact": False,
     "data": True, "glob": True,
+    # round-10: semdedup auto-k (the paper's k ∝ n regime)
+    "target-rows": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1393,30 +1395,39 @@ def cmd_maintain(argv, cat: Catalog, out):
 
 
 def cmd_semdedup(argv, cat: Catalog, out):
-    """dn semdedup <vectors> [--k=8] [--iterations=3]
+    """dn semdedup <vectors> [--k=8 | --target-rows=N] [--iterations=3]
     [--threshold=0.9] [--id-col=vec_id] [--vec-col=embedding]
     [--format=parquet] [--out=PATH]: SemDeDup semantic dedup — exact
     fixed-point k-means over the embedding column, then near-dup
-    pair search restricted to cluster mates (ops/kmeans.py). Prints
-    cluster sizes and the pairs found; --out writes the SURVIVOR ids
-    (corpus minus every dropped_id) as parquet."""
+    pair search restricted to cluster mates (ops/kmeans.py).
+    --target-rows picks k automatically as ceil(n/target) — the
+    paper's k ∝ n regime, keeping cluster size (and the pair stage)
+    bounded as the corpus grows; prefer it over --k for any corpus
+    whose size you don't control. Prints cluster sizes and the pairs
+    found; --out writes the SURVIVOR ids (corpus minus every
+    dropped_id) as parquet."""
     from pyspark.sql import functions as F
 
     from dragnet_spark.ops.kmeans import kmeans_assign, semdedup_prune_pairs
 
     opts = _parse_args(
         argv,
-        ["k", "iterations", "threshold", "id-col", "vec-col", "format", "out"],
+        ["k", "target-rows", "iterations", "threshold", "id-col",
+         "vec-col", "format", "out"],
     )
     (path,) = _nargs(opts, 1)
     k = int(opts.get("k", "8"))
+    target = opts.get("target_rows")
     iters = int(opts.get("iterations", "3"))
     thr = float(opts.get("threshold", "0.9"))
     id_col = opts.get("id_col", "vec_id")
     vec_col = opts.get("vec_col", "embedding")
     spark = _get_spark()
     df = spark.read.format(opts.get("format", "parquet")).load(path)
-    assign = kmeans_assign(df, vec_col=vec_col, id_col=id_col, k=k, iterations=iters)
+    assign = kmeans_assign(
+        df, vec_col=vec_col, id_col=id_col, k=k, iterations=iters,
+        target_rows_per_cluster=int(target) if target else None,
+    )
     sizes = sorted(
         (r["cluster"], r["n"])
         for r in assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()

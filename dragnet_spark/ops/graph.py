@@ -238,6 +238,173 @@ def pagerank_sql(
     )
 
 
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Personalized PageRank (TrustRank, Gyöngyi et al. 2004) over an
+    undirected edge set, in the same exact integer fixed-point
+    discipline as :func:`pagerank`: the restart mass goes ONLY to the
+    ``seeds`` set, so rank measures proximity to the seeds through the
+    similarity graph. The canonical curation uses: propagate a small
+    human-labeled trusted (or spam) set over the near-dup/link graph
+    to score the unlabeled remainder; find documents "close" to a
+    known-contaminated cluster; expand a seed whitelist.
+
+    Semantics (integer form, seed set S, d = damping_pct):
+
+        r0(v)  = scale div |S| if v ∈ S else 0
+        r'(v)  = [((100-d)·scale) div (100·|S|)           if v ∈ S]
+                 + (d·(Σ_{u→v} r(u) div deg(u)
+                        [+ dang div |S| if v ∈ S])) div 100
+
+    i.e. both the restart and the dangling mass re-enter at the seeds
+    (the standard PPR formulation), every operation integer, so K
+    iterations are bit-identical in any engine — value-hash gradable
+    like :func:`pagerank` (twin: :func:`personalized_pagerank_sql`).
+    Non-seed nodes unreachable from S stay at exactly 0.
+
+    Scale shape identical to :func:`pagerank`: per iteration one
+    edge⋈rank join, one dst-key partial agg, 1-row broadcasts for |S|
+    and the dangling mass, a seed-flag left join (seed set broadcast
+    when small — the typical case: |S| « n), localCheckpoint per round
+    to bound plan depth."""
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (0, 100)")
+    edges = edges.persist()
+    edges.count()
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .persist()
+    )
+    ids = nodes.select(F.col(id_col).alias("id"))
+    sd = seeds.select(F.col(id_col).alias("id")).distinct().persist()
+    ns_df = sd.agg(F.count(F.lit(1)).alias("ns"))
+    if ns_df.first()["ns"] == 0:
+        raise ValueError("personalized_pagerank requires >= 1 seed")
+    flagged = ids.join(
+        sd.withColumn("__seed", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed"))
+    deg = sym.groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+    d = damping_pct
+    ranks = (
+        flagged.crossJoin(F.broadcast(ns_df))
+        .select(
+            "id",
+            "__seed",
+            F.when(F.col("__seed"), F.expr(f"{scale} div ns"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(iterations):
+            shares = ranks.join(deg, "id").select(
+                "id", F.expr("r div deg").alias("share")
+            )
+            contrib = (
+                sym.join(shares, sym.s == shares.id)
+                .groupBy(F.col("d").alias("id"))
+                .agg(F.sum("share").alias("c"))
+            )
+            dang = ranks.join(deg, "id", "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
+            )
+            seed_term = (
+                F.expr(f"((100 - {d}) * {scale}) div (100 * ns)")
+                + F.expr(f"({d} * (coalesce(c, 0) + dang div ns)) div 100")
+            )
+            nonseed_term = F.expr(f"({d} * coalesce(c, 0)) div 100")
+            ranks = (
+                flagged.crossJoin(F.broadcast(ns_df))
+                .crossJoin(F.broadcast(dang))
+                .join(contrib, "id", "left")
+                .select(
+                    "id",
+                    "__seed",
+                    F.when(F.col("__seed"), seed_term)
+                    .otherwise(nonseed_term)
+                    .alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select(
+            "id",
+            (F.col("r").cast("double") / F.lit(scale)).alias("trustrank"),
+        )
+    finally:
+        sym.unpersist()
+        deg.unpersist()
+        sd.unpersist()
+        edges.unpersist()
+
+
+def personalized_pagerank_sql(
+    nodes_sql: str,
+    pairs_sql: str,
+    seeds_sql: str,
+    iterations: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank`: same integer
+    fixed-point iteration unrolled as a CTE chain. ``nodes_sql`` yields
+    (id); ``pairs_sql`` undirected (id_a, id_b); ``seeds_sql`` (id)."""
+    d, S = damping_pct, scale
+    parts = [
+        f"nodes AS ({nodes_sql})",
+        f"prs AS MATERIALIZED ({pairs_sql})",
+        "e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM prs"
+        " UNION SELECT id_b AS s, id_a AS d FROM prs)",
+        f"sd AS (SELECT DISTINCT id FROM ({seeds_sql}))",
+        "ns AS (SELECT COUNT(*) AS ns FROM sd)",
+        "fl AS (SELECT nd.id, (sd.id IS NOT NULL) AS seed"
+        " FROM nodes nd LEFT JOIN sd ON sd.id = nd.id)",
+        "deg AS (SELECT s AS id, COUNT(*) AS deg FROM e GROUP BY s)",
+        f"r0 AS (SELECT id, seed,"
+        f" CASE WHEN seed THEN {S} // ns.ns ELSE 0 END AS r"
+        f" FROM fl CROSS JOIN ns)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS (SELECT e.d AS id, SUM(r.r // deg.deg) AS c"
+            f" FROM e JOIN r{p} r ON e.s = r.id"
+            f" JOIN deg ON deg.id = r.id GROUP BY e.d)"
+        )
+        parts.append(
+            f"d{k} AS (SELECT COALESCE(SUM(r.r), 0) AS dang"
+            f" FROM r{p} r LEFT JOIN deg ON deg.id = r.id"
+            f" WHERE deg.id IS NULL)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT fl.id, fl.seed,"
+            f" CASE WHEN fl.seed THEN"
+            f" ((100 - {d}) * {S}) // (100 * ns.ns)"
+            f" + ({d} * (COALESCE(c.c, 0) + dk.dang // ns.ns)) // 100"
+            f" ELSE ({d} * COALESCE(c.c, 0)) // 100 END AS r"
+            f" FROM fl CROSS JOIN ns CROSS JOIN d{k} dk"
+            f" LEFT JOIN c{k} c ON c.id = fl.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(r AS DOUBLE) / {S} AS trustrank"
+        f" FROM r{iterations}"
+    )
+
+
 def minlabel_closure_sql(
     ids_sql: str, pairs_sql: str, rounds: int = 12
 ) -> str:
@@ -304,7 +471,12 @@ def dedup_cluster_assignments(
     )
 
 
-def triangle_counts(edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_b") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    include_zero_nodes: bool = False,
+) -> DataFrame:
     """Exact per-node triangle counts over an undirected edge set —
     the clique-density measure of a near-dup graph (a duplicate GROUP
     shows up as a clique; triangle-poor neighborhoods are chains of
@@ -323,13 +495,16 @@ def triangle_counts(edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_
     (wedge build keyed on the pivot, closure keyed on the (b, c)
     pair); AQE skew-split covers residual hot pivots.
 
-    Returns (id, n_triangles) for every node that participates in at
-    least one TRIANGLE — zero-triangle nodes are absent (counts come
-    from exploding closed wedges, so a node on no closed wedge never
-    emits a row; the DuckDB twin matches). Consumers needing explicit
-    zeros (e.g. per-node clustering density) should left-join this
-    onto the node/degree table and coalesce to 0. All integers —
-    hash-gradable; DuckDB twin: :func:`triangle_counts_sql`.
+    Returns (id, n_triangles). Default: only nodes that participate
+    in at least one TRIANGLE appear — counts come from exploding
+    closed wedges, so a node on no closed wedge never emits a row
+    (the DuckDB twin matches). ``include_zero_nodes=True`` left-joins
+    the counts onto the edge-incident node set and coalesces to 0 —
+    one row per node with ≥1 edge, explicit zeros for the
+    triangle-free ones (the per-node clustering-density consumer's
+    shape; costs one extra broadcast-or-SMJ join against the
+    node-sized count table). All integers — hash-gradable; DuckDB
+    twin: :func:`triangle_counts_sql`.
     """
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -378,10 +553,22 @@ def triangle_counts(edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_
     closed = wedges.join(
         e.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
     )
-    return (
+    counts = (
         closed.select(F.explode(F.array("p", "x", "y")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    if not include_zero_nodes:
+        return counts
+    return (
+        deg.select("id")
+        .join(counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
     )
 
 
@@ -404,4 +591,75 @@ def triangle_counts_sql(pairs_sql: str) -> str:
     t AS (SELECT p, x, y FROM w JOIN e ON e.u = w.x AND e.v = w.y),
     ex AS (SELECT p AS id FROM t UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)
     SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ex GROUP BY id
+    """
+
+
+def clustering_coefficients(
+    edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per edge-incident node:
+    ``clustering = round(2T / (deg·(deg−1)), 6)`` (0.0 at deg 1) with
+    the supporting (deg, n_triangles) columns — the QUANTITATIVE form
+    of the cliques-vs-chains diagnostic: a duplicate GROUP's members
+    sit near 1.0 (drop in bulk, any representative is safe), a chain
+    of borderline matches sits near 0 (each hop needs judgment).
+
+    One triangle pass (:func:`triangle_counts`, degree-oriented wedge
+    closure — wedge volume bounded by √(2m) out-degrees) plus one
+    node-keyed join against the degree table; the coefficient itself
+    is a single IEEE divide rounded to 6, identical in any engine
+    (twin: :func:`clustering_coefficients_sql`)."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(edges, src_col, dst_col)
+    coef = F.when(F.col("deg") <= 1, F.lit(0.0)).otherwise(
+        F.round(
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            6,
+        )
+    )
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+        .withColumn("clustering", coef)
+    )
+
+
+def clustering_coefficients_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficients`."""
+    tri = triangle_counts_sql(pairs_sql)
+    return f"""
+    WITH prs2 AS MATERIALIZED ({pairs_sql}),
+    e2 AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+           FROM prs2 WHERE id_a <> id_b),
+    deg2 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+               SELECT u AS id FROM e2 UNION ALL SELECT v AS id FROM e2)
+             GROUP BY id),
+    tri AS ({tri})
+    SELECT d.id, d.deg,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg <= 1 THEN 0.0
+                ELSE round(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                           / (d.deg * (d.deg - 1)), 6)
+           END AS clustering
+    FROM deg2 d LEFT JOIN tri t ON t.id = d.id
     """

@@ -304,6 +304,43 @@ def docs_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trustrank_oracle() -> str:
+    from dragnet_spark.ops.graph import personalized_pagerank_sql
+
+    sql = personalized_pagerank_sql(
+        "SELECT doc_id AS id FROM documents",
+        _jaccard_oracle(_JACCARD_T),
+        "SELECT doc_id AS id FROM documents WHERE doc_id % 17 = 0",
+    )
+    return f"SELECT id AS doc_id, trustrank FROM ({sql})"
+
+
+@register(
+    "docs_neardup_trustrank",
+    _trustrank_oracle(),
+    "personalized PageRank (TrustRank, Gyöngyi 2004) over the "
+    "shingle-Jaccard near-dup graph: restart AND dangling mass re-"
+    "enter only at a deterministic seed set (doc_id%17=0 stands in "
+    "for a human-labeled trusted/spam list), so rank measures "
+    "proximity to the seeds — the propagate-labels-over-similarity "
+    "primitive for scoring unlabeled documents near known-good or "
+    "known-contaminated clusters. Same exact integer fixed-point "
+    "discipline as docs_neardup_pagerank (bit-identical across "
+    "engines); unreachable non-seeds sit at exactly 0",
+)
+def docs_neardup_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.graph import personalized_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_JACCARD_T, ngram=_NGRAM
+    )
+    seeds = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    return personalized_pagerank(
+        docs, pairs, seeds, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "trustrank")
+
+
 def _jaccard_oracle_strings(threshold: float, ngram: int = _NGRAM) -> str:
     # string-gram twin of _jaccard_oracle (no hashing): the prefix
     # entry verifies with array_intersect over STRING sets, so its
@@ -371,6 +408,38 @@ def docs_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return triangle_counts(pairs).select(
         F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
+def _clustering_oracle() -> str:
+    from dragnet_spark.ops.graph import clustering_coefficients_sql
+
+    sql = clustering_coefficients_sql(_jaccard_oracle(_JACCARD_T))
+    return (
+        f"SELECT id AS doc_id, deg, n_triangles, clustering FROM ({sql})"
+    )
+
+
+@register(
+    "docs_neardup_clustering",
+    _clustering_oracle(),
+    "local clustering coefficient over the shingle-Jaccard near-dup "
+    "graph — the QUANTITATIVE cliques-vs-chains diagnostic "
+    "docs_neardup_triangles eyeballs: 2T/(deg·(deg−1)) per node, "
+    "~1.0 = bulk-droppable duplicate GROUP, ~0 = chain of borderline "
+    "matches needing judgment. Same degree-oriented wedge closure + "
+    "one node-keyed degree join; explicit zeros for triangle-free "
+    "nodes",
+)
+def docs_neardup_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.graph import clustering_coefficients
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_JACCARD_T, ngram=_NGRAM
+    )
+    return clustering_coefficients(pairs).select(
+        F.col("id").alias("doc_id"), "deg", "n_triangles", "clustering"
     )
 
 

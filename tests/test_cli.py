@@ -900,6 +900,15 @@ def test_semdedup_cli(cfg, tmp_path, spark):
     assert "2 within-cluster pairs >= 0.99, 2 docs dropped" in out
     kept = {r["vec_id"] for r in spark.read.parquet(outp).collect()}
     assert kept == {0, 1, 2, 3, 4, 5}  # lower ids win
+    # auto-k: --target-rows picks k = ceil(8/4) = 2, same clustering
+    rc, out, _ = run(
+        ["semdedup", src, "--target-rows", "4", "--iterations", "2",
+         "--threshold", "0.99"],
+        cfg,
+    )
+    assert rc == 0
+    assert "8 vectors -> 2 clusters" in out
+    assert "2 within-cluster pairs >= 0.99, 2 docs dropped" in out
 
 
 def test_distinct_cli(cfg, tmp_path, spark):

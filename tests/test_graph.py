@@ -172,3 +172,100 @@ def test_triangle_sql_twin(spark):
     want = dict(con.execute(
         triangle_counts_sql("SELECT id_a, id_b FROM p")).fetchall())
     assert got == want
+
+
+def test_triangle_include_zero_nodes(spark):
+    """include_zero_nodes=True: one row per edge-incident node, with
+    explicit zeros for triangle-free ones (a square + one triangle)."""
+    from dragnet_spark.ops.graph import triangle_counts
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0),  # square: no triangles
+             (10, 11), (11, 12), (12, 10)]     # triangle
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(e, include_zero_nodes=True).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 1, 11: 1, 12: 1}
+
+
+def test_personalized_pagerank_twin_and_semantics(spark):
+    """PPR: restart mass only at seeds, unreachable non-seeds exactly
+    0, bit-parity with the DuckDB twin."""
+    import duckdb
+
+    from dragnet_spark.ops.graph import (
+        personalized_pagerank,
+        personalized_pagerank_sql,
+    )
+
+    # component A: 0-1-2 (seed 0); component B: 10-11 (no seed)
+    edges = [(0, 1), (1, 2), (10, 11)]
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 10, 11, 20]], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    seeds = spark.createDataFrame([(0,), (20,)], "id long")  # 20: isolated seed
+    got = sorted(
+        (r["id"], r["trustrank"])
+        for r in personalized_pagerank(nodes, e, seeds, iterations=3).collect()
+    )
+    by_id = dict(got)
+    assert by_id[10] == 0.0 and by_id[11] == 0.0  # unreachable from seeds
+    assert by_id[0] > by_id[2] > 0  # closer to seed -> higher
+    assert by_id[20] > 0  # isolated seed keeps restart + dangling mass
+    con = duckdb.connect()
+    nodes_sql = "SELECT * FROM (VALUES (0),(1),(2),(10),(11),(20)) t(id)"
+    pairs_sql = "SELECT * FROM (VALUES (0,1),(1,2),(10,11)) t(id_a, id_b)"
+    seeds_sql = "SELECT * FROM (VALUES (0),(20)) t(id)"
+    want = sorted(
+        (int(i), float(r))
+        for i, r in con.execute(
+            personalized_pagerank_sql(nodes_sql, pairs_sql, seeds_sql, iterations=3)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_personalized_pagerank_requires_seeds(spark):
+    import pytest as _pytest
+
+    from dragnet_spark.ops.graph import personalized_pagerank
+
+    nodes = spark.createDataFrame([(0,)], "id long")
+    e = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
+    empty = spark.createDataFrame([], "id long")
+    with _pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(nodes, e, empty)
+
+
+def test_clustering_coefficients(spark):
+    """K4 nodes at 1.0; square nodes at 0.0; pendant node at 0.0 with
+    explicit zero; SQL twin bit-parity."""
+    import duckdb
+
+    from dragnet_spark.ops.graph import (
+        clustering_coefficients,
+        clustering_coefficients_sql,
+    )
+
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]  # K4
+        + [(10, 11), (11, 12), (12, 13), (13, 10)]           # square
+        + [(0, 20)]                                          # pendant on K4
+    )
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(tuple(r) for r in clustering_coefficients(e).collect())
+    by_id = {t[0]: t for t in got}
+    assert by_id[1] == (1, 3, 3, 1.0)  # deg 3, 3 triangles, coef 1
+    assert by_id[0] == (0, 4, 3, 0.5)  # pendant dilutes: 6/(4*3)
+    assert by_id[10][3] == 0.0 and by_id[20] == (20, 1, 0, 0.0)
+    con = duckdb.connect()
+    pairs_sql = "SELECT * FROM (VALUES " + ",".join(
+        f"({a},{b})" for a, b in edges
+    ) + ") t(id_a, id_b)"
+    want = sorted(
+        (int(i), int(d), int(t), float(c))
+        for i, d, t, c in con.execute(
+            clustering_coefficients_sql(pairs_sql)
+        ).fetchall()
+    )
+    assert got == want
