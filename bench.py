@@ -124,6 +124,12 @@ BENCH_FAMILIES = [
         # the cluster-restricted semantic prune it enables
         "semdedup_kmeans",
         "semdedup_prune",
+        # round-10 additions: SRP-bucketed semantic clusters (the
+        # 100x-graded scale form), TrustRank seed propagation, and
+        # the quantitative cliques-vs-chains coefficient
+        "dedup_embedding_clusters_lsh",
+        "docs_neardup_trustrank",
+        "docs_neardup_clustering",
     ]),
     # decode-path regressions must trip the trailing-median grading
     # like every other family (VERDICT r6 #4) — multimodal throughput
@@ -134,6 +140,9 @@ BENCH_FAMILIES = [
         "multimodal_video_frames",
         "multimodal_resize",
         "multimodal_probe_roundtrip",
+        # round-10: the decoder-injection hook, graded like the
+        # native codecs
+        "multimodal_injected_decoder",
     ]),
 ]
 BENCH_QUERIES = [q for _, qs in BENCH_FAMILIES for q in qs]
