@@ -79,8 +79,9 @@ _OPT_DEFS = {
     "iterations": True, "threshold": True, "id-col": True,
     "vec-col": True, "col": True, "group-by": True, "exact": False,
     "data": True, "glob": True,
-    # round-10: semdedup auto-k (the paper's k ∝ n regime)
-    "target-rows": True,
+    # round-10: semdedup auto-k (the paper's k ∝ n regime) + graph CLI
+    "target-rows": True, "op": True, "seeds": True, "id-a": True,
+    "id-b": True, "top": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1456,6 +1457,77 @@ def cmd_semdedup(argv, cat: Catalog, out):
         out.write("survivors -> %s\n" % opts["out"])
 
 
+def cmd_graph(argv, cat: Catalog, out):
+    """dn graph <pairs> --op=pagerank|trustrank|triangles|clustering|components
+    [--seeds=PATH] [--iterations=4] [--id-a=id_a] [--id-b=id_b]
+    [--format=parquet] [--out=PATH] [--top=20]: graph analytics over a
+    precomputed undirected pair table (any dedup op's (id_a, id_b)
+    output). trustrank requires --seeds (a parquet of ids in the
+    pair table's id space — a labeled trusted/spam list). Prints the
+    top rows by score; --out writes the full result as parquet."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops.graph import (
+        clustering_coefficients,
+        connected_components,
+        pagerank,
+        personalized_pagerank,
+        triangle_counts,
+    )
+
+    opts = _parse_args(
+        argv,
+        ["op", "seeds", "iterations", "id-a", "id-b", "format", "out",
+         "top"],
+    )
+    (path,) = _nargs(opts, 1)
+    op = opts.get("op")
+    if op not in ("pagerank", "trustrank", "triangles", "clustering",
+                  "components"):
+        raise UsageError(
+            "--op must be pagerank|trustrank|triangles|clustering|components"
+        )
+    ia, ib = opts.get("id_a", "id_a"), opts.get("id_b", "id_b")
+    iters = int(opts.get("iterations", "4"))
+    spark = _get_spark()
+    pairs = spark.read.format(opts.get("format", "parquet")).load(path)
+    nodes = (
+        pairs.select(F.col(ia).alias("id"))
+        .unionByName(pairs.select(F.col(ib).alias("id")))
+        .distinct()
+    )
+    if op == "pagerank":
+        res = pagerank(nodes, pairs, src_col=ia, dst_col=ib,
+                       iterations=iters)
+        score = "pagerank"
+    elif op == "trustrank":
+        if not opts.get("seeds"):
+            raise UsageError("--op=trustrank requires --seeds=PATH")
+        seeds = spark.read.parquet(opts["seeds"])
+        seeds = seeds.select(F.col(seeds.columns[0]).alias("id"))
+        res = personalized_pagerank(nodes, pairs, seeds, src_col=ia,
+                                    dst_col=ib, iterations=iters)
+        score = "trustrank"
+    elif op == "triangles":
+        res = triangle_counts(pairs, ia, ib, include_zero_nodes=True)
+        score = "n_triangles"
+    elif op == "clustering":
+        res = clustering_coefficients(pairs, ia, ib)
+        score = "clustering"
+    else:
+        res = connected_components(nodes, pairs, src_col=ia, dst_col=ib)
+        score = "component"
+    top = int(opts.get("top", "20"))
+    rows = res.orderBy(F.desc(score), "id").limit(top).collect()
+    cols = res.columns
+    out.write("  ".join(cols) + "\n")
+    for r in rows:
+        out.write("  ".join(str(r[c]) for c in cols) + "\n")
+    if opts.get("out"):
+        res.write.mode("error").parquet(opts["out"])
+        out.write("%s -> %s\n" % (op, opts["out"]))
+
+
 def cmd_distinct(argv, cat: Catalog, out):
     """dn distinct <path> --col=C [--group-by=G] [--k=256] [--exact]
     [--format=parquet]: KMV bottom-k estimate of COUNT(DISTINCT C),
@@ -1630,6 +1702,7 @@ COMMANDS = {
     "vindex-recenter": cmd_vindex_recenter,
     "maintain": cmd_maintain,
     "semdedup": cmd_semdedup,
+    "graph": cmd_graph,
     "distinct": cmd_distinct,
     "media-probe": cmd_media_probe,
     "kmv-build": cmd_kmv_build,

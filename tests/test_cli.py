@@ -959,3 +959,36 @@ def test_kmv_store_cli_roundtrip(cfg, tmp_path, spark):
     assert rc == 0 and out.splitlines()[-1].split() == ["x", "70"]
     rc, _, _ = run(["kmv-merge", store], cfg)
     assert rc != 0  # --data required
+
+
+def test_graph_cli(cfg, tmp_path, spark):
+    """dn graph over a precomputed pair table: pagerank, trustrank
+    (with seeds), triangles (explicit zeros), clustering, components;
+    --out roundtrip."""
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11)]
+    src = str(tmp_path / "pairs.parquet")
+    spark.createDataFrame(pairs, "id_a long, id_b long").write.parquet(src)
+    rc, out, _ = run(["graph", src, "--op", "triangles"], cfg)
+    assert rc == 0
+    rows = {int(l.split()[0]): int(l.split()[1])
+            for l in out.strip().splitlines()[1:]}
+    assert rows == {0: 1, 1: 1, 2: 1, 10: 0, 11: 0}
+    outp = str(tmp_path / "pr.parquet")
+    rc, out, _ = run(["graph", src, "--op", "pagerank", "--out", outp], cfg)
+    assert rc == 0 and "pagerank ->" in out
+    assert spark.read.parquet(outp).count() == 5
+    seeds = str(tmp_path / "seeds.parquet")
+    spark.createDataFrame([(0,)], "id long").write.parquet(seeds)
+    rc, out, _ = run(["graph", src, "--op", "trustrank", "--seeds", seeds], cfg)
+    assert rc == 0
+    scores = {int(l.split()[0]): float(l.split()[1])
+              for l in out.strip().splitlines()[1:]}
+    assert scores[10] == 0.0 and scores[0] > 0  # unreachable component
+    rc, out, _ = run(["graph", src, "--op", "clustering"], cfg)
+    assert rc == 0 and out.splitlines()[0].split()[-1] == "clustering"
+    rc, out, _ = run(["graph", src, "--op", "components"], cfg)
+    assert rc == 0
+    rc, _, err = run(["graph", src, "--op", "trustrank"], cfg)
+    assert rc != 0  # seeds required
+    rc, _, err = run(["graph", src, "--op", "nope"], cfg)
+    assert rc != 0
