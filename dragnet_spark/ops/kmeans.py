@@ -207,12 +207,21 @@ def kmeans_assign(
         qv.unpersist()
 
 
+#: loudness guard for the per-cluster pair stage: one applyInPandas
+#: group holds a whole cluster, so a cluster this large (rows) means
+#: k was pinned far too small for the corpus — fail with the fix named
+#: instead of OOMing an executor. 2M rows × 64-dim float64 ≈ 1 GB of
+#: group payload plus the (chunked) sim rows.
+MAX_CLUSTER_ROWS = 2_000_000
+
+
 def semdedup_prune_pairs(
     df: DataFrame,
     assign: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    max_cluster_rows: int = MAX_CLUSTER_ROWS,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: (cluster, kept_id,
     dropped_id, cosine) for every same-cluster pair with
@@ -239,6 +248,14 @@ def semdedup_prune_pairs(
 
     def pairs(key, pdf):
         cluster = int(key[0])
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"cluster {cluster} holds {len(pdf)} rows > "
+                f"max_cluster_rows={max_cluster_rows}: k is pinned far "
+                f"too small for this corpus — rerun kmeans_assign with "
+                f"target_rows_per_cluster (auto-k keeps clusters "
+                f"bounded), or raise max_cluster_rows knowingly"
+            )
         ids = pdf["id"].to_numpy(dtype=np.int64)
         M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
         nrm = np.linalg.norm(M, axis=1)

@@ -191,3 +191,16 @@ def test_kmeans_assign_releases_cache(spark):
     # the qv cache (checkpointed RDDs show as LocalCheckpointedRDD /
     # MapPartitionsRDD without a query-plan cache)
     assert len(cached) - before <= 1
+
+
+def test_prune_pairs_giant_cluster_guard(spark):
+    """A cluster bigger than max_cluster_rows must fail loudly naming
+    auto-k, not OOM an executor."""
+    from dragnet_spark.ops.kmeans import semdedup_prune_pairs
+
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = _emb(spark, rows)
+    assign = kmeans_assign(df, k=1, iterations=0)
+    out = semdedup_prune_pairs(df, assign, threshold=0.5, max_cluster_rows=10)
+    with pytest.raises(Exception, match="target_rows_per_cluster"):
+        out.collect()
