@@ -31,13 +31,16 @@ Overflow headroom (|x| ≤ 1, scale 1e6, dims ≤ 1k): per-dim diff ≤
 coordinate sum is ≤ 10⁶·n_c, fine to ~10¹² members per cluster.
 
 Scale shape (the MLlib posture): centroids are k×dims driver state —
-bounded by the user's k, never the corpus — broadcast into the
-assignment expression as literals, so assignment is one narrow
-whole-stage-codegen pass over the vectors (array_min over k integer
-fold expressions, no shuffle, no UDF). The update is one
+bounded by k, never the corpus — shipped in the assignment closure,
+so assignment is one narrow Arrow-batched int64 matmul pass over the
+vectors (mapInPandas, no shuffle; exact — np.argmin's first-minimum
+matches the lexicographic tie-break). The update is one
 (cluster, dim)-keyed aggregation per iteration with map-side partial
-combine: k·dims output rows regardless of corpus size. Nothing about
-the loop holds more than k·dims integers outside the executors.
+combine: k·dims output rows regardless of corpus size. ``k`` itself
+can be derived from the corpus (:func:`auto_k`,
+``target_rows_per_cluster``) — the SemDeDup regime where cluster
+SIZE stays constant as the corpus grows. Nothing about the loop
+holds more than k·dims integers outside the executors.
 
 Reference parity note: the reference engine has no clustering
 operator; this is a beyond-reference training-pipeline addition (the
