@@ -81,7 +81,7 @@ _OPT_DEFS = {
     "data": True, "glob": True,
     # round-10: semdedup auto-k (the paper's k ∝ n regime) + graph CLI
     "target-rows": True, "op": True, "seeds": True, "id-a": True,
-    "id-b": True, "top": True,
+    "id-b": True, "top": True, "ids": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1623,6 +1623,81 @@ def _kmv_print_estimates(spark, store, out):
         out.write("%-24s %14d\n" % (key, r["est_distinct"]))
 
 
+def cmd_comp_build(argv, cat: Catalog, out):
+    """dn comp-build <pairs> --out=STORE [--ids=PATH] [--id-a=id_a]
+    [--id-b=id_b] [--format=parquet]: materialize an incremental
+    connected-components store (index/components.py) from an
+    undirected pair table — the dedup-cluster assignment a live
+    pipeline maintains with dn comp-merge instead of recomputing the
+    graph per batch. --ids supplies the full node set (parquet, first
+    column); default is the pair endpoints."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.components import build_components_store
+
+    opts = _parse_args(argv, ["out", "ids", "id-a", "id-b", "format"])
+    (path,) = _nargs(opts, 1)
+    if not opts.get("out"):
+        raise UsageError("--out is required")
+    ia, ib = opts.get("id_a", "id_a"), opts.get("id_b", "id_b")
+    spark = _get_spark()
+    pairs = spark.read.format(opts.get("format", "parquet")).load(path)
+    pairs = pairs.select(F.col(ia).alias("id_a"), F.col(ib).alias("id_b"))
+    if opts.get("ids"):
+        ids = spark.read.parquet(opts["ids"])
+        ids = ids.select(F.col(ids.columns[0]).alias("id"))
+    else:
+        ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+    build_components_store(spark, ids, pairs, opts["out"])
+    out.write("built components store at %s\n" % opts["out"])
+
+
+def cmd_comp_merge(argv, cat: Catalog, out):
+    """dn comp-merge <store> --data=PAIRS [--id-a=id_a] [--id-b=id_b]
+    [--format=parquet]: fold one arriving batch of pairs into the
+    store — work proportional to the batch (endpoint resolve +
+    quotient-graph closure), never a full-corpus recompute."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.components import merge_components_batch
+
+    opts = _parse_args(argv, ["data", "id-a", "id-b", "format"])
+    (store,) = _nargs(opts, 1)
+    if not opts.get("data"):
+        raise UsageError("--data is required")
+    ia, ib = opts.get("id_a", "id_a"), opts.get("id_b", "id_b")
+    spark = _get_spark()
+    pairs = spark.read.format(opts.get("format", "parquet")).load(opts["data"])
+    pairs = pairs.select(F.col(ia).alias("id_a"), F.col(ib).alias("id_b"))
+    merge_components_batch(spark, pairs, store)
+    out.write("folded %s into %s\n" % (opts["data"], store))
+
+
+def cmd_comp_read(argv, cat: Catalog, out):
+    """dn comp-read <store> [--out=PATH] [--top=20]: current (id,
+    component) assignment with redirects applied; --out writes the
+    full table as parquet."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.components import components_store_read
+
+    opts = _parse_args(argv, ["out", "top"])
+    (store,) = _nargs(opts, 1)
+    spark = _get_spark()
+    res = components_store_read(spark, store)
+    for r in res.orderBy("component", "id").limit(
+        int(opts.get("top", "20"))
+    ).collect():
+        out.write("%d  %d\n" % (r["id"], r["component"]))
+    if opts.get("out"):
+        res.write.mode("error").parquet(opts["out"])
+        out.write("assignment -> %s\n" % opts["out"])
+
+
 def cmd_kmv_build(argv, cat: Catalog, out):
     """dn kmv-build <data> --col=C --out=STORE [--group-by=G]
     [--k=256] [--format=parquet]: materialize a bottom-k KMV
@@ -1705,6 +1780,9 @@ COMMANDS = {
     "graph": cmd_graph,
     "distinct": cmd_distinct,
     "media-probe": cmd_media_probe,
+    "comp-build": cmd_comp_build,
+    "comp-merge": cmd_comp_merge,
+    "comp-read": cmd_comp_read,
     "kmv-build": cmd_kmv_build,
     "kmv-merge": cmd_kmv_merge,
     "kmv-est": cmd_kmv_est,

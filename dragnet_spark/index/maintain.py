@@ -79,6 +79,10 @@ _MARKERS = {
     # self-compacting: every merge stage-swaps the whole (sketch-sized)
     # state back to one file, so there is never fold-in debt to sweep
     "_kmv_store.json": ("kmv", ("sketch",)),
+    # round-10: incremental connected components — folds append new
+    # labels + redirect rows; compaction folds the redirect forest
+    # into the base table
+    "_components_store.json": ("components", ("labels", "redirects")),
 }
 
 #: store kinds whose layout is written once at build and never
@@ -240,6 +244,7 @@ _COMPACT = {
     "srp": "dragnet_spark.index.fingerprints:compact_srp_store",
     "vindex": "dragnet_spark.index.vector:compact_vector_index",
     "sink": "dragnet_spark.streaming.sink:compact_sink",
+    "components": "dragnet_spark.index.components:compact_components_store",
 }
 
 

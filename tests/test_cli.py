@@ -992,3 +992,21 @@ def test_graph_cli(cfg, tmp_path, spark):
     assert rc != 0  # seeds required
     rc, _, err = run(["graph", src, "--op", "nope"], cfg)
     assert rc != 0
+
+
+def test_components_store_cli(cfg, tmp_path, spark):
+    """comp-build + comp-merge + comp-read: fold == batch through the
+    CLI; maintain compacts it (kind=components)."""
+    p0 = str(tmp_path / "p0.parquet")
+    p1 = str(tmp_path / "p1.parquet")
+    spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long").write.parquet(p0)
+    spark.createDataFrame([(1, 2), (9, 10)], "id_a long, id_b long").write.parquet(p1)
+    store = str(tmp_path / "comp")
+    rc, out, _ = run(["comp-build", p0, "--out", store], cfg)
+    assert rc == 0
+    rc, out, _ = run(["comp-merge", store, "--data", p1], cfg)
+    assert rc == 0
+    rc, out, _ = run(["comp-read", store], cfg)
+    assert rc == 0
+    got = {tuple(map(int, l.split())) for l in out.strip().splitlines()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (9, 9), (10, 9)}

@@ -202,3 +202,41 @@ def test_held_lease_is_reported_not_fatal(spark, sf_dir, tmp_path_factory):
     assert "LeaseHeldError" in report[a].get("error", "")
     assert report[a]["applied"] == []
     assert report[b]["applied"] == ["compact"] and "error" not in report[b]
+
+
+def test_components_store_in_fleet_sweep(spark, tmp_path):
+    """The components store is discovered, accumulates fold debt, and
+    run_maintenance compacts it with answers preserved."""
+    from dragnet_spark.index.components import (
+        build_components_store,
+        components_store_read,
+        merge_components_batch,
+    )
+    from dragnet_spark.index.maintain import (
+        discover_stores,
+        plan_maintenance,
+        run_maintenance,
+    )
+
+    root = str(tmp_path / "fleet2")
+    path = root + "/comp"
+    ids = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    build_components_store(
+        spark, ids,
+        spark.createDataFrame([(0, 1)], "id_a long, id_b long"), path,
+    )
+    for a, b in [(1, 2), (3, 4), (4, 5), (2, 3)]:
+        merge_components_batch(
+            spark,
+            spark.createDataFrame([(a, b)], "id_a long, id_b long"),
+            path,
+        )
+    assert discover_stores(root) == [{"path": path, "kind": "components"}]
+    plan = plan_maintenance(spark, root, max_files=2)
+    assert plan[0]["actions"] == ["compact"]
+    before = {tuple(r) for r in components_store_read(spark, path).collect()}
+    done = run_maintenance(spark, root, max_files=2)
+    assert done[0]["actions"] == ["compact"]
+    after = {tuple(r) for r in components_store_read(spark, path).collect()}
+    assert after == before
+    assert {t[1] for t in after if t[0] in range(6)} == {0}
