@@ -547,6 +547,38 @@ def hyperplane_signature(
 SRP_SCALE = 1_000_000
 
 
+def auto_bits_per_band(
+    n: int, bands: int, target_candidates_per_row: float = 4.0
+) -> int:
+    """The SRP band width a corpus of ``n`` vectors NEEDS: expected
+    RANDOM band collisions are C(n,2)·bands·2^-bits (uncorrelated
+    pair, p≈0.5 per bit), so holding the candidate budget at
+    ``target_candidates_per_row``·n requires
+
+        bits ≥ log2(n · bands / (2 · target)).
+
+    Band width must grow with log2(n) — a pinned width has a corpus
+    ceiling. Measured at the 1000× tier (4M vectors): 16-bit bands
+    admit ~7e8 random candidates whose exact-verify join ships two
+    vectors per pair and filled 76 GB of shuffle disk; the formula
+    gives 22 bits there, restoring O(n) candidates. (True near-dups
+    are unaffected: identical vectors collide at ANY width, and
+    near-identical pairs' per-bit collision prob is ≈1, so recall at
+    the 0.9 working regime stays ~1 while random collisions halve per
+    added bit.) Floor of 8 keeps tiny corpora from degenerate 1-bit
+    bands."""
+    import math
+
+    if n < 2:
+        return 8
+    return max(
+        8,
+        math.ceil(
+            math.log2(n * bands / (2.0 * target_candidates_per_row))
+        ),
+    )
+
+
 def srp_planes_q(
     dims: int, bands: int, bits_per_band: int, seed: int = 42
 ):

@@ -805,3 +805,43 @@ def test_jaccard_prefix_kills_boilerplate_blowup(spark):
     a = sorted(map(tuple, ngram_jaccard_pairs(df, "text", "doc_id", 0.8).collect()))
     b = sorted(map(tuple, jaccard_prefix_pairs(df, "text", "doc_id", 0.8).collect()))
     assert a == b == []
+
+
+def test_auto_bits_per_band():
+    """SRP band width grows with log2(n): the candidate budget
+    formula gives the measured regime boundaries."""
+    from dragnet_spark.ops.dedup import auto_bits_per_band
+
+    assert auto_bits_per_band(0, 6) == 8 and auto_bits_per_band(1, 6) == 8
+    assert auto_bits_per_band(1000, 6) == 10
+    # the graded tiers' 16-bit entries are inside their regime…
+    assert auto_bits_per_band(400_000, 6) <= 19
+    # …and the 1000x tier (4M union vectors) demands > 16 bits — the
+    # measured disk-filling collision blowup at pinned 16
+    assert auto_bits_per_band(4_000_000, 6) == 22
+    # budget knob: tighter budget -> wider bands
+    assert auto_bits_per_band(4_000_000, 6, 0.5) > 22
+
+
+def test_embedding_lsh_auto_bits_still_exact(spark):
+    """embedding_near_dup_lsh at the auto width finds the same
+    verified twin pairs as at the default width (recall 1 for exact
+    twins at any band width)."""
+    import numpy as np
+
+    from dragnet_spark.ops.dedup import (
+        auto_bits_per_band,
+        embedding_near_dup_lsh,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [(100 + i, base[i].tolist()) for i in range(40)]  # twins
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bits = auto_bits_per_band(80, 6)
+    out = embedding_near_dup_lsh(
+        df, threshold=0.99, dims=16, bits_per_band=bits, bands=6
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(i, 100 + i) for i in range(40)}
