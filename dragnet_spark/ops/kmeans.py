@@ -218,6 +218,130 @@ def kmeans_assign(
 MAX_CLUSTER_ROWS = 2_000_000
 
 
+def kmeans_assign_two_level(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+    scale: int = DEFAULT_SCALE,
+    target_rows_per_cluster: int = 250,
+) -> DataFrame:
+    """Hierarchical (two-level) auto-k assignment — the declared next
+    scale step past :func:`kmeans_assign` (SCALE.md "SemDeDup auto-k:
+    the assignment stage is the next wall"): flat auto-k assignment
+    costs n·k·dims = n²·dims/target, measured at factor 27.6 on 10×
+    data at the 1000× tier. Here the corpus is first clustered into
+    k₁ = ceil(√k) SUPER-clusters (one flat pass, n·√k), then each
+    super-cluster is Lloyd-clustered independently into its own
+    auto-k sub-clusters via one ``applyInPandas`` pass (per-group
+    cost |group|·k₂·dims with k₂ ≈ |group|/target) — total ≈ 2·n·√k
+    instead of n·k: the √ win, with every step still exact integer
+    arithmetic (quantize → int64 matmul → first-minimum argmin →
+    truncating-div centroid update → (md5, id) seed order — the
+    :func:`kmeans_assign` discipline applied locally per group, so
+    the result is deterministic on any engine/partitioning).
+
+    Returns (id, cluster, dist): ``cluster`` is
+    ``super · SUBCLUSTER_STRIDE + sub`` (globally unique, stride
+    2²⁰ = :data:`ARGMIN_PACK`), ``dist`` the squared quantized L2 to
+    the final sub-centroid. Cluster sizes stay bounded by ≈
+    ``target_rows_per_cluster`` exactly as the flat auto-k form, so
+    :func:`semdedup_prune_pairs` consumes this output unchanged.
+    Level-2 groups ride one shuffle on the super-cluster id; a
+    super-cluster's rows fit one task by construction (n/√k rows —
+    for 10⁸ vectors at target 250, √k ≈ 632, groups ≈ 158k rows).
+
+    Not yet oracle-graded: the two-level unrolled SQL twin is
+    deferred (declared, like the MP4 hook was before round 10); the
+    tests pin determinism, bounded cluster size, blob cohesion, and
+    the prune-stage contract."""
+    import numpy as np
+    import pandas as pd
+
+    import math
+
+    qv = quantize_vectors(df, vec_col, id_col, scale).persist()
+    try:
+        n = qv.count()
+        if n == 0:
+            return qv.sparkSession.createDataFrame(
+                [], "id long, cluster long, dist long"
+            )
+        k = auto_k(n, target_rows_per_cluster)
+        k1 = max(1, math.ceil(math.sqrt(k)))
+        cents = kmeans_seeds(qv, k1)
+        for _ in range(iterations):
+            assigned = _assign(qv, cents, keep_q=True)
+            upd = (
+                assigned
+                .select("cluster", F.posexplode("q").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.expr("sum(val) div count(1)").alias("v"))
+                .collect()
+            )
+            by_c: dict[int, dict[int, int]] = {}
+            for r in upd:
+                by_c.setdefault(r["cluster"], {})[r["dim"]] = r["v"]
+            cents = [
+                [by_c[c][d] for d in range(len(cents[c]))]
+                if c in by_c
+                else cents[c]
+                for c in range(len(cents))
+            ]
+        level1 = _assign(qv, cents, keep_q=True)
+        target = target_rows_per_cluster
+        iters = iterations
+        stride = ARGMIN_PACK
+
+        def sub(key, pdf):
+            sup = int(key[0])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            Q = np.asarray(list(pdf["q"]), dtype=np.int64)
+            m = len(ids)
+            k2 = max(1, (m + target - 1) // target)
+            # deterministic seed order: (md5(id), id), the global rule
+            import hashlib
+
+            hs = np.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+            )
+            order = np.lexsort((ids, hs))
+            C = Q[order[:k2]].copy()
+            for _ in range(iters):
+                d = (
+                    (Q * Q).sum(axis=1)[:, None]
+                    - 2 * (Q @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                a = d.argmin(axis=1)
+                for c in range(k2):
+                    mask = a == c
+                    if mask.any():  # empty cluster keeps its centroid
+                        C[c] = Q[mask].sum(axis=0) // mask.sum()
+            d = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * (Q @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = d.argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "id": ids,
+                    "cluster": sup * stride + a.astype(np.int64),
+                    "dist": d[np.arange(m), a],
+                }
+            )
+
+        return (
+            level1.select("id", "cluster", "q")
+            .groupBy("cluster")
+            .applyInPandas(sub, schema="id long, cluster long, dist long")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        qv.unpersist()
+
+
 def semdedup_prune_pairs(
     df: DataFrame,
     assign: DataFrame,

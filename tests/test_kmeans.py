@@ -204,3 +204,52 @@ def test_prune_pairs_giant_cluster_guard(spark):
     out = semdedup_prune_pairs(df, assign, threshold=0.5, max_cluster_rows=10)
     with pytest.raises(Exception, match="target_rows_per_cluster"):
         out.collect()
+
+
+def test_two_level_assign_bounded_deterministic(spark):
+    """kmeans_assign_two_level: every cluster bounded near the target,
+    bit-identical across runs and partitionings, same-blob cohesion,
+    and the prune stage consumes it unchanged."""
+    import numpy as np
+
+    from dragnet_spark.ops.kmeans import (
+        kmeans_assign_two_level,
+        semdedup_prune_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    # two well-separated blobs of 60, plus 5 exact-dup pairs
+    blob_a = rng.standard_normal((60, 8)) * 0.05 + 5.0
+    blob_b = rng.standard_normal((60, 8)) * 0.05 - 5.0
+    rows = [(i, blob_a[i].tolist()) for i in range(60)]
+    rows += [(100 + i, blob_b[i].tolist()) for i in range(60)]
+    rows += [(500 + i, blob_a[i].tolist()) for i in range(5)]  # dups of 0..4
+    df = _emb(spark, rows)
+    out1 = sorted(
+        map(tuple, kmeans_assign_two_level(
+            df, iterations=2, target_rows_per_cluster=20
+        ).collect())
+    )
+    out2 = sorted(
+        map(tuple, kmeans_assign_two_level(
+            df.repartition(7), iterations=2, target_rows_per_cluster=20
+        ).collect())
+    )
+    assert out1 == out2 and len(out1) == 125
+    from collections import Counter
+
+    sizes = Counter(c for _, c, _ in out1)
+    # bounded: auto-k level 2 targets 20/cluster; tolerate skewed fills
+    assert max(sizes.values()) <= 3 * 20
+    by_id = {i: c for i, c, _ in out1}
+    # exact duplicates land in the same cluster (their vectors are
+    # identical, so every distance comparison is identical)
+    for i in range(5):
+        assert by_id[500 + i] == by_id[i]
+    # prune over the two-level assignment finds the planted dups
+    assign = kmeans_assign_two_level(
+        df, iterations=2, target_rows_per_cluster=20
+    ).withColumnRenamed("cluster", "cluster")
+    pairs = semdedup_prune_pairs(df, assign, threshold=0.999)
+    got = {(r["kept_id"], r["dropped_id"]) for r in pairs.collect()}
+    assert {(i, 500 + i) for i in range(5)} <= got
