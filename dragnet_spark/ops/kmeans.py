@@ -412,15 +412,17 @@ def semdedup_prune_pairs(
             )
         return pd.DataFrame(
             {
-                "cluster": np.full(sum(map(len, out_a)), cluster, dtype=np.int32),
+                "cluster": np.full(sum(map(len, out_a)), cluster, dtype=np.int64),
                 "kept_id": np.concatenate(out_a),
                 "dropped_id": np.concatenate(out_b),
                 "cosine": np.concatenate(out_c),
             }
         )
 
+    # cluster is LONG: two-level ids are super·2²⁰ + sub, which
+    # overflows int32 past ~2k super-clusters
     return v.groupBy("cluster").applyInPandas(
-        pairs, schema="cluster int, kept_id long, dropped_id long, cosine double"
+        pairs, schema="cluster long, kept_id long, dropped_id long, cosine double"
     )
 
 
