@@ -579,6 +579,76 @@ def auto_bits_per_band(
     )
 
 
+#: width ceiling for the auto-width SRP form: 32 bits per band covers
+#: corpora to n·bands/8 = 2³² (n ≈ 5.7e9 vectors at 6 bands) — beyond
+#: any single-index regime this engine targets. A FIXED ceiling is what
+#: makes auto-width oracle-twinnable: both engines derive the working
+#: width as a PREFIX of the same 32-bit plane matrix, so the oracle SQL
+#: can stay one static string whose width is a scalar subquery of
+#: COUNT(*), graded unchanged at every tier.
+AUTOBITS_MAX = 32
+
+
+def srp_planes_q_prefix(
+    dims: int, bands: int, bits_per_band: int, seed: int = 42
+):
+    """The first ``bits_per_band`` planes of each band of the
+    full-width (:data:`AUTOBITS_MAX`) matrix — the auto-width slicing
+    rule. Unlike :func:`srp_planes_q` (which consumes RNG rows
+    sequentially, so different widths get entirely different planes),
+    prefix slicing keeps every width's band b a sub-signature of the
+    full band b: the property that lets a runtime-chosen width match
+    a static full-width oracle via ``substring(bucket, 1, bits)``."""
+    if bits_per_band > AUTOBITS_MAX:
+        raise ValueError(
+            f"bits_per_band={bits_per_band} > AUTOBITS_MAX={AUTOBITS_MAX}"
+        )
+    full = srp_planes_q(dims, bands, AUTOBITS_MAX, seed)
+    return np.vstack(
+        [
+            full[b * AUTOBITS_MAX: b * AUTOBITS_MAX + bits_per_band]
+            for b in range(bands)
+        ]
+    )
+
+
+def embedding_near_dup_lsh_autobits(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dims: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    target_candidates_per_row: float = 4.0,
+) -> DataFrame:
+    """SRP near-dup at the CORPUS-SCALED band width: one COUNT sizes
+    ``bits = min(AUTOBITS_MAX, auto_bits_per_band(n, bands))`` and the
+    pipeline runs :func:`embedding_near_dup_lsh` over the prefix-sliced
+    plane matrix (:func:`srp_planes_q_prefix`). This is the fix for
+    the pinned-width regime ceiling measured at the 1000× tier
+    (16-bit bands → ~7e8 random candidates → 76 GB of shuffle disk,
+    SCALE.md): random band collisions are C(n,2)·bands·2^-bits, so
+    width must grow with log₂ n to hold the candidate budget at
+    O(n). Recall at the 0.9 working regime is unaffected — identical
+    vectors collide at any width. Returns (id_a, id_b, cosine)."""
+    df = spread(df)
+    n = df.count()
+    bits = min(AUTOBITS_MAX, auto_bits_per_band(n, bands))
+    planes = srp_planes_q_prefix(dims, bands, bits, seed)
+    return embedding_near_dup_lsh(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        dims=dims,
+        bits_per_band=bits,
+        bands=bands,
+        seed=seed,
+        planes_q=planes,
+    )
+
+
 def srp_planes_q(
     dims: int, bands: int, bits_per_band: int, seed: int = 42
 ):
@@ -693,6 +763,7 @@ def embedding_near_dup_lsh(
     bits_per_band: int = 4,
     bands: int = 16,
     seed: int = 42,
+    planes_q=None,
 ) -> DataFrame:
     """Embedding near-dup via sign-random-projection LSH.
 
@@ -705,14 +776,22 @@ def embedding_near_dup_lsh(
     Scale shape: signatures are per-row expressions; the only shuffle
     keys on (band, bucket) — n·B rows, never n² — and AQE splits hot
     buckets. ``dims`` defaults to the first row's vector length (one
-    driver lookup; pass it explicitly in pipelines).
+    driver lookup; pass it explicitly in pipelines). ``planes_q``
+    overrides the internally generated plane matrix (int64,
+    bands·bits_per_band × dims) — the auto-width form passes the
+    prefix-sliced matrix so a runtime-chosen width stays consistent
+    with its static full-width oracle.
     """
     if dims is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
             return embedding_near_dup_pairs(df, id_col, vec_col, threshold)
         dims = first["d"]
-    planes = srp_planes_q(dims, bands, bits_per_band, seed)
+    planes = (
+        planes_q
+        if planes_q is not None
+        else srp_planes_q(dims, bands, bits_per_band, seed)
+    )
 
     df = spread(df)
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))

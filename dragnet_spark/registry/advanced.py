@@ -403,6 +403,62 @@ def dedup_embedding_clusters_lsh(
     return dedup_cluster_assignments(corpus, "vec_id", pairs)
 
 
+def _emb_clusters_lsh_autobits_oracle() -> str:
+    """Min-label closure over the AUTO-WIDTH SRP pair stage — the
+    clusters sibling of dedup_embedding_lsh_autobits (one static SQL,
+    width a scalar subquery of COUNT(*), tractable at every tier)."""
+    from dragnet_spark.ops.graph import minlabel_closure_sql
+    from dragnet_spark.registry.curation import (
+        _EMB_LSH_UNION,
+        _emb_lsh_autobits_oracle,
+    )
+
+    closure = minlabel_closure_sql(
+        f"SELECT vec_id AS id FROM ({_EMB_LSH_UNION})",
+        f"SELECT id_a, id_b FROM ({_emb_lsh_autobits_oracle()})",
+    )
+    return (
+        f"SELECT id AS vec_id, component AS canonical_id,"
+        f" (id = component) AS is_canonical FROM ({closure})"
+    )
+
+
+@register(
+    "dedup_embedding_clusters_lsh_autobits",
+    _emb_clusters_lsh_autobits_oracle(),
+    "semantic-dedup clusters over the CORPUS-SCALED SRP width: "
+    "connected components over dedup_embedding_lsh_autobits pairs "
+    "(bits = max(8, ceil(log2(n·bands/8))) from one COUNT — the "
+    "regime-safe width at any corpus size, vs the pinned-16-bit "
+    "sibling's ~400k-vector candidate-volume ceiling) via the same "
+    "O(diameter) min-label propagation. One static oracle reproduces "
+    "quantize→sign→prefix-band→collision→verify→closure at the "
+    "runtime-chosen width, so this grades at every octave tier",
+)
+def dedup_embedding_clusters_lsh_autobits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dragnet_spark.ops.dedup import embedding_near_dup_lsh_autobits
+    from dragnet_spark.registry.curation import (
+        _EMB_LSH_BANDS,
+        _EMB_LSH_DIMS,
+        _EMB_LSH_T,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + _c._TWIN_SHIFT).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    pairs = embedding_near_dup_lsh_autobits(
+        corpus,
+        threshold=_EMB_LSH_T,
+        dims=_EMB_LSH_DIMS,
+        bands=_EMB_LSH_BANDS,
+    )
+    return dedup_cluster_assignments(corpus, "vec_id", pairs)
+
+
 @register(
     "text_unigram_logprob",
     _text.unigram_logprob_sql("text"),  # oracle lives beside the op

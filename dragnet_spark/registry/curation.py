@@ -1039,6 +1039,84 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine")
 
 
+def _emb_lsh_autobits_oracle() -> str:
+    """Auto-width SRP oracle: same bucketed pipeline as
+    :func:`_emb_lsh_oracle`, but the band width is the scalar
+    subquery ``LEAST(32, GREATEST(8, ceil(log2(n·bands/8))))`` —
+    the exact expression ``auto_bits_per_band(n, bands)`` computes in
+    Python (same libm log2 over the same exactly-representable
+    quotient; parity pinned by test_autobits_sql_parity) — and every
+    bucket key is the ``bits``-prefix of the full 32-bit band
+    signature (srp_planes_q_prefix's slicing rule), so ONE static
+    SQL string grades the runtime-chosen width at every tier."""
+    from dragnet_spark.ops.dedup import (
+        AUTOBITS_MAX,
+        srp_banded_sql,
+        srp_planes_q,
+        srp_quantize_sql,
+    )
+
+    planes = srp_planes_q(_EMB_LSH_DIMS, _EMB_LSH_BANDS, AUTOBITS_MAX, 42)
+    banded = srp_banded_sql(planes, _EMB_LSH_BANDS, AUTOBITS_MAX)
+    return f"""
+    WITH u AS ({_EMB_LSH_UNION}),
+    nb AS (
+      SELECT LEAST({AUTOBITS_MAX}, GREATEST(8, CAST(ceil(log2(
+        COUNT(*) * {_EMB_LSH_BANDS} / 8.0)) AS INT))) AS bits
+      FROM u
+    ),
+    qv_src AS (SELECT vec_id AS id, {srp_quantize_sql()} AS qv FROM u),
+    bandedf AS ({banded}),
+    banded AS (
+      SELECT id, band, substring(bucket, 1, (SELECT bits FROM nb)) AS bucket
+      FROM bandedf
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+    )
+    SELECT c.id_a, c.id_b, {_EMB_COS_U} AS cosine
+    FROM cand c
+    JOIN u a ON a.vec_id = c.id_a
+    JOIN u b ON b.vec_id = c.id_b
+    WHERE {_EMB_COS_U} >= {_EMB_LSH_T}
+    """
+
+
+@register(
+    "dedup_embedding_lsh_autobits",
+    _emb_lsh_autobits_oracle(),
+    "SRP near-dup at the CORPUS-SCALED band width — the regime fix "
+    "for the pinned-16-bit form's ~400k-vector ceiling (measured at "
+    "the 1000× tier: 16-bit bands admitted ~7e8 random candidates "
+    "and filled 76 GB of shuffle disk): one COUNT sizes bits = "
+    "max(8, ceil(log2(n·bands/8))), holding random band collisions "
+    "at ~4·n candidates at ANY corpus size. Both engines derive the "
+    "working width as a PREFIX of the same full 32-bit plane matrix "
+    "(srp_planes_q_prefix / substring(bucket,1,bits)), so one static "
+    "oracle grades the dynamic width at every octave tier. Recall at "
+    "the 0.9 working regime is unchanged — identical vectors collide "
+    "at every width",
+)
+def dedup_embedding_lsh_autobits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dragnet_spark.ops.dedup import embedding_near_dup_lsh_autobits
+
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + _TWIN_SHIFT).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    return embedding_near_dup_lsh_autobits(
+        corpus,
+        threshold=_EMB_LSH_T,
+        dims=_EMB_LSH_DIMS,
+        bands=_EMB_LSH_BANDS,
+    ).select("id_a", "id_b", "cosine")
+
+
 _KM_K = 8
 _KM_ITERS = 3
 #: auto-k target (SemDeDup's k ∝ n regime): 250 rows/cluster gives
@@ -1119,6 +1197,54 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     assign = kmeans_assign(
+        emb, iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
+    )
+    return semdedup_prune_pairs(emb, assign, threshold=_EMB_T)
+
+
+def _semdedup_prune_two_level_oracle(threshold: float) -> str:
+    from dragnet_spark.ops.kmeans import kmeans_two_level_sql
+
+    km = kmeans_two_level_sql(
+        iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
+    )
+    cos = (
+        "round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+        "CAST(y.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT a.vec_id AS id, a.cluster, e.embedding
+      FROM ({km}) a JOIN embeddings e ON e.vec_id = a.vec_id
+    )
+    SELECT x.cluster, x.id AS kept_id, y.id AS dropped_id, {cos} AS cosine
+    FROM v x JOIN v y ON x.cluster = y.cluster AND x.id < y.id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "semdedup_prune_two_level",
+    _semdedup_prune_two_level_oracle(_EMB_T),
+    "SemDeDup pruning with the HIERARCHICAL (two-level) assignment — "
+    "the scale form past flat auto-k, whose n·k·dims assignment cost "
+    "is n²·dims/target (measured factor 27.6 on 10× data at the "
+    "1000× tier): level 1 clusters into ceil(√k) super-clusters "
+    "(n·√k), level 2 Lloyd-clusters each super independently via one "
+    "applyInPandas pass (Σ m_g·k₂ ≈ n·√k) — total 2·n·√k, every step "
+    "the same exact integer discipline, so the unrolled two-level "
+    "DuckDB twin (kmeans_two_level_sql) grades it bit-for-bit. "
+    "Cluster ids pack as super·2²⁰+sub; semdedup_prune_pairs "
+    "consumes them unchanged, same bounded-cluster linear pair stage",
+)
+def semdedup_prune_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.kmeans import (
+        kmeans_assign_two_level,
+        semdedup_prune_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign_two_level(
         emb, iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
     )
     return semdedup_prune_pairs(emb, assign, threshold=_EMB_T)

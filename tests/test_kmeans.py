@@ -206,6 +206,71 @@ def test_prune_pairs_giant_cluster_guard(spark):
         out.collect()
 
 
+@pytest.mark.parametrize("iters", [1, 2])
+def test_two_level_sql_twin_bit_parity(spark, iters):
+    """kmeans_assign_two_level vs its unrolled DuckDB twin — exact
+    tuple equality. The corpus mixes positive and NEGATIVE
+    coordinates so per-cluster coordinate sums go negative, pinning
+    the truncating-division centroid update (numpy floor division
+    would diverge by one quantum here)."""
+    from dragnet_spark.ops.kmeans import (
+        kmeans_assign_two_level,
+        kmeans_two_level_sql,
+    )
+
+    rows = [
+        (i, [((i * 41 + d * 17) % 21 - 10) / 10.0 for d in range(6)])
+        for i in range(70)
+    ]
+    df = _emb(spark, rows)
+    got = sorted(
+        (r["id"], r["cluster"], r["dist"])
+        for r in kmeans_assign_two_level(
+            df, iterations=iters, target_rows_per_cluster=8
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)", [(i, v) for i, v in rows]
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            kmeans_two_level_sql(
+                iterations=iters, target_rows_per_cluster=8
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 70
+    # 70 rows / target 8 -> k = 9, k1 = 3 supers; cluster ids are
+    # packed sup*2^20 + sub, so at least two distinct supers appear
+    assert len({c >> 20 for _, c, _ in got}) >= 2
+
+
+def test_two_level_trunc_div_negative_sums():
+    """The level-2 centroid update must truncate toward zero (Spark
+    div / DuckDB //), not floor: a two-point sub-cluster at (-3) and
+    (-4) must update to -3 (trunc(-7/2)), not numpy's -4."""
+    import numpy as np
+
+    s = np.array([-7, 7, -1, 0], dtype=np.int64)
+    cnt = 2
+    got = np.sign(s) * (np.abs(s) // cnt)
+    assert got.tolist() == [-3, 3, 0, 0]
+    # the numpy floor form this replaced would give -4 / -1
+    assert (s // cnt).tolist() == [-4, 3, -1, 0]
+
+
+def test_kmeans_sql_pinned_k_pack_guard():
+    """kmeans_sql must refuse a pinned k that overflows the packed
+    argmin radix instead of silently corrupting cluster ids."""
+    from dragnet_spark.ops.kmeans import ARGMIN_PACK
+
+    with pytest.raises(ValueError, match="ARGMIN_PACK"):
+        kmeans_sql(k=ARGMIN_PACK)
+
+
 def test_two_level_assign_bounded_deterministic(spark):
     """kmeans_assign_two_level: every cluster bounded near the target,
     bit-identical across runs and partitionings, same-blob cohesion,

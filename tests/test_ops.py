@@ -845,3 +845,63 @@ def test_embedding_lsh_auto_bits_still_exact(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(i, 100 + i) for i in range(40)}
+
+
+def test_autobits_sql_parity():
+    """auto_bits_per_band (Python math.log2) and the oracle's scalar
+    subquery LEAST(32, GREATEST(8, ceil(log2(n*bands/8.0)))) must
+    agree for every corpus size — same libm log2 over the same
+    exactly-representable quotient. Sweeps powers of two and their
+    neighbors (the only places a faithful-vs-correctly-rounded log2
+    could differ) up to 10^10."""
+    import duckdb
+
+    from dragnet_spark.ops.dedup import AUTOBITS_MAX, auto_bits_per_band
+
+    con = duckdb.connect()
+    ns = [2, 3, 5, 1000, 999, 400_000, 4_000_000]
+    for e in range(1, 34):
+        ns += [2**e - 1, 2**e, 2**e + 1]
+    for n in ns:
+        py = min(AUTOBITS_MAX, auto_bits_per_band(n, 6))
+        # CAST to BIGINT: the oracle's n is COUNT(*) (already BIGINT);
+        # a bare INT32 literal times 6 would overflow-error instead
+        sql = con.execute(
+            f"SELECT LEAST({AUTOBITS_MAX}, GREATEST(8, "
+            f"CAST(ceil(log2(CAST({n} AS BIGINT) * 6 / 8.0)) AS INT)))"
+        ).fetchone()[0]
+        assert py == sql, (n, py, sql)
+
+
+def test_srp_planes_prefix_property(spark):
+    """srp_planes_q_prefix: band b at width w is exactly the first w
+    planes of band b at full width — the slicing rule that lets one
+    static 32-bit oracle grade any runtime width — and the autobits
+    operator finds the planted twins."""
+    import numpy as np
+
+    from dragnet_spark.ops.dedup import (
+        AUTOBITS_MAX,
+        embedding_near_dup_lsh_autobits,
+        srp_planes_q,
+        srp_planes_q_prefix,
+    )
+
+    full = srp_planes_q(16, 6, AUTOBITS_MAX, 42)
+    for w in (8, 13, 32):
+        sliced = srp_planes_q_prefix(16, 6, w, 42)
+        for b in range(6):
+            assert np.array_equal(
+                sliced[b * w: (b + 1) * w],
+                full[b * AUTOBITS_MAX: b * AUTOBITS_MAX + w],
+            )
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((30, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    rows += [(100 + i, base[i].tolist()) for i in range(30)]  # twins
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_lsh_autobits(
+        df, threshold=0.99, dims=16, bands=6
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(i, 100 + i) for i in range(30)}
