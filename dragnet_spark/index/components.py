@@ -218,16 +218,28 @@ def compact_components_store(spark: SparkSession, path: str) -> None:
     other store compaction."""
     labels_path = os.path.join(path, LABELS_DIR)
     with hold_lease(path, "components-compact"):
-        resolved = components_store_read(spark, path)
         stage = labels_path + ".compact_tmp"
         old = labels_path + ".compact_old"
         shutil.rmtree(stage, ignore_errors=True)
+        # a lone .compact_old from a crash between the two renames is
+        # the only copy of the labels — restore it before reading
+        if os.path.exists(old) and not os.path.exists(labels_path):
+            os.rename(old, labels_path)
         shutil.rmtree(old, ignore_errors=True)
+        resolved = components_store_read(spark, path)
         try:
             resolved.write.mode("overwrite").parquet(stage)
             ensure_lease(path)
             os.rename(labels_path, old)
-            os.rename(stage, labels_path)
+            try:
+                os.rename(stage, labels_path)
+            except BaseException:
+                # roll back the first rename so the store never loses
+                # its labels/ directory (the finally below would
+                # otherwise delete the staged copy too, stranding the
+                # only data in .compact_old)
+                os.rename(old, labels_path)
+                raise
             shutil.rmtree(old, ignore_errors=True)
             _write_empty_redirects(spark, path)
         finally:

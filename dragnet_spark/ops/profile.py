@@ -83,10 +83,26 @@ def profile_table(
     approx_count_distinct (HLL++, relative error ``rsd``) beyond,
     because the exact form's Expand multiplies the scanned rows by
     the number of distinct aggregates (fine at ≤32 columns, ruinous
-    at hundreds). Pass True/False to pin a mode; everything else
-    (nulls, ranges, row count) is exact in both modes."""
+    at hundreds). Auto-selecting the approximate path emits a
+    ``UserWarning`` so consumers of ``n_distinct`` know those values
+    became estimates without having counted columns themselves. Pass
+    True/False to pin a mode (pinning approx is a stated choice — no
+    warning); everything else (nulls, ranges, row count) is exact in
+    both modes."""
     if exact_distinct is None:
         exact_distinct = len(df.schema.fields) <= EXACT_DISTINCT_MAX_COLS
+        if not exact_distinct:
+            import warnings
+
+            warnings.warn(
+                f"profile_table: {len(df.schema.fields)} columns > "
+                f"EXACT_DISTINCT_MAX_COLS={EXACT_DISTINCT_MAX_COLS}; "
+                f"n_distinct switches to approx_count_distinct "
+                f"(HLL++, rsd={rsd}) — values are estimates. Pass "
+                f"exact_distinct=True to force the exact Expand plan "
+                f"knowingly",
+                stacklevel=2,
+            )
 
     def _nd(c: Column) -> Column:
         if exact_distinct:

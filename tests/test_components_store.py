@@ -99,6 +99,30 @@ def test_compact_folds_redirects_and_preserves_reads(spark, tmp_path):
     assert (30, 3) in after and (31, 3) in after and (3, 3) in after
 
 
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between compaction's two renames leaves the only copy
+    of labels/ in .compact_old; the next compact must restore it
+    instead of failing on the missing directory (and reads after
+    recovery equal reads before the crash)."""
+    import os
+
+    path = str(tmp_path / "crash")
+    build_components_store(
+        spark, _ids(spark, [0, 1, 2]), _pairs(spark, [(0, 1)]), path
+    )
+    merge_components_batch(spark, _pairs(spark, [(1, 2)]), path)
+    before = _read(spark, path)
+    # simulate the crash window: labels/ renamed away, second rename
+    # never happened
+    labels = os.path.join(path, "labels")
+    os.rename(labels, labels + ".compact_old")
+    assert not os.path.exists(labels)
+    compact_components_store(spark, path)
+    assert _read(spark, path) == before
+    assert not os.path.exists(labels + ".compact_old")
+    assert not os.path.exists(labels + ".compact_tmp")
+
+
 def test_batch_of_only_new_ids(spark, tmp_path):
     path = str(tmp_path / "new")
     build_components_store(

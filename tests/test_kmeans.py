@@ -271,6 +271,59 @@ def test_kmeans_sql_pinned_k_pack_guard():
         kmeans_sql(k=ARGMIN_PACK)
 
 
+def test_round6_parity_numpy_spark_duckdb(spark):
+    """The prune stage's HALF_UP emulation (sign·floor(|x|·1e6+0.5))
+    must agree with Spark F.round and DuckDB round at the 6th decimal
+    — including exact-tie constructions (7th decimal = 5) and the
+    cosine op-order question (row-normalize-then-dot vs DuckDB's
+    list_cosine_similarity): any disagreement here would flap the
+    semdedup value-hash grade at threshold boundaries."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vals = []
+    for k in (1234565, 9000005, 15, 5, 9999995):
+        vals += [k / 1e7, -k / 1e7]
+    rng = np.random.RandomState(0)
+    vals += [float(v) for v in np.round(rng.uniform(-1, 1, 300), 7)]
+    vals += [float(v) for v in rng.uniform(-1, 1, 300)]
+    emu = [
+        float(np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6)
+        for v in vals
+    ]
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+        for v in vals
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    sp = {
+        r["i"]: r["r"]
+        for r in df.select("i", F.round("x", 6).alias("r")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert emu[i] == duck[i] == sp[i], (v, emu[i], duck[i], sp[i])
+    # cosine op order: the matmul path's normalize-then-dot must match
+    # DuckDB's list_cosine_similarity after rounding, in the near-dup
+    # regime where the graded thresholds live
+    A = rng.standard_normal((60, 16))
+    B = A + rng.standard_normal((60, 16)) * 0.01
+    na = A / np.linalg.norm(A, axis=1)[:, None]
+    nb = B / np.linalg.norm(B, axis=1)[:, None]
+    c_norm = np.sign((na * nb).sum(axis=1)) * np.floor(
+        np.abs((na * nb).sum(axis=1)) * 1e6 + 0.5
+    ) / 1e6
+    for i in range(60):
+        want = con.execute(
+            "SELECT round(list_cosine_similarity(?::DOUBLE[], ?::DOUBLE[]), 6)",
+            [A[i].tolist(), B[i].tolist()],
+        ).fetchone()[0]
+        assert c_norm[i] == want, (i, c_norm[i], want)
+
+
 def test_two_level_assign_bounded_deterministic(spark):
     """kmeans_assign_two_level: every cluster bounded near the target,
     bit-identical across runs and partitionings, same-blob cohesion,

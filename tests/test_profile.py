@@ -40,9 +40,16 @@ def test_wide_table_auto_switches_to_approx_and_drops_expand(spark):
     per aggregate — the 100-column profile of a 100 TB table must not
     become a 100-fold shuffle input) and the HLL estimates must sit
     within the configured relative error."""
+    import warnings
+
     n = EXACT_DISTINCT_MAX_COLS + 8
     df = _wide(spark, n)
-    prof = profile_table(df)  # auto: approx above the threshold
+    # auto-selecting approx must SIGNAL the mode switch — n_distinct
+    # silently becoming an estimate is data-dependent surprise
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prof = profile_table(df)  # auto: approx above the threshold
+        assert any("approx_count_distinct" in str(x.message) for x in w)
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     rows = {r["col_name"]: r for r in prof.collect()}
