@@ -261,3 +261,129 @@ def corpus_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "source").select(
         "source", "est_distinct", "exact_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-group-key coverage: every generated table is NULL-free in its
+# group keys, so the cross-engine NULL divergences the round-10 KMV fix
+# exposed (Spark NULLS FIRST vs DuckDB NULLS LAST windows, dropna
+# defaults, join-vs-group NULL semantics) were invisible to the oracle
+# gate. These entries derive NULLs DETERMINISTICALLY inside the query —
+# the same rule on both engines over the same parquet — which grades
+# the NULL paths at every tier with no fixture changes: GROUP BY over a
+# NULL key (a group like any other), aggregate over NULL values
+# (ignored by COUNT(DISTINCT) in both engines), KMV sketching of a
+# NULL-keyed group with NULL-bearing values, and the null-safe join
+# (eqNullSafe / IS NOT DISTINCT FROM) a NULL group needs to survive an
+# est⋈exact merge.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_vocab_kmv_nulled",
+    f"""
+    WITH src AS (
+      SELECT nullif(source, 'src0') AS source_n,
+             nullif(t.tok, 'the') AS tok_n
+      FROM documents, UNNEST({_text.tokens_sql("text")}) t(tok)
+    ),
+    est AS ({kmv_distinct_sql("tok_n", ["source_n"],
+                              "SELECT source_n, tok_n FROM src", k=_KMV_K)}),
+    ex AS (
+      SELECT source_n, COUNT(DISTINCT tok_n) AS exact_distinct
+      FROM src GROUP BY source_n
+    )
+    SELECT est.source_n, est.est_distinct, ex.exact_distinct
+    FROM est JOIN ex ON est.source_n IS NOT DISTINCT FROM ex.source_n
+    """,
+    "the KMV census over data with REAL NULL group keys and NULL "
+    "values: source 'src0' maps to a NULL group (GROUP BY keeps it in "
+    "both engines; the bottom-k prune passes dropna=False), token "
+    "'the' maps to a NULL value (md5(NULL) is filtered before the "
+    "window — unfiltered it would sort NULLS FIRST in Spark and LAST "
+    "in DuckDB and silently diverge the k-th minimum), and the "
+    "est⋈exact merge uses the null-safe equality a NULL group needs "
+    "to survive a join",
+)
+def corpus_vocab_kmv_nulled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("nullif(source, 'src0')").alias("source_n"),
+        F.explode(tokens("text")).alias("tok"),
+    ).select("source_n", F.expr("nullif(tok, 'the')").alias("tok_n"))
+    est = kmv_distinct(toks, "tok_n", ["source_n"], k=_KMV_K)
+    exact = toks.groupBy("source_n").agg(
+        F.countDistinct("tok_n").alias("exact_distinct")
+    )
+    return est.join(
+        exact, est["source_n"].eqNullSafe(exact["source_n"])
+    ).select(est["source_n"], "est_distinct", "exact_distinct")
+
+
+@register(
+    "events_nulled_type_rollup",
+    """
+    SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS etype,
+           COUNT(*) AS n,
+           COUNT(DISTINCT CASE WHEN user_id % 11 = 0 THEN NULL
+                               ELSE user_id END) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    "scan-family rollup over a NULL-bearing group key (every 5th "
+    "event's type nulled) with NULL-bearing distinct values (every "
+    "11th user nulled): GROUP BY keeps the NULL group, "
+    "COUNT(DISTINCT) ignores NULL values — both semantics must agree "
+    "across engines for any pipeline whose real data has missing "
+    "keys. Exact integers only; one partial-agg pass",
+)
+def events_nulled_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    etype = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    user_n = F.when(F.col("user_id") % 11 == 0, F.lit(None)).otherwise(
+        F.col("user_id")
+    )
+    return (
+        ev.select(etype.alias("etype"), user_n.alias("user_n"))
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_n").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "docs_nulled_source_stats",
+    """
+    SELECT nullif(source, 'src1') AS source_n,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+    "document stats over a nulled source key (src1 -> NULL): the "
+    "NULL group aggregates exactly like a named one — counts and the "
+    "bigint char total are exact integers, so the hash compare "
+    "proves both engines fold the NULL group identically",
+)
+def docs_nulled_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr("nullif(source, 'src1')").alias("source_n"),
+            "n_chars",
+            "lang",
+        )
+        .groupBy("source_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
