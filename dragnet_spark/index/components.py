@@ -135,12 +135,22 @@ def _flat_redirects(spark: SparkSession, path: str) -> DataFrame:
 
 
 def merge_components_batch(
-    spark: SparkSession, pairs: DataFrame, path: str
+    spark: SparkSession, pairs: DataFrame, path: str,
+    ids: DataFrame | None = None,
 ) -> None:
     """Fold one arriving batch of undirected (id_a, id_b) pairs into
     the store. Work ∝ batch size + redirect-table size: the corpus
     labels are only ever JOINED against the batch's endpoints; the
-    closure runs over the quotient graph (≤ 2·|batch| nodes)."""
+    closure runs over the quotient graph (≤ 2·|batch| nodes).
+
+    ``ids`` (optional, one ``id`` column): the batch's FULL id set —
+    isolated new ids (no pair this batch) enter ``labels/`` as
+    self-labeled singletons, which is what a continuous-ingest
+    caller needs so every sunk document has a cluster row the moment
+    it lands (the streaming live-components loop passes the batch's
+    doc ids here). Re-folding the same batch is idempotent: resolved
+    endpoints already share roots (no new redirects) and existing ids
+    anti-join away (no duplicate labels)."""
     meta = load_components_meta(path)
     del meta  # id space is the caller's; nothing else to configure yet
     labels_path = os.path.join(path, LABELS_DIR)
@@ -152,6 +162,8 @@ def merge_components_batch(
             .unionByName(pairs.select(F.col("id_b").alias("id")))
             .distinct()
         )
+        if ids is not None:
+            ends = ends.unionByName(ids.select("id")).distinct()
         # current root per batch endpoint: base label (self for new
         # ids), then one hop through the flattened redirect forest
         resolved = (

@@ -1265,6 +1265,166 @@ def stream_ingest_with_live_store(
     )
 
 
+def make_live_components_ingester(
+    components_path: str,
+    band_store_path: str,
+    checkpoint: str | None = None,
+):
+    """foreachBatch body: maintain the INCREMENTAL connected-components
+    store (index/components.py) from a document stream — the
+    continuous form of cluster-level dedup, closing the loop the
+    batch-only components soak left open (the store folded batches
+    exactly, but the streaming path still computed clusters per batch
+    independently).
+
+    Per micro-batch: (1) band-hash the batch with the band store's
+    PERSISTED basis (same md5 minhash expressions as the batch LSH, so
+    stream keys and batch keys agree bit-for-bit), (2) candidate
+    near-dup pairs = within-batch band collisions ∪ batch×store
+    collisions — because every prior batch's keys were appended in
+    step (4), the union of per-fold pair sets over the whole stream
+    equals the ONE-SHOT LSH collision set over all documents, (3) fold
+    (batch ids, pairs) into the components store
+    (merge_components_batch — min-label closure composes
+    associatively, so store reads are bit-identical to a one-shot
+    closure), (4) append the batch's band keys so later batches
+    collide with this one.
+
+    Exactly-once state without a sink sentinel: a replayed batch
+    re-merges pairs whose endpoints already share roots (no new
+    redirects) and whose ids already exist (anti-joined away) — the
+    components fold is IDEMPOTENT, like the KMV ingester; the band
+    append merely tolerates replay double-appends (probes dedup,
+    compaction collapses). The optional batch-id ledger just skips
+    the redundant work. The whole body runs under the components
+    store's lease, so compaction's stage-then-swap and this fold
+    serialize — a concurrent ``dn maintain`` / compact_components_store
+    racing the stream never loses a fold (asserted by
+    tools/soak_components_stream.py).
+    """
+    import hashlib
+    import os as _os
+
+    from dragnet_spark.index.components import merge_components_batch
+    from dragnet_spark.index.fingerprints import (
+        BAND_DIR,
+        BAND_META,
+        _banded_rows,
+        _check_layout,
+        load_band_store_meta,
+    )
+    from dragnet_spark.index.lease import hold_lease
+
+    ckpt_key = hashlib.sha256((checkpoint or "").encode()).hexdigest()[:12]
+    ledger = None
+    if checkpoint:
+        ledger = _os.path.join(
+            components_path, "_dn_batch_ledger", ckpt_key
+        )
+    meta = load_band_store_meta(band_store_path)  # fail at wiring time
+    id_col = meta["id_col"]
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        marker = None
+        if ledger is not None:
+            marker = _os.path.join(ledger, f"{batch_id:012d}")
+            if _os.path.exists(marker):
+                return
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # the band-store window — listing, candidate join, and the
+        # key append — runs under ONE lease hold: compaction's
+        # stage-then-swap deletes the listed files, so an unleased
+        # read races FileNotFound (measured in the racing soak). The
+        # candidate pairs are MATERIALIZED (localCheckpoint) before
+        # the lease releases; the components fold below then never
+        # touches band files.
+        with hold_lease(band_store_path, "live-components"):
+            _check_layout(
+                band_store_path, BAND_META, BAND_DIR, "minhash band store"
+            )
+            banded = _banded_rows(
+                batch_df, meta["text_col"], meta["id_col"],
+                meta["num_hashes"], meta["bands"], meta["ngram"],
+            ).localCheckpoint(eager=True)  # one signature pass, 3 uses
+            # explicit schema: a FRESH band store (continuous ingest
+            # bootstrapped from empty) has no files yet, and schema
+            # inference over zero files errors instead of yielding
+            # the empty frame the first batch needs
+            store = spark.read.schema(
+                "doc_id long, bhash string, band int"
+            ).parquet(
+                _os.path.join(band_store_path, BAND_DIR)
+            ).select("band", "bhash", F.col("doc_id").alias("id_a"))
+            cross = (
+                store.join(
+                    banded.select(
+                        "band", "bhash", F.col("doc_id").alias("id_b")
+                    ),
+                    ["band", "bhash"],
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            A = banded.select(
+                "band", "bhash", F.col("doc_id").alias("id_a")
+            )
+            B = banded.select(
+                "band", "bhash", F.col("doc_id").alias("id_b")
+            )
+            within = (
+                A.join(B, ["band", "bhash"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            pairs = (
+                cross.unionByName(within)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # append the CHECKPOINTED band rows under the same hold
+            # (append_band_keys would re-hash every shingle and
+            # re-acquire)
+            (
+                banded.write.mode("append")
+                .partitionBy("band")
+                .parquet(_os.path.join(band_store_path, BAND_DIR))
+            )
+        ids = batch_df.select(F.col(id_col).cast("long").alias("id"))
+        merge_components_batch(spark, pairs, components_path, ids=ids)
+        if marker is not None:
+            _os.makedirs(ledger, exist_ok=True)
+            with open(marker, "w"):
+                pass
+
+    return ingest
+
+
+def stream_ingest_with_live_components(
+    sdf: DataFrame,
+    components_path: str,
+    band_store_path: str,
+    checkpoint: str,
+):
+    """Continuous cluster-level dedup: every micro-batch folds into
+    the incremental components store via
+    :func:`make_live_components_ingester`, so
+    ``components_store_read`` serves the CURRENT cluster assignment
+    of everything ever ingested — bit-identical to a one-shot closure
+    over the full corpus — without any full-corpus recompute. Returns
+    the started StreamingQuery."""
+    ingest = make_live_components_ingester(
+        components_path, band_store_path, checkpoint=checkpoint
+    )
+    return (
+        sdf.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def make_kmv_vocab_ingester(
     store_path: str,
     text_field: str = "text",

@@ -123,6 +123,142 @@ def test_compact_recovers_from_crashed_swap(spark, tmp_path):
     assert not os.path.exists(labels + ".compact_tmp")
 
 
+def _one_shot_truth(spark, band_store, all_docs):
+    """The one-shot closure: LSH band-collision pairs over ALL docs at
+    once, then connected components — what the incremental stream
+    must equal bit-for-bit."""
+    from dragnet_spark.index.fingerprints import (
+        _banded_rows,
+        load_band_store_meta,
+    )
+
+    meta = load_band_store_meta(band_store)
+    banded = _banded_rows(
+        all_docs, meta["text_col"], meta["id_col"],
+        meta["num_hashes"], meta["bands"], meta["ngram"],
+    )
+    A = banded.select("band", "bhash", F.col("doc_id").alias("id_a"))
+    B = banded.select("band", "bhash", F.col("doc_id").alias("id_b"))
+    pairs = (
+        A.join(B, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ids = all_docs.select(F.col("doc_id").alias("id"))
+    return {
+        (r["id"], r["component"])
+        for r in connected_components(ids, pairs).collect()
+    }
+
+
+_DOC_BATCHES = [
+    # batch 1: two singletons
+    [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+     (2, "one two three four five six seven eight nine")],
+    # batch 2: dup of doc 1 (cross-batch pair — only the live band
+    # store can see it) + a fresh doc
+    [(3, "alpha beta gamma delta epsilon zeta eta theta"),
+     (4, "red orange yellow green blue indigo violet pink")],
+    # batch 3: dup of doc 2, another dup of doc 1 (merges through the
+    # redirect chain), and an isolated doc with no pair at all
+    [(5, "one two three four five six seven eight nine"),
+     (6, "alpha beta gamma delta epsilon zeta eta theta"),
+     (7, "lonely document with no duplicate anywhere in the corpus")],
+]
+
+
+def test_live_components_ingester_folds_equal_one_shot(spark, tmp_path):
+    """Driving the foreachBatch body directly, with COMPACTION RACING
+    between folds: after every batch the store must read bit-identical
+    to the one-shot closure over everything ingested so far, and an
+    interleaved compact_components_store must change nothing."""
+    from dragnet_spark.index.fingerprints import build_band_store
+    from dragnet_spark.streaming.pipeline import (
+        make_live_components_ingester,
+    )
+
+    band = str(tmp_path / "band")
+    comp = str(tmp_path / "comp")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_band_store(spark, empty, band, num_hashes=8, bands=4, ngram=3)
+    build_components_store(
+        spark, spark.createDataFrame([], "id long"),
+        spark.createDataFrame([], "id_a long, id_b long"), comp,
+    )
+    ingest = make_live_components_ingester(comp, band)
+    seen = []
+    for i, batch in enumerate(_DOC_BATCHES):
+        seen += batch
+        ingest(
+            spark.createDataFrame(batch, "doc_id long, text string"), i
+        )
+        if i == 1:
+            compact_components_store(spark, comp)  # race the stream
+        truth = _one_shot_truth(
+            spark, band,
+            spark.createDataFrame(seen, "doc_id long, text string"),
+        )
+        assert _read(spark, comp) == truth, f"after batch {i}"
+    # final shape: {1,3,6} under 1, {2,5} under 2, 4 and 7 singletons
+    assert _read(spark, comp) == {
+        (1, 1), (3, 1), (6, 1), (2, 2), (5, 2), (4, 4), (7, 7),
+    }
+
+
+def test_stream_ingest_with_live_components_matches_one_shot(
+    spark, tmp_path
+):
+    """The real writeStream wrapper: three files -> three micro-batches
+    through stream_ingest_with_live_components; store reads equal the
+    one-shot closure (and the replay ledger keeps a restart from
+    re-folding)."""
+    import json as _json
+    import time as _time
+
+    from dragnet_spark.index.fingerprints import build_band_store
+    from dragnet_spark.streaming.pipeline import (
+        stream_ingest_with_live_components,
+    )
+
+    band = str(tmp_path / "band")
+    comp = str(tmp_path / "comp")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_band_store(spark, empty, band, num_hashes=8, bands=4, ngram=3)
+    build_components_store(
+        spark, spark.createDataFrame([], "id long"),
+        spark.createDataFrame([], "id_a long, id_b long"), comp,
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    for i, batch in enumerate(_DOC_BATCHES):
+        (d / f"{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": di, "text": t}) for di, t in batch
+            )
+            + "\n"
+        )
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = stream_ingest_with_live_components(
+        sdf, comp, band, str(tmp_path / "ckpt")
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if not q.status["isDataAvailable"] and q.recentProgress:
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    all_docs = spark.createDataFrame(
+        [r for b in _DOC_BATCHES for r in b], "doc_id long, text string"
+    )
+    assert _read(spark, comp) == _one_shot_truth(spark, band, all_docs)
+
+
 def test_batch_of_only_new_ids(spark, tmp_path):
     path = str(tmp_path / "new")
     build_components_store(
