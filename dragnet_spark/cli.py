@@ -82,6 +82,8 @@ _OPT_DEFS = {
     # round-10: semdedup auto-k (the paper's k ∝ n regime) + graph CLI
     "target-rows": True, "op": True, "seeds": True, "id-a": True,
     "id-b": True, "top": True, "ids": True,
+    # round-11: hierarchical (n·√k) SemDeDup assignment
+    "two-level": False,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1404,17 +1406,24 @@ def cmd_semdedup(argv, cat: Catalog, out):
     --target-rows picks k automatically as ceil(n/target) — the
     paper's k ∝ n regime, keeping cluster size (and the pair stage)
     bounded as the corpus grows; prefer it over --k for any corpus
-    whose size you don't control. Prints cluster sizes and the pairs
-    found; --out writes the SURVIVOR ids (corpus minus every
+    whose size you don't control. --two-level runs the hierarchical
+    assignment (√k super-clusters, then per-super Lloyd — n·√k cost
+    instead of flat auto-k's n·k, the posture past ~10⁶ vectors;
+    uses --target-rows, default 250). Prints cluster sizes and the
+    pairs found; --out writes the SURVIVOR ids (corpus minus every
     dropped_id) as parquet."""
     from pyspark.sql import functions as F
 
-    from dragnet_spark.ops.kmeans import kmeans_assign, semdedup_prune_pairs
+    from dragnet_spark.ops.kmeans import (
+        kmeans_assign,
+        kmeans_assign_two_level,
+        semdedup_prune_pairs,
+    )
 
     opts = _parse_args(
         argv,
         ["k", "target-rows", "iterations", "threshold", "id-col",
-         "vec-col", "format", "out"],
+         "vec-col", "format", "out", "two-level"],
     )
     (path,) = _nargs(opts, 1)
     k = int(opts.get("k", "8"))
@@ -1425,10 +1434,16 @@ def cmd_semdedup(argv, cat: Catalog, out):
     vec_col = opts.get("vec_col", "embedding")
     spark = _get_spark()
     df = spark.read.format(opts.get("format", "parquet")).load(path)
-    assign = kmeans_assign(
-        df, vec_col=vec_col, id_col=id_col, k=k, iterations=iters,
-        target_rows_per_cluster=int(target) if target else None,
-    )
+    if opts.get("two_level"):
+        assign = kmeans_assign_two_level(
+            df, vec_col=vec_col, id_col=id_col, iterations=iters,
+            target_rows_per_cluster=int(target) if target else 250,
+        )
+    else:
+        assign = kmeans_assign(
+            df, vec_col=vec_col, id_col=id_col, k=k, iterations=iters,
+            target_rows_per_cluster=int(target) if target else None,
+        )
     sizes = sorted(
         (r["cluster"], r["n"])
         for r in assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -909,6 +909,16 @@ def test_semdedup_cli(cfg, tmp_path, spark):
     assert rc == 0
     assert "8 vectors -> 2 clusters" in out
     assert "2 within-cluster pairs >= 0.99, 2 docs dropped" in out
+    # --two-level: hierarchical assignment still finds both dup pairs
+    # (cluster ids differ — packed super·2^20+sub — but the prune
+    # contract is unchanged)
+    rc, out, _ = run(
+        ["semdedup", src, "--two-level", "--target-rows", "4",
+         "--iterations", "2", "--threshold", "0.99"],
+        cfg,
+    )
+    assert rc == 0
+    assert "2 within-cluster pairs >= 0.99, 2 docs dropped" in out
 
 
 def test_distinct_cli(cfg, tmp_path, spark):

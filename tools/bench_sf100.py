@@ -85,6 +85,11 @@ SUBSET = [
     "corpus_vocab_kmv",
     "decontam_bloom_prefilter",
     "multimodal_video_frames",
+    # round-11 additions: the two scale forms the 1000x tier forced
+    # into existence, now registry-graded — their sf100 rows are the
+    # factor denominators bench_sf1000 reads from BENCH_SF100.json
+    "semdedup_prune_two_level",
+    "dedup_embedding_lsh_autobits",
 ]
 
 #: same committed-artifact band as bench.py at sf0.1
