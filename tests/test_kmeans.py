@@ -271,6 +271,42 @@ def test_kmeans_sql_pinned_k_pack_guard():
         kmeans_sql(k=ARGMIN_PACK)
 
 
+def test_kmeans_assign_auto_routes_by_k(spark):
+    """kmeans_assign_auto: below the switch it runs the flat form
+    (identical output to kmeans_assign at the same auto-k); at or
+    above it, the two-level form (identical to
+    kmeans_assign_two_level). Both verified by exact tuple
+    equality against the direct calls."""
+    from dragnet_spark.ops.kmeans import (
+        kmeans_assign_auto,
+        kmeans_assign_two_level,
+    )
+
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(6)])
+        for i in range(60)
+    ]
+    df = _emb(spark, rows)
+    # 60 rows / target 10 -> k = 6 < min_k -> flat
+    flat = sorted(map(tuple, kmeans_assign_auto(
+        df, iterations=2, target_rows_per_cluster=10,
+        two_level_min_k=1000,
+    ).collect()))
+    want_flat = sorted(map(tuple, kmeans_assign(
+        df, iterations=2, target_rows_per_cluster=10,
+    ).collect()))
+    assert flat == want_flat
+    # force the two-level branch with min_k=2
+    two = sorted(map(tuple, kmeans_assign_auto(
+        df, iterations=2, target_rows_per_cluster=10,
+        two_level_min_k=2,
+    ).collect()))
+    want_two = sorted(map(tuple, kmeans_assign_two_level(
+        df, iterations=2, target_rows_per_cluster=10,
+    ).collect()))
+    assert two == want_two and two != flat
+
+
 def test_round6_parity_numpy_spark_duckdb(spark):
     """The prune stage's HALF_UP emulation (sign·floor(|x|·1e6+0.5))
     must agree with Spark F.round and DuckDB round at the 6th decimal
