@@ -77,12 +77,18 @@ _EXPOSURE_PRIORITY = [
     "dedup_embedding_cosine", "dedup_embedding_lsh", "ann_cosine_topk",
     "ann_cosine_topk_blocked", "ann_ivf_topk",
     "semdedup_kmeans", "semdedup_prune",
+    # round-11 scale forms (two-level assignment; corpus-scaled SRP
+    # width) — in the sampled prefix so the driver gate exercises the
+    # paths production corpora actually need; multimodal_resize and
+    # events_sliding_window_5m ceded their slots (their families keep
+    # multimodal_features/frame_plan and events_rollup_type_day, and
+    # the full sweeps still grade them at every tier)
+    "semdedup_prune_two_level", "dedup_embedding_lsh_autobits",
     # composite + multimodal
     "curation_pipeline", "multimodal_features", "multimodal_frame_plan",
-    "multimodal_resize",
     # windows / percentiles / temporal joins
     "events_value_percentiles", "events_rollup_type_day",
-    "events_sliding_window_5m", "asof_purchase_last_click",
+    "asof_purchase_last_click",
     "orders_in_promo_windows",
     # sessionization + sampling
     "events_user_sessions", "split_train_test",
