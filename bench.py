@@ -130,6 +130,11 @@ BENCH_FAMILIES = [
         "dedup_embedding_clusters_lsh",
         "docs_neardup_trustrank",
         "docs_neardup_clustering",
+        # round-11 additions: the two scale forms the 1000x tier
+        # forced — hierarchical n*sqrt(k) SemDeDup assignment and the
+        # corpus-scaled SRP band width
+        "semdedup_prune_two_level",
+        "dedup_embedding_lsh_autobits",
     ]),
     # decode-path regressions must trip the trailing-median grading
     # like every other family (VERDICT r6 #4) — multimodal throughput
