@@ -1406,16 +1406,19 @@ def cmd_semdedup(argv, cat: Catalog, out):
     --target-rows picks k automatically as ceil(n/target) — the
     paper's k ∝ n regime, keeping cluster size (and the pair stage)
     bounded as the corpus grows; prefer it over --k for any corpus
-    whose size you don't control. --two-level runs the hierarchical
-    assignment (√k super-clusters, then per-super Lloyd — n·√k cost
-    instead of flat auto-k's n·k, the posture past ~10⁶ vectors;
-    uses --target-rows, default 250). Prints cluster sizes and the
+    whose size you don't control. It SELF-SIZES the assignment too
+    (ops/kmeans.kmeans_assign_auto): flat Lloyd below k=1024, the
+    hierarchical two-level form above it — the n·√k posture past
+    ~10⁶ vectors that retired the 1000×-tier assignment wall.
+    --two-level forces the hierarchical form at any size (uses
+    --target-rows, default 250). Prints cluster sizes and the
     pairs found; --out writes the SURVIVOR ids (corpus minus every
     dropped_id) as parquet."""
     from pyspark.sql import functions as F
 
     from dragnet_spark.ops.kmeans import (
         kmeans_assign,
+        kmeans_assign_auto,
         kmeans_assign_two_level,
         semdedup_prune_pairs,
     )
@@ -1439,10 +1442,16 @@ def cmd_semdedup(argv, cat: Catalog, out):
             df, vec_col=vec_col, id_col=id_col, iterations=iters,
             target_rows_per_cluster=int(target) if target else 250,
         )
+    elif target:
+        # self-sizing: flat below k=1024 (lower constants), two-level
+        # above (n·√k) — the graded routing boundary (TWO_LEVEL_MIN_K)
+        assign = kmeans_assign_auto(
+            df, vec_col=vec_col, id_col=id_col, iterations=iters,
+            target_rows_per_cluster=int(target),
+        )
     else:
         assign = kmeans_assign(
             df, vec_col=vec_col, id_col=id_col, k=k, iterations=iters,
-            target_rows_per_cluster=int(target) if target else None,
         )
     sizes = sorted(
         (r["cluster"], r["n"])
