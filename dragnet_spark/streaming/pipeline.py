@@ -45,6 +45,35 @@ from dragnet_spark.scan import (
 EVENT_TIME_COL = "__dn_event_time"
 
 
+def drain_stream(q, min_data_batches: int = 1, timeout: float = 120.0) -> int:
+    """Block until the live query has processed at least
+    ``min_data_batches`` micro-batches WITH data and reports no more
+    available, then return the data-batch count (the query is left
+    running — callers own stop()).
+
+    Exists because the obvious wait loop — ``not
+    q.status['isDataAvailable'] and q.recentProgress`` — is RACY for
+    any source that feeds more than one trigger: between trigger N
+    and N+1 the flag is transiently False while progress is already
+    non-empty, so a loaded machine stops the query after batch 1 and
+    loses every later file (observed as a flaky live-store test under
+    a load-40 box). Counting data batches makes the wait condition
+    state what the test actually requires."""
+    import time as _time
+
+    deadline = _time.time() + timeout
+    n = 0
+    while _time.time() < deadline:
+        n = sum(
+            1 for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        )
+        if n >= min_data_batches and not q.status["isDataAvailable"]:
+            return n
+        _time.sleep(0.5)
+    return n
+
+
 def read_ndjson_stream(
     spark: SparkSession,
     path: str,

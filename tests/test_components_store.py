@@ -246,11 +246,9 @@ def test_stream_ingest_with_live_components_matches_one_shot(
     q = stream_ingest_with_live_components(
         sdf, comp, band, str(tmp_path / "ckpt")
     )
-    deadline = _time.time() + 120
-    while _time.time() < deadline:
-        if not q.status["isDataAvailable"] and q.recentProgress:
-            break
-        _time.sleep(1)
+    from dragnet_spark.streaming.pipeline import drain_stream
+
+    drain_stream(q, min_data_batches=3)
     q.stop()
     q.awaitTermination(60)
     all_docs = spark.createDataFrame(

@@ -749,11 +749,9 @@ def test_live_store_ingest_self_feeds_across_batches(spark, tmp_path):
         "text", "time", "id", fields=["id", "text"],
         min_tokens=5, watermark="1 minute",
     )
-    deadline = __import__("time").time() + 120
-    while __import__("time").time() < deadline:
-        if not q.status["isDataAvailable"] and q.recentProgress:
-            break
-        __import__("time").sleep(1)
+    from dragnet_spark.streaming.pipeline import drain_stream
+
+    drain_stream(q, min_data_batches=2)
     q.stop()
     q.awaitTermination(60)
 
@@ -1155,11 +1153,9 @@ def test_live_srp_store_self_feeds_across_batches(spark, tmp_path):
     q = stream_ingest_with_live_srp_store(
         sdf, store, sink, str(tmp_path / "lck")
     )
-    deadline = __import__("time").time() + 120
-    while __import__("time").time() < deadline:
-        if not q.status["isDataAvailable"] and q.recentProgress:
-            break
-        __import__("time").sleep(1)
+    from dragnet_spark.streaming.pipeline import drain_stream
+
+    drain_stream(q, min_data_batches=2)
     q.stop()
     q.awaitTermination(60)
 

@@ -41,6 +41,21 @@ from tools.check_correctness import value_hash  # noqa: E402
 ROOT = Path(__file__).resolve().parent.parent
 
 
+def _collect(sdf) -> tuple[list[str], list[tuple]]:
+    """(columns, rows) via Arrow batches — at this tier several
+    entries return millions of rows, and the row-serialized
+    ``collect()`` path is minutes-per-entry where ``toArrow`` is
+    seconds. ``to_pylist`` yields the same Python-native values
+    (int/float/str/None) the Row path gives, so value_hash's
+    normalization sees identical cells either way."""
+    try:
+        tbl = sdf.toArrow()
+        cols = list(tbl.column_names)
+        return cols, list(zip(*(c.to_pylist() for c in tbl.columns))) if cols else []
+    except Exception:  # pragma: no cover — non-Arrow-convertible type
+        return list(sdf.columns), [tuple(r) for r in sdf.collect()]
+
+
 def check_one(spark, con, sf_dir, name, fn, oracle):
     rec = {
         "rows_match": False,
@@ -54,9 +69,7 @@ def check_one(spark, con, sf_dir, name, fn, oracle):
     }
     t0 = time.time()
     try:
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        scols, srows = _collect(fn(spark, sf_dir))
         rec["spark_rows"] = len(srows)
         rec["spark_s"] = round(time.time() - t0, 1)
     except Exception as e:  # noqa: BLE001 — recorded per entry
