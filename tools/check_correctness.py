@@ -105,18 +105,30 @@ def check_one(spark, con, name, fn, oracles):
     return rec, "; ".join(detail) if detail else None
 
 
+def register_views(con, sf_dir: str) -> None:
+    """DuckDB views over a tier directory. Tables are either one
+    parquet FILE (gen_sf1 single-shot) or a DIRECTORY of part files
+    (gen_octave's parallel writer) — glob the latter so both layouts
+    grade identically. Partial tiers (e.g. testdata_sf1000:
+    documents+embeddings only) simply don't get the missing views; a
+    query touching an absent table fails loudly at its own row."""
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+
 def main():
     spark = get_spark(app_name="check_correctness")
     con = duckdb.connect()
-    for t in TABLES:
-        # partial tiers (e.g. testdata_sf1000: documents+embeddings
-        # only) simply don't get the missing views; a query touching
-        # an absent table fails loudly at its own row
-        if os.path.exists(f"{SF_DIR}/{t}.parquet"):
-            con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-            )
+    register_views(con, SF_DIR)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

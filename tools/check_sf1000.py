@@ -34,9 +34,8 @@ import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from dragnet_spark.session import get_spark  # noqa: E402
-from dragnet_spark.sources.tables import TABLES  # noqa: E402
 from tools.bench_sf1000 import SUBSET  # noqa: E402
-from tools.check_correctness import value_hash  # noqa: E402
+from tools.check_correctness import register_views, value_hash  # noqa: E402
 
 ROOT = Path(__file__).resolve().parent.parent
 
@@ -116,12 +115,7 @@ def main() -> None:
 
     spark = get_spark(app_name="check_sf1000")
     con = duckdb.connect()
-    for t in TABLES:
-        if os.path.exists(f"{sf_dir}/{t}.parquet"):
-            con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-            )
+    register_views(con, sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
