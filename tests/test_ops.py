@@ -86,6 +86,33 @@ def test_lsh_pairs_subset_of_exact(spark, sf_dir):
         assert len(lsh) / len(exact) > 0.95
 
 
+def test_lsh_verify_semi_bit_identical(spark, sf_dir):
+    """The semi-filtered verify join (the ≥256 MB auto-route; the 10⁴
+    tier's disk-death fix) emits exactly the direct form's pairs —
+    docs absent from every candidate pair can't contribute."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    flat = rows_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", verify_semi=False)
+    )
+    semi = rows_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", verify_semi=True)
+    )
+    assert flat == semi
+    assert flat  # non-vacuous: the corpus plants near-dups
+
+
+def test_lsh_verify_semi_autoroute(spark, sf_dir):
+    from dragnet_spark.ops.dedup import (
+        MINHASH_SEMI_VERIFY_MIN_BYTES,
+        _relation_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the small graded tiers route to the direct form; the boundary
+    # sits between the 100x and 1000x corpora by design
+    assert 0 < _relation_bytes(docs) < MINHASH_SEMI_VERIFY_MIN_BYTES
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [
