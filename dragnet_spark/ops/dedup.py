@@ -332,15 +332,35 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
         ]
     )
+    # band bucket = 56-bit md5 prefix as BIGINT, the same discipline
+    # grams ride in _exploded_gram_hashes: the bucket key is the join
+    # AND shuffle key for bands·n rows, and an 8-byte long shuffles +
+    # sorts at ~1/3 the volume of a 32-char md5 string (measured: the
+    # banded exchange was the largest single shuffle of the 10⁴-tier
+    # minhash run). The oracle twin takes the IDENTICAL prefix of the
+    # identical md5, so both engines see the same buckets — including
+    # any astronomically-unlikely prefix collision, which verification
+    # would discard on both sides anyway.
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "\x1f", *[F.col(f"__m{i * r + j}") for j in range(r)]
-                    )
-                ).alias("bhash"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "\x1f",
+                                *[F.col(f"__m{i * r + j}") for j in range(r)],
+                            )
+                        ),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("bhash"),
             )
             for i in range(bands)
         ]

@@ -475,7 +475,9 @@ def _minhash_lsh_oracle(
     return f"""
     WITH t AS (SELECT doc_id AS id, {toks} AS ts, {sig} AS sig FROM documents),
     banded AS (
-      SELECT id, ts, i AS band, md5({band_hash.format(i="i")}) AS bhash
+      SELECT id, ts, i AS band,
+             CAST('0x' || substring(md5({band_hash.format(i="i")}), 1, 14)
+                  AS BIGINT) AS bhash
       FROM t, UNNEST(range(0, {bands})) AS u(i)
     ),
     cand AS (

@@ -121,10 +121,23 @@ def run_tier(
     trailing_k: int = 8,
     max_grade_passes: int = 1,
     app_name: str = "bench_octave",
+    driver_mem: str | None = None,
 ) -> int:
-    """Run the tier; write the artifact; return the exit code."""
+    """Run the tier; write the artifact; return the exit code.
+
+    ``driver_mem`` sizes the local JVM heap for the tier (honored
+    only if DRAGNET_DRIVER_MEM isn't already set): in local[N] mode
+    all N scan threads share ONE heap, and the session default (8g —
+    right for the test/driver tiers) OOMed the vectorized parquet
+    readers at the 10⁴ tier's 50M-doc scan, taking the JVM and every
+    later query's timing with it."""
+    import os as _os
+
     from dragnet_spark import registry
     from dragnet_spark.session import get_spark
+
+    if driver_mem:
+        _os.environ.setdefault("DRAGNET_DRIVER_MEM", driver_mem)
 
     skips = dict(skips or {})
     history = Path(history_path)

@@ -61,6 +61,9 @@ def main() -> None:
             "and plan safety"
         ),
         app_name="bench_sf10000",
+        # 32 local scan threads share one JVM heap; the 8g session
+        # default OOMed on this tier's 50M-doc parquet scan
+        driver_mem="64g",
     ))
 
 
