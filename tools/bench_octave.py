@@ -164,6 +164,19 @@ def run_tier(
         except Exception as exc:  # noqa: BLE001 — record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"{name}: {timings.get(name, 'ERR')}s", file=sys.stderr)
+        # Shuffle files are deleted only when the JVM GCs the shuffle
+        # dependency objects (ContextCleaner is GC-driven), and a big
+        # octave heap may not GC for the whole run — so each query's
+        # shuffle data stays on disk under the NEXT query's spills.
+        # Measured at the 10⁴ tier: ~20 GB of dead shuffle from two
+        # finished queries helped push the minhash run over this
+        # box's free disk. Nudge a full GC between queries; the sleep
+        # gives the async cleanup a moment to unlink.
+        try:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(3)
+        except Exception:  # pragma: no cover — py4j hiccup
+            pass
 
     for name in subset:
         if name in skips:
