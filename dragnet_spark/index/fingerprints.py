@@ -248,10 +248,20 @@ def probe_new_documents(
 # The exact store answers "have we seen THIS document"; the band store
 # answers "have we seen something NEAR this document": (band, bhash,
 # doc_id) rows under the same minhash-LSH banding as
-# ops/dedup.minhash_lsh_pairs (identical seeded coeffs + band md5, so
-# store keys and any batch LSH run agree bit-for-bit). Partitioned by
-# band id, so probes and per-band anti-joins partition-prune to the
-# slice they need; only 16-byte-ish hashes ever persist or shuffle.
+# ops/dedup.minhash_lsh_pairs. Store v2 persists bhash as the SAME
+# 56-bit md5-prefix BIGINT the batch LSH buckets on (identical seeded
+# coeffs + band md5 prefix), so store keys, streaming anti-join keys,
+# and any batch LSH run agree bit-for-bit — and an 8-byte key
+# persists/shuffles at ~1/3 the volume of the 32-char md5 string v1
+# stored. Partitioned by band id, so probes and per-band anti-joins
+# partition-prune to the slice they need; text never leaves the scan.
+
+
+#: band-store key discipline version. v1 persisted full 32-char md5
+#: strings; v2 persists the 56-bit md5-prefix BIGINT batch LSH buckets
+#: on. A v1 store probed by v2 code would join long against string —
+#: silently zero hits — so loaders reject mismatched stores loudly.
+_BAND_STORE_VERSION = "2.0"
 
 
 def _banded_rows(
@@ -264,13 +274,15 @@ def _banded_rows(
 ) -> DataFrame:
     """(doc_id, band, bhash) rows for every document with shingles —
     the ONE place the banding row shape is defined, so build, append,
-    and probe can never silently diverge on band keys. The band array
-    is computed once per row (ops/dedup.minhash_band_array) and
-    ``posexplode`` unpacks it: position IS the band id; a NULL array
-    (no shingles) emits no rows. ``spread`` first: the band hashes are
-    interpreted HOF expressions (CPU-heavy per row) and a one-file
-    input would otherwise run on a couple of cores — a no-op at real
-    scale."""
+    and probe can never silently diverge on band keys. ``bhash`` is
+    the 56-bit md5-prefix BIGINT (:data:`_BAND_STORE_VERSION` v2) —
+    bit-identical to the bucket key ops/dedup.minhash_lsh_pairs
+    shuffles on. The band array is computed once per row
+    (ops/dedup.minhash_band_array) and ``posexplode`` unpacks it:
+    position IS the band id; a NULL array (no shingles) emits no rows.
+    ``spread`` first: the band hashes are interpreted HOF expressions
+    (CPU-heavy per row) and a one-file input would otherwise run on a
+    couple of cores — a no-op at real scale."""
     from dragnet_spark.ops import spread
     from dragnet_spark.ops.dedup import minhash_band_array
 
@@ -307,7 +319,7 @@ def build_band_store(
         .parquet(os.path.join(path, BAND_DIR))
     )
     meta = {
-        "version": "1.0",
+        "version": _BAND_STORE_VERSION,
         "num_hashes": num_hashes,
         "bands": bands,
         "ngram": ngram,
@@ -328,7 +340,17 @@ def build_band_store(
 
 def load_band_store_meta(path: str) -> dict:
     with open(os.path.join(path, BAND_META)) as f:
-        return json.load(f)
+        meta = json.load(f)
+    if meta.get("version") != _BAND_STORE_VERSION:
+        raise ValueError(
+            f"minhash band store at {path!r} was built under key "
+            f"discipline v{meta.get('version')} (full-md5 string keys); "
+            f"current code is v{_BAND_STORE_VERSION} (56-bit md5-prefix "
+            f"BIGINT keys — the batch LSH bucket key). Probing it would "
+            f"join long against string and silently report zero hits — "
+            f"rebuild with build_band_store"
+        )
+    return meta
 
 
 def append_band_keys(

@@ -14,7 +14,35 @@ blocked matrix similarity).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+#: suffix multipliers for Spark byte-size conf strings (JavaUtils
+#: .byteStringAsBytes grammar: optional [kmgtp][b], case-insensitive)
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def parse_size_bytes(s: str) -> int:
+    """Parse a Spark size conf value ('134217728b', '128m', '128MB',
+    '1g', plain '134217728') to bytes. Mirrors Spark's JavaUtils
+    grammar — spread()'s split estimate must accept any value a human
+    set, not only the canonical long-with-b form the session default
+    happens to carry (a '128m' that raised inside the broad except
+    silently routed spread() to the full repartition shuffle the
+    estimate exists to avoid). Raises ValueError on junk — callers
+    decide the fallback."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", s)
+    if not m or m.group(2).lower() not in _SIZE_SUFFIX:
+        raise ValueError(f"unparseable size string: {s!r}")
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2).lower()]
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -55,10 +83,10 @@ def spread(df: DataFrame) -> DataFrame:
                 df._jdf.queryExecution().optimizedPlan().stats()
                 .sizeInBytes()
             )
-            max_split = int(
+            max_split = parse_size_bytes(
                 df.sparkSession.conf.get(
                     "spark.sql.files.maxPartitionBytes", "134217728"
-                ).rstrip("b")
+                )
             )
             if max(nfiles, bytes_ // max_split) >= target:
                 return df

@@ -54,13 +54,39 @@ def _relation_bytes(df: DataFrame) -> int:
     report their scan bytes (metadata only, no job). Unknown sources
     report spark.sql.defaultSizeInBytes (Long.Max), which routes to
     the scale path: correct either way, and real corpora are
-    file-backed."""
+    file-backed. A stats-API failure (py4j hiccup, exotic plan)
+    likewise returns Long.Max — "size unknown" must route to the
+    scale-safe semi path, never the direct path whose double sets
+    shuffle fills disks on a huge corpus; the cost of guessing wrong
+    on a small corpus is ~1 s of semi-path fixed overhead."""
+    import sys as _sys
+
     try:
         return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:  # pragma: no cover — stats API unavailable
-        return 0
+        return _sys.maxsize
+
+
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Materialize a small intermediate that the downstream plan
+    references several times (Catalyst re-embeds — i.e. re-executes —
+    an unmaterialized subplan per reference). Uses RELIABLE
+    ``checkpoint`` when the session has a checkpoint dir configured
+    (``sc.setCheckpointDir`` — blocks survive executor loss, the right
+    posture on clusters with dynamic allocation / spot nodes), else
+    ``localCheckpoint`` (executor-local blocks: fastest, and fine on
+    local[N] or static clusters, but an executor loss truncates the
+    lineage permanently — the tradeoff callers opt into by not
+    configuring a checkpoint dir)."""
+    try:
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+    except Exception:  # pragma: no cover — py4j hiccup
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -288,9 +314,11 @@ def minhash_lsh_pairs(
       overhead — the right shape while the whole sets table is a few
       GB (graded at sf0.01/0.1/10×/100×).
     * **True / large corpus**: candidates are materialized once
-      (eager localCheckpoint — they are referenced five times below,
-      and Catalyst re-embeds, i.e. re-executes, the signature+band
-      subplan per reference otherwise), then the sets table is
+      (:func:`_materialize_once` — they are referenced five times
+      below, and Catalyst re-embeds, i.e. re-executes, the
+      signature+band subplan per reference otherwise; reliable
+      checkpoint when a checkpoint dir is configured, executor-local
+      otherwise), then the sets table is
       left-semi-joined to the distinct candidate ids BEFORE the pair
       joins, so only docs that collided in some band ever compute or
       shuffle a shingle set. Catalyst pushes the semi-join below the
@@ -378,7 +406,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify_semi:
-        candidates = candidates.localCheckpoint(eager=True)
+        candidates = _materialize_once(candidates)
         cand_ids = (
             candidates.select(F.col("id_a").alias("id"))
             .union(candidates.select(F.col("id_b").alias("id")))
@@ -403,12 +431,17 @@ def minhash_band_array(
     bands: int = 8,
     ngram: int = 3,
 ) -> Column:
-    """Per-ROW minhash band hashes as ONE ``array<string>`` column
-    (element *i* = band *i*'s md5), value-identical to
-    :func:`minhash_lsh_pairs`'s explode+groupBy signature (same seeded
-    coeffs, same shingle hash, same band md5), but built from narrow
+    """Per-ROW minhash band keys as ONE ``array<long>`` column
+    (element *i* = band *i*'s 56-bit md5-prefix BIGINT — the exact
+    bucket key :func:`minhash_lsh_pairs` shuffles on), value-identical
+    to the batch LSH's explode+groupBy signature (same seeded coeffs,
+    same shingle hash, same band md5 prefix), but built from narrow
     array expressions with NO shuffle: ``array_min`` over the permuted
-    shingle hashes replaces the explode+``min`` agg.
+    shingle hashes replaces the explode+``min`` agg. Band-store v2
+    persists these longs directly, so store keys, streaming anti-join
+    keys, and any batch LSH run agree bit-for-bit again — an 8-byte
+    key shuffles/sorts/persists at ~1/3 the volume of the 32-char md5
+    string v1 stored.
 
     That makes the band keys computable inside a streaming micro-batch
     (stateless projection) and inside the band-store build at scan
@@ -445,11 +478,20 @@ def minhash_band_array(
             F.size(hs) > 0,
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            "\x1f", *[mins[i * r + j] for j in range(r)]
-                        )
-                    )
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "\x1f",
+                                    *[mins[i * r + j] for j in range(r)],
+                                )
+                            ),
+                            1,
+                            14,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
                     for i in range(bands)
                 ]
             ),

@@ -526,10 +526,14 @@ def _band_probe_oracle(
         f"CAST(sig[{{i}}*{r} + {j + 1}] AS VARCHAR)" for j in range(r)
     )
     probe_rows = probe_pred.replace("id", "doc_id")
+    # bhash = the 56-bit md5-prefix BIGINT — band-store v2's persisted
+    # key, identical to the batch LSH bucket (_minhash_lsh_oracle)
     return f"""
     WITH t AS (SELECT doc_id AS id, {sig} AS sig FROM documents),
     banded AS (
-      SELECT id, i AS band, md5({band_hash.format(i="i")}) AS bhash
+      SELECT id, i AS band,
+             CAST('0x' || substring(md5({band_hash.format(i="i")}), 1, 14)
+                  AS BIGINT) AS bhash
       FROM t, UNNEST(range(0, {bands})) AS u(i)
     ),
     hits AS (

@@ -579,16 +579,17 @@ def stream_curate_against_band_store(
     persisted corpus (token-swapped twins, light edits) are dropped
     in-stream, which the exact-fingerprint store cannot do.
 
-    Mechanics: the arriving batch computes its band hashes as NARROW
-    per-row expressions (ops/dedup.minhash_band_array — value-
-    identical to the batch LSH's explode+groupBy signature, so
-    stream and batch agree bit-for-bit), then runs one stream-static
-    LEFT ANTI join per band against that band's store slice. Per-band
-    slices partition-prune (the store is partitionBy(band)); each
-    anti-join ships only ~32-byte md5 keys; a doc survives iff every
-    band misses — exactly minhash-LSH's candidate rule. Documents
-    with no shingles have NULL band keys and can never collide,
-    matching batch semantics.
+    Mechanics: the arriving batch computes its band keys as NARROW
+    per-row expressions (ops/dedup.minhash_band_array — the 56-bit
+    md5-prefix BIGINT batch LSH buckets on, value-identical to the
+    explode+groupBy signature and to band-store v2's persisted keys,
+    so stream, store, and batch agree bit-for-bit), then runs one
+    stream-static LEFT ANTI join per band against that band's store
+    slice. Per-band slices partition-prune (the store is
+    partitionBy(band)); each anti-join ships only 8-byte keys; a doc
+    survives iff every band misses — exactly minhash-LSH's candidate
+    rule. Documents with no shingles have NULL band keys and can
+    never collide, matching batch semantics.
 
     Same store-snapshot contract as :func:`stream_curate_against_store`:
     keys appended via ``append_band_keys`` while the query runs are
@@ -1382,7 +1383,7 @@ def make_live_components_ingester(
             # inference over zero files errors instead of yielding
             # the empty frame the first batch needs
             store = spark.read.schema(
-                "doc_id long, bhash string, band int"
+                "doc_id long, bhash long, band int"
             ).parquet(
                 _os.path.join(band_store_path, BAND_DIR)
             ).select("band", "bhash", F.col("doc_id").alias("id_a"))

@@ -647,3 +647,105 @@ def test_srp_dims_inferred_from_non_null_row(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no non-null vectors"):
         build_srp_store(spark, all_null, str(tmp_path / "srp_empty"))
+
+
+def test_band_store_v1_rejected_loudly(spark, tmp_path):
+    """A band store persisted under the v1 key discipline (full-md5
+    string bhash) must be rejected at meta-load time: v2 code joins
+    long keys, so probing a v1 store would silently report zero hits."""
+    import json
+    import os
+
+    import pytest
+
+    from dragnet_spark.index.fingerprints import (
+        build_band_store,
+        load_band_store_meta,
+        probe_near_duplicates,
+    )
+
+    path = str(tmp_path / "v1store")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    build_band_store(spark, docs, path)
+    meta_file = os.path.join(path, "_band_store.json")
+    with open(meta_file) as f:
+        meta = json.load(f)
+    meta["version"] = "1.0"
+    with open(meta_file, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="key\\s+discipline|rebuild"):
+        load_band_store_meta(path)
+    with pytest.raises(ValueError, match="rebuild"):
+        probe_near_duplicates(spark, path, docs).collect()
+
+
+def test_band_store_keys_bit_identical_to_batch_lsh(spark, sf_dir):
+    """Band-store v2's persisted bhash must equal the 56-bit BIGINT
+    bucket key minhash_lsh_pairs shuffles on, key-for-key — the
+    store-amortized dedup posture (pay the signature at ingest, run
+    pair discovery from persisted rows) depends on exact key equality,
+    not just candidate coverage."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.fingerprints import build_band_store
+    from dragnet_spark.ops.text import (
+        MINHASH_P,
+        minhash_coeffs,
+        shingle_hash,
+        shingles,
+    )
+    from dragnet_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="bandkeys_")
+    build_band_store(spark, docs, path, num_hashes=16, bands=8)
+    store = spark.read.parquet(path + "/bands")
+    assert dict(store.dtypes)["bhash"] == "bigint"
+    # batch-side keys: the explode+groupBy signature, banded exactly
+    # as minhash_lsh_pairs does
+    r = 2
+    ex = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles("text", 3))).alias("sh"),
+    )
+    h = shingle_hash(F.col("sh"))
+    base = ex.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"__m{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(16))
+        ]
+    )
+    batch = base.select(
+        "id",
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", *[F.col(f"__m{i * r + j}") for j in range(r)]
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long").alias(f"b{i}")
+            for i in range(8)
+        ],
+    )
+    batch_keys = {
+        (row["id"], i, row[f"b{i}"])
+        for row in batch.collect()
+        for i in range(8)
+    }
+    store_keys = {
+        (row["doc_id"], row["band"], row["bhash"])
+        for row in store.collect()
+    }
+    assert store_keys == batch_keys

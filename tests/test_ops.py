@@ -932,3 +932,42 @@ def test_srp_planes_prefix_property(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(i, 100 + i) for i in range(30)}
+
+
+def test_parse_size_bytes_accepts_spark_suffix_grammar():
+    """spread()'s split estimate must parse any value a human sets for
+    maxPartitionBytes — not only the canonical '<long>b' form. A form
+    that raised inside the broad except silently routed spread() to
+    the full repartition shuffle the estimate exists to avoid."""
+    import pytest
+
+    from dragnet_spark.ops import parse_size_bytes
+
+    assert parse_size_bytes("134217728") == 134217728
+    assert parse_size_bytes("134217728b") == 134217728
+    assert parse_size_bytes("128m") == 128 << 20
+    assert parse_size_bytes("128MB") == 128 << 20
+    assert parse_size_bytes(" 1g ") == 1 << 30
+    assert parse_size_bytes("64k") == 64 << 10
+    assert parse_size_bytes("2t") == 2 << 40
+    for junk in ("", "12.5m", "m128", "128x", "12 8m"):
+        with pytest.raises(ValueError):
+            parse_size_bytes(junk)
+
+
+def test_bench_skip_spec_json_preserves_reason_punctuation():
+    """Declared-skip reasons are prose (the r11 artifact carried a
+    hand-repaired reason because ';' truncated it) — the JSON form
+    must round-trip any punctuation; the legacy form still parses."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+    from tools.bench_octave import parse_skips
+
+    reason = "x > 94 GB disk; measured 3 times, see SCALE.md"
+    out = parse_skips('{"dedup_minhash_lsh": "%s"}' % reason)
+    assert out == {"dedup_minhash_lsh": reason}
+    legacy = parse_skips("a=r1;b=r2")
+    assert legacy == {"a": "r1", "b": "r2"}
+    assert parse_skips("") == {}

@@ -16,7 +16,7 @@ directly:
   python tools/bench_octave.py --sf-dir testdata_sf10000 \
       --out BENCH_SF10000.json --history BENCH_SF10000_HISTORY.jsonl \
       --vs BENCH_SF1000.json --metric sf10000_curation_subset_total \
-      [--subset q1,q2,...] [--skip name=reason;...]
+      [--subset q1,q2,...] [--skip '{"name": "reason", ...}']
 
 Skips are DECLARED, never silent: a subset row excluded from a run
 (e.g. a stage whose shuffle exceeds this box's disk at the tier — a
@@ -43,6 +43,26 @@ def current_round() -> int:
     import bench
 
     return bench.current_round()
+
+
+def parse_skips(spec: str) -> dict[str, str]:
+    """Parse a declared-skip spec. Preferred form is a JSON object
+    ('{"name": "reason", ...}') — reasons are prose and may contain
+    any character; the legacy 'name=reason;...' form survives for
+    short reasons but truncates at the first ';' (the r11 artifact
+    needed hand repair exactly because a skip reason contained one)."""
+    spec = (spec or "").strip()
+    if not spec:
+        return {}
+    if spec.startswith("{"):
+        parsed = json.loads(spec)
+        return {str(k): str(v) for k, v in parsed.items()}
+    skips = {}
+    for part in spec.split(";"):
+        if "=" in part:
+            n, _, why = part.partition("=")
+            skips[n.strip()] = why.strip()
+    return skips
 
 
 def _prev_rows(vs_path: Path | None) -> dict[str, float]:
@@ -288,11 +308,7 @@ def main() -> None:
     if not (sf_dir and out and history and subset_s):
         print(__doc__)
         sys.exit(2)
-    skips = {}
-    for part in skip_s.split(";"):
-        if "=" in part:
-            n, _, why = part.partition("=")
-            skips[n.strip()] = why.strip()
+    skips = parse_skips(skip_s)
     sys.exit(run_tier(
         sf_dir=sf_dir,
         out_path=out,

@@ -13,8 +13,9 @@ linearity measurement of the code path the registry actually grades
 (all seven are 4-tier oracle-graded; sf1000 adds CORRECTNESS_SF1000).
 
 Usage: python tools/bench_sf10000.py [OUT_JSON]
-Env: SF10000_SKIP="name=reason;..." — declared (never silent) skips,
-  recorded in the artifact.
+Env: SF10000_SKIP — declared (never silent) skips recorded in the
+  artifact; a JSON object '{"name": "reason", ...}' (preferred —
+  reasons are prose) or legacy 'name=reason;...'.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools.bench_octave import run_tier  # noqa: E402
+from tools.bench_octave import parse_skips, run_tier  # noqa: E402
 from tools.bench_sf1000 import SUBSET  # noqa: E402
 
 ROOT = Path(__file__).resolve().parent.parent
@@ -35,11 +36,7 @@ def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else str(
         ROOT / "BENCH_SF10000.json"
     )
-    skips = {}
-    for part in os.environ.get("SF10000_SKIP", "").split(";"):
-        if "=" in part:
-            n, _, why = part.partition("=")
-            skips[n.strip()] = why.strip()
+    skips = parse_skips(os.environ.get("SF10000_SKIP", ""))
     sys.exit(run_tier(
         sf_dir=os.environ.get(
             "SPARK_GRAFT_SF10000_DIR", str(ROOT / "testdata_sf10000")

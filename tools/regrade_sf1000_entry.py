@@ -46,6 +46,15 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     rec = check_one(spark, con, sf_dir, entry, qs[entry], oracles[entry])
+    # provenance: a merged re-run was graded under DIFFERENT conditions
+    # than the artifact's first pass (dedicated box, explicit DuckDB
+    # memory_limit) — stamp it so the artifact distinguishes first-pass
+    # greens from regraded ones
+    rec["regraded_at"] = time.time()
+    rec["regrade_conditions"] = {
+        "duckdb_memory_limit": "110GB",
+        "tool": "tools/regrade_sf1000_entry.py",
+    }
     ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
     print(f"{'OK' if ok else 'FAIL'}  {entry}: {rec}")
 
