@@ -427,6 +427,59 @@ def probe_near_duplicates(
     )
 
 
+def band_store_pairs(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    threshold: float = 0.8,
+    verify_semi: bool | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with the SIGNATURE STAGE
+    AMORTIZED: candidate discovery runs from the store's persisted
+    (band, bhash, doc_id) rows instead of re-computing signatures
+    from text — the production posture for a corpus under continuous
+    ingest (SCALE.md "don't recompute what a store already holds":
+    the signature build is ~48% of the batch minhash wall at the
+    10³ tier, measured, and a pipeline that appends band keys at
+    ingest pays it exactly once per document).
+
+    Output is (id_a, id_b, jaccard) — bit-identical to
+    ``ops.dedup.minhash_lsh_pairs`` over the same corpus with the
+    store's banding params, because the keys are identical by
+    construction (:func:`_banded_rows` is the one definition of the
+    banding row shape and v2 persists the very BIGINT bucket the
+    batch form shuffles on) and the candidate join + exact-Jaccard
+    verify are the shared ``_collision_pairs`` /
+    ``_verify_jaccard_pairs`` implementations. ``docs`` must be the
+    stored corpus (it supplies the shingle sets for verification —
+    text read once, only for collision families when the semi path
+    routes). ``verify_semi`` as in minhash_lsh_pairs (None
+    auto-routes on the docs relation's size)."""
+    from dragnet_spark.ops.dedup import (
+        MINHASH_SEMI_VERIFY_MIN_BYTES,
+        _collision_pairs,
+        _relation_bytes,
+        _verify_jaccard_pairs,
+        token_sets,
+    )
+
+    _recover_staged(os.path.join(path, BAND_DIR))
+    _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
+    meta = load_band_store_meta(path)
+    banded = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
+        F.col("doc_id").alias("id"), "band", "bhash"
+    )
+    # repeated appends of the same document would self-collide into
+    # spurious (a, a) rows — dropped by id_a < id_b — and duplicated
+    # (a, b) evidence collapses in _collision_pairs' dropDuplicates,
+    # so pair output is invariant under append replays and compaction
+    candidates = _collision_pairs(banded, "id", ["band", "bhash"])
+    if verify_semi is None:
+        verify_semi = _relation_bytes(docs) >= MINHASH_SEMI_VERIFY_MIN_BYTES
+    sets = token_sets(docs, meta["text_col"], meta["id_col"], meta["ngram"])
+    return _verify_jaccard_pairs(candidates, sets, threshold, verify_semi)
+
+
 # ------------------------------------------------------ SRP band store
 #
 # The minhash band store catches TOKEN-level rewrites of stored
@@ -520,16 +573,29 @@ def build_srp_store(
     bits_per_band: int = SRP_BITS_PER_BAND,
     seed: int = 42,
     dims: int | None = None,
+    planes_q=None,
+    with_pairs: bool = True,
 ) -> dict:
     """Materialize (band, bucket, vec_id) for every stored embedding,
-    plus the derived band-PAIR keys (:func:`_pair_rows`) that give the
-    streaming curator its corroborated-evidence anti-join.
+    plus (by default) the derived band-PAIR keys (:func:`_pair_rows`)
+    that give the streaming curator its corroborated-evidence
+    anti-join.
 
     The quantized plane matrix is PERSISTED in ``_srp_store.json``
     (the vector index's persisted-centroid discipline): appends and
     probes key against the exact planes the store was built with,
     never a regenerated matrix. ``dims`` defaults to the first row's
-    vector length — pass it explicitly in pipelines."""
+    vector length — pass it explicitly in pipelines.
+
+    ``planes_q`` overrides the internally seeded matrix (int64,
+    bands·bits_per_band × dims) — the auto-width dedup posture passes
+    ``ops.dedup.srp_planes_q_prefix`` so store keys stay a prefix of
+    the static full-width plane matrix its oracle grades against.
+    ``with_pairs=False`` skips the band-pair key directory: it exists
+    for the streaming ≥2-band anti-join, and a store built only for
+    batch pair discovery (:func:`srp_store_pairs`) would otherwise
+    persist C(bands,2) extra keys per vector for nothing; consumers
+    that need pair keys fail loudly (``meta['pair_keys']``)."""
     from dragnet_spark.ops.dedup import srp_planes_q
 
     if dims is None:
@@ -547,21 +613,32 @@ def build_srp_store(
         dims = int(first["d"])
     if dims <= 0:
         raise ValueError(f"build_srp_store: invalid dims {dims}")
-    planes_q = srp_planes_q(dims, bands, bits_per_band, seed)
+    if planes_q is None:
+        planes_q = srp_planes_q(dims, bands, bits_per_band, seed)
+    else:
+        import numpy as _np
+
+        planes_q = _np.asarray(planes_q, dtype=_np.int64)
+        if planes_q.shape != (bands * bits_per_band, dims):
+            raise ValueError(
+                f"build_srp_store: planes_q shape {planes_q.shape} != "
+                f"({bands * bits_per_band}, {dims})"
+            )
     (
         _srp_rows(docs, vec_col, id_col, planes_q, bands, bits_per_band, dims)
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(os.path.join(path, SRP_DIR))
     )
-    # pair keys derive from the just-written band rows (a cheap
-    # columnar read-back) so the sign matmul runs exactly once
-    (
-        _pair_rows(spark.read.parquet(os.path.join(path, SRP_DIR)), bands)
-        .write.mode("overwrite")
-        .partitionBy("pair")
-        .parquet(os.path.join(path, SRP_PAIR_DIR))
-    )
+    if with_pairs:
+        # pair keys derive from the just-written band rows (a cheap
+        # columnar read-back) so the sign matmul runs exactly once
+        (
+            _pair_rows(spark.read.parquet(os.path.join(path, SRP_DIR)), bands)
+            .write.mode("overwrite")
+            .partitionBy("pair")
+            .parquet(os.path.join(path, SRP_PAIR_DIR))
+        )
     meta = {
         "version": "1.0",
         "bands": bands,
@@ -570,6 +647,7 @@ def build_srp_store(
         "dims": dims,
         "vec_col": vec_col,
         "id_col": id_col,
+        "pair_keys": bool(with_pairs),
         "planes_q": [[int(x) for x in row] for row in planes_q],
     }
     meta["layout_token"] = _layout_token(
@@ -579,7 +657,8 @@ def build_srp_store(
         }
     )
     _write_layout(os.path.join(path, SRP_DIR), meta["layout_token"])
-    _write_layout(os.path.join(path, SRP_PAIR_DIR), meta["layout_token"])
+    if with_pairs:
+        _write_layout(os.path.join(path, SRP_PAIR_DIR), meta["layout_token"])
     with open(os.path.join(path, SRP_META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -601,9 +680,11 @@ def append_srp_keys(
     matmul runs once for both writes. Lease-serialized against
     compaction (and reentrant under the live ingester's lease)."""
     with hold_lease(path, "append-srp"):
-        _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
-        _check_layout(path, SRP_META, SRP_PAIR_DIR, "SRP band store")
         meta = load_srp_store_meta(path)
+        has_pairs = meta.get("pair_keys", True)
+        _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+        if has_pairs:
+            _check_layout(path, SRP_META, SRP_PAIR_DIR, "SRP band store")
         banded = _srp_rows(
             docs, meta["vec_col"], meta["id_col"], meta["planes_q"],
             meta["bands"], meta["bits_per_band"], meta["dims"],
@@ -613,12 +694,13 @@ def append_srp_keys(
             .partitionBy("band")
             .parquet(os.path.join(path, SRP_DIR))
         )
-        (
-            _pair_rows(banded, meta["bands"])
-            .write.mode("append")
-            .partitionBy("pair")
-            .parquet(os.path.join(path, SRP_PAIR_DIR))
-        )
+        if has_pairs:
+            (
+                _pair_rows(banded, meta["bands"])
+                .write.mode("append")
+                .partitionBy("pair")
+                .parquet(os.path.join(path, SRP_PAIR_DIR))
+            )
 
 
 def probe_srp_near_duplicates(
@@ -675,6 +757,50 @@ def probe_srp_near_duplicates(
     )
 
 
+def srp_store_pairs(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    threshold: float = 0.9,
+    verify_semi: bool | None = None,
+) -> DataFrame:
+    """SRP-LSH near-duplicate pairs with the SIGNATURE STAGE
+    AMORTIZED — :func:`band_store_pairs`'s contract on the embedding
+    store: candidate discovery runs from the persisted (band, bucket,
+    vec_id) rows, so the quantize+sign-matmul over the corpus (paid
+    at ingest by build/append) never re-runs at dedup time. Output is
+    (id_a, id_b, cosine) — bit-identical to
+    ``ops.dedup.embedding_near_dup_lsh`` over the same corpus with
+    the store's persisted planes (:func:`_srp_rows` is the one key
+    definition; candidate join + exact-cosine verify are the shared
+    ``_collision_pairs`` / ``_verify_cosine_pairs``). ``docs`` must
+    be the stored corpus — it supplies vectors for verification,
+    read only for collision families when the semi path routes
+    (auto-routed on the relation's size, the 10⁴-tier verify-stage
+    discipline)."""
+    from dragnet_spark.ops.dedup import (
+        MINHASH_SEMI_VERIFY_MIN_BYTES,
+        _collision_pairs,
+        _relation_bytes,
+        _verify_cosine_pairs,
+    )
+
+    _recover_staged(os.path.join(path, SRP_DIR))
+    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+    meta = load_srp_store_meta(path)
+    banded = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
+        F.col("vec_id").alias("__id"), "band", "bucket"
+    )
+    candidates = _collision_pairs(banded, "__id", ["band", "bucket"])
+    if verify_semi is None:
+        verify_semi = _relation_bytes(docs) >= MINHASH_SEMI_VERIFY_MIN_BYTES
+    vecs = docs.select(
+        F.col(meta["id_col"]).alias("__id"),
+        F.col(meta["vec_col"]).alias("__vec"),
+    )
+    return _verify_cosine_pairs(candidates, vecs, threshold, verify_semi)
+
+
 def compact_srp_store(
     spark: SparkSession,
     path: str,
@@ -699,15 +825,16 @@ def compact_srp_store(
         )
         if meta.get("layout_token"):
             _write_layout(dest, meta["layout_token"])
-        pdest = os.path.join(path, SRP_PAIR_DIR)
-        _recover_staged(pdest)
-        pdf = spark.read.parquet(pdest)
-        _staged_rewrite(
-            pdf.select("pair", "bucket", "vec_id").distinct(), "pair", pdest,
-            "bucket", files_per_partition,
-        )
-        if meta.get("layout_token"):
-            _write_layout(pdest, meta["layout_token"])
+        if meta.get("pair_keys", True):
+            pdest = os.path.join(path, SRP_PAIR_DIR)
+            _recover_staged(pdest)
+            pdf = spark.read.parquet(pdest)
+            _staged_rewrite(
+                pdf.select("pair", "bucket", "vec_id").distinct(), "pair",
+                pdest, "bucket", files_per_partition,
+            )
+            if meta.get("layout_token"):
+                _write_layout(pdest, meta["layout_token"])
 
 
 # ---------------------------------------------------------- compaction

@@ -89,6 +89,64 @@ def _materialize_once(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _collision_pairs(
+    rows: DataFrame, id_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Deduplicated candidate pairs (id_a < id_b) from one
+    (key..., id) collision-row table — the LSH candidate-generation
+    core shared by minhash_lsh_pairs, embedding_near_dup_lsh, and the
+    store-amortized forms (index/fingerprints.band_store_pairs /
+    srp_store_pairs read the SAME rows from a persisted store, so one
+    definition here is what makes batch and from-store pair discovery
+    provably identical). The self-join keys on hash buckets, so it
+    shuffles n·bands rows — never the O(n²) cross product — and AQE
+    splits hot buckets."""
+    left = rows.select(*key_cols, F.col(id_col).alias("id_a"))
+    right = rows.select(*key_cols, F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, list(key_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _verify_jaccard_pairs(
+    candidates: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    verify_semi: bool,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a
+    (id, tset) shingle-set table — the verify tail shared by
+    minhash_lsh_pairs and the store-amortized band_store_pairs.
+    ``verify_semi`` picks the join shape (see minhash_lsh_pairs's
+    docstring): the semi path materializes candidates once and
+    left-semi-joins the sets table to the distinct candidate ids
+    BEFORE the pair joins, so only collision-family docs ever compute
+    or shuffle a shingle set. Output is bit-identical either way."""
+    if verify_semi:
+        candidates = _materialize_once(candidates)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .union(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sets = sets.join(cand_ids, "id", "leftsemi")
+    with_sets = candidates.join(
+        sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ts_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col("id").alias("id_b"), F.col("tset").alias("ts_b")),
+        "id_b",
+    )
+    return (
+        with_sets.withColumn("jaccard", _jaccard(F.col("ts_a"), F.col("ts_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group rows by normalized-text fingerprint: (fingerprint, keep_id,
     n_dupes). keep_id is the smallest id in the group (the canonical
@@ -396,33 +454,8 @@ def minhash_lsh_pairs(
     banded = base.select("id", F.explode(band_arr).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
     )
-
-    left = banded.select("band", "bhash", F.col("id").alias("id_a"))
-    right = banded.select("band", "bhash", F.col("id").alias("id_b"))
-    candidates = (
-        left.join(right, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    if verify_semi:
-        candidates = _materialize_once(candidates)
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("id"))
-            .union(candidates.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        sets = sets.join(cand_ids, "id", "leftsemi")
-    with_sets = candidates.join(
-        sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ts_a")), "id_a"
-    ).join(
-        sets.select(F.col("id").alias("id_b"), F.col("tset").alias("ts_b")), "id_b"
-    )
-    return (
-        with_sets.withColumn("jaccard", _jaccard(F.col("ts_a"), F.col("ts_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    candidates = _collision_pairs(banded, "id", ["band", "bhash"])
+    return _verify_jaccard_pairs(candidates, sets, threshold, verify_semi)
 
 
 def minhash_band_array(
@@ -885,6 +918,48 @@ def srp_quantize_sql(vec_expr: str = "CAST(embedding AS DOUBLE[])") -> str:
     return f"list_transform({vec_expr}, x -> round(x * {SRP_SCALE}))"
 
 
+def _verify_cosine_pairs(
+    candidates: DataFrame,
+    vecs: DataFrame,
+    threshold: float,
+    verify_semi: bool,
+) -> DataFrame:
+    """Exact rounded-cosine verification of candidate pairs against a
+    (__id, __vec) vector table — the embedding twin of
+    :func:`_verify_jaccard_pairs`, shared by embedding_near_dup_lsh
+    and the store-amortized srp_store_pairs. The semi path filters the
+    vector table to the distinct candidate ids before the pair joins:
+    at corpus scale the verify join is the stage that ships two
+    ``dims``-wide arrays per candidate, and without the filter the
+    FULL vector table shuffles twice to serve a collision-family-sized
+    candidate set (the 10⁴-tier disk wall, measured — the minhash
+    verify fix applied to embeddings). Output is bit-identical either
+    way."""
+    if verify_semi:
+        candidates = _materialize_once(candidates)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("__id"))
+            .union(candidates.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        vecs = vecs.join(cand_ids, "__id", "leftsemi")
+    with_vecs = candidates.join(
+        vecs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vb")),
+        "id_b",
+    )
+    cos = F.round(
+        _vdot(F.col("va"), F.col("vb"))
+        / (_vnorm(F.col("va")) * _vnorm(F.col("vb"))),
+        6,
+    )
+    return with_vecs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -895,6 +970,7 @@ def embedding_near_dup_lsh(
     bands: int = 16,
     seed: int = 42,
     planes_q=None,
+    verify_semi: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup via sign-random-projection LSH.
 
@@ -911,13 +987,21 @@ def embedding_near_dup_lsh(
     overrides the internally generated plane matrix (int64,
     bands·bits_per_band × dims) — the auto-width form passes the
     prefix-sliced matrix so a runtime-chosen width stays consistent
-    with its static full-width oracle.
+    with its static full-width oracle. ``verify_semi`` routes the
+    verify join exactly as minhash_lsh_pairs does (None auto-routes
+    on the input's Catalyst size at
+    :data:`MINHASH_SEMI_VERIFY_MIN_BYTES`): the verify stage ships
+    two dims-wide arrays per candidate, and above the boundary the
+    full vector table must not shuffle twice to serve a
+    collision-family-sized candidate set.
     """
     if dims is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
             return embedding_near_dup_pairs(df, id_col, vec_col, threshold)
         dims = first["d"]
+    if verify_semi is None:
+        verify_semi = _relation_bytes(df) >= MINHASH_SEMI_VERIFY_MIN_BYTES
     planes = (
         planes_q
         if planes_q is not None
@@ -934,27 +1018,8 @@ def embedding_near_dup_lsh(
         "__id", buckets_udf(F.col("__vec")).alias("__buckets")
     ).select("__id", F.posexplode(F.col("__buckets")).alias("band", "bucket"))
 
-    a = band_rows.select("band", "bucket", F.col("__id").alias("id_a"))
-    b = band_rows.select("band", "bucket", F.col("__id").alias("id_b"))
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    with_vecs = cand.join(
-        vecs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("va")), "id_a"
-    ).join(
-        vecs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vb")), "id_b"
-    )
-    cos = F.round(
-        _vdot(F.col("va"), F.col("vb"))
-        / (_vnorm(F.col("va")) * _vnorm(F.col("vb"))),
-        6,
-    )
-    return with_vecs.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
-    )
+    cand = _collision_pairs(band_rows, "__id", ["band", "bucket"])
+    return _verify_cosine_pairs(cand, vecs, threshold, verify_semi)
 
 
 # ---------------------------------------------------- winnowing overlap pairs

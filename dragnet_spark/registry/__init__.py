@@ -84,6 +84,11 @@ _EXPOSURE_PRIORITY = [
     # multimodal_features/frame_plan and events_rollup_type_day, and
     # the full sweeps still grade them at every tier)
     "semdedup_prune_two_level", "dedup_embedding_lsh_autobits",
+    # round-12 store-amortized forms: pair discovery from persisted
+    # band/SRP rows (the continuous-ingest posture that amortizes the
+    # signature stage — the 10⁴-tier answer); same oracles as their
+    # batch siblings, so the sampled prefix stays fully checkable
+    "dedup_minhash_lsh_store", "dedup_embedding_lsh_autobits_store",
     # composite + multimodal
     "curation_pipeline", "multimodal_features", "multimodal_frame_plan",
     # windows / percentiles / temporal joins

@@ -556,6 +556,68 @@ def _band_probe_oracle(
 _BANDSTORE_CACHE: dict[str, str] = {}
 
 
+def _store_amort_path(sf_dir: str, kind: str) -> str:
+    """Stable on-disk home for a store-amortized entry's store. With
+    DRAGNET_STORE_ROOT set (the octave bench sets it), the path is
+    deterministic in (sf_dir, kind) so a store pre-built by a
+    separate timed phase is REUSED across processes — the bench's
+    build wall and probe wall are then honestly separable, which is
+    the whole measurement (SCALE.md: pay the signature once at
+    ingest). Without it, a per-process temp dir: correctness runs
+    build small stores on the fly in seconds."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = os.environ.get("DRAGNET_STORE_ROOT")
+    if root:
+        key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(root, f"{key}_{kind}")
+        os.makedirs(path, exist_ok=True)
+        return path
+    cache_key = f"{sf_dir}::{kind}"
+    if cache_key not in _STOREAMORT_CACHE:
+        _STOREAMORT_CACHE[cache_key] = tempfile.mkdtemp(
+            prefix=f"dragnet_{kind}_"
+        )
+    return _STOREAMORT_CACHE[cache_key]
+
+
+_STOREAMORT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dedup_minhash_lsh_store",
+    _minhash_lsh_oracle(16, 8, _JACCARD_T),
+    "STORE-AMORTIZED MinHash-LSH near-dup: candidate discovery runs "
+    "from the persisted (band, bhash, doc_id) rows of a materialized "
+    "band store (index/fingerprints.band_store_pairs) instead of "
+    "re-computing signatures from text — the production posture for "
+    "a corpus under continuous ingest, where append_band_keys pays "
+    "the signature stage (measured 48% of the batch minhash wall at "
+    "the 10³ tier) exactly once per document at ingest. Store keys "
+    "are bit-identical to the batch LSH bucket keys by construction "
+    "(one _banded_rows definition, v2 BIGINT keys), so output equals "
+    "dedup_minhash_lsh and the SAME oracle grades both",
+)
+def dedup_minhash_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from dragnet_spark.index.fingerprints import (
+        BAND_META,
+        band_store_pairs,
+        build_band_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _store_amort_path(sf_dir, "minhash_band")
+    if not os.path.exists(os.path.join(path, BAND_META)):
+        build_band_store(
+            spark, docs, path, num_hashes=16, bands=8, ngram=_NGRAM
+        )
+    return band_store_pairs(spark, path, docs, threshold=_JACCARD_T)
+
+
 @register(
     "dedup_incremental_near_probe",
     _band_probe_oracle(16, 8, _NGRAM),
@@ -1121,6 +1183,64 @@ def dedup_embedding_lsh_autobits(
         dims=_EMB_LSH_DIMS,
         bands=_EMB_LSH_BANDS,
     ).select("id_a", "id_b", "cosine")
+
+
+@register(
+    "dedup_embedding_lsh_autobits_store",
+    _emb_lsh_autobits_oracle(),
+    "STORE-AMORTIZED auto-width SRP near-dup — "
+    "dedup_minhash_lsh_store's posture on embeddings: the corpus "
+    "persists its (band, bucket, vec_id) rows once (build_srp_store "
+    "with the prefix-sliced auto-width planes, no pair-key dir), and "
+    "pair discovery runs from the persisted rows "
+    "(index/fingerprints.srp_store_pairs) — the quantize+sign-matmul "
+    "never re-runs at dedup time. Width = min(32, max(8, "
+    "ceil(log2(n·bands/8)))) over the SAME union corpus as the batch "
+    "form, keys a prefix of the same static 32-bit plane matrix, so "
+    "the SAME static oracle grades both batch and from-store paths "
+    "at every tier",
+)
+def dedup_embedding_lsh_autobits_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from dragnet_spark.index.fingerprints import (
+        SRP_META,
+        build_srp_store,
+        srp_store_pairs,
+    )
+    from dragnet_spark.ops.dedup import (
+        AUTOBITS_MAX,
+        auto_bits_per_band,
+        srp_planes_q_prefix,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + _TWIN_SHIFT).alias("vec_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    path = _store_amort_path(sf_dir, "srp_autobits")
+    if not os.path.exists(os.path.join(path, SRP_META)):
+        n = corpus.count()
+        bits = min(AUTOBITS_MAX, auto_bits_per_band(n, _EMB_LSH_BANDS))
+        build_srp_store(
+            spark,
+            corpus,
+            path,
+            vec_col="embedding",
+            id_col="vec_id",
+            bands=_EMB_LSH_BANDS,
+            bits_per_band=bits,
+            seed=42,
+            dims=_EMB_LSH_DIMS,
+            planes_q=srp_planes_q_prefix(
+                _EMB_LSH_DIMS, _EMB_LSH_BANDS, bits, 42
+            ),
+            with_pairs=False,
+        )
+    return srp_store_pairs(spark, path, corpus, threshold=_EMB_LSH_T)
 
 
 _KM_K = 8

@@ -713,6 +713,13 @@ def stream_curate_against_srp_store(
             f"probe for higher evidence thresholds, got {min_band_hits}"
         )
     meta = load_srp_store_meta(store_path)
+    if min_band_hits == 2 and not meta.get("pair_keys", True):
+        raise ValueError(
+            "stream_curate_against_srp_store with min_band_hits=2 needs "
+            "the band-PAIR key directory, but this store was built with "
+            "with_pairs=False (batch pair-discovery posture) — rebuild "
+            "with with_pairs=True or use min_band_hits=1"
+        )
     out = sdf
     if time_field is not None:
         out = out.filter(F.col(time_field).isNotNull())
@@ -1013,6 +1020,13 @@ def make_live_srp_ingester(
     def _ingest_locked(batch_df, batch_id, marker):
         spark = batch_df.sparkSession
         meta = load_srp_store_meta(store_path)
+        if not meta.get("pair_keys", True):
+            raise ValueError(
+                "live SRP ingest needs the band-PAIR key directory "
+                "(its drop rule is the ≥2-band anti-join), but this "
+                "store was built with with_pairs=False — rebuild with "
+                "with_pairs=True"
+            )
         bdir = _os.path.join(sink_path, f"__dn_batch={batch_id}")
         if _sink_committed(bdir, ckpt_key):
             survivors = spark.read.parquet(bdir)

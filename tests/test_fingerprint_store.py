@@ -749,3 +749,102 @@ def test_band_store_keys_bit_identical_to_batch_lsh(spark, sf_dir):
         for row in store.collect()
     }
     assert store_keys == batch_keys
+
+
+def test_band_store_pairs_equal_batch_lsh(spark, sf_dir):
+    """Store-amortized pair discovery (band_store_pairs over persisted
+    v2 rows) must be bit-identical to the batch minhash_lsh_pairs —
+    the invariant that makes "pay the signature at ingest" a free
+    refactoring of the dedup pipeline, not an approximation."""
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        band_store_pairs,
+        build_band_store,
+    )
+    from dragnet_spark.ops.dedup import minhash_lsh_pairs
+    from dragnet_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="storepairs_")
+    build_band_store(spark, docs, path, num_hashes=16, bands=8, ngram=3)
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=8,
+            threshold=0.8, ngram=3,
+        ).collect()
+    }
+    for semi in (False, True):
+        from_store = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in band_store_pairs(
+                spark, path, docs, threshold=0.8, verify_semi=semi
+            ).collect()
+        }
+        assert from_store == batch, f"verify_semi={semi}"
+    # append replay: duplicated store rows must not change the output
+    from dragnet_spark.index.fingerprints import append_band_keys
+
+    append_band_keys(spark, docs.limit(20), path)
+    replayed = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in band_store_pairs(spark, path, docs, threshold=0.8).collect()
+    }
+    assert replayed == batch
+
+
+def test_srp_store_pairs_equal_batch_lsh(spark):
+    """srp_store_pairs over a with_pairs=False auto-width store must
+    equal embedding_near_dup_lsh with the same prefix planes — both
+    verify routes — and the pair-key-dependent consumers must reject
+    the pairless store loudly instead of failing on a missing path."""
+    import tempfile
+
+    import numpy as np
+    import pytest
+
+    from dragnet_spark.index.fingerprints import (
+        build_srp_store,
+        srp_store_pairs,
+    )
+    from dragnet_spark.ops.dedup import (
+        auto_bits_per_band,
+        embedding_near_dup_lsh,
+        srp_planes_q_prefix,
+    )
+    from dragnet_spark.streaming.pipeline import (
+        stream_curate_against_srp_store,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [(1000 + i, base[i].tolist()) for i in range(15)]  # twins
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bands = 6
+    bits = auto_bits_per_band(len(rows), bands)
+    planes = srp_planes_q_prefix(16, bands, bits, 42)
+    path = tempfile.mkdtemp(prefix="srppairs_")
+    build_srp_store(
+        spark, df, path, bands=bands, bits_per_band=bits, dims=16,
+        planes_q=planes, with_pairs=False,
+    )
+    batch = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_lsh(
+            df, threshold=0.9, dims=16, bits_per_band=bits, bands=bands,
+            planes_q=planes,
+        ).collect()
+    }
+    assert batch  # the planted twins must be found
+    for semi in (False, True):
+        from_store = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in srp_store_pairs(
+                spark, path, df, threshold=0.9, verify_semi=semi
+            ).collect()
+        }
+        assert from_store == batch, f"verify_semi={semi}"
+    with pytest.raises(ValueError, match="with_pairs=False"):
+        stream_curate_against_srp_store(df, path, min_band_hits=2)
