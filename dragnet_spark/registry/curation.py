@@ -1376,6 +1376,91 @@ def semdedup_prune_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune_pairs(emb, assign, threshold=_EMB_T)
 
 
+def _semdedup_prune_auto_oracle(threshold: float) -> str:
+    """One static SQL that grades kmeans_assign_auto's ROUTING: both
+    branch pipelines appear, each reading from a source guarded by the
+    router's own k-condition (k = ceil(n/target) vs TWO_LEVEL_MIN_K —
+    the exact integer expression auto_k computes), so at any tier
+    exactly one branch sees rows and the other's entire Lloyd chain
+    runs over empty tables (cheap by construction — the guard lives in
+    the deepest scan, not an outer WHERE an optimizer might not push).
+    """
+    from dragnet_spark.ops.kmeans import (
+        TWO_LEVEL_MIN_K,
+        kmeans_sql,
+        kmeans_two_level_sql,
+    )
+
+    t = _KM_TARGET
+    guard = f"(SELECT (COUNT(*) + {t - 1}) // {t} FROM embeddings)"
+    src_flat = (
+        f"SELECT vec_id, embedding FROM embeddings "
+        f"WHERE {guard} < {TWO_LEVEL_MIN_K}"
+    )
+    src_two = (
+        f"SELECT vec_id, embedding FROM embeddings "
+        f"WHERE {guard} >= {TWO_LEVEL_MIN_K}"
+    )
+    km_flat = kmeans_sql(
+        iterations=_KM_ITERS, target_rows_per_cluster=t, source=src_flat
+    )
+    km_two = kmeans_two_level_sql(
+        iterations=_KM_ITERS, target_rows_per_cluster=t, source=src_two
+    )
+    cos = (
+        "round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+        "CAST(y.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+    WITH vflat AS (
+      SELECT a.vec_id AS id, a.cluster, e.embedding
+      FROM ({km_flat}) a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    vtwo AS (
+      SELECT a.vec_id AS id, a.cluster, e.embedding
+      FROM ({km_two}) a JOIN embeddings e ON e.vec_id = a.vec_id
+    )
+    SELECT CAST(x.cluster AS BIGINT) AS cluster,
+           x.id AS kept_id, y.id AS dropped_id, {cos} AS cosine
+    FROM vflat x JOIN vflat y ON x.cluster = y.cluster AND x.id < y.id
+    WHERE {cos} >= {threshold}
+    UNION ALL
+    SELECT CAST(x.cluster AS BIGINT) AS cluster,
+           x.id AS kept_id, y.id AS dropped_id, {cos} AS cosine
+    FROM vtwo x JOIN vtwo y ON x.cluster = y.cluster AND x.id < y.id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "semdedup_prune_auto",
+    _semdedup_prune_auto_oracle(_EMB_T),
+    "SemDeDup pruning through the PRODUCTION entry point "
+    "(kmeans_assign_auto — `dn semdedup`'s router): one count sizes "
+    "k = ceil(n/250) and routes flat assignment below k=1024 (lower "
+    "constants, the measured-good regime to the 100x tier) or "
+    "two-level at/above it (the n*sqrt(k) form that retired the "
+    "1000x tier's factor-27.6 wall). The oracle grades the ROUTING "
+    "itself: both branch pipelines are present, each source-guarded "
+    "by the router's own integer k-condition, so exactly one branch "
+    "sees rows at any tier and a routing bug on either side "
+    "hash-mismatches",
+)
+def semdedup_prune_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.kmeans import (
+        kmeans_assign_auto,
+        semdedup_prune_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign_auto(
+        emb, iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
+    )
+    return semdedup_prune_pairs(emb, assign, threshold=_EMB_T).withColumn(
+        "cluster", F.col("cluster").cast("long")
+    )
+
+
 _ANN_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

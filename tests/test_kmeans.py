@@ -407,3 +407,59 @@ def test_two_level_assign_bounded_deterministic(spark):
     pairs = semdedup_prune_pairs(df, assign, threshold=0.999)
     got = {(r["kept_id"], r["dropped_id"]) for r in pairs.collect()}
     assert {(i, 500 + i) for i in range(5)} <= got
+
+
+def test_level2_chunked_argmin_exact():
+    """The row-blocked distance pass must be bit-identical to the
+    full-matrix form at ANY block size (argmin is row-independent;
+    first-minimum tie rule survives block splits)."""
+    import numpy as np
+
+    from dragnet_spark.ops.kmeans import _chunked_argmin
+
+    rng = np.random.RandomState(3)
+    Q = rng.randint(-1000, 1000, size=(501, 16)).astype(np.int64)
+    C = rng.randint(-1000, 1000, size=(37, 16)).astype(np.int64)
+    # plant exact ties so the first-minimum rule is exercised
+    C[5] = C[11]
+    d_full = (
+        (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    a_full = d_full.argmin(axis=1)
+    dm_full = d_full[np.arange(len(Q)), a_full]
+    for chunk_elems in (1, 37, 64, 1000, 10**9):
+        a, dm = _chunked_argmin(Q, C, chunk_elems)
+        assert (a == a_full).all() and (dm == dm_full).all(), chunk_elems
+
+
+def test_two_level_assignment_invariant_under_chunking(spark):
+    """kmeans_assign_two_level under a deliberately tiny distance-block
+    budget (chunk_elems=64 → hundreds of blocks per group, the
+    small-executor memory posture) must produce the identical
+    assignment as the default — the r11 memory-cliff fix must be a
+    pure memory bound, never a result change."""
+    import numpy as np
+
+    from dragnet_spark.ops.kmeans import kmeans_assign_two_level
+
+    rng = np.random.RandomState(9)
+    blobs = rng.standard_normal((6, 8)) * 10
+    rows = [
+        (i, (blobs[i % 6] + rng.standard_normal(8) * 0.1).tolist())
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        (r["id"], r["cluster"], r["dist"])
+        for r in kmeans_assign_two_level(
+            df, target_rows_per_cluster=20
+        ).collect()
+    }
+    tiny = {
+        (r["id"], r["cluster"], r["dist"])
+        for r in kmeans_assign_two_level(
+            df, target_rows_per_cluster=20, chunk_elems=64
+        ).collect()
+    }
+    assert tiny == base and len(base) == 600
