@@ -66,9 +66,19 @@ def asof_join(
     lt = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
     # a NULL right_ts can never satisfy right_ts <= left_ts; without
     # this filter the NULL row sorts FIRST (nulls-first asc) and its
-    # non-NULL payload struct would carry into every left row
+    # non-NULL payload struct would carry into every left row.
+    # NULL JOIN KEYS never match either (equi-join/ASOF semantics —
+    # NULL = NULL is unknown): window partitionBy would instead group
+    # every NULL-key row into ONE partition and hand NULL-key left
+    # rows a NULL-key right row's payload (caught by the
+    # parquet-resident-NULL fixture). Dropping NULL-key right rows
+    # leaves NULL-key left rows alone in their partition → NULL
+    # payload, exactly DuckDB's ASOF LEFT JOIN.
+    rfilter = F.col(right_ts).isNotNull()
+    for k in keys:
+        rfilter = rfilter & F.col(k).isNotNull()
     rt = (
-        right.filter(F.col(right_ts).isNotNull())
+        right.filter(rfilter)
         .select(
             *keys,
             F.col(right_ts).alias(_TS),

@@ -960,7 +960,7 @@ def events_value_percentiles_approx(
     ap = e.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95"),
-    )
+    ).withColumnRenamed("event_type", "__et")
     eps = 0.001  # 10x the 1/accuracy rank guarantee
 
     def rank_ok(target: float, pcol: str) -> Column:
@@ -970,8 +970,13 @@ def events_value_percentiles_approx(
             F.lit(target) <= frac_le + F.lit(eps)
         )
 
+    # null-SAFE broadcast-back: a NULL event_type is a real group on
+    # both engines (parquet-resident NULL fixture); a bare equi-join
+    # would silently drop it
     return (
-        e.join(F.broadcast(ap), "event_type")
+        e.join(
+            F.broadcast(ap), F.col("event_type").eqNullSafe(F.col("__et"))
+        )
         .groupBy("event_type")
         .agg(
             rank_ok(0.5, "p50").alias("p50_rank_ok"),

@@ -558,7 +558,7 @@ def index_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _SKETCH_CACHE[sf_dir] = path
     sk = spark.read.parquet(_SKETCH_CACHE[sf_dir])
-    approx = sk.groupBy("event_type").agg(
+    approx = sk.groupBy(F.col("event_type").alias("__et")).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
         .cast("long")
         .alias("__approx")
@@ -568,8 +568,13 @@ def index_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count_distinct("user_id").cast("long").alias("n_distinct_exact"))
     )
+    # null-SAFE join: NULL event_type is a real group in both the
+    # sketch view and the exact rollup (parquet-resident NULL fixture)
     return (
-        exact.join(F.broadcast(approx), "event_type")
+        exact.join(
+            F.broadcast(approx),
+            F.col("event_type").eqNullSafe(F.col("__et")),
+        )
         .select(
             "event_type",
             "n_distinct_exact",

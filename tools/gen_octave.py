@@ -16,6 +16,7 @@ single-shot run — only the file layout differs.
 
 Usage: python tools/gen_octave.py OUT_DIR --scale K
          [--tables documents,embeddings] [--workers 8] [--uniform]
+         [--nulls]   # parquet-resident NULL overlay (gen_nulls rules)
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ from tools.gen_sf1 import (  # noqa: E402
 
 def _gen_slice(args: tuple) -> tuple[str, int, float]:
     """One worker: replicas [r0, r1) of one table → one part file."""
-    table, out_dir, k, zipf, r0, r1, part = args
+    table, out_dir, k, zipf, r0, r1, part, nulls = args
     import duckdb
 
     t0 = time.time()
@@ -47,7 +48,7 @@ def _gen_slice(args: tuple) -> tuple[str, int, float]:
     # each worker is regex/CPU-bound on its own slice; keep DuckDB's
     # intra-query parallelism from oversubscribing the box
     con.execute("SET threads TO 2")
-    sql = scaled_sql(r1, zipf, r0)[table]
+    sql = scaled_sql(r1, zipf, r0, nulls=nulls)[table]
     dst = os.path.join(out_dir, f"{table}.parquet", f"part-{part:04d}.parquet")
     con.execute(
         f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 122880)"
@@ -62,7 +63,8 @@ def _gen_slice(args: tuple) -> tuple[str, int, float]:
 def main() -> None:
     args = list(sys.argv[1:])
     zipf = "--uniform" not in args
-    args = [a for a in args if a != "--uniform"]
+    nulls = "--nulls" in args
+    args = [a for a in args if a not in ("--uniform", "--nulls")]
 
     def _opt(name: str, default: str) -> str:
         if name in args:
@@ -95,7 +97,7 @@ def main() -> None:
             r0, r1 = w * per, min((w + 1) * per, k)
             if r0 >= r1:
                 break
-            jobs.append((t, out, k, zipf, r0, r1, w))
+            jobs.append((t, out, k, zipf, r0, r1, w, nulls))
 
     t0 = time.time()
     counts: dict[str, int] = {}
@@ -122,6 +124,7 @@ def main() -> None:
                 "gen_version": GEN_VERSION,
                 "scale": k,
                 "mode": mode,
+                "nulls": nulls,
                 "src": SRC,
                 "rows": counts,
                 "tables_subset": sorted(tables),
