@@ -480,6 +480,249 @@ def band_store_pairs(
     return _verify_jaccard_pairs(candidates, sets, threshold, verify_semi)
 
 
+def _verify_in_slices(
+    spark: SparkSession,
+    candidates: DataFrame,
+    verify_one,
+    out_path: str,
+    slices: int,
+) -> DataFrame:
+    """Bounded-footprint exact verification: materialize the candidate
+    pairs once (parquet at ``out_path/_candidates``), then run
+    ``verify_one(cand_slice)`` as ``slices`` SEQUENTIAL jobs — slice i
+    is the pairs with ``pmod(xxhash64(id_a, id_b), slices) == i`` —
+    each writing its verified pairs to ``out_path/slice=i``. Because
+    the slices PARTITION the candidate set, the union of outputs is
+    bit-identical to the one-shot verify; because they run as separate
+    jobs, peak shuffle/spill footprint is ~1/slices of the one-shot
+    (the single-box regime knob — measured at the 10⁴ octave, where
+    the one-shot verify exchange projects to 145 GB for minhash and
+    455 GB for SRP against ~60 GB of free disk; on a cluster the same
+    knob bounds concurrent spill per wave). A completed slice dir is
+    skipped on re-run (crash-resumable: the per-slice write is
+    overwrite-then-done, so a partial slice rewrites). Returns the
+    completed sink as a DataFrame."""
+    import shutil as _shutil
+
+    cdir = os.path.join(out_path, "_candidates")
+    if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
+        candidates.write.mode("overwrite").parquet(cdir)
+    cand = spark.read.parquet(cdir)
+    for i in range(slices):
+        sdir = os.path.join(out_path, f"slice={i}")
+        if os.path.exists(os.path.join(sdir, "_SUCCESS")):
+            continue
+        part = cand.filter(
+            F.pmod(F.xxhash64("id_a", "id_b"), F.lit(slices)) == i
+        )
+        verify_one(part).write.mode("overwrite").parquet(sdir)
+        try:  # one slice's dead shuffle must not sit under the next
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # pragma: no cover — py4j hiccup
+            pass
+    _shutil.rmtree(cdir, ignore_errors=True)
+    # partition discovery surfaces the slice dir as a column — an
+    # implementation detail of the bounded run, not part of the
+    # pair-set contract
+    return spark.read.parquet(out_path).drop("slice")
+
+
+def band_store_pairs_bounded(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    out_path: str,
+    threshold: float = 0.8,
+    slices: int = 8,
+) -> DataFrame:
+    """:func:`band_store_pairs` with the verify stage bounded by
+    :func:`_verify_in_slices` — the shape that completes on one box
+    (or a small cluster) when the one-shot verify exchange exceeds
+    local disk: candidate discovery from the persisted band rows,
+    candidates materialized once, then ``slices`` sequential
+    semi-filtered verify jobs appending to ``out_path``. Only docs in
+    a slice's pairs compute shingle sets in that job; a doc in one
+    pair (the overwhelming case — mean candidate degree ≈1 at the
+    graded tiers) is verified in exactly one slice, so total work ≈
+    the one-shot verify. Output is bit-identical to
+    ``ops.dedup.minhash_lsh_pairs``."""
+    from dragnet_spark.ops.dedup import (
+        _collision_pairs,
+        _verify_jaccard_pairs,
+        token_sets,
+    )
+
+    _recover_staged(os.path.join(path, BAND_DIR))
+    _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
+    meta = load_band_store_meta(path)
+    banded = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
+        F.col("doc_id").alias("id"), "band", "bhash"
+    )
+    candidates = _collision_pairs(banded, "id", ["band", "bhash"])
+    sets = token_sets(docs, meta["text_col"], meta["id_col"], meta["ngram"])
+
+    def verify_one(cand_slice: DataFrame) -> DataFrame:
+        return _verify_jaccard_pairs(cand_slice, sets, threshold, True)
+
+    return _verify_in_slices(spark, candidates, verify_one, out_path, slices)
+
+
+def srp_store_pairs_bounded(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    out_path: str,
+    threshold: float = 0.9,
+    slices: int = 8,
+) -> DataFrame:
+    """:func:`srp_store_pairs` with the verify stage bounded by
+    :func:`_verify_in_slices` — the embedding twin of
+    :func:`band_store_pairs_bounded` (the verify join ships two
+    dims-wide float64 arrays per candidate, the dominant exchange at
+    corpus scale). Output is bit-identical to
+    ``ops.dedup.embedding_near_dup_lsh`` with the store's planes."""
+    from dragnet_spark.ops.dedup import (
+        _collision_pairs,
+        _verify_cosine_pairs,
+    )
+
+    _recover_staged(os.path.join(path, SRP_DIR))
+    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+    meta = load_srp_store_meta(path)
+    banded = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
+        F.col("vec_id").alias("__id"), "band", "bucket"
+    )
+    candidates = _collision_pairs(banded, "__id", ["band", "bucket"])
+    vecs = docs.select(
+        F.col(meta["id_col"]).alias("__id"),
+        F.col(meta["vec_col"]).alias("__vec"),
+    )
+
+    def verify_one(cand_slice: DataFrame) -> DataFrame:
+        return _verify_cosine_pairs(cand_slice, vecs, threshold, True)
+
+    return _verify_in_slices(spark, candidates, verify_one, out_path, slices)
+
+
+#: loudness guard for bucket-local verification: one applyInPandas
+#: group holds a whole (band, bucket) collision family, so a bucket
+#: this large means the band width is far too narrow for the corpus —
+#: fail naming the dial (auto_bits_per_band) instead of generating
+#: B² pairs in one task.
+MAX_VERIFY_BUCKET_ROWS = 250_000
+
+
+def srp_store_pairs_bucket_verify(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    out_path: str,
+    threshold: float = 0.9,
+    max_bucket_rows: int = MAX_VERIFY_BUCKET_ROWS,
+) -> DataFrame:
+    """Per-BAND bucket-local verification — the bounded SRP verify for
+    corpora whose candidate DEGREE defeats pair-slicing. Measured at
+    the 10⁴ octave: 770M candidates over 40M vectors is degree ~19,
+    so any pair-slice's id families still span most of the vector
+    table and the per-slice semi filter stops shrinking the dominant
+    exchange (minhash's degree there is ~1, which is exactly why
+    :func:`band_store_pairs_bounded` bounds IT). Here vectors never
+    join onto pairs at all: each band runs one SEQUENTIAL job — that
+    band's (bucket, vec_id) store slice (partition-pruned) joins the
+    vector table once (~n·dims·8 B exchange per band, the whole
+    footprint), and within-bucket exact cosines come from one chunked
+    BLAS matmul per bucket (``applyInPandas`` —
+    ``embedding_near_dup_pairs``'s discipline: zero-norm scores 0,
+    HALF_UP rounding before the threshold, row-chunks bound peak
+    memory at O(chunk × bucket)). Passing pairs land in
+    ``out_path/band=b`` (completed bands skip on re-run); the return
+    reads the sink and collapses cross-band duplicates.
+
+    Output is bit-identical to :func:`srp_store_pairs` /
+    ``ops.dedup.embedding_near_dup_lsh``: within-bucket pairs unioned
+    over bands ARE the LSH candidate set, each verified with the same
+    rounded cosine."""
+    import shutil as _shutil
+
+    import numpy as np
+    import pandas as pd
+
+    _recover_staged(os.path.join(path, SRP_DIR))
+    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+    meta = load_srp_store_meta(path)
+    vecs = docs.select(
+        F.col(meta["id_col"]).alias("__id"),
+        F.col(meta["vec_col"]).alias("__vec"),
+    )
+    store = spark.read.parquet(os.path.join(path, SRP_DIR))
+
+    def bucket_pairs(key, pdf):
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if m > max_bucket_rows:
+            raise ValueError(
+                f"verify bucket {key} holds {m} vectors > "
+                f"{max_bucket_rows}: the band width is too narrow for "
+                f"this corpus — widen bits_per_band "
+                f"(ops.dedup.auto_bits_per_band) and rebuild the store"
+            )
+        V = np.asarray(list(pdf["__vec"]), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0  # zero vector scores 0, never NaN
+        V = V / norms[:, None]
+        out_a, out_b, out_c = [], [], []
+        chunk = max(1, 10_000_000 // m)
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sims = V[lo:hi] @ V.T
+            # Spark/BigDecimal HALF_UP, not numpy's half-even
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            )
+            if len(ai):
+                out_a.append(ids[lo + ai])
+                out_b.append(ids[bi])
+                out_c.append(sims[ai, bi])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    for b in range(meta["bands"]):
+        bdir = os.path.join(out_path, f"band={b}")
+        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            continue
+        slice_b = store.filter(F.col("band") == b).select("bucket", "vec_id")
+        (
+            slice_b.join(vecs, slice_b["vec_id"] == vecs["__id"])
+            .select("bucket", "__id", "__vec")
+            .groupBy("bucket")
+            .applyInPandas(
+                bucket_pairs, schema="id_a long, id_b long, cosine double"
+            )
+            .write.mode("overwrite")
+            .parquet(bdir)
+        )
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # pragma: no cover — py4j hiccup
+            pass
+    _shutil.rmtree(os.path.join(out_path, "_candidates"), ignore_errors=True)
+    return (
+        spark.read.parquet(out_path)
+        .drop("band")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ------------------------------------------------------ SRP band store
 #
 # The minhash band store catches TOKEN-level rewrites of stored

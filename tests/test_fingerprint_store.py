@@ -848,3 +848,126 @@ def test_srp_store_pairs_equal_batch_lsh(spark):
         assert from_store == batch, f"verify_semi={semi}"
     with pytest.raises(ValueError, match="with_pairs=False"):
         stream_curate_against_srp_store(df, path, min_band_hits=2)
+
+
+def test_bounded_sliced_verify_equals_one_shot(spark, sf_dir, tmp_path):
+    """band_store_pairs_bounded / srp_store_pairs_bounded (sequential
+    per-slice verify jobs, the single-box footprint knob) must produce
+    exactly the one-shot pair set — slices partition the candidates,
+    so the union is bit-identical; resumability must skip completed
+    slices."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from dragnet_spark.index.fingerprints import (
+        band_store_pairs,
+        band_store_pairs_bounded,
+        build_band_store,
+        build_srp_store,
+        srp_store_pairs,
+        srp_store_pairs_bounded,
+    )
+    from dragnet_spark.ops.dedup import (
+        auto_bits_per_band,
+        srp_planes_q_prefix,
+    )
+    from dragnet_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="bounded_band_")
+    build_band_store(spark, docs, store, num_hashes=16, bands=8, ngram=3)
+    one_shot = {
+        tuple(r) for r in band_store_pairs(
+            spark, store, docs, threshold=0.8
+        ).collect()
+    }
+    out = str(tmp_path / "band_pairs")
+    sliced = band_store_pairs_bounded(
+        spark, store, docs, out, threshold=0.8, slices=3
+    )
+    assert {tuple(r) for r in sliced.collect()} == one_shot
+    # resumability: re-run skips completed slices and reads the sink
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d))
+        for d in os.listdir(out) if d.startswith("slice=")
+    }
+    again = band_store_pairs_bounded(
+        spark, store, docs, out, threshold=0.8, slices=3
+    )
+    assert {tuple(r) for r in again.collect()} == one_shot
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, d)) == m, d
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((30, 16))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    rows += [(500 + i, base[i].tolist()) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bands = 6
+    bits = auto_bits_per_band(len(rows), bands)
+    sstore = tempfile.mkdtemp(prefix="bounded_srp_")
+    build_srp_store(
+        spark, emb, sstore, bands=bands, bits_per_band=bits, dims=16,
+        planes_q=srp_planes_q_prefix(16, bands, bits, 42),
+        with_pairs=False,
+    )
+    srp_one = {
+        tuple(r) for r in srp_store_pairs(
+            spark, sstore, emb, threshold=0.9
+        ).collect()
+    }
+    assert srp_one
+    srp_sliced = srp_store_pairs_bounded(
+        spark, sstore, emb, str(tmp_path / "srp_pairs"),
+        threshold=0.9, slices=4,
+    )
+    assert {tuple(r) for r in srp_sliced.collect()} == srp_one
+
+
+def test_srp_bucket_verify_equals_one_shot(spark, tmp_path):
+    """Per-band bucket-local verification (the degree-proof bounded
+    SRP verify) must produce the identical (id_a, id_b, cosine) set —
+    values included (the np-matmul HALF_UP rounding must agree with
+    the expression-side _vdot after round-6)."""
+    import numpy as np
+
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        build_srp_store,
+        srp_store_pairs,
+        srp_store_pairs_bucket_verify,
+    )
+    from dragnet_spark.ops.dedup import (
+        auto_bits_per_band,
+        srp_planes_q_prefix,
+    )
+
+    rng = np.random.RandomState(21)
+    base = rng.standard_normal((50, 16))
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    rows += [(900 + i, base[i].tolist()) for i in range(20)]  # twins
+    rows += [(800, [0.0] * 16)]  # zero vector: must score 0, never NaN
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bands = 6
+    bits = auto_bits_per_band(len(rows), bands)
+    path = tempfile.mkdtemp(prefix="bucketverify_")
+    build_srp_store(
+        spark, df, path, bands=bands, bits_per_band=bits, dims=16,
+        planes_q=srp_planes_q_prefix(16, bands, bits, 42),
+        with_pairs=False,
+    )
+    one_shot = {
+        tuple(r) for r in srp_store_pairs(
+            spark, path, df, threshold=0.9
+        ).collect()
+    }
+    assert one_shot
+    got = {
+        tuple(r) for r in srp_store_pairs_bucket_verify(
+            spark, path, df, str(tmp_path / "bv"), threshold=0.9
+        ).collect()
+    }
+    assert got == one_shot

@@ -160,17 +160,29 @@ def run(
         rec["verify_projection_bytes"] = projection
         rec["per_doc_set_bytes_est"] = int(per_doc)
         if projection > disk_budget:
-            rec["verify"] = {
-                "skipped": True,
-                "reason": (
-                    f"projected verify exchange ~{projection / 1e9:.0f} GB "
-                    f"(2 joins x {n_ids_est} candidate-family docs x "
-                    f"{per_doc:.0f} B/shingle-set) exceeds the "
-                    f"{disk_budget / 1e9:.0f} GB single-box disk budget; "
-                    "on a cluster this exchange hash-partitions across "
-                    "executor-local disks"
-                ),
+            # one-shot verify won't fit — run the BOUNDED sliced form
+            # (band_store_pairs_bounded): sequential per-slice jobs,
+            # peak exchange ~projection/slices
+            from dragnet_spark.index.fingerprints import (
+                band_store_pairs_bounded,
+            )
+
+            slices = min(64, max(2, -(-projection // (disk_budget // 3))))
+            out_dir = os.path.join(store_root, "minhash_pairs_out")
+            t0 = time.time()
+            n_pairs = band_store_pairs_bounded(
+                spark, path, docs, out_dir, threshold=_JACCARD_T,
+                slices=int(slices),
+            ).count()
+            rec["verify_bounded_s"] = round(time.time() - t0, 1)
+            rec["verify_slices"] = int(slices)
+            rec["n_verified_pairs"] = n_pairs
+            rec["attributed"] = {
+                "signature_build": rec["build_s"],
+                "band_shuffle_and_dedup": rec["cand_s"],
+                "verify_bounded": rec["verify_bounded_s"],
             }
+            shutil.rmtree(out_dir, ignore_errors=True)
         else:
             t0 = time.time()
             n_pairs = registry.queries()["dedup_minhash_lsh_store"](
@@ -242,18 +254,30 @@ def run(
         )
         rec["verify_projection_bytes"] = projection
         if projection > disk_budget:
-            rec["verify"] = {
-                "skipped": True,
-                "reason": (
-                    f"projected verify exchanges ~{projection / 1e9:.0f} GB "
-                    f"({n_cand} candidate pairs each shipping two "
-                    f"{_EMB_LSH_DIMS}-dim float64 vectors through two "
-                    f"joins) exceed the {disk_budget / 1e9:.0f} GB "
-                    "single-box disk budget; on a cluster these "
-                    "exchanges hash-partition across executor-local "
-                    "disks"
-                ),
+            # candidate DEGREE here defeats pair-slicing (each slice's
+            # id families span most of the vector table) — the bounded
+            # SRP verify is per-band BUCKET-LOCAL matmul: vectors ride
+            # once per band, pairs never join vectors
+            from dragnet_spark.index.fingerprints import (
+                srp_store_pairs_bucket_verify,
+            )
+            from dragnet_spark.registry.curation import _EMB_LSH_T
+
+            out_dir = os.path.join(store_root, "srp_pairs_out")
+            t0 = time.time()
+            n_pairs = srp_store_pairs_bucket_verify(
+                spark, path, corpus, out_dir, threshold=_EMB_LSH_T
+            ).count()
+            rec["verify_bounded_s"] = round(time.time() - t0, 1)
+            rec["verify_slices"] = _EMB_LSH_BANDS
+            rec["verify_mode"] = "per-band bucket-local matmul"
+            rec["n_verified_pairs"] = n_pairs
+            rec["attributed"] = {
+                "signature_build": rec["build_s"],
+                "band_shuffle_and_dedup": rec["cand_s"],
+                "verify_bounded": rec["verify_bounded_s"],
             }
+            shutil.rmtree(out_dir, ignore_errors=True)
         else:
             t0 = time.time()
             n_pairs = registry.queries()[
@@ -301,6 +325,22 @@ def merge_into_artifact(out_path: Path, recs: list[dict]) -> None:
                 f"measured here: build {rec['build_s']} s + probe "
                 f"{rec['probe_s']} s, {rec['n_verified_pairs']} verified "
                 "pairs — see store_amortized"
+            )
+        elif "verify_bounded_s" in rec:
+            art["queries"][f"{base}_store_verify_bounded"] = (
+                rec["verify_bounded_s"]
+            )
+            art["declared_skips"][base] = (
+                "batch one-shot DAG exceeds single-box disk at this tier "
+                "(one-shot verify exchange projects to "
+                f"{rec['verify_projection_bytes'] / 1e9:.0f} GB); the "
+                "store-amortized pipeline IS fully measured here: build "
+                f"{rec['build_s']} s, {rec['n_candidates']} candidates in "
+                f"{rec['cand_s']} s, BOUNDED sliced verify "
+                f"({rec['verify_slices']} sequential jobs, peak exchange "
+                f"~1/slices) {rec['verify_bounded_s']} s, "
+                f"{rec['n_verified_pairs']} verified pairs — see "
+                "store_amortized"
             )
         else:
             art["declared_skips"][base] = (
