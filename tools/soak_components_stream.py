@@ -15,6 +15,14 @@ stay flat while the corpus grows K-fold.
 
 Usage: python tools/soak_components_stream.py [N_DOCS] [K] [DUP_EVERY]
        (defaults 20000, 8, 5)
+       python tools/soak_components_stream.py --sf-dir DIR [N_DOCS] [K]
+         — octave mode (VERDICT r11 #8): folds are ≥100k REAL
+         documents from a tier (fold i = deterministic slice
+         doc_id % K == i of a hash-restricted corpus subset), so the
+         per-fold-flatness claim is tested at partition-scale folds
+         against a band store that grows to N_DOCS, with compaction
+         racing every fold as in the synthetic mode. Defaults
+         1_000_000 docs over 8 folds (125k/fold).
 Prints one JSON line.
 """
 
@@ -75,10 +83,33 @@ def _docs(spark, lo, hi, dup_every):
     )
 
 
+def _tier_corpus(spark, sf_dir: str, n_docs: int):
+    """A deterministic ~n_docs-row subset of the tier's documents:
+    keep doc_ids whose hash lands under n_docs/total — the SAME
+    predicate selects the corpus for folds and for the one-shot
+    truth, so equality is over exactly the ingested documents."""
+    from dragnet_spark.registry._base import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    total = docs.count()
+    keep = max(1, min(1_000_000, (n_docs * 1_000_000) // max(total, 1)))
+    return docs.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000)) < keep
+    ), total
+
+
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    dup_every = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    args = list(sys.argv[1:])
+    sf_dir = None
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        sf_dir = args[i + 1]
+        del args[i:i + 2]
+    n_docs = int(args[0]) if len(args) > 0 else (
+        1_000_000 if sf_dir else 20_000
+    )
+    k = int(args[1]) if len(args) > 1 else 8
+    dup_every = int(args[2]) if len(args) > 2 else 5
     spark = get_spark(app_name="soak_components_stream")
     root = tempfile.mkdtemp(prefix="dragnet_compstream_")
     band = f"{root}/band"
@@ -111,10 +142,28 @@ def main() -> None:
 
     t = threading.Thread(target=maintain, daemon=True)
 
-    per = n_docs // k
+    if sf_dir:
+        corpus, tier_total = _tier_corpus(spark, sf_dir, n_docs)
+        # folds must be stable across the ingest and the truth run —
+        # materialize the subset (a localCheckpoint would vanish on
+        # executor churn over a long soak; the corpus is small parquet)
+        cdir = f"{root}/corpus"
+        corpus.write.mode("overwrite").parquet(cdir)
+        corpus = spark.read.parquet(cdir)
+        n_actual = corpus.count()
+        folds = [
+            corpus.filter(F.pmod(F.col("doc_id"), F.lit(k)) == i)
+            for i in range(k)
+        ]
+    else:
+        per = n_docs // k
+        folds = [
+            _docs(spark, i * per, (i + 1) * per, dup_every)
+            for i in range(k)
+        ]
+        n_actual = per * k
     fold_s = []
-    for i in range(k):
-        b = _docs(spark, i * per, (i + 1) * per, dup_every)
+    for i, b in enumerate(folds):
         t0 = time.time()
         ingest(b, i)
         fold_s.append(round(time.time() - t0, 2))
@@ -124,10 +173,10 @@ def main() -> None:
             # not the race under test
             t.start()
     stop.set()
-    t.join(timeout=120)
+    t.join(timeout=600)
 
     # one-shot truth over ALL docs with the SAME banding basis
-    alld = _docs(spark, 0, per * k, dup_every)
+    alld = corpus if sf_dir else _docs(spark, 0, n_actual, dup_every)
     meta = load_band_store_meta(band)
     banded = _banded_rows(
         alld, meta["text_col"], meta["id_col"],
@@ -148,9 +197,10 @@ def main() -> None:
     diff = got.exceptAll(truth).unionAll(truth.exceptAll(got)).count()
 
     out = {
-        "n_docs": per * k,
+        "n_docs": n_actual,
         "k_folds": k,
-        "dup_every": dup_every,
+        "sf_dir": sf_dir,
+        "dup_every": None if sf_dir else dup_every,
         "fold_s": fold_s,
         # flatness judged past fold 0, which pays one-time JVM/codegen
         # warmup (measured 8.7s then 4.1->3.3s on a growing corpus —
