@@ -135,6 +135,12 @@ BENCH_FAMILIES = [
         # corpus-scaled SRP band width
         "semdedup_prune_two_level",
         "dedup_embedding_lsh_autobits",
+        # round-12 additions: store-amortized pair discovery (the
+        # continuous-ingest posture measured at the 10^4 tier) and
+        # the graded production router for SemDeDup assignment
+        "dedup_minhash_lsh_store",
+        "dedup_embedding_lsh_autobits_store",
+        "semdedup_prune_auto",
     ]),
     # decode-path regressions must trip the trailing-median grading
     # like every other family (VERDICT r6 #4) — multimodal throughput
@@ -163,6 +169,8 @@ STORE_BACKED_PROBE_ONLY = [
     "dedup_incremental_probe",
     "dedup_incremental_near_probe",
     "dedup_incremental_embedding_probe",
+    "dedup_minhash_lsh_store",
+    "dedup_embedding_lsh_autobits_store",
 ]
 
 
