@@ -111,6 +111,35 @@ def _collision_pairs(
     )
 
 
+#: the semi-verify id set is force-broadcast up to this many ids
+#: (16M longs ≈ 128 MB serialized — comfortable on the driver and per
+#: executor). Without the explicit hint the gate is AQE's 10 MB
+#: autoBroadcastJoinThreshold, and an id set just past it (measured:
+#: ~2.7M ids per verify slice at the 10⁴ octave) silently downgrades
+#: the semi to a sort-merge that shuffles the FULL corpus table —
+#: raw text included, ~40 GB of exchange to serve a 21 MB id set, the
+#: exact wall the semi path exists to avoid. Past the cap the
+#: sort-merge semi is the correct shape (a degenerate all-duplicates
+#: corpus must not OOM the driver).
+MAX_SEMI_BROADCAST_IDS = 16_000_000
+
+
+def _semi_filter_ids(side: DataFrame, candidates: DataFrame, key: str):
+    """sets/vecs table left-semi-filtered to the distinct candidate
+    ids, with the id side explicitly broadcast when it is counted
+    small (:data:`MAX_SEMI_BROADCAST_IDS`). The count is one narrow
+    job over the already-materialized candidates — metadata-cheap
+    next to the join it sizes."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(key))
+        .union(candidates.select(F.col("id_b").alias(key)))
+        .distinct()
+    )
+    if cand_ids.count() <= MAX_SEMI_BROADCAST_IDS:
+        cand_ids = F.broadcast(cand_ids)
+    return side.join(cand_ids, key, "leftsemi")
+
+
 def _verify_jaccard_pairs(
     candidates: DataFrame,
     sets: DataFrame,
@@ -123,16 +152,13 @@ def _verify_jaccard_pairs(
     ``verify_semi`` picks the join shape (see minhash_lsh_pairs's
     docstring): the semi path materializes candidates once and
     left-semi-joins the sets table to the distinct candidate ids
-    BEFORE the pair joins, so only collision-family docs ever compute
-    or shuffle a shingle set. Output is bit-identical either way."""
+    BEFORE the pair joins (ids explicitly broadcast when counted
+    small — :data:`MAX_SEMI_BROADCAST_IDS`), so only collision-family
+    docs ever compute or shuffle a shingle set. Output is
+    bit-identical either way."""
     if verify_semi:
         candidates = _materialize_once(candidates)
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("id"))
-            .union(candidates.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        sets = sets.join(cand_ids, "id", "leftsemi")
+        sets = _semi_filter_ids(sets, candidates, "id")
     with_sets = candidates.join(
         sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ts_a")),
         "id_a",
@@ -937,12 +963,7 @@ def _verify_cosine_pairs(
     way."""
     if verify_semi:
         candidates = _materialize_once(candidates)
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("__id"))
-            .union(candidates.select(F.col("id_b").alias("__id")))
-            .distinct()
-        )
-        vecs = vecs.join(cand_ids, "__id", "leftsemi")
+        vecs = _semi_filter_ids(vecs, candidates, "__id")
     with_vecs = candidates.join(
         vecs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("va")),
         "id_a",
