@@ -154,11 +154,16 @@ def _verify_jaccard_pairs(
     left-semi-joins the sets table to the distinct candidate ids
     BEFORE the pair joins (ids explicitly broadcast when counted
     small — :data:`MAX_SEMI_BROADCAST_IDS`), so only collision-family
-    docs ever compute or shuffle a shingle set. Output is
-    bit-identical either way."""
+    docs ever compute or shuffle a shingle set. The filtered sets
+    table is itself materialized once: the pair stage references it
+    TWICE (id_a and id_b joins), and Catalyst re-embeds — i.e.
+    re-scans the corpus and re-computes survivor shingle sets — per
+    reference otherwise (measured at the 10⁴ octave: two full
+    50M-doc text scans per verify job). Output is bit-identical
+    either way."""
     if verify_semi:
         candidates = _materialize_once(candidates)
-        sets = _semi_filter_ids(sets, candidates, "id")
+        sets = _materialize_once(_semi_filter_ids(sets, candidates, "id"))
     with_sets = candidates.join(
         sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ts_a")),
         "id_a",
@@ -963,7 +968,9 @@ def _verify_cosine_pairs(
     way."""
     if verify_semi:
         candidates = _materialize_once(candidates)
-        vecs = _semi_filter_ids(vecs, candidates, "__id")
+        # materialized once — referenced by BOTH pair joins (see
+        # _verify_jaccard_pairs)
+        vecs = _materialize_once(_semi_filter_ids(vecs, candidates, "__id"))
     with_vecs = candidates.join(
         vecs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("va")),
         "id_a",

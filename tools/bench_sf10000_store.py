@@ -167,7 +167,14 @@ def run(
                 band_store_pairs_bounded,
             )
 
-            slices = min(64, max(2, -(-projection // (disk_budget // 3))))
+            # per-slice footprint after the broadcast-semi +
+            # materialize-once fixes: ~2.2x the slice's survivor sets
+            # (one checkpointed copy + two join exchanges of it);
+            # slices sized so that fits the budget. Each slice still
+            # pays one full corpus text scan, so fewer slices = less
+            # total wall — the budget, not a fixed fraction, is the
+            # right divisor.
+            slices = min(64, max(2, -(-projection // disk_budget)))
             out_dir = os.path.join(store_root, "minhash_pairs_out")
             t0 = time.time()
             n_pairs = band_store_pairs_bounded(
