@@ -39,10 +39,15 @@ from tools.check_sf1000 import check_one  # noqa: E402
 
 ROOT = Path(__file__).resolve().parent.parent
 
-#: slice predicates per table — the ONE definition of the sample
+#: slice predicates per table — the ONE definition of the sample.
+#: embeddings sample at 2%, not 1%: 400k vectors puts auto_k at
+#: k = 1600 ≥ TWO_LEVEL_MIN_K, so `semdedup_prune_auto` routes its
+#: TWO-LEVEL branch here — the k≥1024 side of the production router
+#: gets oracle-graded (its flat side is graded at sf0.01/0.1), while
+#: the slice stays small enough that every oracle is tractable.
 SLICE_RULES = {
     "documents": "doc_id % 100 = 0",
-    "embeddings": "vec_id % 100 = 0",
+    "embeddings": "vec_id % 50 = 0",
 }
 
 #: graded entries: the tier subset's oracle-bearing scale paths plus
