@@ -323,6 +323,12 @@ def merge_into_artifact(out_path: Path, recs: list[dict]) -> None:
         sa[base] = rec
         if rec.get("build_s") is not None:
             art["queries"][f"{base}_store_build"] = rec["build_s"]
+        elif f"{base}_store_build" in art["queries"]:
+            # resumed run reused a persisted store — carry the prior
+            # run's build wall into this record's prose/attribution
+            rec["build_s"] = art["queries"][f"{base}_store_build"]
+            rec["build_note"] = "prior run's wall; store reused"
+            rec.get("attributed", {})["signature_build"] = rec["build_s"]
         art["queries"][f"{base}_store_cand"] = rec["cand_s"]
         if "probe_s" in rec:
             art["queries"][f"{base}_store_probe"] = rec["probe_s"]

@@ -40,13 +40,25 @@ from tools.check_sf1000 import check_one  # noqa: E402
 ROOT = Path(__file__).resolve().parent.parent
 
 #: slice predicates per table — the ONE definition of the sample.
+#:
+#: documents slice by WHOLE REPLICA, every 100th (1% of the corpus:
+#: 100 of the 10⁴ replicas × 5k docs, spanning the full replica-index
+#: range): near-dup pairs are within-replica by construction
+#: (cross-replica shingle overlap is zero — gen_sf1's token salt), so
+#: a replica-spread slice preserves the tier's pair structure
+#: (~25,600 expected minhash pairs) where a mod-id slice graded
+#: pair ops green-but-empty (both endpoints of a pair almost never
+#: share id % 100).
+#:
 #: embeddings sample at 2%, not 1%: 400k vectors puts auto_k at
 #: k = 1600 ≥ TWO_LEVEL_MIN_K, so `semdedup_prune_auto` routes its
 #: TWO-LEVEL branch here — the k≥1024 side of the production router
 #: gets oracle-graded (its flat side is graded at sf0.01/0.1), while
-#: the slice stays small enough that every oracle is tractable.
+#: the slice stays small enough that every oracle is tractable (the
+#: autobits pair structure is the in-query planted twins, present at
+#: any slice).
 SLICE_RULES = {
-    "documents": "doc_id % 100 = 0",
+    "documents": "(doc_id // 100000) % 100 = 0",
     "embeddings": "vec_id % 50 = 0",
 }
 
