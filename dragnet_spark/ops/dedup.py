@@ -111,9 +111,8 @@ def _collision_pairs(
     )
 
 
-#: the semi-verify id set is force-broadcast up to this many ids
-#: (16M longs ≈ 128 MB serialized — comfortable on the driver and per
-#: executor). Without the explicit hint the gate is AQE's 10 MB
+#: the semi-verify id set is force-broadcast up to this many ids.
+#: Without the explicit hint the gate is AQE's 10 MB
 #: autoBroadcastJoinThreshold, and an id set just past it (measured:
 #: ~2.7M ids per verify slice at the 10⁴ octave) silently downgrades
 #: the semi to a sort-merge that shuffles the FULL corpus table —
@@ -121,7 +120,37 @@ def _collision_pairs(
 #: exact wall the semi path exists to avoid. Past the cap the
 #: sort-merge semi is the correct shape (a degenerate all-duplicates
 #: corpus must not OOM the driver).
+#:
+#: MEMORY CONTRACT: broadcasting n ids makes the DRIVER collect them
+#: and build the hashed relation — roughly 40-64 B per long row once
+#: LongToUnsafeRowMap overhead is in, so the 16M default needs
+#: ~0.6-1 GB of driver headroom (this repo's sessions run multi-GB
+#: drivers; measured fine at the 10⁴ octave). On a default 1g driver
+#: set the cap near 2_000_000 via either knob below — the AQE
+#: threshold that used to protect small drivers no longer gates this
+#: join.
 MAX_SEMI_BROADCAST_IDS = 16_000_000
+
+
+def _max_semi_broadcast_ids(spark) -> int:
+    """The effective broadcast-id cap: the Spark conf
+    ``spark.dragnet.semiBroadcastMaxIds`` wins, then the env var
+    ``DRAGNET_MAX_SEMI_BROADCAST_IDS``, then the 16M default — the
+    two overrides exist so a small-driver deployment can lower the
+    cap without code changes (see :data:`MAX_SEMI_BROADCAST_IDS`'s
+    memory contract)."""
+    import os as _os
+
+    try:
+        conf = spark.conf.get("spark.dragnet.semiBroadcastMaxIds", None)
+        if conf is not None:
+            return int(conf)
+    except Exception:  # pragma: no cover — conf API hiccup
+        pass
+    env = _os.environ.get("DRAGNET_MAX_SEMI_BROADCAST_IDS")
+    if env:
+        return int(env)
+    return MAX_SEMI_BROADCAST_IDS
 
 
 def _semi_filter_ids(side: DataFrame, candidates: DataFrame, key: str):
@@ -135,7 +164,7 @@ def _semi_filter_ids(side: DataFrame, candidates: DataFrame, key: str):
         .union(candidates.select(F.col("id_b").alias(key)))
         .distinct()
     )
-    if cand_ids.count() <= MAX_SEMI_BROADCAST_IDS:
+    if cand_ids.count() <= _max_semi_broadcast_ids(side.sparkSession):
         cand_ids = F.broadcast(cand_ids)
     return side.join(cand_ids, key, "leftsemi")
 
@@ -145,6 +174,7 @@ def _verify_jaccard_pairs(
     sets: DataFrame,
     threshold: float,
     verify_semi: bool,
+    candidates_materialized: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against a
     (id, tset) shingle-set table — the verify tail shared by
@@ -160,9 +190,16 @@ def _verify_jaccard_pairs(
     re-scans the corpus and re-computes survivor shingle sets — per
     reference otherwise (measured at the 10⁴ octave: two full
     50M-doc text scans per verify job). Output is bit-identical
-    either way."""
+    either way. ``candidates_materialized`` says the caller's
+    candidates are ALREADY file-backed (the bounded runs pass a
+    filter over their parquet-resident ``_candidates`` sink) — the
+    re-references then re-read a column-pruned parquet slice, which
+    is cheap, and skipping the checkpoint keeps a long sliced run
+    from accumulating one candidate checkpoint per slice on the
+    disk-constrained box the slicing exists for."""
     if verify_semi:
-        candidates = _materialize_once(candidates)
+        if not candidates_materialized:
+            candidates = _materialize_once(candidates)
         sets = _materialize_once(_semi_filter_ids(sets, candidates, "id"))
     with_sets = candidates.join(
         sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ts_a")),
@@ -954,6 +991,7 @@ def _verify_cosine_pairs(
     vecs: DataFrame,
     threshold: float,
     verify_semi: bool,
+    candidates_materialized: bool = False,
 ) -> DataFrame:
     """Exact rounded-cosine verification of candidate pairs against a
     (__id, __vec) vector table — the embedding twin of
@@ -965,9 +1003,12 @@ def _verify_cosine_pairs(
     FULL vector table shuffles twice to serve a collision-family-sized
     candidate set (the 10⁴-tier disk wall, measured — the minhash
     verify fix applied to embeddings). Output is bit-identical either
-    way."""
+    way. ``candidates_materialized`` as in
+    :func:`_verify_jaccard_pairs` — file-backed candidates skip the
+    checkpoint."""
     if verify_semi:
-        candidates = _materialize_once(candidates)
+        if not candidates_materialized:
+            candidates = _materialize_once(candidates)
         # materialized once — referenced by BOTH pair joins (see
         # _verify_jaccard_pairs)
         vecs = _materialize_once(_semi_filter_ids(vecs, candidates, "__id"))

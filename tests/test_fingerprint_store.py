@@ -971,3 +971,109 @@ def test_srp_bucket_verify_equals_one_shot(spark, tmp_path):
         ).collect()
     }
     assert got == one_shot
+
+
+def test_bounded_verify_manifest_guards_resume(spark, tmp_path):
+    """A bounded run's out_path records its parameters: resuming (or
+    re-invoking after completion) with a different slices count or
+    threshold must fail loudly naming the mismatch — the per-slice
+    _SUCCESS markers are meaningless under a different pmod modulus,
+    and silently mixing moduli duplicates/loses pairs."""
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        band_store_pairs_bounded,
+        build_band_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally different words about compilers and loops"),
+        ],
+        "doc_id long, text string",
+    )
+    store = tempfile.mkdtemp(prefix="manifest_band_")
+    build_band_store(spark, docs, store, num_hashes=8, bands=4, ngram=3)
+    out = str(tmp_path / "pairs")
+    band_store_pairs_bounded(
+        spark, store, docs, out, threshold=0.5, slices=2
+    ).collect()
+    # same params: fine (skips completed slices)
+    band_store_pairs_bounded(
+        spark, store, docs, out, threshold=0.5, slices=2
+    ).collect()
+    with pytest.raises(ValueError, match="resume mismatch.*slices"):
+        band_store_pairs_bounded(
+            spark, store, docs, out, threshold=0.5, slices=3
+        )
+    with pytest.raises(ValueError, match="resume mismatch.*threshold"):
+        band_store_pairs_bounded(
+            spark, store, docs, out, threshold=0.6, slices=2
+        )
+
+
+def test_semi_broadcast_cap_is_configurable(spark, monkeypatch):
+    """ADVICE r12: the 16M-id force-broadcast cap must be tunable for
+    small-driver deployments — Spark conf wins, then the env var,
+    then the documented default."""
+    from dragnet_spark.ops.dedup import (
+        MAX_SEMI_BROADCAST_IDS,
+        _max_semi_broadcast_ids,
+    )
+
+    monkeypatch.delenv("DRAGNET_MAX_SEMI_BROADCAST_IDS", raising=False)
+    assert _max_semi_broadcast_ids(spark) == MAX_SEMI_BROADCAST_IDS
+    monkeypatch.setenv("DRAGNET_MAX_SEMI_BROADCAST_IDS", "2000000")
+    assert _max_semi_broadcast_ids(spark) == 2_000_000
+    spark.conf.set("spark.dragnet.semiBroadcastMaxIds", "500000")
+    try:
+        assert _max_semi_broadcast_ids(spark) == 500_000
+    finally:
+        spark.conf.unset("spark.dragnet.semiBroadcastMaxIds")
+
+
+def test_reclaim_slice_scratch_drops_new_checkpoints(tmp_path):
+    """The bounded runs reclaim reliable-checkpoint dirs their slices
+    created (the sink write completed, so that lineage is dead) —
+    without this a long sliced run accumulates one checkpointed sets
+    table per slice on exactly the disk-constrained box the slicing
+    exists for. Pre-existing entries (someone else's live checkpoint)
+    must survive."""
+    import os
+
+    from dragnet_spark.index.fingerprints import (
+        _checkpoint_baseline,
+        _reclaim_slice_scratch,
+    )
+
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    (ck / "rdd-live").mkdir()
+
+    class _SC:
+        def getCheckpointDir(self):
+            return f"file:{ck}"
+
+    class _Spark:
+        sparkContext = _SC()
+
+    fake = _Spark()
+    baseline = _checkpoint_baseline(fake)
+    assert baseline == {"rdd-live"}
+    (ck / "rdd-slice-scratch").mkdir()
+    after = _reclaim_slice_scratch(fake, baseline)
+    assert after == baseline
+    assert os.path.isdir(ck / "rdd-live")
+    assert not os.path.exists(ck / "rdd-slice-scratch")
+
+    class _NoneSC:
+        def getCheckpointDir(self):
+            return None
+
+    class _NoneSpark:
+        sparkContext = _NoneSC()
+
+    assert _checkpoint_baseline(_NoneSpark()) == set()
+    assert _reclaim_slice_scratch(_NoneSpark(), {"x"}) == {"x"}
