@@ -84,6 +84,8 @@ _OPT_DEFS = {
     "id-b": True, "top": True, "ids": True,
     # round-11: hierarchical (n·√k) SemDeDup assignment
     "two-level": False,
+    # round-13: store-amortized pair discovery (band-pairs / srp-pairs)
+    "bounded": False, "slices": True, "mode": True,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -979,6 +981,148 @@ def cmd_srp_probe(argv, cat: Catalog, out):
     out.write("%d of %d near-duplicate the corpus\n" % (n_near, len(rows)))
 
 
+def _print_pair_rows(out, rows, score_col: str) -> None:
+    for r in rows:
+        out.write(
+            json.dumps(
+                {
+                    "id_a": r["id_a"],
+                    "id_b": r["id_b"],
+                    score_col: r[score_col],
+                }
+            )
+            + "\n"
+        )
+
+
+def cmd_band_pairs(argv, cat: Catalog, out):
+    """dn band-pairs <store-path> --docs=<parquet> [--threshold=0.8]
+    [--out=DIR] [--bounded [--slices=8]]: near-duplicate PAIR
+    DISCOVERY from the persisted minhash band store — the
+    store-amortized production pipeline (signatures paid once at
+    ingest by band-build/band-append; candidates come from the
+    persisted (band, bhash, doc_id) rows; every candidate is verified
+    with the exact Jaccard against --docs, which supplies the text).
+    --bounded runs the verify as --slices SEQUENTIAL crash-resumable
+    jobs writing into --out (required), bounding peak shuffle/spill
+    to ~1/slices of the one-shot — the shape measured at the 10⁴
+    octave (50M docs: 96 s candidates + 2180 s bounded verify where
+    the one-shot exchange projected 145 GB). Output (id_a, id_b,
+    jaccard) goes to --out as parquet when given, else prints NDJSON
+    rows (small runs); always ends with a summary line."""
+    from dragnet_spark.index.fingerprints import (
+        band_store_pairs,
+        band_store_pairs_bounded,
+    )
+
+    opts = _parse_args(argv, ["docs", "threshold", "out", "bounded", "slices"])
+    (store,) = _nargs(opts, 1)
+    if "docs" not in opts:
+        raise UsageError('"docs" option is required')
+    thr = float(opts.get("threshold", "0.8"))
+    spark = _get_spark()
+    docs = spark.read.parquet(opts["docs"])
+    if opts.get("bounded"):
+        if "out" not in opts:
+            raise UsageError('"--bounded" requires "--out"')
+        slices = int(opts.get("slices", "8"))
+        pairs = band_store_pairs_bounded(
+            spark, store, docs, opts["out"], threshold=thr, slices=slices
+        )
+        n = pairs.count()
+        out.write(
+            "%d near-duplicate pairs (jaccard >= %g) at %s "
+            "(bounded verify, %d slices)\n" % (n, thr, opts["out"], slices)
+        )
+        return
+    pairs = band_store_pairs(spark, store, docs, threshold=thr)
+    if "out" in opts:
+        pairs.write.mode("overwrite").parquet(opts["out"])
+        n = spark.read.parquet(opts["out"]).count()
+        out.write(
+            "%d near-duplicate pairs (jaccard >= %g) at %s\n"
+            % (n, thr, opts["out"])
+        )
+        return
+    rows = pairs.orderBy("id_a", "id_b").collect()  # presentation-layer
+    _print_pair_rows(out, rows, "jaccard")
+    out.write(
+        "%d near-duplicate pairs (jaccard >= %g)\n" % (len(rows), thr)
+    )
+
+
+def cmd_srp_pairs(argv, cat: Catalog, out):
+    """dn srp-pairs <store-path> --vectors=<parquet> [--threshold=0.9]
+    [--out=DIR] [--mode=oneshot|sliced|bucket [--slices=8]]: SEMANTIC
+    near-duplicate PAIR DISCOVERY from the persisted SRP band store —
+    the embedding twin of band-pairs (candidates from persisted
+    (band, bucket, vec_id) rows; exact rounded-cosine verify against
+    --vectors). --mode picks the verify shape: oneshot (default) is
+    the plain DAG; sliced partitions the candidate pairs into
+    --slices sequential jobs (bounds footprint when candidate DEGREE
+    is low); bucket runs per-band bucket-local matmuls and never
+    joins vectors onto pairs at all — the shape that completed the
+    10⁴ octave (40M vectors: 251 s candidates + 3941 s bucket verify
+    where the one-shot exchange projected 455 GB; pick it when mean
+    candidate degree is high). sliced/bucket require --out. Output
+    (id_a, id_b, cosine) as for band-pairs."""
+    from dragnet_spark.index.fingerprints import (
+        srp_store_pairs,
+        srp_store_pairs_bounded,
+        srp_store_pairs_bucket_verify,
+    )
+
+    opts = _parse_args(
+        argv, ["vectors", "threshold", "out", "mode", "slices"]
+    )
+    (store,) = _nargs(opts, 1)
+    if "vectors" not in opts:
+        raise UsageError('"vectors" option is required')
+    mode = opts.get("mode", "oneshot")
+    if mode not in ("oneshot", "sliced", "bucket"):
+        raise UsageError(
+            f'unknown mode: "{mode}" (expected oneshot, sliced, or bucket)'
+        )
+    thr = float(opts.get("threshold", "0.9"))
+    spark = _get_spark()
+    vecs = spark.read.parquet(opts["vectors"])
+    if mode != "oneshot":
+        if "out" not in opts:
+            raise UsageError(f'mode "{mode}" requires "--out"')
+        if mode == "sliced":
+            slices = int(opts.get("slices", "8"))
+            pairs = srp_store_pairs_bounded(
+                spark, store, vecs, opts["out"], threshold=thr, slices=slices
+            )
+            shape = "sliced verify, %d slices" % slices
+        else:
+            pairs = srp_store_pairs_bucket_verify(
+                spark, store, vecs, opts["out"], threshold=thr
+            )
+            shape = "bucket-local verify"
+        n = pairs.count()
+        out.write(
+            "%d semantic near-duplicate pairs (cosine >= %g) at %s (%s)\n"
+            % (n, thr, opts["out"], shape)
+        )
+        return
+    pairs = srp_store_pairs(spark, store, vecs, threshold=thr)
+    if "out" in opts:
+        pairs.write.mode("overwrite").parquet(opts["out"])
+        n = spark.read.parquet(opts["out"]).count()
+        out.write(
+            "%d semantic near-duplicate pairs (cosine >= %g) at %s\n"
+            % (n, thr, opts["out"])
+        )
+        return
+    rows = pairs.orderBy("id_a", "id_b").collect()  # presentation-layer
+    _print_pair_rows(out, rows, "cosine")
+    out.write(
+        "%d semantic near-duplicate pairs (cosine >= %g)\n"
+        % (len(rows), thr)
+    )
+
+
 def cmd_srp_compact(argv, cat: Catalog, out):
     """dn srp-compact <store-path>: compact the SRP store (band and
     band-pair keys) to distinct rows, one file per slice."""
@@ -1823,6 +1967,8 @@ COMMANDS = {
     "band-build": cmd_band_build,
     "band-probe": cmd_band_probe,
     "band-compact": cmd_band_compact,
+    "band-pairs": cmd_band_pairs,
+    "srp-pairs": cmd_srp_pairs,
     "srp-build": cmd_srp_build,
     "srp-append": cmd_srp_append,
     "srp-probe": cmd_srp_probe,

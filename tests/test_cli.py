@@ -1020,3 +1020,114 @@ def test_components_store_cli(cfg, tmp_path, spark):
     assert rc == 0
     got = {tuple(map(int, l.split())) for l in out.strip().splitlines()}
     assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (9, 9), (10, 9)}
+
+
+def test_band_pairs_cli(cfg, tmp_path, spark):
+    """band-pairs: store-amortized near-dup pair discovery as a dn
+    verb (VERDICT r12 #1) — oneshot NDJSON print, parquet sink, and
+    the bounded sliced verify all from the CLI."""
+    base = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch quietly from the tall grass nearby")
+    twin = base.replace("tall grass", "grass tall")
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(1, base), (2, twin),
+         (3, "wholly different content about compilers optimizing "
+             "loops registers and instruction scheduling pipelines")],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    store = str(tmp_path / "bstore")
+    rc, out, _ = run(["band-build", corpus, "--out", store], cfg)
+    assert rc == 0
+
+    # oneshot, printed
+    rc, out, _ = run(
+        ["band-pairs", store, "--docs", corpus, "--threshold", "0.5"], cfg
+    )
+    assert rc == 0
+    lines = out.strip().splitlines()
+    rows = [json.loads(ln) for ln in lines[:-1]]
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["jaccard"] >= 0.5
+    assert "1 near-duplicate pairs (jaccard >= 0.5)" in lines[-1]
+
+    # oneshot, parquet sink
+    sink = str(tmp_path / "pairs_oneshot")
+    rc, out, _ = run(
+        ["band-pairs", store, "--docs", corpus, "--threshold", "0.5",
+         "--out", sink], cfg,
+    )
+    assert rc == 0 and "1 near-duplicate pairs" in out
+    assert {tuple(r) for r in
+            spark.read.parquet(sink).select("id_a", "id_b").collect()
+            } == {(1, 2)}
+
+    # bounded sliced verify
+    bsink = str(tmp_path / "pairs_bounded")
+    rc, out, _ = run(
+        ["band-pairs", store, "--docs", corpus, "--threshold", "0.5",
+         "--bounded", "--slices", "2", "--out", bsink], cfg,
+    )
+    assert rc == 0 and "bounded verify, 2 slices" in out
+    assert {tuple(r) for r in
+            spark.read.parquet(bsink).select("id_a", "id_b").collect()
+            } == {(1, 2)}
+
+    # usage errors
+    rc, _, err = run(["band-pairs", store], cfg)
+    assert rc == 2 and '"docs" option is required' in err
+    rc, _, err = run(
+        ["band-pairs", store, "--docs", corpus, "--bounded"], cfg
+    )
+    assert rc == 2 and '"--bounded" requires "--out"' in err
+
+
+def test_srp_pairs_cli(cfg, tmp_path, spark):
+    """srp-pairs: semantic pair discovery from the SRP store as a dn
+    verb — oneshot print, sliced, and bucket-local verify modes."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((12, 8))
+    rows = [(i, base[i].tolist()) for i in range(12)]
+    rows += [(100 + i, base[i].tolist()) for i in range(4)]  # twins
+    vecs = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(vecs)
+    store = str(tmp_path / "sstore")
+    rc, out, _ = run(
+        ["srp-build", vecs, "--out", store, "--bands", "6", "--bits", "6"],
+        cfg,
+    )
+    assert rc == 0
+
+    rc, out, _ = run(["srp-pairs", store, "--vectors", vecs], cfg)
+    assert rc == 0
+    lines = out.strip().splitlines()
+    printed = {(json.loads(ln)["id_a"], json.loads(ln)["id_b"])
+               for ln in lines[:-1]}
+    assert {(i, 100 + i) for i in range(4)} <= printed
+    assert "semantic near-duplicate pairs (cosine >= 0.9)" in lines[-1]
+
+    for mode, marker in (
+        ("sliced", "sliced verify"), ("bucket", "bucket-local verify")
+    ):
+        sink = str(tmp_path / f"pairs_{mode}")
+        rc, out, _ = run(
+            ["srp-pairs", store, "--vectors", vecs, "--mode", mode,
+             "--out", sink], cfg,
+        )
+        assert rc == 0 and marker in out, mode
+        got = {tuple(r) for r in
+               spark.read.parquet(sink).select("id_a", "id_b").collect()}
+        assert got == printed, mode
+
+    rc, _, err = run(
+        ["srp-pairs", store, "--vectors", vecs, "--mode", "nope"], cfg
+    )
+    assert rc == 2 and 'unknown mode: "nope"' in err
+    rc, _, err = run(
+        ["srp-pairs", store, "--vectors", vecs, "--mode", "bucket"], cfg
+    )
+    assert rc == 2 and 'requires "--out"' in err

@@ -60,6 +60,14 @@ SUBSET = [
     "semdedup_kmeans",
     "semdedup_prune_two_level",
     "corpus_vocab_kmv",
+    # round-13 (VERDICT r12 #2): the store-amortized forms pinned at
+    # full 5M-doc width — one-shot from-store, and the CLI-routed
+    # BOUNDED (sliced crash-resumable verify) pipeline; all three
+    # minhash entries share one oracle SQL (bit-identical pairs by
+    # construction), which check_sf1000 memoizes so the 10³-tier
+    # DuckDB re-derivation is paid once, not three times
+    "dedup_minhash_lsh_store",
+    "dedup_minhash_lsh_store_cli",
 ]
 
 GRADE_BAND = 1.2
