@@ -76,6 +76,14 @@ SUBSET = [
     "dedup_minhash_lsh_store",
     "dedup_embedding_lsh_autobits",
     "dedup_embedding_lsh_autobits_store",
+    # round-13 (VERDICT r12 #5): the graph family over slice-derived
+    # near-dup pairs — the replica-spread slice preserves pair
+    # structure (pairs are within-replica by construction), so the
+    # components/triangles/pagerank path gets cross-engine signal one
+    # octave past sf1000, where it was previously ungraded above 100×
+    "dedup_clusters",
+    "docs_neardup_triangles",
+    "docs_neardup_pagerank",
 ]
 
 
