@@ -891,6 +891,23 @@ def cmd_band_probe(argv, cat: Catalog, out):
     out.write("%d of %d near-duplicate the corpus\n" % (n_near, len(rows)))
 
 
+def cmd_band_append(argv, cat: Catalog, out):
+    """dn band-append <store-path> --docs=<parquet>: append a new
+    batch's band keys with the store's PERSISTED banding params —
+    the ingest-loop step that pays the signature stage exactly once
+    per document, making later `dn band-pairs` runs store-amortized
+    (the srp-append twin for token-level near-dup)."""
+    from dragnet_spark.index.fingerprints import append_band_keys
+
+    opts = _parse_args(argv, ["docs"])
+    (store,) = _nargs(opts, 1)
+    if "docs" not in opts:
+        raise UsageError('"docs" option is required')
+    spark = _get_spark()
+    append_band_keys(spark, spark.read.parquet(opts["docs"]), store)
+    out.write("appended band keys into %s\n" % store)
+
+
 def cmd_band_compact(argv, cat: Catalog, out):
     """dn band-compact <store-path>: compact the band store to
     distinct (band, bhash, doc_id) rows, one file per band."""
@@ -1966,6 +1983,7 @@ COMMANDS = {
     "fp-compact": cmd_fp_compact,
     "band-build": cmd_band_build,
     "band-probe": cmd_band_probe,
+    "band-append": cmd_band_append,
     "band-compact": cmd_band_compact,
     "band-pairs": cmd_band_pairs,
     "srp-pairs": cmd_srp_pairs,

@@ -1131,3 +1131,44 @@ def test_srp_pairs_cli(cfg, tmp_path, spark):
         ["srp-pairs", store, "--vectors", vecs, "--mode", "bucket"], cfg
     )
     assert rc == 2 and 'requires "--out"' in err
+
+
+def test_band_append_cli(cfg, tmp_path, spark):
+    """band-append: the ingest-loop append verb — new docs' band keys
+    land under the persisted banding params, and a subsequent
+    band-pairs run discovers pairs spanning the original build and
+    the appended batch (the store-amortized loop end to end as
+    CLI verbs: build -> append -> pairs)."""
+    base = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch quietly from the tall grass nearby")
+    twin = base.replace("tall grass", "grass tall")
+    corpus = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).write.parquet(corpus)
+    store = str(tmp_path / "bstore")
+    rc, _, _ = run(["band-build", corpus, "--out", store], cfg)
+    assert rc == 0
+
+    batch = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(2, twin)], "doc_id long, text string"
+    ).write.parquet(batch)
+    rc, out, _ = run(["band-append", store, "--docs", batch], cfg)
+    assert rc == 0 and "appended band keys" in out
+
+    alldocs = str(tmp_path / "all.parquet")
+    spark.createDataFrame(
+        [(1, base), (2, twin)], "doc_id long, text string"
+    ).write.parquet(alldocs)
+    rc, out, _ = run(
+        ["band-pairs", store, "--docs", alldocs, "--threshold", "0.5"], cfg
+    )
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert json.loads(lines[0])["id_a"] == 1
+    assert json.loads(lines[0])["id_b"] == 2
+    assert "1 near-duplicate pairs" in lines[-1]
+
+    rc, _, err = run(["band-append", store], cfg)
+    assert rc == 2 and '"docs" option is required' in err
