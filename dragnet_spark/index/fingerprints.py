@@ -820,10 +820,12 @@ def srp_store_pairs_bucket_verify(
                 & (ids[lo:hi, None] < ids[None, :])
             )
             if len(ai):
+                # repr(float(v)), not repr(v): numpy 2.x reprs scalars
+                # as 'np.float64(0.5)', which Decimal rejects
                 vals = np.array(
                     [
                         float(
-                            Decimal(repr(v)).quantize(
+                            Decimal(repr(float(v))).quantize(
                                 six, rounding=ROUND_HALF_UP
                             )
                         )
