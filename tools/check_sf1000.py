@@ -128,16 +128,53 @@ def main() -> None:
 
     spark = get_spark(app_name="check_sf1000")
     con = duckdb.connect()
+    # cap the oracle's RAM and give it a spill home: DuckDB's default
+    # limit (80% of RAM) plus the Spark JVM heap over-commits the box
+    # — the two-level-prune oracle materializes tens of GB and the OS
+    # OOM-killer takes the whole sweep down (measured r13: python at
+    # 67.8 GB anon-rss killed mid-oracle with a 64g JVM resident).
+    # The cap must stay ABOVE that oracle's ~90 GB working set: at
+    # 80GB it spills past the box's ~66 GB of free disk instead
+    # (measured r13: ENOSPC in duckdb_temp_storage) — 95GB fits
+    # beside the default 8g JVM in 125 GB RAM and keeps it in memory
+    con.execute(
+        "SET memory_limit='%s'"
+        % os.environ.get("SF1000_DUCKDB_MEM", "95GB")
+    )
+    # NO temp_directory on purpose: with one configured, DuckDB plans
+    # out-of-core operators proactively and the two-level-prune
+    # oracle's ~60 GB of sort/join spill overruns this box's ~65 GB
+    # of free disk (measured r13, twice) — while the same query fits
+    # the in-RAM limit when spill is impossible (r12's green run and
+    # r13's final one). In-memory DBs without a temp dir cannot
+    # spill; a genuine over-limit errors loudly instead of taking
+    # the disk down with it.
     register_views(con, sf_dir)
+
+    # SF1000_ONLY=a,b: grade only the named entries and MERGE their
+    # fresh records into the existing artifact (re-running a failed
+    # entry must not re-pay the green entries' 1500-second oracles)
+    only = [
+        n for n in os.environ.get("SF1000_ONLY", "").split(",") if n.strip()
+    ]
+    unknown = set(only) - set(SUBSET)
+    if unknown:
+        print(f"SF1000_ONLY names not in SUBSET: {sorted(unknown)}")
+        sys.exit(2)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     report: dict[str, dict] = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        report = {k: v for k, v in prior.items() if k != "_meta"}
     failures = 0
     for name, why in skips.items():
         report[name] = {"skipped": True, "reason": why}
         print(f"SKIP  {name}: {why}", flush=True)
-    for name in SUBSET:
+    todo = only if only else SUBSET
+    for name in todo:
         if name in skips:
             continue
         rec = check_one(spark, con, sf_dir, name, qs[name], oracles[name])
