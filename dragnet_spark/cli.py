@@ -37,6 +37,7 @@ from dragnet_spark.config import (
     MetricConfig,
     default_config_path,
 )
+from dragnet_spark.errors import ContractError
 from dragnet_spark.fieldspec import FieldSpecError
 from dragnet_spark.krill import KrillError
 from dragnet_spark.query import QueryConfig, QueryError
@@ -2013,7 +2014,14 @@ def main(argv: list[str] | None = None, out=None, config_path: str | None = None
         sys.stderr.write("%s: %s\n" % (ARG0, e))
         sys.stderr.write(USAGE + "\n")
         return 2
-    except (QueryError, FieldSpecError, KrillError, ConfigError, FatalError) as e:
+    except (
+        QueryError,
+        FieldSpecError,
+        KrillError,
+        ConfigError,
+        FatalError,
+        ContractError,
+    ) as e:
         sys.stderr.write("%s: %s\n" % (ARG0, e))
         return 1
 

@@ -24,6 +24,9 @@ answers "have we seen this document?" without rescanning corpus text.
 
 from __future__ import annotations
 
+from dragnet_spark.errors import ContractError
+
+import hashlib
 import json
 import os
 
@@ -78,7 +81,7 @@ def _check_layout(path: str, meta_file: str, data_dir: str, what: str) -> None:
     with open(tok_path) as f:
         disk = f.read().strip()
     if disk != expect:
-        raise ValueError(
+        raise ContractError(
             f"{what} layout/meta mismatch (a maintenance job crashed "
             f"mid-swap?): data dir carries layout {disk!r} but metadata "
             f"expects {expect!r} — rebuild or re-run the maintenance job"
@@ -109,7 +112,7 @@ def _check_fp_algo(path: str) -> None:
     with open(meta_path) as f:
         expect = json.load(f).get("layout_token")
     if expect and expect != _fp_token():
-        raise ValueError(
+        raise ContractError(
             "fingerprint store was built with a different fingerprint "
             f"algorithm (store token {expect!r}, current code "
             f"{_fp_token()!r}) — probing it would miss every duplicate; "
@@ -342,7 +345,7 @@ def load_band_store_meta(path: str) -> dict:
     with open(os.path.join(path, BAND_META)) as f:
         meta = json.load(f)
     if meta.get("version") != _BAND_STORE_VERSION:
-        raise ValueError(
+        raise ContractError(
             f"minhash band store at {path!r} was built under key "
             f"discipline v{meta.get('version')} (full-md5 string keys); "
             f"current code is v{_BAND_STORE_VERSION} (56-bit md5-prefix "
@@ -483,6 +486,32 @@ def band_store_pairs(
 MANIFEST_FILE = "_dn_run_manifest.json"
 
 
+def _store_content_token(store_dir: str) -> str:
+    """Digest of the store directory's data-file listing (relative
+    name + size, sorted) — captured at run start and recorded in the
+    bounded-run manifest. Banding params alone do not pin the resume:
+    if a run crashes, the store is then GROWN via band-append (the
+    ingest loop these pipelines target), and the run is resumed into
+    the same out_path, the stale ``_candidates`` and completed
+    ``slice=i`` markers would all skip while the params still match —
+    pairs involving the appended docs silently missing from the sink.
+    The content token makes that resume fail loudly instead: any
+    append/compact changes the listing. Spark part-file names are
+    job-unique, so same listing ⇒ same store content for this
+    purpose; ``_SUCCESS``/checksum sidecars are skipped so a
+    metadata-only touch does not invalidate a valid resume."""
+    h = hashlib.sha256()
+    for root, dirs, files in sorted(os.walk(store_dir)):
+        dirs.sort()
+        for name in sorted(files):
+            if name.startswith((".", "_")):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), store_dir)
+            h.update(rel.encode())
+            h.update(str(os.path.getsize(os.path.join(root, name))).encode())
+    return h.hexdigest()[:16]
+
+
 def _check_run_manifest(out_path: str, want: dict) -> None:
     """Resume safety for the bounded runs: the per-slice ``_SUCCESS``
     markers are only meaningful under the EXACT parameters that wrote
@@ -502,7 +531,7 @@ def _check_run_manifest(out_path: str, want: dict) -> None:
                 for k in set(have) | set(want)
                 if have.get(k) != want.get(k)
             )
-            raise ValueError(
+            raise ContractError(
                 f"bounded-verify resume mismatch at {out_path}: this run "
                 f"differs from the one that wrote the existing slice "
                 f"dirs on {diffs} (recorded {have!r}, requested "
@@ -511,6 +540,28 @@ def _check_run_manifest(out_path: str, want: dict) -> None:
                 f"start a fresh run"
             )
         return
+    if os.path.isdir(out_path):
+        # a manifest-LESS out_path that already holds slice/band dirs
+        # or a candidates sink was written by something else (a
+        # pre-manifest version, another tool) under unknown
+        # parameters — stamping the CURRENT params over it and then
+        # skipping its completed markers is exactly the skip-and-mix
+        # hazard the manifest exists to prevent
+        stale = sorted(
+            e
+            for e in os.listdir(out_path)
+            if e == "_candidates"
+            or e.startswith("slice=")
+            or e.startswith("band=")
+        )
+        if stale:
+            raise ContractError(
+                f"{out_path} already contains output dirs "
+                f"({', '.join(stale[:4])}{'…' if len(stale) > 4 else ''}) "
+                f"but no run manifest — they were written under unknown "
+                f"parameters and cannot be safely resumed; delete "
+                f"{out_path} to start a fresh run"
+            )
     os.makedirs(out_path, exist_ok=True)
     with open(mpath, "w") as f:
         json.dump(want, f, sort_keys=True)
@@ -523,10 +574,21 @@ def _reclaim_slice_scratch(spark: SparkSession, before: set[str]) -> set[str]:
     slicing exists for accumulates one checkpointed sets-table per
     slice until the checkpoints themselves fill the disk
     (cleanCheckpoints defaults false, so Spark never reclaims them).
-    Returns the new baseline listing. Local-filesystem checkpoint dirs
-    only (the single-box regime this knob serves); an HDFS/object-store
+    Returns ``before`` unchanged — reclamation RESTORES the checkpoint
+    dir to the baseline listing, so the baseline stays the valid
+    reference for the next slice (everything newer is this run's and
+    will be reclaimed in turn). Local-filesystem checkpoint dirs only
+    (the single-box regime this knob serves); an HDFS/object-store
     checkpoint dir skips cleanup — there, configure
-    spark.cleaner.referenceTracking.cleanCheckpoints instead."""
+    spark.cleaner.referenceTracking.cleanCheckpoints instead.
+
+    EXCLUSIVE-SESSION ASSUMPTION: every checkpoint-dir entry newer
+    than the baseline is attributed to this run. A concurrent job on
+    the SAME SparkSession that creates a reliable checkpoint between
+    baseline and reclaim would have it deleted (truncating that
+    job's lineage). The bounded store pipelines therefore require the
+    session to themselves for the duration of the run — the posture
+    their sequential-slice design already implies."""
     import shutil as _shutil
 
     try:
@@ -668,6 +730,7 @@ def band_store_pairs_bounded(
         "kind": "minhash_band_pairs",
         "threshold": threshold,
         "store_layout": meta.get("layout_token"),
+        "store_content": _store_content_token(os.path.join(path, BAND_DIR)),
     }
     return _verify_in_slices(
         spark, candidates, verify_one, out_path, slices, manifest
@@ -714,6 +777,7 @@ def srp_store_pairs_bounded(
         "kind": "srp_pairs",
         "threshold": threshold,
         "store_layout": meta.get("layout_token"),
+        "store_content": _store_content_token(os.path.join(path, SRP_DIR)),
     }
     return _verify_in_slices(
         spark, candidates, verify_one, out_path, slices, manifest
@@ -793,7 +857,7 @@ def srp_store_pairs_bucket_verify(
         if m < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         if m > max_bucket_rows:
-            raise ValueError(
+            raise ContractError(
                 f"verify bucket {key} holds {m} vectors > "
                 f"{max_bucket_rows}: the band width is too narrow for "
                 f"this corpus — widen bits_per_band "
@@ -811,12 +875,15 @@ def srp_store_pairs_bucket_verify(
             # expression's formula shape (normalize-then-dot computes
             # a measurably different double per element)
             sims = (V[lo:hi] @ V.T) / (norms[lo:hi, None] * norms[None, :])
-            # pre-select with half-a-quantum slack, then round the few
-            # survivors with true decimal HALF_UP (matches Spark's
-            # BigDecimal.valueOf route; cheap — the passing set is
-            # tiny next to the bucket²)
+            # pre-select with a FULL quantum of slack: a half-quantum
+            # bound computed in doubles can land a sub-ulp above the
+            # true decimal midpoint and drop a sim whose HALF_UP
+            # rounding equals the threshold; a full 1e-6 cannot (any
+            # sim rounding up to >= threshold is > threshold - 1e-6
+            # exactly), and the extra survivors per chunk are
+            # negligible — the exact keep filter below still decides
             ai, bi = np.nonzero(
-                (sims >= threshold - 5.0e-7)
+                (sims >= threshold - 1.0e-6)
                 & (ids[lo:hi, None] < ids[None, :])
             )
             if len(ai):
@@ -853,6 +920,9 @@ def srp_store_pairs_bucket_verify(
             "threshold": threshold,
             "store_layout": meta.get("layout_token"),
             "bands": meta["bands"],
+            "store_content": _store_content_token(
+                os.path.join(path, SRP_DIR)
+            ),
         },
     )
     for b in range(meta["bands"]):
@@ -1011,12 +1081,12 @@ def build_srp_store(
             .first()
         )
         if first is None:
-            raise ValueError(
+            raise ContractError(
                 "build_srp_store: no non-null vectors and no dims"
             )
         dims = int(first["d"])
     if dims <= 0:
-        raise ValueError(f"build_srp_store: invalid dims {dims}")
+        raise ContractError(f"build_srp_store: invalid dims {dims}")
     if planes_q is None:
         planes_q = srp_planes_q(dims, bands, bits_per_band, seed)
     else:
@@ -1024,7 +1094,7 @@ def build_srp_store(
 
         planes_q = _np.asarray(planes_q, dtype=_np.int64)
         if planes_q.shape != (bands * bits_per_band, dims):
-            raise ValueError(
+            raise ContractError(
                 f"build_srp_store: planes_q shape {planes_q.shape} != "
                 f"({bands * bits_per_band}, {dims})"
             )

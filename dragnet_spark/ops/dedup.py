@@ -21,6 +21,8 @@ All outputs order pairs as id_a < id_b to keep results canonical.
 
 from __future__ import annotations
 
+from dragnet_spark.errors import ContractError
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Column
@@ -143,10 +145,21 @@ def _max_semi_broadcast_ids(spark) -> int:
 
     try:
         conf = spark.conf.get("spark.dragnet.semiBroadcastMaxIds", None)
-        if conf is not None:
-            return int(conf)
     except Exception:  # pragma: no cover — conf API hiccup
-        pass
+        conf = None
+    if conf is not None:
+        # int() raises on purpose: a malformed value (e.g. '2M') set
+        # to PROTECT a small driver must not silently fall back to
+        # the 16M default — the failure the knob exists to prevent
+        try:
+            return int(conf)
+        except ValueError:
+            raise ContractError(
+                f"spark.dragnet.semiBroadcastMaxIds={conf!r} is not an "
+                f"integer — set a plain row count (e.g. 2000000); "
+                f"refusing to fall back to the {MAX_SEMI_BROADCAST_IDS} "
+                f"default that the knob was set to override"
+            ) from None
     env = _os.environ.get("DRAGNET_MAX_SEMI_BROADCAST_IDS")
     if env:
         return int(env)
@@ -325,7 +338,7 @@ def ngram_jaccard_pairs(
     grams as md5 hashes (duplicate_spans' discipline) and df-cap
     stop-shingles (winnow_overlap's discipline)."""
     if threshold <= 0:
-        raise ValueError(
+        raise ContractError(
             "ngram_jaccard_pairs requires threshold > 0 (the equi-join "
             "form cannot emit zero-overlap pairs)"
         )
@@ -372,7 +385,7 @@ def containment_pairs(
     store, since band collision lower-bounds resemblance which
     lower-bounds containment."""
     if threshold <= 0:
-        raise ValueError(
+        raise ContractError(
             "containment_pairs requires threshold > 0 (the equi-join "
             "form cannot emit zero-overlap pairs)"
         )
@@ -465,7 +478,7 @@ def minhash_lsh_pairs(
     two extra joins: ~1 s) are why it is not unconditional.
     """
     if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
+        raise ContractError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     if verify_semi is None:
         verify_semi = _relation_bytes(df) >= MINHASH_SEMI_VERIFY_MIN_BYTES
@@ -563,7 +576,7 @@ def minhash_band_array(
     from dragnet_spark.ops.text import _bind_once
 
     if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
+        raise ContractError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
     def _bands_from(hs):
@@ -702,7 +715,7 @@ def embedding_near_dup_pairs(
     )
     rows = side.collect()
     if rows and len(rows) * len(rows[0]["v"]) > max_elements:
-        raise ValueError(
+        raise ContractError(
             f"all-pairs baseline refuses {len(rows)} vectors x "
             f"{len(rows[0]['v'])} dims > {max_elements} broadcast "
             f"elements; use embedding_near_dup_lsh for corpus-scale "
@@ -832,7 +845,7 @@ def srp_planes_q_prefix(
     full band b: the property that lets a runtime-chosen width match
     a static full-width oracle via ``substring(bucket, 1, bits)``."""
     if bits_per_band > AUTOBITS_MAX:
-        raise ValueError(
+        raise ContractError(
             f"bits_per_band={bits_per_band} > AUTOBITS_MAX={AUTOBITS_MAX}"
         )
     full = srp_planes_q(dims, bands, AUTOBITS_MAX, seed)
@@ -1303,7 +1316,7 @@ def jaccard_prefix_pairs(
     at the back of every prefix-ordered set and never key a
     candidate, which is exactly the regime real web corpora live in."""
     if threshold <= 0:
-        raise ValueError(
+        raise ContractError(
             "jaccard_prefix_pairs requires threshold > 0 (prefix "
             "filtering is defined for a positive overlap bound)"
         )

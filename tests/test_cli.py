@@ -1172,3 +1172,45 @@ def test_band_append_cli(cfg, tmp_path, spark):
 
     rc, _, err = run(["band-append", store], cfg)
     assert rc == 2 and '"docs" option is required' in err
+
+
+def test_band_pairs_contract_error_is_one_line(cfg, tmp_path, spark):
+    """VERDICT r13 #2: contract failures reachable from a dn verb must
+    exit as 'dn: <message>' + rc 1, never a Python traceback — here
+    the bounded-resume mismatch (wrong --slices into an existing
+    out_path) and the manifest-less out_path refusal."""
+    base = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch quietly from the tall grass nearby")
+    corpus = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("tall grass", "grass tall"))],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    store = str(tmp_path / "bstore")
+    rc, _, _ = run(["band-build", corpus, "--out", store], cfg)
+    assert rc == 0
+    sink = str(tmp_path / "pairs")
+    rc, _, _ = run(
+        ["band-pairs", store, "--docs", corpus, "--threshold", "0.5",
+         "--bounded", "--slices", "2", "--out", sink], cfg,
+    )
+    assert rc == 0
+
+    # resume with a different modulus: one-line error, exit 1
+    rc, _, err = run(
+        ["band-pairs", store, "--docs", corpus, "--threshold", "0.5",
+         "--bounded", "--slices", "3", "--out", sink], cfg,
+    )
+    assert rc == 1
+    assert "resume mismatch" in err and "slices" in err
+    assert "Traceback" not in err
+
+    # manifest-less out_path holding slice dirs: same delivery
+    stale = tmp_path / "stale"
+    (stale / "slice=0").mkdir(parents=True)
+    rc, _, err = run(
+        ["band-pairs", store, "--docs", corpus, "--threshold", "0.5",
+         "--bounded", "--slices", "2", "--out", str(stale)], cfg,
+    )
+    assert rc == 1
+    assert "no run manifest" in err and "Traceback" not in err

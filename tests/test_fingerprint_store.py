@@ -1077,3 +1077,93 @@ def test_reclaim_slice_scratch_drops_new_checkpoints(tmp_path):
 
     assert _checkpoint_baseline(_NoneSpark()) == set()
     assert _reclaim_slice_scratch(_NoneSpark(), {"x"}) == {"x"}
+
+
+def test_bounded_verify_manifest_pins_store_content(spark, tmp_path):
+    """ADVICE r13 (medium): banding params alone don't pin a resume —
+    if the store is GROWN via append between a crash and the resume,
+    the stale _candidates/_SUCCESS markers would skip while the
+    params still match, silently dropping pairs that involve the
+    appended docs. The manifest now records a store-content token so
+    that resume fails loudly instead."""
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        append_band_keys,
+        band_store_pairs_bounded,
+        build_band_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    store = tempfile.mkdtemp(prefix="content_band_")
+    build_band_store(spark, docs, store, num_hashes=8, bands=4, ngram=3)
+    out = str(tmp_path / "pairs")
+    band_store_pairs_bounded(
+        spark, store, docs, out, threshold=0.5, slices=2
+    ).collect()
+    # unchanged store: resume/no-op re-run is fine
+    band_store_pairs_bounded(
+        spark, store, docs, out, threshold=0.5, slices=2
+    ).collect()
+    # grow the store, then resume into the SAME out_path: must refuse
+    batch = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta eta kappa")],
+        "doc_id long, text string",
+    )
+    append_band_keys(spark, batch, store)
+    alldocs = docs.union(batch)
+    with pytest.raises(ValueError, match="resume mismatch.*store_content"):
+        band_store_pairs_bounded(
+            spark, store, alldocs, out, threshold=0.5, slices=2
+        )
+    # a fresh out_path over the grown store works and sees the new doc
+    out2 = str(tmp_path / "pairs2")
+    got = {
+        (r.id_a, r.id_b)
+        for r in band_store_pairs_bounded(
+            spark, store, alldocs, out2, threshold=0.5, slices=2
+        ).collect()
+    }
+    assert (1, 3) in got or (2, 3) in got
+
+
+def test_manifestless_out_path_refused(spark, tmp_path):
+    """ADVICE r13: an out_path that already holds slice/band dirs but
+    NO manifest was written under unknown parameters (pre-manifest
+    version, another tool) — stamping current params over it and
+    skipping its markers is the skip-and-mix hazard. Refuse."""
+    from dragnet_spark.errors import ContractError
+    from dragnet_spark.index.fingerprints import _check_run_manifest
+
+    out = tmp_path / "stale_out"
+    (out / "slice=0").mkdir(parents=True)
+    with pytest.raises(ContractError, match="no run manifest"):
+        _check_run_manifest(str(out), {"kind": "minhash_band_pairs"})
+    # an out_path with only unrelated content (no slice/band dirs) is
+    # treated as fresh
+    out2 = tmp_path / "fresh_out"
+    out2.mkdir()
+    (out2 / "notes.txt").write_text("x")
+    _check_run_manifest(str(out2), {"kind": "minhash_band_pairs"})
+    assert (out2 / "_dn_run_manifest.json").exists()
+
+
+def test_semi_broadcast_cap_malformed_value_raises(spark):
+    """ADVICE r13: a malformed spark.dragnet.semiBroadcastMaxIds
+    (e.g. '2M') must fail loudly, not silently fall back to the 16M
+    default the knob was set to override."""
+    from dragnet_spark.errors import ContractError
+    from dragnet_spark.ops.dedup import _max_semi_broadcast_ids
+
+    spark.conf.set("spark.dragnet.semiBroadcastMaxIds", "2M")
+    try:
+        with pytest.raises(ContractError, match="semiBroadcastMaxIds"):
+            _max_semi_broadcast_ids(spark)
+    finally:
+        spark.conf.unset("spark.dragnet.semiBroadcastMaxIds")
