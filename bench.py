@@ -241,6 +241,77 @@ def _trailing_medians(sf) -> dict[str, float]:
     return out
 
 
+#: consecutive strictly-rising round-median canary points (including
+#: the current run) that trip the machine-trend alarm — 3 prior
+#: rounds + now, matching the r11→r13 riser that motivated this
+TREND_POINTS = 4
+#: cumulative rise over the window below which a monotonic run of
+#: points is still called noise (the canary's run-to-run jitter is
+#: ~±15% on an idle box; see BASELINE.md "bench riser root cause")
+TREND_MIN_RISE = 0.15
+
+
+def _round_probe_meds(sf) -> dict[int, float]:
+    """Per-ROUND median of the mid-run canary probes (family probes
+    excluding the first, which carries JVM warmup) from committed
+    history. This is the machine-speed series: the probe's plan has
+    never changed, so its round-over-round movement measures the BOX,
+    not the code."""
+    per_round: dict[int, list[float]] = {}
+    if not HISTORY.exists():
+        return {}
+    for line in HISTORY.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if rec.get("sf") != sf:
+            continue
+        rd, can = rec.get("round"), rec.get("canary")
+        if not isinstance(rd, int) or not isinstance(can, dict):
+            continue
+        probes = [
+            v for k, v in can.items()
+            if k != "scan" and isinstance(v, (int, float))
+        ]
+        per_round.setdefault(rd, []).extend(probes)
+    return {
+        rd: sorted(v)[len(v) // 2] for rd, v in per_round.items() if v
+    }
+
+
+def _machine_trend(sf, probe_med: float) -> dict:
+    """The check the trailing-median band absorbs by construction
+    (VERDICT r13 #3): each round's +5% is individually in-band, so a
+    slow monotonic trend never flags. Here the canary's round-median
+    series (plan unchanged since r4 ⇒ box speed) plus the current
+    run's probe median is tested directly for a sustained rise; the
+    returned ``machine_speed_factor`` (current ÷ window minimum)
+    normalizes the headline total so a code regression stays visible
+    UNDER an environmental slowdown — the r12-vs-r14 interleaved
+    cold-start A/B (BASELINE.md) measured identical per-query times
+    on both HEADs, attributing the r11→r13 riser to box epoch."""
+    meds = _round_probe_meds(sf)
+    series = [meds[r] for r in sorted(meds)][-(TREND_POINTS - 1):]
+    series.append(probe_med)
+    rising = len(series) == TREND_POINTS and all(
+        a < b for a, b in zip(series, series[1:])
+    )
+    rise = series[-1] / min(series) - 1.0 if series and min(series) else 0.0
+    factor = round(series[-1] / min(series), 3) if min(series) else 1.0
+    return {
+        "probe_med_by_round": {r: meds[r] for r in sorted(meds)},
+        "probe_med_now": probe_med,
+        "machine_speed_factor": factor,
+        "trend_alarm": bool(rising and rise >= TREND_MIN_RISE),
+        "note": (
+            "canary plan unchanged; factor>1 = box slower than the "
+            "window's fastest round — divide the headline total by it "
+            "before calling a riser a code regression"
+        ),
+    }
+
+
 def _cooldown(cpus: int, max_wait: float = 45.0) -> float:
     """Wait for the 1-minute loadavg to drop below half the core count
     (bounded). Returns the seconds actually waited. Re-running a hot
@@ -386,6 +457,12 @@ def main() -> None:
         for q in timings
         if medians.get(q)
     }
+    mid_probes = sorted(
+        v for k, v in canary_samples.items()
+        if k != "scan" and isinstance(v, float)
+    )
+    probe_med = mid_probes[len(mid_probes) // 2] if mid_probes else 0.0
+    machine = _machine_trend(sf, probe_med)
     canary = {
         "mode": "per_query_vs_trailing_median",
         "grade_band": GRADE_BAND,
@@ -395,6 +472,7 @@ def main() -> None:
         "n_over_band": len(load_retried),
         "max_factor": max(factors.values()) if factors else None,
         "family_probes_sec": canary_samples,
+        "machine": machine,
     }
 
     total = round(sum(timings.values()), 3)
@@ -477,6 +555,14 @@ def main() -> None:
         "canary_probe_minmax": (
             [round(min(probes), 3), round(max(probes), 3)] if probes else None
         ),
+        # headline total divided by the canary-measured machine-speed
+        # factor: compare THIS across rounds before calling a riser a
+        # code regression — the raw total moves with the box
+        "value_machine_normalized": round(
+            total / machine["machine_speed_factor"], 3
+        ),
+        "machine_speed_factor": machine["machine_speed_factor"],
+        "trend_alarm": machine["trend_alarm"],
         "detail": "BENCH_DETAIL.json",
     }
     if errors:
