@@ -684,6 +684,118 @@ def _verify_in_slices(
     return spark.read.parquet(out_path).drop("slice")
 
 
+def _candidates_in_slices(
+    spark: SparkSession,
+    rows: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    slice_key: str,
+    out_path: str,
+    slices: int,
+    manifest: dict,
+) -> DataFrame:
+    """Bounded-footprint CANDIDATE discovery — the collision self-join
+    run as ``slices`` sequential jobs over disjoint hash slices of the
+    store rows. Because ``slice_key`` is one of the JOIN KEYS, two
+    rows can only collide when their ``slice_key`` values are equal,
+    which puts them in the same ``pmod(xxhash64(slice_key), slices)``
+    slice — so the union of per-slice joins is EXACTLY the full join,
+    while each job's exchange is ~1/slices of the one-shot (the same
+    single-box / per-wave spill bound as :func:`_verify_in_slices`,
+    applied one stage earlier: at 5×10⁸ docs the one-shot collision
+    exchange projects to ~190 GB against ~25 GB of free disk, so
+    discovery itself needs the slicing, not just verify).
+
+    Each slice writes its within-slice-distinct pairs to
+    ``out_path/slice=i`` (crash-resumable ``_SUCCESS`` markers,
+    guarded by the same run manifest as the bounded verifies). A pair
+    colliding in SEVERAL bands carries different ``slice_key`` values
+    and can land in several slices, so the returned frame applies the
+    final cross-slice ``dropDuplicates`` — one exchange over the
+    written pair rows (candidate-count-sized, orders of magnitude
+    below the collision exchange). Same exclusive-session assumption
+    as the bounded verifies."""
+    _check_run_manifest(out_path, dict(manifest, slices=slices))
+    for i in range(slices):
+        sdir = os.path.join(out_path, f"slice={i}")
+        if os.path.exists(os.path.join(sdir, "_SUCCESS")):
+            continue
+        part = rows.filter(
+            F.pmod(F.xxhash64(slice_key), F.lit(slices)) == i
+        )
+        from dragnet_spark.ops.dedup import _collision_pairs
+
+        _collision_pairs(part, id_col, key_cols).write.mode(
+            "overwrite"
+        ).parquet(sdir)
+        # LOCAL-MODE-ONLY (see _verify_in_slices): free the finished
+        # slice's dead shuffle before the next slice starts
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # pragma: no cover — py4j hiccup
+            pass
+    return (
+        spark.read.parquet(out_path)
+        .drop("slice")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def band_store_candidates_bounded(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    slices: int = 8,
+) -> DataFrame:
+    """Candidate pairs from the persisted minhash band rows with the
+    collision join bounded by :func:`_candidates_in_slices` — the
+    discovery stage of :func:`band_store_pairs_bounded` for corpora
+    whose n·bands collision exchange exceeds local/per-wave disk.
+    Pair set is identical to ``_collision_pairs`` over the full store
+    (the slices partition the join exactly)."""
+    _recover_staged(os.path.join(path, BAND_DIR))
+    _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
+    meta = load_band_store_meta(path)
+    banded = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
+        F.col("doc_id").alias("id"), "band", "bhash"
+    )
+    manifest = {
+        "kind": "minhash_band_candidates",
+        "store_layout": meta.get("layout_token"),
+        "store_content": _store_content_token(os.path.join(path, BAND_DIR)),
+    }
+    return _candidates_in_slices(
+        spark, banded, "id", ["band", "bhash"], "bhash",
+        out_path, slices, manifest,
+    )
+
+
+def srp_store_candidates_bounded(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    slices: int = 8,
+) -> DataFrame:
+    """The SRP twin of :func:`band_store_candidates_bounded`:
+    candidate pairs from the persisted (band, bucket) rows, collision
+    join sliced on the bucket hash."""
+    _recover_staged(os.path.join(path, SRP_DIR))
+    _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
+    meta = load_srp_store_meta(path)
+    banded = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
+        F.col("vec_id").alias("__id"), "band", "bucket"
+    )
+    manifest = {
+        "kind": "srp_candidates",
+        "store_layout": meta.get("layout_token"),
+        "store_content": _store_content_token(os.path.join(path, SRP_DIR)),
+    }
+    return _candidates_in_slices(
+        spark, banded, "__id", ["band", "bucket"], "bucket",
+        out_path, slices, manifest,
+    )
+
+
 def band_store_pairs_bounded(
     spark: SparkSession,
     path: str,

@@ -1167,3 +1167,103 @@ def test_semi_broadcast_cap_malformed_value_raises(spark):
             _max_semi_broadcast_ids(spark)
     finally:
         spark.conf.unset("spark.dragnet.semiBroadcastMaxIds")
+
+
+def test_band_store_candidates_bounded_matches_oneshot(spark, tmp_path):
+    """Bounded candidate discovery (the 10^5-tier knob: at 5e8 docs
+    the one-shot collision exchange alone exceeds local disk) must
+    return EXACTLY the one-shot candidate set — the slices partition
+    the join on one of its own keys."""
+    import tempfile
+
+    from dragnet_spark.index.fingerprints import (
+        BAND_DIR,
+        band_store_candidates_bounded,
+        build_band_store,
+    )
+    from dragnet_spark.ops.dedup import _collision_pairs
+    from pyspark.sql import functions as F
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon",
+             "zeta", "eta", "theta", "iota", "kappa"]
+    rows = []
+    for i in range(20):
+        w = list(words)
+        if i % 3:
+            w[i % len(w)] = f"uniq{i}"
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = tempfile.mkdtemp(prefix="candb_")
+    build_band_store(spark, docs, store, num_hashes=8, bands=4, ngram=3)
+
+    import os as _os
+
+    banded = spark.read.parquet(_os.path.join(store, BAND_DIR)).select(
+        F.col("doc_id").alias("id"), "band", "bhash"
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in _collision_pairs(banded, "id", ["band", "bhash"]).collect()
+    }
+    assert want  # the corpus must actually produce candidates
+
+    for slices in (1, 3):
+        out = str(tmp_path / f"cand_s{slices}")
+        got = {
+            (r.id_a, r.id_b)
+            for r in band_store_candidates_bounded(
+                spark, store, out, slices=slices
+            ).collect()
+        }
+        assert got == want
+
+    # resume under a different modulus: loud refusal
+    from dragnet_spark.errors import ContractError
+
+    with pytest.raises(ContractError, match="resume mismatch"):
+        band_store_candidates_bounded(
+            spark, store, str(tmp_path / "cand_s3"), slices=4
+        )
+
+
+def test_srp_store_candidates_bounded_matches_oneshot(spark, tmp_path):
+    import os as _os
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.index.fingerprints import (
+        SRP_DIR,
+        build_srp_store,
+        srp_store_candidates_bounded,
+    )
+    from dragnet_spark.ops.dedup import _collision_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((6, 8))
+    rows = []
+    for i in range(6):
+        rows.append((i, base[i].tolist()))
+        rows.append((100 + i, (base[i] * 1.0001).tolist()))  # twin
+    corpus = _emb_df(spark, rows)
+    store = tempfile.mkdtemp(prefix="cands_")
+    build_srp_store(spark, corpus, store, dims=8, with_pairs=False)
+
+    banded = spark.read.parquet(_os.path.join(store, SRP_DIR)).select(
+        F.col("vec_id").alias("__id"), "band", "bucket"
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in _collision_pairs(
+            banded, "__id", ["band", "bucket"]
+        ).collect()
+    }
+    assert want
+    got = {
+        (r.id_a, r.id_b)
+        for r in srp_store_candidates_bounded(
+            spark, store, str(tmp_path / "cand"), slices=3
+        ).collect()
+    }
+    assert got == want

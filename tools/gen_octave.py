@@ -75,6 +75,13 @@ def main() -> None:
         return default
 
     k = int(_opt("--scale", "10000"))
+    # replica-range offset: generate replicas [offset, offset+k)
+    # instead of [0, k). Every transform keys off the ABSOLUTE replica
+    # index, so ten --scale 10000 folds at offsets 0, 10000, ... ARE
+    # the 10^5 tier's content, materialized 1/10th at a time — the
+    # fold-generate-append-delete dial SCALE.md derives for the tier
+    # whose corpus exceeds this box's disk.
+    offset = int(_opt("--offset", "0"))
     tables = [
         t.strip() for t in _opt("--tables", "documents,embeddings").split(",")
         if t.strip()
@@ -97,7 +104,9 @@ def main() -> None:
             r0, r1 = w * per, min((w + 1) * per, k)
             if r0 >= r1:
                 break
-            jobs.append((t, out, k, zipf, r0, r1, w, nulls))
+            jobs.append(
+                (t, out, k, zipf, offset + r0, offset + r1, w, nulls)
+            )
 
     t0 = time.time()
     counts: dict[str, int] = {}
@@ -123,6 +132,7 @@ def main() -> None:
             {
                 "gen_version": GEN_VERSION,
                 "scale": k,
+                "offset": offset,
                 "mode": mode,
                 "nulls": nulls,
                 "src": SRC,
