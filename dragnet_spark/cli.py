@@ -87,6 +87,8 @@ _OPT_DEFS = {
     "two-level": False,
     # round-13: store-amortized pair discovery (band-pairs / srp-pairs)
     "bounded": False, "slices": True, "mode": True,
+    # round-14: corpus-sized auto-width SRP builds from the CLI
+    "seed": True, "dims": True, "no-pair-keys": False,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -922,26 +924,73 @@ def cmd_band_compact(argv, cat: Catalog, out):
 
 def cmd_srp_build(argv, cat: Catalog, out):
     """dn srp-build <embeddings.parquet> --out=PATH [--bands=8]
-    [--bits=16] [--id-field=vec_id] [--vec-field=embedding]:
+    [--bits=16|auto] [--seed=42] [--dims=N] [--no-pair-keys]
+    [--id-field=vec_id] [--vec-field=embedding]:
     materialize the SRP band store (in-stream SEMANTIC near-dedup;
-    index/fingerprints.build_srp_store)."""
+    index/fingerprints.build_srp_store). ``--bits auto`` sizes the
+    band width for THIS corpus (min(32, ceil(log2(n·bands/8))) —
+    ops/dedup.auto_bits_per_band: a pinned width has a corpus
+    ceiling) and keys a PREFIX of the static 32-bit plane matrix, so
+    an auto-width store built at any tier stays comparable with the
+    full-width form. ``--no-pair-keys`` skips the derived band-PAIR
+    key dir (pair discovery via srp-pairs does not need it)."""
     from dragnet_spark.index.fingerprints import build_srp_store
 
     opts = _parse_args(
-        argv, ["out", "bands", "bits", "id-field", "vec-field"]
+        argv,
+        [
+            "out", "bands", "bits", "seed", "dims",
+            "no-pair-keys", "id-field", "vec-field",
+        ],
     )
     (src,) = _nargs(opts, 1)
     if "out" not in opts:
         raise UsageError('"out" option is required')
     spark = _get_spark()
+    df = spark.read.parquet(src)
+    bands = int(opts.get("bands", "8"))
+    seed = int(opts.get("seed", "42"))
+    vec_col = opts.get("vec_field", "embedding")
+    dims = int(opts["dims"]) if "dims" in opts else None
+    kwargs = {}
+    if opts.get("bits", "16") == "auto":
+        from pyspark.sql import functions as F
+
+        from dragnet_spark.ops.dedup import (
+            AUTOBITS_MAX,
+            auto_bits_per_band,
+            srp_planes_q_prefix,
+        )
+
+        if dims is None:
+            first = (
+                df.select(F.size(F.col(vec_col)).alias("d"))
+                .filter(F.col("d") > 0)
+                .first()
+            )
+            if first is None:
+                raise FatalError(
+                    "srp-build --bits auto: no non-null vectors and "
+                    "no --dims to size the plane matrix from"
+                )
+            dims = int(first["d"])
+        n = df.count()
+        bits = min(AUTOBITS_MAX, auto_bits_per_band(n, bands))
+        kwargs["planes_q"] = srp_planes_q_prefix(dims, bands, bits, seed)
+    else:
+        bits = int(opts.get("bits", "16"))
     meta = build_srp_store(
         spark,
-        spark.read.parquet(src),
+        df,
         opts["out"],
-        vec_col=opts.get("vec_field", "embedding"),
+        vec_col=vec_col,
         id_col=opts.get("id_field", "vec_id"),
-        bands=int(opts.get("bands", "8")),
-        bits_per_band=int(opts.get("bits", "16")),
+        bands=bands,
+        bits_per_band=bits,
+        seed=seed,
+        dims=dims,
+        with_pairs="no_pair_keys" not in opts,
+        **kwargs,
     )
     out.write(
         "built SRP store: %d bands x %d bits (%d dims) at %s\n"

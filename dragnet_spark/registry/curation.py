@@ -1302,6 +1302,83 @@ def dedup_embedding_lsh_autobits_store(
     return srp_store_pairs(spark, path, corpus, threshold=_EMB_LSH_T)
 
 
+@register(
+    "dedup_embedding_lsh_autobits_store_cli",
+    _emb_lsh_autobits_oracle(),
+    "the store-amortized SEMANTIC near-dup pipeline driven ENTIRELY "
+    "through the dn CLI (VERDICT r13 #4 — the SRP mirror of "
+    "dedup_minhash_lsh_store_cli): `dn srp-build --bits auto "
+    "--no-pair-keys` materializes the auto-width store (corpus-sized "
+    "width from ops/dedup.auto_bits_per_band, prefix-sliced planes "
+    "off the static 32-bit matrix), then `dn srp-pairs --mode bucket "
+    "--out SINK` runs per-band bucket-local exact-cosine verify from "
+    "the persisted (band, bucket, vec_id) rows — the shape that "
+    "completed the 10⁴ octave. The result is read back from the CLI's "
+    "band-partitioned parquet sink with the same cross-band collapse "
+    "the library return applies; pairs are bit-identical to "
+    "dedup_embedding_lsh_autobits so the SAME static oracle grades "
+    "batch, from-store, and CLI-routed runs",
+)
+def dedup_embedding_lsh_autobits_store_cli(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import io
+    import os
+    import tempfile
+
+    from dragnet_spark import cli as _cli
+
+    key = f"{sf_dir}::cli_srp_pairs"
+    if key not in _STOREAMORT_CACHE:
+        root = tempfile.mkdtemp(prefix="dragnet_clisrp_")
+        emb = _t(spark, sf_dir, "embeddings")
+        twins = emb.select(
+            (F.col("vec_id") + _TWIN_SHIFT).alias("vec_id"),
+            F.col("embedding"),
+        )
+        corpus_path = os.path.join(root, "corpus.parquet")
+        (
+            emb.select("vec_id", "embedding")
+            .unionByName(twins)
+            .write.parquet(corpus_path)
+        )
+        store = os.path.join(root, "store")
+        sink = os.path.join(root, "pairs")
+        cfg = os.path.join(root, "dn.json")
+        buf = io.StringIO()
+        rc = _cli.main(
+            [
+                "srp-build", corpus_path, "--out", store,
+                "--bands", str(_EMB_LSH_BANDS), "--bits", "auto",
+                "--seed", "42", "--dims", str(_EMB_LSH_DIMS),
+                "--no-pair-keys",
+            ],
+            out=buf,
+            config_path=cfg,
+        )
+        if rc != 0:
+            raise RuntimeError(f"srp-build failed: {buf.getvalue()}")
+        rc = _cli.main(
+            [
+                "srp-pairs", store, "--vectors", corpus_path,
+                "--threshold", str(_EMB_LSH_T),
+                "--mode", "bucket", "--out", sink,
+            ],
+            out=buf,
+            config_path=cfg,
+        )
+        if rc != 0:
+            raise RuntimeError(f"srp-pairs failed: {buf.getvalue()}")
+        _STOREAMORT_CACHE[key] = root
+    sink = os.path.join(_STOREAMORT_CACHE[key], "pairs")
+    return (
+        spark.read.parquet(sink)
+        .drop("band")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 _KM_K = 8
 _KM_ITERS = 3
 #: auto-k target (SemDeDup's k ∝ n regime): 250 rows/cluster gives

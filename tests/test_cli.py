@@ -1214,3 +1214,50 @@ def test_band_pairs_contract_error_is_one_line(cfg, tmp_path, spark):
     )
     assert rc == 1
     assert "no run manifest" in err and "Traceback" not in err
+
+
+def test_srp_build_auto_bits(cfg, tmp_path, spark):
+    """srp-build --bits auto: corpus-sized band width (the
+    auto_bits_per_band formula, prefix-sliced planes) and
+    --no-pair-keys, from the CLI — the build shape the CLI-routed
+    store entry and the 10^5 ladder use."""
+    import numpy as np
+
+    from dragnet_spark.index.fingerprints import load_srp_store_meta
+    from dragnet_spark.ops.dedup import auto_bits_per_band
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(8):
+        rows.append((i, base[i].tolist()))
+        rows.append((100 + i, (base[i] * 1.0001).tolist()))
+    vecs = str(tmp_path / "v.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(vecs)
+
+    store = str(tmp_path / "sstore")
+    rc, out, _ = run(
+        ["srp-build", vecs, "--out", store, "--bands", "4",
+         "--bits", "auto", "--seed", "42", "--no-pair-keys"], cfg,
+    )
+    assert rc == 0
+    meta = load_srp_store_meta(store)
+    assert meta["bits_per_band"] == auto_bits_per_band(16, 4)
+    assert meta["pair_keys"] is False
+    assert f"{meta['bits_per_band']} bits" in out
+
+    # bucket-verify pair discovery over the auto store finds the twins
+    sink = str(tmp_path / "spairs")
+    rc, out, _ = run(
+        ["srp-pairs", store, "--vectors", vecs, "--threshold", "0.99",
+         "--mode", "bucket", "--out", sink], cfg,
+    )
+    assert rc == 0
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("id_a", "id_b").distinct().collect()
+    }
+    assert {(i, 100 + i) for i in range(8)} <= got

@@ -68,6 +68,16 @@ SUBSET = [
     # DuckDB re-derivation is paid once, not three times
     "dedup_minhash_lsh_store",
     "dedup_minhash_lsh_store_cli",
+    # round-14 (VERDICT r13 #4): the SRP store forms pinned at full
+    # 2M-vector width, mirroring what r13 did for minhash — one-shot
+    # from-store, and the CLI-routed bucket-verify pipeline
+    # (`dn srp-build --bits auto` + `dn srp-pairs --mode bucket`).
+    # Pairs are bit-identical to dedup_embedding_lsh_autobits by
+    # construction, so its existing static oracle grades all three;
+    # check_sf1000 memoizes the oracle SQL so DuckDB re-derives the
+    # sign-matmul once for the family, not per entry
+    "dedup_embedding_lsh_autobits_store",
+    "dedup_embedding_lsh_autobits_store_cli",
 ]
 
 GRADE_BAND = 1.2
