@@ -87,8 +87,10 @@ _OPT_DEFS = {
     "two-level": False,
     # round-13: store-amortized pair discovery (band-pairs / srp-pairs)
     "bounded": False, "slices": True, "mode": True,
-    # round-14: corpus-sized auto-width SRP builds from the CLI
+    # round-14: corpus-sized auto-width SRP builds from the CLI, and
+    # discovery-only bounded collision joins (the 10^5-tier posture)
     "seed": True, "dims": True, "no-pair-keys": False,
+    "candidates-only": False,
 }
 _SHORTS = {
     "A": "after", "B": "before", "b": "breakdowns", "n": "dry-run",
@@ -1076,18 +1078,44 @@ def cmd_band_pairs(argv, cat: Catalog, out):
     octave (50M docs: 96 s candidates + 2180 s bounded verify where
     the one-shot exchange projected 145 GB). Output (id_a, id_b,
     jaccard) goes to --out as parquet when given, else prints NDJSON
-    rows (small runs); always ends with a summary line."""
+    rows (small runs); always ends with a summary line.
+
+    --candidates-only runs ONLY the bounded collision-join stage
+    (band_store_candidates_bounded): --slices sequential hash-slice
+    jobs writing (id_a, id_b) candidates into --out (required), no
+    --docs needed since text never enters discovery. The 10⁵-tier
+    posture: at 5×10⁸ docs the collision exchange itself exceeds
+    one box's disk, and verify runs elsewhere (wherever the corpus
+    durably lives)."""
     from dragnet_spark.index.fingerprints import (
+        band_store_candidates_bounded,
         band_store_pairs,
         band_store_pairs_bounded,
     )
 
-    opts = _parse_args(argv, ["docs", "threshold", "out", "bounded", "slices"])
+    opts = _parse_args(
+        argv,
+        ["docs", "threshold", "out", "bounded", "slices",
+         "candidates-only"],
+    )
     (store,) = _nargs(opts, 1)
+    spark = _get_spark()
+    if opts.get("candidates_only"):
+        if "out" not in opts:
+            raise UsageError('"--candidates-only" requires "--out"')
+        slices = int(opts.get("slices", "8"))
+        n = band_store_candidates_bounded(
+            spark, store, opts["out"], slices=slices
+        ).count()
+        out.write(
+            "%d candidate pairs at %s (bounded discovery, %d slices; "
+            "unverified — run verify where the corpus lives)\n"
+            % (n, opts["out"], slices)
+        )
+        return
     if "docs" not in opts:
         raise UsageError('"docs" option is required')
     thr = float(opts.get("threshold", "0.8"))
-    spark = _get_spark()
     docs = spark.read.parquet(opts["docs"])
     if opts.get("bounded"):
         if "out" not in opts:
@@ -1132,17 +1160,36 @@ def cmd_srp_pairs(argv, cat: Catalog, out):
     10⁴ octave (40M vectors: 251 s candidates + 3941 s bucket verify
     where the one-shot exchange projected 455 GB; pick it when mean
     candidate degree is high). sliced/bucket require --out. Output
-    (id_a, id_b, cosine) as for band-pairs."""
+    (id_a, id_b, cosine) as for band-pairs. --candidates-only: the
+    bounded collision-join stage alone (no --vectors, no verify) —
+    see band-pairs."""
     from dragnet_spark.index.fingerprints import (
+        srp_store_candidates_bounded,
         srp_store_pairs,
         srp_store_pairs_bounded,
         srp_store_pairs_bucket_verify,
     )
 
     opts = _parse_args(
-        argv, ["vectors", "threshold", "out", "mode", "slices"]
+        argv,
+        ["vectors", "threshold", "out", "mode", "slices",
+         "candidates-only"],
     )
     (store,) = _nargs(opts, 1)
+    if opts.get("candidates_only"):
+        if "out" not in opts:
+            raise UsageError('"--candidates-only" requires "--out"')
+        spark = _get_spark()
+        slices = int(opts.get("slices", "8"))
+        n = srp_store_candidates_bounded(
+            spark, store, opts["out"], slices=slices
+        ).count()
+        out.write(
+            "%d candidate pairs at %s (bounded discovery, %d slices; "
+            "unverified — run verify where the corpus lives)\n"
+            % (n, opts["out"], slices)
+        )
+        return
     if "vectors" not in opts:
         raise UsageError('"vectors" option is required')
     mode = opts.get("mode", "oneshot")

@@ -1261,3 +1261,63 @@ def test_srp_build_auto_bits(cfg, tmp_path, spark):
         .select("id_a", "id_b").distinct().collect()
     }
     assert {(i, 100 + i) for i in range(8)} <= got
+
+
+def test_pairs_candidates_only(cfg, tmp_path, spark):
+    """--candidates-only on band-pairs/srp-pairs: the bounded
+    collision-join stage alone (the 10^5-tier posture where verify
+    runs wherever the corpus durably lives) — no --docs/--vectors
+    needed, candidates land in --out."""
+    import numpy as np
+
+    base = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch quietly from the tall grass nearby")
+    corpus = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("tall grass", "grass tall"))],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    store = str(tmp_path / "bstore")
+    rc, _, _ = run(["band-build", corpus, "--out", store], cfg)
+    assert rc == 0
+    sink = str(tmp_path / "cands")
+    rc, out, _ = run(
+        ["band-pairs", store, "--candidates-only", "--slices", "2",
+         "--out", sink], cfg,
+    )
+    assert rc == 0 and "unverified" in out
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(sink).select("id_a", "id_b")
+        .distinct().collect()
+    }
+    assert (1, 2) in got
+    rc, _, err = run(["band-pairs", store, "--candidates-only"], cfg)
+    assert rc == 2 and '"--candidates-only" requires "--out"' in err
+
+    rng = np.random.RandomState(5)
+    b = rng.standard_normal((4, 8))
+    rows = [(i, b[i].tolist()) for i in range(4)]
+    rows += [(100 + i, (b[i] * 1.0001).tolist()) for i in range(4)]
+    vecs = str(tmp_path / "v.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(vecs)
+    sstore = str(tmp_path / "sstore")
+    rc, _, _ = run(
+        ["srp-build", vecs, "--out", sstore, "--bands", "4",
+         "--no-pair-keys"], cfg,
+    )
+    assert rc == 0
+    ssink = str(tmp_path / "scands")
+    rc, out, _ = run(
+        ["srp-pairs", sstore, "--candidates-only", "--slices", "2",
+         "--out", ssink], cfg,
+    )
+    assert rc == 0 and "unverified" in out
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(ssink).select("id_a", "id_b")
+        .distinct().collect()
+    }
+    assert {(i, 100 + i) for i in range(4)} <= got
