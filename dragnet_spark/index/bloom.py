@@ -35,6 +35,8 @@ construction.
 
 from __future__ import annotations
 
+from dragnet_spark.errors import ContractError
+
 import json
 import os
 
@@ -170,7 +172,7 @@ def attribute_against_bloom_store(
     """
     meta = load_bloom_meta(store_path)
     if not meta.get("src_attribution"):
-        raise ValueError(
+        raise ContractError(
             "store was built without src_col; rebuild with "
             "build_bloom_store(..., src_col=...) to attribute"
         )

@@ -51,6 +51,8 @@ path, so stream == batch by construction.
 
 from __future__ import annotations
 
+from dragnet_spark.errors import ContractError
+
 import json
 import os
 
@@ -95,7 +97,7 @@ def build_lm_store(
     judged data shift the judge, so growing the reference is a
     rebuild, not an append."""
     if not (0 < lam_pct < 100):
-        raise ValueError("lam_pct must be in (0, 100)")
+        raise ContractError("lam_pct must be in (0, 100)")
     tok = spread(df).select(F.explode(tokens(text_col)).alias("tok"))
     c1 = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     bg = _doc_bigrams(df, text_col, None)

@@ -45,6 +45,8 @@ top-k, which is the registry entry's SQL oracle.
 
 from __future__ import annotations
 
+from dragnet_spark.errors import ContractError
+
 import json
 import os
 
@@ -95,7 +97,7 @@ def _check_layout(path: str, meta: dict) -> None:
     with open(tok_path) as tf:
         disk_tok = tf.read().strip()
     if disk_tok != meta["layout_token"]:
-        raise ValueError(
+        raise ContractError(
             "vector index layout/meta mismatch (a maintenance job "
             "crashed mid-swap?): vectors carry layout "
             f"{disk_tok!r} but metadata expects "
@@ -207,7 +209,7 @@ def build_vector_index(
     # when maintenance should change the layout, not the layout itself)
     if target_rows_per_cell is not None:
         if target_rows_per_cell <= 0:
-            raise ValueError(
+            raise ContractError(
                 f"target_rows_per_cell={target_rows_per_cell} must be > 0"
             )
         meta["target_rows_per_cell"] = int(target_rows_per_cell)
@@ -318,7 +320,7 @@ def auto_cell_count(
     explicit ``n_centroids``. Deterministic (no RNG) so a replayed
     maintenance job reproduces the same layout decision."""
     if target_rows_per_cell <= 0:
-        raise ValueError(
+        raise ContractError(
             f"target_rows_per_cell={target_rows_per_cell} must be > 0"
         )
     want = -(-n_rows // target_rows_per_cell)  # ceil
@@ -392,14 +394,14 @@ def query_vector_index(
     """
     meta = load_vector_index_meta(path)
     if not str(meta.get("version", "")).startswith("1."):
-        raise ValueError(f"unsupported vector index version: {meta.get('version')}")
+        raise ContractError(f"unsupported vector index version: {meta.get('version')}")
     _check_layout(path, meta)
     C = np.asarray(meta["centroids"], dtype=np.float64)
     n_probe = min(n_probe, len(C))
 
     qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
-        raise ValueError(
+        raise ContractError(
             f"query_vector_index: query side exceeds max_queries="
             f"{max_queries}; shard the queries or raise the cap explicitly"
         )

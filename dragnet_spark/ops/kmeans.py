@@ -49,6 +49,8 @@ brief's dedup family).
 
 from __future__ import annotations
 
+from dragnet_spark.errors import ContractError
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,7 +144,7 @@ def auto_k(n: int, target_rows_per_cluster: int) -> int:
     search linear overall. Exact integer arithmetic — the DuckDB twin
     computes the identical k as ``(COUNT(*) + t - 1) // t``."""
     if target_rows_per_cluster < 1:
-        raise ValueError("target_rows_per_cluster >= 1 required")
+        raise ContractError("target_rows_per_cluster >= 1 required")
     return max(1, (n + target_rows_per_cluster - 1) // target_rows_per_cluster)
 
 
@@ -174,7 +176,7 @@ def kmeans_assign(
     discipline) so the quantized-vector cache can be released before
     returning instead of leaking for the session."""
     if k < 1 or iterations < 0:
-        raise ValueError("k >= 1 and iterations >= 0 required")
+        raise ContractError("k >= 1 and iterations >= 0 required")
     qv = quantize_vectors(df, vec_col, id_col, scale).persist()
     try:
         if target_rows_per_cluster is not None:
@@ -354,7 +356,7 @@ def kmeans_assign_two_level(
             m = len(ids)
             k2 = max(1, (m + target - 1) // target)
             if k2 >= stride:
-                raise ValueError(
+                raise ContractError(
                     f"super-cluster {sup} needs k2={k2} sub-clusters "
                     f">= SUBCLUSTER_STRIDE={stride}: the packed cluster "
                     f"id would overflow into the super id. A group this "
@@ -478,7 +480,7 @@ def semdedup_prune_pairs(
     def pairs(key, pdf):
         cluster = int(key[0])
         if len(pdf) > max_cluster_rows:
-            raise ValueError(
+            raise ContractError(
                 f"cluster {cluster} holds {len(pdf)} rows > "
                 f"max_cluster_rows={max_cluster_rows}: k is pinned far "
                 f"too small for this corpus — rerun kmeans_assign with "
@@ -580,7 +582,7 @@ def kmeans_sql(
         )
     else:
         if int(k) >= ARGMIN_PACK:
-            raise ValueError(
+            raise ContractError(
                 f"k={k} >= ARGMIN_PACK={ARGMIN_PACK}: the packed "
                 f"argmin min(dist*PACK + c) cannot represent cluster "
                 f"ids this large"
