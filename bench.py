@@ -291,7 +291,14 @@ def _machine_trend(sf, probe_med: float) -> dict:
     UNDER an environmental slowdown — the r12-vs-r14 interleaved
     cold-start A/B (BASELINE.md) measured identical per-query times
     on both HEADs, attributing the r11→r13 riser to box epoch."""
-    meds = _round_probe_meds(sf)
+    # exclude the CURRENT round's earlier runs: rounds routinely get
+    # several bench runs, and letting run 1 of round N into the
+    # history side would put two same-round points in the series —
+    # intra-round jitter masquerading as (or masking) a rising round
+    this_round = current_round()
+    meds = {
+        r: v for r, v in _round_probe_meds(sf).items() if r < this_round
+    }
     series = [meds[r] for r in sorted(meds)][-(TREND_POINTS - 1):]
     series.append(probe_med)
     rising = len(series) == TREND_POINTS and all(

@@ -958,11 +958,7 @@ def cmd_srp_build(argv, cat: Catalog, out):
     if opts.get("bits", "16") == "auto":
         from pyspark.sql import functions as F
 
-        from dragnet_spark.ops.dedup import (
-            AUTOBITS_MAX,
-            auto_bits_per_band,
-            srp_planes_q_prefix,
-        )
+        from dragnet_spark.ops.dedup import auto_srp_width
 
         if dims is None:
             first = (
@@ -977,8 +973,7 @@ def cmd_srp_build(argv, cat: Catalog, out):
                 )
             dims = int(first["d"])
         n = df.count()
-        bits = min(AUTOBITS_MAX, auto_bits_per_band(n, bands))
-        kwargs["planes_q"] = srp_planes_q_prefix(dims, bands, bits, seed)
+        bits, kwargs["planes_q"] = auto_srp_width(n, bands, dims, seed)
     else:
         bits = int(opts.get("bits", "16"))
     meta = build_srp_store(
@@ -1064,6 +1059,24 @@ def _print_pair_rows(out, rows, score_col: str) -> None:
         )
 
 
+def _run_candidates_only(fn, store: str, opts: dict, out) -> None:
+    """Shared --candidates-only body for band-pairs / srp-pairs: the
+    bounded collision-join stage alone. The deduplicated candidate
+    set is materialized at OUT/pairs (the library collapses
+    cross-band duplicates into the sink, so the printed count IS the
+    sink's row count); OUT also holds the resume manifest."""
+    if "out" not in opts:
+        raise UsageError('"--candidates-only" requires "--out"')
+    slices = int(opts.get("slices", "8"))
+    spark = _get_spark()
+    n = fn(spark, store, opts["out"], slices=slices).count()
+    out.write(
+        "%d candidate pairs at %s/pairs (bounded discovery, %d slices; "
+        "unverified — run verify where the corpus lives)\n"
+        % (n, opts["out"], slices)
+    )
+
+
 def cmd_band_pairs(argv, cat: Catalog, out):
     """dn band-pairs <store-path> --docs=<parquet> [--threshold=0.8]
     [--out=DIR] [--bounded [--slices=8]]: near-duplicate PAIR
@@ -1099,23 +1112,13 @@ def cmd_band_pairs(argv, cat: Catalog, out):
          "candidates-only"],
     )
     (store,) = _nargs(opts, 1)
-    spark = _get_spark()
     if opts.get("candidates_only"):
-        if "out" not in opts:
-            raise UsageError('"--candidates-only" requires "--out"')
-        slices = int(opts.get("slices", "8"))
-        n = band_store_candidates_bounded(
-            spark, store, opts["out"], slices=slices
-        ).count()
-        out.write(
-            "%d candidate pairs at %s (bounded discovery, %d slices; "
-            "unverified — run verify where the corpus lives)\n"
-            % (n, opts["out"], slices)
-        )
+        _run_candidates_only(band_store_candidates_bounded, store, opts, out)
         return
     if "docs" not in opts:
         raise UsageError('"docs" option is required')
     thr = float(opts.get("threshold", "0.8"))
+    spark = _get_spark()
     docs = spark.read.parquet(opts["docs"])
     if opts.get("bounded"):
         if "out" not in opts:
@@ -1177,18 +1180,7 @@ def cmd_srp_pairs(argv, cat: Catalog, out):
     )
     (store,) = _nargs(opts, 1)
     if opts.get("candidates_only"):
-        if "out" not in opts:
-            raise UsageError('"--candidates-only" requires "--out"')
-        spark = _get_spark()
-        slices = int(opts.get("slices", "8"))
-        n = srp_store_candidates_bounded(
-            spark, store, opts["out"], slices=slices
-        ).count()
-        out.write(
-            "%d candidate pairs at %s (bounded discovery, %d slices; "
-            "unverified — run verify where the corpus lives)\n"
-            % (n, opts["out"], slices)
-        )
+        _run_candidates_only(srp_store_candidates_bounded, store, opts, out)
         return
     if "vectors" not in opts:
         raise UsageError('"vectors" option is required')

@@ -550,7 +550,7 @@ def _check_run_manifest(out_path: str, want: dict) -> None:
         stale = sorted(
             e
             for e in os.listdir(out_path)
-            if e == "_candidates"
+            if e in ("_candidates", "_slices", "pairs")
             or e.startswith("slice=")
             or e.startswith("band=")
         )
@@ -707,38 +707,54 @@ def _candidates_in_slices(
     discovery itself needs the slicing, not just verify).
 
     Each slice writes its within-slice-distinct pairs to
-    ``out_path/slice=i`` (crash-resumable ``_SUCCESS`` markers,
-    guarded by the same run manifest as the bounded verifies). A pair
-    colliding in SEVERAL bands carries different ``slice_key`` values
-    and can land in several slices, so the returned frame applies the
-    final cross-slice ``dropDuplicates`` — one exchange over the
-    written pair rows (candidate-count-sized, orders of magnitude
-    below the collision exchange). Same exclusive-session assumption
-    as the bounded verifies."""
-    _check_run_manifest(out_path, dict(manifest, slices=slices))
-    for i in range(slices):
-        sdir = os.path.join(out_path, f"slice={i}")
-        if os.path.exists(os.path.join(sdir, "_SUCCESS")):
-            continue
-        part = rows.filter(
-            F.pmod(F.xxhash64(slice_key), F.lit(slices)) == i
-        )
-        from dragnet_spark.ops.dedup import _collision_pairs
+    ``out_path/_slices/slice=i`` (crash-resumable ``_SUCCESS``
+    markers, guarded by the same run manifest as the bounded
+    verifies). A pair colliding in SEVERAL bands carries different
+    ``slice_key`` values and can land in several slices, so the
+    final stage MATERIALIZES the cross-slice ``dropDuplicates`` into
+    ``out_path/pairs`` — one exchange over the written pair rows
+    (candidate-count-sized, orders of magnitude below the collision
+    exchange) — and the slice scratch is then deleted: the sink a
+    downstream verify consumes holds exactly the deduplicated
+    candidate set, not per-slice rows with cross-band duplicates.
+    Same exclusive-session assumption as the bounded verifies."""
+    import shutil as _shutil
 
-        _collision_pairs(part, id_col, key_cols).write.mode(
-            "overwrite"
-        ).parquet(sdir)
-        # LOCAL-MODE-ONLY (see _verify_in_slices): free the finished
-        # slice's dead shuffle before the next slice starts
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:  # pragma: no cover — py4j hiccup
-            pass
-    return (
-        spark.read.parquet(out_path)
-        .drop("slice")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # manifest first, even when the pairs sink is already complete: a
+    # re-invocation after the STORE grew (store_content differs) or
+    # under different slicing must fail loudly, not hand back the
+    # completed-but-stale result
+    _check_run_manifest(out_path, dict(manifest, slices=slices))
+    pdir = os.path.join(out_path, "pairs")
+    if not os.path.exists(os.path.join(pdir, "_SUCCESS")):
+        sroot = os.path.join(out_path, "_slices")
+        for i in range(slices):
+            sdir = os.path.join(sroot, f"slice={i}")
+            if os.path.exists(os.path.join(sdir, "_SUCCESS")):
+                continue
+            part = rows.filter(
+                F.pmod(F.xxhash64(slice_key), F.lit(slices)) == i
+            )
+            from dragnet_spark.ops.dedup import _collision_pairs
+
+            _collision_pairs(part, id_col, key_cols).write.mode(
+                "overwrite"
+            ).parquet(sdir)
+            # LOCAL-MODE-ONLY (see _verify_in_slices): free the
+            # finished slice's dead shuffle before the next slice
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # pragma: no cover — py4j hiccup
+                pass
+        (
+            spark.read.parquet(sroot)
+            .drop("slice")
+            .dropDuplicates(["id_a", "id_b"])
+            .write.mode("overwrite")
+            .parquet(pdir)
+        )
+        _shutil.rmtree(sroot, ignore_errors=True)
+    return spark.read.parquet(pdir)
 
 
 def band_store_candidates_bounded(

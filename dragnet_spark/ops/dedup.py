@@ -834,6 +834,20 @@ def auto_bits_per_band(
 AUTOBITS_MAX = 32
 
 
+def auto_srp_width(
+    n: int, bands: int, dims: int, seed: int = 42
+) -> tuple[int, "np.ndarray"]:
+    """THE auto-width rule, single-sourced: (bits, prefix planes) for
+    a corpus of ``n`` vectors — ``bits = min(AUTOBITS_MAX,
+    auto_bits_per_band(n, bands))`` keyed as a prefix of the static
+    32-bit plane matrix. Every surface that sizes an SRP store
+    (library autobits pipeline, ``dn srp-build --bits auto``, the
+    octave tools) calls this one function so the formula and the
+    ceiling cannot drift apart across copies."""
+    bits = min(AUTOBITS_MAX, auto_bits_per_band(n, bands))
+    return bits, srp_planes_q_prefix(dims, bands, bits, seed)
+
+
 def srp_planes_q_prefix(
     dims: int, bands: int, bits_per_band: int, seed: int = 42
 ):
@@ -879,8 +893,7 @@ def embedding_near_dup_lsh_autobits(
     vectors collide at any width. Returns (id_a, id_b, cosine)."""
     df = spread(df)
     n = df.count()
-    bits = min(AUTOBITS_MAX, auto_bits_per_band(n, bands))
-    planes = srp_planes_q_prefix(dims, bands, bits, seed)
+    bits, planes = auto_srp_width(n, bands, dims, seed)
     return embedding_near_dup_lsh(
         df,
         id_col=id_col,

@@ -1269,11 +1269,7 @@ def dedup_embedding_lsh_autobits_store(
         build_srp_store,
         srp_store_pairs,
     )
-    from dragnet_spark.ops.dedup import (
-        AUTOBITS_MAX,
-        auto_bits_per_band,
-        srp_planes_q_prefix,
-    )
+    from dragnet_spark.ops.dedup import auto_srp_width
 
     emb = _t(spark, sf_dir, "embeddings")
     twins = emb.select(
@@ -1283,7 +1279,7 @@ def dedup_embedding_lsh_autobits_store(
     path = _store_amort_path(sf_dir, "srp_autobits")
     if not os.path.exists(os.path.join(path, SRP_META)):
         n = corpus.count()
-        bits = min(AUTOBITS_MAX, auto_bits_per_band(n, _EMB_LSH_BANDS))
+        bits, planes = auto_srp_width(n, _EMB_LSH_BANDS, _EMB_LSH_DIMS, 42)
         build_srp_store(
             spark,
             corpus,
@@ -1294,9 +1290,7 @@ def dedup_embedding_lsh_autobits_store(
             bits_per_band=bits,
             seed=42,
             dims=_EMB_LSH_DIMS,
-            planes_q=srp_planes_q_prefix(
-                _EMB_LSH_DIMS, _EMB_LSH_BANDS, bits, 42
-            ),
+            planes_q=planes,
             with_pairs=False,
         )
     return srp_store_pairs(spark, path, corpus, threshold=_EMB_LSH_T)

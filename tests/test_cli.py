@@ -1286,12 +1286,14 @@ def test_pairs_candidates_only(cfg, tmp_path, spark):
          "--out", sink], cfg,
     )
     assert rc == 0 and "unverified" in out
-    got = {
-        tuple(r)
-        for r in spark.read.parquet(sink).select("id_a", "id_b")
-        .distinct().collect()
-    }
+    # the sink is the DEDUPLICATED set: row count == printed count
+    rows = spark.read.parquet(sink + "/pairs").select(
+        "id_a", "id_b"
+    ).collect()
+    got = {tuple(r) for r in rows}
     assert (1, 2) in got
+    assert len(rows) == len(got)
+    assert ("%d candidate pairs" % len(rows)) in out
     rc, _, err = run(["band-pairs", store, "--candidates-only"], cfg)
     assert rc == 2 and '"--candidates-only" requires "--out"' in err
 
@@ -1315,9 +1317,9 @@ def test_pairs_candidates_only(cfg, tmp_path, spark):
          "--out", ssink], cfg,
     )
     assert rc == 0 and "unverified" in out
-    got = {
-        tuple(r)
-        for r in spark.read.parquet(ssink).select("id_a", "id_b")
-        .distinct().collect()
-    }
+    srows = spark.read.parquet(ssink + "/pairs").select(
+        "id_a", "id_b"
+    ).collect()
+    got = {tuple(r) for r in srows}
     assert {(i, 100 + i) for i in range(4)} <= got
+    assert len(srows) == len(got)  # twins collide in EVERY band

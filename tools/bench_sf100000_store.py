@@ -91,6 +91,32 @@ def _save(state: dict) -> None:
         json.dump(state, f, indent=1)
 
 
+def _update(mutator) -> dict:
+    """Locked read-modify-write of the artifact. gen(i+1) and
+    append(i) run CONCURRENTLY by design (the runner overlaps them),
+    and whole-file save-last-wins silently drops the other process's
+    fold record — measured: fold 1's gen wall vanished when append 0's
+    final save landed with a state loaded before gen 1 finished. Every
+    mutation now reloads under an exclusive flock, applies, and saves,
+    so the two writers interleave instead of clobbering."""
+    import fcntl
+
+    os.makedirs(STORE_ROOT, exist_ok=True)
+    with open(STORE_ROOT / ".state.lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            state = _load()
+            mutator(state)
+            _save(state)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+    return state
+
+
+def _update_fold(i: int, fields: dict) -> None:
+    _update(lambda s: s["folds"].setdefault(str(i), {}).update(fields))
+
+
 def _free() -> int:
     st = os.statvfs(str(ROOT))
     return st.f_bavail * st.f_frsize
@@ -114,9 +140,8 @@ def _session(name: str):
 
 
 def cmd_gen(i: int) -> None:
-    state = _load()
     fd = _fold_dir(i)
-    frec = state["folds"].setdefault(str(i), {})
+    frec = _load()["folds"].get(str(i), {})
     if frec.get("gen_s") is not None and (fd / "_gen_meta.json").exists():
         print(f"fold {i}: already generated")
         return
@@ -138,17 +163,18 @@ def cmd_gen(i: int) -> None:
         ],
         check=True,
     )
-    frec["gen_s"] = round(time.time() - t0, 1)
-    frec["fold_bytes"] = _du(fd)
-    frec["free_after_gen"] = _free()
-    _save(state)
-    print(f"fold {i}: generated in {frec['gen_s']}s "
-          f"({frec['fold_bytes']/1e9:.1f} GB)")
+    fields = {
+        "gen_s": round(time.time() - t0, 1),
+        "fold_bytes": _du(fd),
+        "free_after_gen": _free(),
+    }
+    _update_fold(i, fields)
+    print(f"fold {i}: generated in {fields['gen_s']}s "
+          f"({fields['fold_bytes']/1e9:.1f} GB)")
 
 
 def cmd_append(i: int) -> None:
-    state = _load()
-    frec = state["folds"].setdefault(str(i), {})
+    frec = _load()["folds"].get(str(i), {})
     if frec.get("append_done"):
         print(f"fold {i}: already appended")
         return
@@ -163,33 +189,39 @@ def cmd_append(i: int) -> None:
         build_band_store,
         build_srp_store,
     )
-    from dragnet_spark.ops.dedup import (
-        AUTOBITS_MAX,
-        auto_bits_per_band,
-        srp_planes_q_prefix,
-    )
+    from dragnet_spark.ops.dedup import auto_srp_width
 
-    docs = spark.read.parquet(str(fd / "documents.parquet"))
     os.makedirs(STORE_ROOT, exist_ok=True)
-    t0 = time.time()
-    if not (BAND_PATH / BAND_META).exists():
-        # fold 0 creates the store; build == signatures + write, the
-        # same work an append pays, so its wall sits in the same
-        # series (annotated)
-        build_band_store(
-            spark, docs, str(BAND_PATH),
-            num_hashes=NUM_HASHES, bands=BANDS, ngram=NGRAM,
-        )
-        frec["band_mode"] = "build"
-    else:
-        append_band_keys(spark, docs, str(BAND_PATH))
-        frec["band_mode"] = "append"
-    frec["band_append_s"] = round(time.time() - t0, 1)
-    frec["band_store_bytes"] = _du(BAND_PATH)
-    # the fold's documents are consumed: delete before the embedding
-    # append so peak disk is stores + ONE table of the next fold
-    shutil.rmtree(fd / "documents.parquet", ignore_errors=True)
-    _save(state)
+    # ``band_done`` makes a mid-fold crash resumable WITHOUT
+    # double-appending: band appends are not idempotent, so a rerun
+    # after a crash during the SRP step must skip the band step (its
+    # keys are already in the store — and the fold's documents are
+    # deleted by then anyway)
+    if not frec.get("band_done"):
+        docs = spark.read.parquet(str(fd / "documents.parquet"))
+        t0 = time.time()
+        if not (BAND_PATH / BAND_META).exists():
+            # fold 0 creates the store; build == signatures + write,
+            # the same work an append pays, so its wall sits in the
+            # same series (annotated)
+            build_band_store(
+                spark, docs, str(BAND_PATH),
+                num_hashes=NUM_HASHES, bands=BANDS, ngram=NGRAM,
+            )
+            mode = "build"
+        else:
+            append_band_keys(spark, docs, str(BAND_PATH))
+            mode = "append"
+        _update_fold(i, {
+            "band_mode": mode,
+            "band_append_s": round(time.time() - t0, 1),
+            "band_store_bytes": _du(BAND_PATH),
+            "band_done": True,
+        })
+        # the fold's documents are consumed: delete before the
+        # embedding append so peak disk is stores + ONE table of the
+        # next fold
+        shutil.rmtree(fd / "documents.parquet", ignore_errors=True)
 
     emb = spark.read.parquet(str(fd / "embeddings.parquet"))
     t0 = time.time()
@@ -197,38 +229,38 @@ def cmd_append(i: int) -> None:
         # width sized for the TARGET corpus at store creation (the
         # store's band width is immutable): auto formula at 2e8
         # vectors / 6 bands -> 28 bits
-        bits = min(AUTOBITS_MAX, auto_bits_per_band(TARGET_VECS, SRP_BANDS))
-        state["srp_bits"] = bits
+        bits, planes = auto_srp_width(
+            TARGET_VECS, SRP_BANDS, SRP_DIMS, SRP_SEED
+        )
+        _update(lambda s: s.__setitem__("srp_bits", bits))
         build_srp_store(
             spark, emb, str(SRP_PATH),
             vec_col="embedding", id_col="vec_id",
             bands=SRP_BANDS, bits_per_band=bits, seed=SRP_SEED,
             dims=SRP_DIMS,
-            planes_q=srp_planes_q_prefix(
-                SRP_DIMS, SRP_BANDS, bits, SRP_SEED
-            ),
+            planes_q=planes,
             with_pairs=False,
         )
-        frec["srp_mode"] = "build"
+        mode = "build"
     else:
         append_srp_keys(spark, emb, str(SRP_PATH))
-        frec["srp_mode"] = "append"
-    frec["srp_append_s"] = round(time.time() - t0, 1)
-    frec["srp_store_bytes"] = _du(SRP_PATH)
+        mode = "append"
+    fields = {
+        "srp_mode": mode,
+        "srp_append_s": round(time.time() - t0, 1),
+        "srp_store_bytes": _du(SRP_PATH),
+        "append_done": True,
+        "free_after_append": _free(),
+    }
     shutil.rmtree(fd, ignore_errors=True)
-    frec["append_done"] = True
-    frec["free_after_append"] = _free()
-    _save(state)
-    print(f"fold {i}: band {frec['band_append_s']}s "
-          f"({frec['band_store_bytes']/1e9:.2f} GB), "
-          f"srp {frec['srp_append_s']}s "
-          f"({frec['srp_store_bytes']/1e9:.2f} GB)")
+    _update_fold(i, fields)
+    print(f"fold {i}: srp {fields['srp_append_s']}s "
+          f"({fields['srp_store_bytes']/1e9:.2f} GB)")
     spark.stop()
 
 
 def cmd_discover(family: str) -> None:
-    state = _load()
-    rec = state["discovery"].setdefault(family, {})
+    rec: dict = dict(_load()["discovery"].get(family, {}))
     if rec.get("n_candidates") is not None:
         print(f"{family}: discovery already recorded")
         return
@@ -270,7 +302,7 @@ def cmd_discover(family: str) -> None:
     rec["store_bytes"] = _du(store_dir)
     rec["free_after"] = _free()
     rec["cand_sink_bytes"] = _du(out)
-    _save(state)
+    _update(lambda s: s["discovery"].__setitem__(family, rec))
     shutil.rmtree(out, ignore_errors=True)
     print(f"{family}: {n_cand} candidates in {rec['discover_s']}s "
           f"({slices} slices over {n_rows} store rows)")
@@ -327,7 +359,9 @@ def cmd_finalize() -> None:
             ),
         }
     ]
-    _save(state)
+    _update(lambda s: (s.__setitem__("summary", state["summary"]),
+                       s.__setitem__("declared_skips",
+                                     state["declared_skips"])))
     print(json.dumps(state["summary"], indent=1))
 
 

@@ -54,11 +54,9 @@ def main() -> None:
         srp_store_pairs,
     )
     from dragnet_spark.ops.dedup import (
-        AUTOBITS_MAX,
-        auto_bits_per_band,
+        auto_srp_width,
         embedding_near_dup_lsh_autobits,
         minhash_lsh_pairs,
-        srp_planes_q_prefix,
     )
     from dragnet_spark.registry.curation import (
         _EMB_LSH_BANDS,
@@ -138,7 +136,7 @@ def main() -> None:
     )
     emb = a_emb.unionByName(b_emb)
     n_total = emb.count()
-    bits = min(AUTOBITS_MAX, auto_bits_per_band(n_total, _EMB_LSH_BANDS))
+    bits, planes = auto_srp_width(n_total, _EMB_LSH_BANDS, _EMB_LSH_DIMS, 42)
     path = tempfile.mkdtemp(prefix="append_eq_srp_")
     fam = {"bits": bits, "n_vectors": n_total}
     t0 = time.time()
@@ -147,9 +145,7 @@ def main() -> None:
         vec_col="embedding", id_col="vec_id",
         bands=_EMB_LSH_BANDS, bits_per_band=bits, seed=42,
         dims=_EMB_LSH_DIMS,
-        planes_q=srp_planes_q_prefix(
-            _EMB_LSH_DIMS, _EMB_LSH_BANDS, bits, 42
-        ),
+        planes_q=planes,
         with_pairs=False,
     )
     fam["build_A_s"] = round(time.time() - t0, 1)
