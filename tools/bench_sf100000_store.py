@@ -334,6 +334,18 @@ def cmd_finalize() -> None:
             round(max(srp_walls) / min(srp_walls), 2)
             if srp_walls else None
         ),
+        # folds 0-1 overlapped unrelated dev activity on the box (and
+        # fold 0 is the store BUILD); the steady-state series is the
+        # honest flat-or-not evidence for the continuous-ingest claim
+        "band_steady_state_walls_s": band_walls[2:],
+        "band_steady_max_over_min": (
+            round(max(band_walls[2:]) / min(band_walls[2:]), 2)
+            if len(band_walls) > 3 else None
+        ),
+        "srp_steady_max_over_min": (
+            round(max(srp_walls[2:]) / min(srp_walls[2:]), 2)
+            if len(srp_walls) > 3 else None
+        ),
         "final_band_store_bytes": (
             folds[max(folds, key=int)].get("band_store_bytes")
             if folds else None
