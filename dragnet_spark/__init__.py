@@ -29,6 +29,7 @@ from dragnet_spark.krill import (
     predicate_fields,
 )
 from dragnet_spark.config import Catalog, DatasourceConfig, MetricConfig
+from dragnet_spark.errors import ContractError
 from dragnet_spark.index.build import Metric, build_index
 from dragnet_spark.index.query import query_index
 from dragnet_spark.output.format import render
@@ -39,6 +40,7 @@ from dragnet_spark.session import get_spark
 __all__ = [
     "Breakdown",
     "Catalog",
+    "ContractError",
     "DatasourceConfig",
     "KrillError",
     "Metric",
