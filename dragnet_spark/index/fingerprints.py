@@ -476,7 +476,9 @@ def band_store_pairs(
     # spurious (a, a) rows — dropped by id_a < id_b — and duplicated
     # (a, b) evidence collapses in _collision_pairs' dropDuplicates,
     # so pair output is invariant under append replays and compaction
-    candidates = _collision_pairs(banded, "id", ["band", "bhash"])
+    candidates = _collision_pairs(
+        banded, "id", ["band", "bhash"], rows_materialized=True
+    )
     if verify_semi is None:
         verify_semi = _relation_bytes(docs) >= MINHASH_SEMI_VERIFY_MIN_BYTES
     sets = token_sets(docs, meta["text_col"], meta["id_col"], meta["ngram"])
@@ -737,7 +739,9 @@ def _candidates_in_slices(
             )
             from dragnet_spark.ops.dedup import _collision_pairs
 
-            _collision_pairs(part, id_col, key_cols).write.mode(
+            _collision_pairs(
+                part, id_col, key_cols, rows_materialized=True
+            ).write.mode(
                 "overwrite"
             ).parquet(sdir)
             # LOCAL-MODE-ONLY (see _verify_in_slices): free the
@@ -843,7 +847,9 @@ def band_store_pairs_bounded(
     banded = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
         F.col("doc_id").alias("id"), "band", "bhash"
     )
-    candidates = _collision_pairs(banded, "id", ["band", "bhash"])
+    candidates = _collision_pairs(
+        banded, "id", ["band", "bhash"], rows_materialized=True
+    )
     sets = token_sets(docs, meta["text_col"], meta["id_col"], meta["ngram"])
 
     def verify_one(cand_slice: DataFrame) -> DataFrame:
@@ -890,7 +896,9 @@ def srp_store_pairs_bounded(
     banded = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
         F.col("vec_id").alias("__id"), "band", "bucket"
     )
-    candidates = _collision_pairs(banded, "__id", ["band", "bucket"])
+    candidates = _collision_pairs(
+        banded, "__id", ["band", "bucket"], rows_materialized=True
+    )
     vecs = docs.select(
         F.col(meta["id_col"]).alias("__id"),
         F.col(meta["vec_col"]).alias("__vec"),
@@ -1393,7 +1401,9 @@ def srp_store_pairs(
     banded = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
         F.col("vec_id").alias("__id"), "band", "bucket"
     )
-    candidates = _collision_pairs(banded, "__id", ["band", "bucket"])
+    candidates = _collision_pairs(
+        banded, "__id", ["band", "bucket"], rows_materialized=True
+    )
     if verify_semi is None:
         verify_semi = _relation_bytes(docs) >= MINHASH_SEMI_VERIFY_MIN_BYTES
     vecs = docs.select(

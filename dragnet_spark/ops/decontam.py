@@ -178,38 +178,41 @@ def overlap_report(
     same columns and rounding as :func:`ops.text.benchmark_overlap`.
     """
     g = _with_might(grams, bitset, m_bits, k)
-    # one branch counts per-doc totals; the verify branch recomputes
-    # lineage but filters might=true before its join, so only the
-    # candidate sliver shuffles
-    per_doc = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        g.filter("might")
-        .join(bench.withColumn("__hit", F.lit(1)), "gh", "left")
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            .cast("long")
-            .alias("__n_hit")
+    # ONE pass over the training grams (r14: the old shape ran the
+    # gram-assembly lineage twice — a per-doc totals branch and a
+    # might-filtered verify branch — and Catalyst re-embeds the
+    # explode+window pipeline per branch). Folding `might` into the
+    # LEFT join's condition keeps the verify semantics (a gram only
+    # matches when the bitset might-contains it AND it is in the exact
+    # bench table — bench holds distinct ghs, so ≤ 1 match per gram)
+    # while the same rows also carry the per-doc totals: one groupBy
+    # computes n_grams and the hit sum together. Bench stays the
+    # broadcast-or-shuffle side AQE sizes; might=false grams
+    # contribute 0 hits without ever probing the hash relation.
+    bj = bench.withColumn("__hit", F.lit(1)).alias("b")
+    g = g.alias("g")
+    per_doc = (
+        g.join(
+            bj,
+            F.col("g.might") & (F.col("g.gh") == F.col("b.gh")),
+            "left",
         )
-    )
-    return (
-        per_doc.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce(F.col("__n_hit"), F.lit(0))
+        .groupBy(F.col(f"g.{id_col}").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
             .cast("long")
             .alias("n_hit_grams"),
         )
-        .select(
-            id_col,
-            "n_grams",
-            "n_hit_grams",
-            F.round(
-                F.col("n_hit_grams").cast("double") / F.col("n_grams"), 9
-            ).alias("hit_frac"),
-            (F.col("n_hit_grams") > 0).cast("int").alias("contaminated"),
-        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_hit_grams",
+        F.round(
+            F.col("n_hit_grams").cast("double") / F.col("n_grams"), 9
+        ).alias("hit_frac"),
+        (F.col("n_hit_grams") > 0).cast("int").alias("contaminated"),
     )
 
 
@@ -228,9 +231,17 @@ def benchmark_overlap_bloom(
     eval gram table. Columns: (id_col, n_grams, n_hit_grams,
     hit_frac, contaminated).
     """
+    from dragnet_spark.ops.dedup import _materialize_once
+
     pos = doc_gram_hashes(df, text_col, id_col, n)
     is_bench = F.col(id_col) % bench_mod == 0
-    bench = pos.filter(is_bench).select("gh").distinct()
+    # bench is consumed twice (the eager bitset build and the exact
+    # verify join) and its lineage is a full corpus gram-assembly
+    # pass; the distinct eval gram set is small by construction (the
+    # held-out slice), so one checkpoint pays for itself immediately
+    bench = _materialize_once(
+        pos.filter(is_bench).select("gh").distinct()
+    )
     train = pos.filter(~is_bench)
     bitset = bloom_build(bench, "gh", m_bits=m_bits, k=k)
     return overlap_report(

@@ -92,7 +92,8 @@ def _materialize_once(df: DataFrame) -> DataFrame:
 
 
 def _collision_pairs(
-    rows: DataFrame, id_col: str, key_cols: list[str]
+    rows: DataFrame, id_col: str, key_cols: list[str],
+    rows_materialized: bool = False,
 ) -> DataFrame:
     """Deduplicated candidate pairs (id_a < id_b) from one
     (key..., id) collision-row table — the LSH candidate-generation
@@ -102,7 +103,22 @@ def _collision_pairs(
     definition here is what makes batch and from-store pair discovery
     provably identical). The self-join keys on hash buckets, so it
     shuffles n·bands rows — never the O(n²) cross product — and AQE
-    splits hot buckets."""
+    splits hot buckets.
+
+    The input is materialized before the self-join unless the caller
+    says it is already file-backed (``rows_materialized=True`` — the
+    store paths, whose band rows come off a persisted parquet store):
+    the join references ``rows`` twice and Catalyst re-embeds — i.e.
+    re-executes — the whole row-generation lineage per reference
+    (measured r14: the batch minhash plan ran the scan → shingle →
+    signature pipeline twice and the SRP plan ran the bucket-UDF
+    matmul twice, because a BroadcastExchange build side can never be
+    a ReusedExchange of the probe side). The checkpoint is linear and
+    skinny (id + band + an 8-byte-or-so bucket key per band row), and
+    AQE still picks the join strategy from the checkpoint's ACTUAL
+    size — broadcast while it fits, sort-merge at corpus scale."""
+    if not rows_materialized:
+        rows = _materialize_once(rows)
     left = rows.select(*key_cols, F.col(id_col).alias("id_a"))
     right = rows.select(*key_cols, F.col(id_col).alias("id_b"))
     return (
@@ -974,7 +990,15 @@ def _band_buckets_udf(planes_q, bands: int, bits_per_band: int):
                 ]
         return pd.Series(out, dtype=object)
 
-    return buckets
+    # non-deterministic marking (guide: the optimizer duplicates a UDF
+    # referenced by a pushable predicate): the posexplode downstream
+    # infers `size(__buckets) > 0` and pushes it below the spread
+    # exchange, leaving TWO ArrowEvalPython nodes — every row paid the
+    # matmul twice (measured r14 in the dedup_embedding_lsh plan).
+    # The function is pure, but marking it non-deterministic only
+    # forbids the optimizer to clone/reorder it — one evaluation, the
+    # filter applied above it.
+    return buckets.asNondeterministic()
 
 
 def srp_banded_sql(
@@ -1105,6 +1129,15 @@ def embedding_near_dup_lsh(
 
     df = spread(df)
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    if not verify_semi:
+        # small-corpus path: vecs is referenced three times (bucket
+        # projection + both verify joins) and each reference re-scans
+        # (and re-pays the spread exchange of) the vector payload;
+        # materializing the bounded table once collapses that to a
+        # single pass. The semi path keeps the streaming scan and
+        # materializes only the collision-family survivors — the full
+        # vector table on executor storage is exactly what it avoids.
+        vecs = _materialize_once(vecs)
     buckets_udf = _band_buckets_udf(planes, bands, bits_per_band)
     # one row per band: (band index, that band's bucket key); vectors
     # do NOT ride the bucket shuffle — they are joined back onto the

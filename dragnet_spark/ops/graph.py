@@ -47,10 +47,17 @@ def connected_components(
     # a full LSH pipeline) edge lineage within one job
     edges = edges.persist()
     edges.count()
+    # repartition by the join key BEFORE caching: every round's
+    # message join keys on s, and a cache partitioned on (s, d) (the
+    # distinct's layout) would re-exchange the full edge table per
+    # round — this way the per-round join reuses the cached layout
+    # and only the (smaller) label side shuffles (guide: two
+    # operations keyed the same way share one exchange)
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
+        .repartition("s")
     )
     sym.persist()
     # localCheckpoint EVERY round, not just at the end: persist caches
@@ -63,6 +70,19 @@ def connected_components(
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
+    # convergence via the label-sum invariant: min-label propagation
+    # only ever DECREASES a node's label, so Σ component (exact, in
+    # decimal so any int64 id magnitude at any node count is safe)
+    # is strictly decreasing until the fixed point — equal sums ⟺
+    # identical labels. One 1-row partial aggregation per round over
+    # the just-checkpointed labels replaces the old changed-row check,
+    # which JOINED two node-sized tables (two exchanges) per round.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     try:
         for rounds in range(1, max_iter + 1):
             if stats is not None:
@@ -76,16 +96,11 @@ def connected_components(
                 .agg(F.min("component").alias("component"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+            new_sum = _label_sum(new_labels)
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels
+            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
@@ -140,24 +155,41 @@ def pagerank(
         raise ValueError("damping_pct must be in (0, 100)")
     edges = edges.persist()
     edges.count()
+    # partitioned by the per-round join key s before caching — the
+    # contrib join then reuses the cached layout every round instead
+    # of re-exchanging the full edge table (connected_components'
+    # discipline)
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
+        .repartition("s")
         .persist()
     )
     ids = nodes.select(F.col(id_col).alias("id"))
-    nn = ids.agg(F.count(F.lit(1)).alias("n"))
+    # n is a driver scalar (one count job, same cost the old 1-row
+    # nn aggregate paid per checkpointed round — the crossJoin'd
+    # broadcast subplan re-executed under every round's eager
+    # checkpoint); as a literal it constant-folds into the rank
+    # expression
+    n = ids.count()
     deg = sym.groupBy(F.col("s").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).persist()
+    )
     S = F.lit(scale)
-    ranks = ids.crossJoin(F.broadcast(nn)).select(
-        "id", F.expr(f"{scale} div n").alias("r")
-    ).localCheckpoint(eager=True)
+    # the static per-node state (id, deg — deg NULL ⟺ dangling) is
+    # joined ONCE and carried through every checkpointed rank row:
+    # the per-round shares join against deg and the per-round
+    # left-anti dangling join (two node-keyed shuffle joins per
+    # iteration) collapse into a filter on the rank table itself
+    ranks = (
+        ids.join(deg, "id", "left")
+        .select("id", "deg", F.lit(scale // n if n else 0).alias("r"))
+        .localCheckpoint(eager=True)
+    )
     try:
         for _ in range(iterations):
-            shares = ranks.join(deg, "id").select(
+            shares = ranks.filter(F.col("deg").isNotNull()).select(
                 "id", F.expr("r div deg").alias("share")
             )
             contrib = (
@@ -165,20 +197,21 @@ def pagerank(
                 .groupBy(F.col("d").alias("id"))
                 .agg(F.sum("share").alias("c"))
             )
-            dang = ranks.join(deg, "id", "left_anti").agg(
+            dang = ranks.filter(F.col("deg").isNull()).agg(
                 F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
             )
             ranks = (
-                ids.crossJoin(F.broadcast(nn))
+                ranks.select("id", "deg")
                 .crossJoin(F.broadcast(dang))
                 .join(contrib, "id", "left")
                 .select(
                     "id",
+                    "deg",
                     (
-                        F.expr(f"((100 - {damping_pct}) * {scale})"
-                               f" div (100 * n)")
+                        F.lit(((100 - damping_pct) * scale) // (100 * n)
+                              if n else 0)
                         + F.expr(f"({damping_pct} * (coalesce(c, 0)"
-                                 f" + dang div n)) div 100")
+                                 f" + dang div {n if n else 1})) div 100")
                     ).alias("r"),
                 )
                 .localCheckpoint(eager=True)
@@ -188,7 +221,6 @@ def pagerank(
         )
     finally:
         sym.unpersist()
-        deg.unpersist()
         edges.unpersist()
 
 
@@ -280,30 +312,44 @@ def personalized_pagerank(
         raise ValueError("damping_pct must be in (0, 100)")
     edges = edges.persist()
     edges.count()
+    # partitioned by the per-round join key s before caching (the
+    # pagerank/components discipline)
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
+        .repartition("s")
         .persist()
     )
     ids = nodes.select(F.col(id_col).alias("id"))
-    sd = seeds.select(F.col(id_col).alias("id")).distinct().persist()
-    ns_df = sd.agg(F.count(F.lit(1)).alias("ns"))
-    if ns_df.first()["ns"] == 0:
+    sd = seeds.select(F.col(id_col).alias("id")).distinct()
+    # |S| is a driver scalar (the old code already paid this count as
+    # ns_df.first(); reusing the value as a literal removes the
+    # per-round ns broadcast whose subplan re-executed under every
+    # eager checkpoint)
+    ns = sd.count()
+    if ns == 0:
         raise ValueError("personalized_pagerank requires >= 1 seed")
-    flagged = ids.join(
-        sd.withColumn("__seed", F.lit(True)), "id", "left"
-    ).select("id", F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed"))
     deg = sym.groupBy(F.col("s").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).persist()
+    )
     d = damping_pct
+    # static per-node state (id, __seed, deg) joined ONCE and carried
+    # through every checkpointed rank row — the per-round deg join
+    # and dangling left-anti join collapse into filters on the rank
+    # table itself (the pagerank rework, plus the seed flag)
     ranks = (
-        flagged.crossJoin(F.broadcast(ns_df))
+        ids.join(sd.withColumn("__seed", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed"),
+        )
+        .join(deg, "id", "left")
         .select(
             "id",
             "__seed",
-            F.when(F.col("__seed"), F.expr(f"{scale} div ns"))
+            "deg",
+            F.when(F.col("__seed"), F.lit(scale // ns))
             .otherwise(F.lit(0).cast("long"))
             .alias("r"),
         )
@@ -311,7 +357,7 @@ def personalized_pagerank(
     )
     try:
         for _ in range(iterations):
-            shares = ranks.join(deg, "id").select(
+            shares = ranks.filter(F.col("deg").isNotNull()).select(
                 "id", F.expr("r div deg").alias("share")
             )
             contrib = (
@@ -319,21 +365,22 @@ def personalized_pagerank(
                 .groupBy(F.col("d").alias("id"))
                 .agg(F.sum("share").alias("c"))
             )
-            dang = ranks.join(deg, "id", "left_anti").agg(
+            dang = ranks.filter(F.col("deg").isNull()).agg(
                 F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
             )
             seed_term = (
-                F.expr(f"((100 - {d}) * {scale}) div (100 * ns)")
-                + F.expr(f"({d} * (coalesce(c, 0) + dang div ns)) div 100")
+                F.lit(((100 - d) * scale) // (100 * ns))
+                + F.expr(f"({d} * (coalesce(c, 0) + dang div {ns})) div 100")
             )
             nonseed_term = F.expr(f"({d} * coalesce(c, 0)) div 100")
             ranks = (
-                flagged.crossJoin(F.broadcast(ns_df))
+                ranks.select("id", "__seed", "deg")
                 .crossJoin(F.broadcast(dang))
                 .join(contrib, "id", "left")
                 .select(
                     "id",
                     "__seed",
+                    "deg",
                     F.when(F.col("__seed"), seed_term)
                     .otherwise(nonseed_term)
                     .alias("r"),
@@ -346,8 +393,6 @@ def personalized_pagerank(
         )
     finally:
         sym.unpersist()
-        deg.unpersist()
-        sd.unpersist()
         edges.unpersist()
 
 

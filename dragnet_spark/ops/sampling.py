@@ -136,7 +136,10 @@ def cross_split_contamination(
     and a few large input files would otherwise serialize it on a few
     cores (measured 5x on a single-file local input).
     """
+    from pyspark.sql import Window as W
+
     from dragnet_spark.ops import spread
+    from dragnet_spark.ops.dedup import _materialize_once
     from dragnet_spark.ops.text import shingles
 
     tagged = hash_split(spread(df), id_col, test_frac, val_frac, salt)
@@ -145,14 +148,29 @@ def cross_split_contamination(
         F.col("split"),
         F.explode(F.array_distinct(shingles(text_col, ngram))).alias("sh"),
     )
-    rare = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= max_df
+    # df-cap via a count window over sh rather than groupBy+join-back
+    # (duplicate_spans' discipline): the join form re-embeds — i.e.
+    # re-scans and re-shingles — the exploded lineage once per
+    # reference, and with the test/train branches that was FOUR
+    # shingle passes (measured r14). The window shuffles the skinny
+    # (id, split, sh) rows by sh once and filters in place. A
+    # stop-shingle's window partition is counted then dropped —
+    # bounded by the same shuffle the join form already paid.
+    fex = (
+        ex.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("sh"))
+        )
+        .filter(F.col("df") <= max_df)
+        .select("sh", "split", "id")
     )
-    ex = ex.join(rare.select("sh"), "sh")
-    test = ex.filter(F.col("split") == "test").select(
+    # the rare-only survivor table is tiny (every shingle df <= max_df)
+    # and is referenced by both sides of the self-join below — one
+    # checkpoint, two cheap reads
+    fex = _materialize_once(fex)
+    test = fex.filter(F.col("split") == "test").select(
         "sh", F.col("id").alias("test_doc")
     )
-    train = ex.filter(F.col("split") == "train").select(
+    train = fex.filter(F.col("split") == "train").select(
         "sh", F.col("id").alias("train_doc")
     )
     return (

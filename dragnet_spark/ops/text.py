@@ -456,10 +456,14 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").withColumn(
-        "score", F.col("tf").cast("double") / F.col("df")
-    )
+    # df via a count window over term instead of groupBy+join-back:
+    # the join form re-embeds tf's scan+tokenize lineage for the df
+    # side (measured r14 — the "reuse" was logical only), while the
+    # window shuffles the same (doc, term, tf) rows the join already
+    # had to co-locate by term, once, and counts in place
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn("score", F.col("tf").cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -638,6 +642,8 @@ def unigram_logprob(
 
     from dragnet_spark.ops import spread
 
+    from dragnet_spark.ops.dedup import _materialize_once
+
     tok = spread(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
@@ -646,8 +652,19 @@ def unigram_logprob(
     # — measured 1.75x faster at 64x corpus scale (17.3 s -> 9.9 s),
     # with bit-identical results (sum over occurrences equals
     # count x logp)
-    dtc = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
-    cnt = dtc.groupBy("tok").agg(F.sum("n").alias("c"))
+    #
+    # dtc is referenced twice (vocab derivation + the per-doc join)
+    # and cnt twice (probs + the corpus total); Catalyst re-embeds an
+    # unmaterialized subplan per reference, which made this a
+    # THREE-scan, three-tokenize query (measured r14). Two
+    # checkpoints — one at doc×distinct-token grain, one vocab-sized
+    # — collapse it to a single scan+explode pass.
+    dtc = _materialize_once(
+        tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    cnt = _materialize_once(
+        dtc.groupBy("tok").agg(F.sum("n").alias("c"))
+    )
     tot = cnt.agg(F.sum("c").alias("t"))
     probs = cnt.crossJoin(F.broadcast(tot)).select(
         "tok",
@@ -743,15 +760,31 @@ def bigram_logprob(
         .select(F.col(id_col), F.explode(bg).alias("b"))
         .select(id_col, F.col("b.u").alias("u"), F.col("b.v").alias("v"))
     )
+    from dragnet_spark.ops.dedup import _materialize_once
+
     # per-doc bigram occurrence counts first (the vocab join then
     # moves one row per distinct bigram per doc — unigram_logprob's
     # measured discipline)
-    dbc = dbg.groupBy(id_col, "u", "v").agg(F.count(F.lit(1)).alias("n"))
-    c2 = dbc.groupBy("u", "v").agg(F.sum("n").alias("c2"))
+    #
+    # materialization discipline (unigram_logprob's, one level up):
+    # dbc feeds both the bigram vocab and the per-doc join, c2 feeds
+    # cu and the probability table, c1 feeds the prior and the corpus
+    # total — unmaterialized, Catalyst re-embedded the scan+tokenize
+    # lineage FIVE times (measured r14). Three checkpoints (doc-gram
+    # grain + two vocab-sized) collapse it to two passes: one bigram
+    # explode, one token explode.
+    dbc = _materialize_once(
+        dbg.groupBy(id_col, "u", "v").agg(F.count(F.lit(1)).alias("n"))
+    )
+    c2 = _materialize_once(
+        dbc.groupBy("u", "v").agg(F.sum("n").alias("c2"))
+    )
     cu = c2.groupBy("u").agg(F.sum("c2").alias("cu"))
     # unigram prior over ALL token occurrences (not just contexts)
     tok = spread(df).select(F.explode(toks).alias("v"))
-    c1 = tok.groupBy("v").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = _materialize_once(
+        tok.groupBy("v").agg(F.count(F.lit(1)).alias("c1"))
+    )
     tot = c1.agg(F.sum("c1").alias("t"))
     # fixed evaluation order, written identically in the SQL twin:
     # lam * (c2/cu) + (1-lam) * (c1/t)
@@ -936,8 +969,12 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         toks.alias("__toks"),
         F.length(F.array_join(toks, " ")).cast("long").alias("n_norm_chars"),
     )
+    # posexplode_OUTER: a doc with no tokens (empty or NULL text)
+    # still emits one (NULL pos, NULL tok) row, which the n=0
+    # sentinel below carries to the per-doc aggregate — every doc
+    # keeps its output row without the old second-scan join-back
     pos = base.select(
-        id_col, "n_norm_chars", F.posexplode("__toks").alias("pos", "tok")
+        id_col, "n_norm_chars", F.posexplode_outer("__toks").alias("pos", "tok")
     )
     w = W.partitionBy(id_col).orderBy("pos")
     # window exprs can't live inside a generator — materialize the
@@ -945,6 +982,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     led = pos.select(
         id_col,
         "n_norm_chars",
+        "pos",
         "tok",
         *[F.lead("tok", k).over(w).alias(f"__l{k}") for k in range(1, 5)],
     )
@@ -958,19 +996,36 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
             " ", F.col("tok"), *[F.col(f"__l{k}") for k in range(1, 5)]
         ),
     )
+    # every position emits its 2- and 5-gram, and position 0 (or the
+    # posexplode_outer NULL row of a token-less doc) ALSO emits an
+    # n=0 sentinel — exactly one per doc — so every document reaches
+    # the per-doc aggregate. This removes the old join-back against a
+    # second full scan+tokenize of the corpus (measured r14: base was
+    # re-embedded once for the per-doc n_norm_chars side) — the
+    # aggregate now keys on (id, n_norm_chars) directly.
     long = (
         led.select(
             id_col,
             "n_norm_chars",
+            "pos",
             F.explode(
                 F.array(
                     F.struct(F.lit(2).alias("n"), gram2.alias("gram")),
                     F.struct(F.lit(5).alias("n"), gram5.alias("gram")),
+                    F.struct(
+                        F.lit(0).alias("n"), F.lit(None).cast("string").alias("gram")
+                    ),
                 )
             ).alias("g"),
         )
-        .select(id_col, "n_norm_chars", "g.n", "g.gram")
-        .filter(F.col("gram").isNotNull())
+        .select(id_col, "n_norm_chars", "pos", "g.n", "g.gram")
+        .filter(
+            F.col("gram").isNotNull()
+            | (
+                (F.col("n") == 0)
+                & ((F.col("pos") == 0) | F.col("pos").isNull())
+            )
+        )
     )
     counts = long.groupBy(id_col, "n_norm_chars", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -979,7 +1034,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     # the explode lineage once per branch. argmax-with-tiebreak is
     # min(struct(-cnt, gram)): highest count, then smallest gram.
     agg = (
-        counts.groupBy(id_col)
+        counts.groupBy(id_col, "n_norm_chars")
         .agg(
             F.min(
                 F.when(
@@ -1001,6 +1056,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         )
         .select(
             id_col,
+            "n_norm_chars",
             F.col("__top2.gram").alias("top_2gram"),
             (-F.col("__top2.negc") * F.length("__top2.gram"))
             .cast("long")
@@ -1008,10 +1064,8 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
             "__d5chars",
         )
     )
-    per_doc = base.select(id_col, "n_norm_chars")
     out = (
-        per_doc.join(agg, id_col, "left")
-        .select(
+        agg.select(
             id_col,
             "n_norm_chars",
             "top_2gram",
@@ -1230,49 +1284,66 @@ def bm25_rank(
     if not query_terms or len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be non-empty and distinct")
 
+    # ONE tokenize pass (r14: the old dl/tf/totals branches re-embedded
+    # the explode lineage three times): per-doc token count and the
+    # per-query-term tfs come out of a single conditional-count
+    # aggregation, then df/T/N reduce the per-doc table to one
+    # broadcast row. The per-doc table is materialized once — it is
+    # the whole-corpus reduction every later step reads, at
+    # docs-not-tokens cardinality.
+    from dragnet_spark.ops.dedup import _materialize_once
+
     tok = spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    totals = dl.agg(
-        F.sum("dl").alias("T"), F.count(F.lit(1)).alias("N")
+    perdoc = _materialize_once(
+        tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .alias(f"_tf{i}")
+                for i, t in enumerate(query_terms)
+            ],
+        )
     )
-    tf = (
-        tok.filter(F.col("term").isin(list(query_terms)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    glob = perdoc.agg(
+        F.sum("dl").alias("T"),
+        F.count(F.lit(1)).alias("N"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(dfreq, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(totals))
-        .withColumn(
-            "score_t",
+    # only docs containing >= 1 query term are ranked (the old tf
+    # table's population — zero-score rows must not pad the top-k)
+    matched = perdoc.filter(
+        F.greatest(*[F.col(f"_tf{i}") for i in range(len(query_terms))]) > 0
+    )
+    scored = matched.crossJoin(F.broadcast(glob))
+
+    def _score_t(i: int):
+        tf, dfq = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        return F.when(
+            tf > 0,
             (
-                (2 * F.col("N") - 2 * F.col("df") + 1)
-                * (44 * F.col("T") * F.col("tf"))
+                (2 * F.col("N") - 2 * dfq + 1) * (44 * F.col("T") * tf)
             ).cast("double")
             / (
-                (2 * F.col("df") + 1)
+                (2 * dfq + 1)
                 * (
-                    20 * F.col("T") * F.col("tf")
+                    20 * F.col("T") * tf
                     + 6 * F.col("T")
                     + 18 * F.col("dl") * F.col("N")
                 )
             ).cast("double"),
-        )
-    )
-    # fixed-order pivot: score = s(term_1) + s(term_2) + ... exactly as
-    # written, identical in any engine
-    agg = scored.groupBy("doc_id").agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("term") == t, F.col("score_t"))),
-                F.lit(0.0),
-            ).alias(f"_s{i}")
-            for i, t in enumerate(query_terms)
-        ]
+        ).otherwise(F.lit(0.0))
+
+    # fixed-order sum: score = s(term_1) + s(term_2) + ... exactly as
+    # written, identical in any engine (absent terms contribute the
+    # same 0.0 literal the old coalesce produced)
+    agg = scored.select(
+        "doc_id",
+        *[_score_t(i).alias(f"_s{i}") for i in range(len(query_terms))],
     )
     score = F.col("_s0")
     for i in range(1, len(query_terms)):

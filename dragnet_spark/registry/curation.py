@@ -170,16 +170,23 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer-derived so it is bit-identical across engines",
 )
 def text_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # corpus df via a count window over tok instead of groupBy+join-
+    # back: the join re-embedded the scan+explode lineage for the
+    # freq side (two corpus passes); the window shuffles the same
+    # (doc_id, tok) rows the join co-located anyway, once
+    flagged = toks.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
+    )
     rare = F.when(F.col("df") <= 2, 1).otherwise(0)
     return (
-        toks.join(freq, "tok")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(rare).cast("long").alias("n_rare"),
@@ -1988,6 +1995,8 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirrors the oracle's self-join so the invariant tests the HASH,
     # never the generator's row-count parity.
     partner_id = F.col("doc_id") + 1 - 2 * (F.col("doc_id") % 2)
+    from dragnet_spark.ops.dedup import _materialize_once
+
     docs = all_docs.join(
         all_docs.select(F.col("doc_id").alias("__partner")),
         partner_id == F.col("__partner"),
@@ -2016,7 +2025,13 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(
         gen, schema="id long, media_type string, payload binary"
     )
-    hashed = perceptual_hash(media, decode_stub=False).select("id", "dhash")
+    # materialize the (id, dhash) table once: the bucket self-join
+    # references it twice and Catalyst re-embeds — i.e. re-encodes and
+    # re-decodes every PNG — per reference (measured r14: two full
+    # MapInPandas codec chains in the plan). 16 bytes/row, linear.
+    hashed = _materialize_once(
+        perceptual_hash(media, decode_stub=False).select("id", "dhash")
+    )
     a = hashed.select(F.col("id").alias("doc_id"), "dhash")
     b = hashed.select(F.col("id").alias("other_id"), "dhash")
     expected = F.col("doc_id") + 1 - 2 * (F.col("doc_id") % 2)
