@@ -1364,16 +1364,24 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", "v"
         ),
     )
-    cent = x.groupBy("label", "dim").agg(
+    # per-(label, dim) centroid via a window over the exploded rows
+    # instead of groupBy + join-back: the join form re-embedded the
+    # scan+posexplode lineage for the probe side (two full explode
+    # passes, measured r14); the window shuffles the exploded rows by
+    # (label, dim) once — group cardinality is n/|labels| per
+    # partition, no hot key — and every row reads its centroid in
+    # place. Identical decimal-rounded arithmetic.
+    cw = W.partitionBy("label", "dim")
+    terms = x.withColumn(
+        "c",
         F.round(
-            F.sum(F.round(F.col("v"), 9).cast("decimal(18,9)")).cast(
-                "double"
-            )
-            / F.count(F.lit(1)),
+            F.sum(F.round(F.col("v"), 9).cast("decimal(18,9)"))
+            .over(cw)
+            .cast("double")
+            / F.count(F.lit(1)).over(cw),
             9,
-        ).alias("c")
-    )
-    terms = x.join(cent, ["label", "dim"]).select(
+        ),
+    ).select(
         "vec_id",
         "label",
         F.round(F.col("v") * F.col("c"), 9).cast("decimal(28,9)").alias("xc"),
