@@ -1178,18 +1178,26 @@ def winnow_overlap_pairs(
     """
     from dragnet_spark.ops.text import winnow_fingerprints
 
+    from pyspark.sql import Window as W
+
     df = spread(df)
     fps = df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_fingerprints(text_col, k, window)).alias("fp"),
     )
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("fp_df"))
+    # df-cap via a count window over fp instead of groupBy+join-back:
+    # the join form re-embedded — re-scanned and re-winnowed — the
+    # fingerprint lineage for the df side (measured r14); the window
+    # shuffles the same (id, fp) rows the join co-located anyway,
+    # once, and its fp-partitioned output feeds the self-join below
+    # with no further exchange
+    fps = (
+        fps.withColumn(
+            "fp_df", F.count(F.lit(1)).over(W.partitionBy("fp"))
+        )
         .filter(F.col("fp_df") <= max_df)
-        .select("fp")
+        .select("id", "fp")
     )
-    fps = fps.join(rare, "fp")
     # self-alias + merge hint: same discipline as _shared_gram_counts —
     # no broadcast of the fingerprint inventory, and the df-capped
     # fingerprint table (hashing every k-gram + the rare-join) is
@@ -1373,8 +1381,13 @@ def jaccard_prefix_pairs(
     ex = sets.select(
         "id", F.size("tset").alias("sz"), F.explode("tset").alias("g")
     )
-    gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(gdf, "g").withColumn(
+    # gram df via a count window over g instead of groupBy+join-back
+    # (the join re-embedded the scan+shingle lineage for the df side —
+    # measured r14); the window shuffles the exploded rows by g once,
+    # exactly what the join had to do anyway
+    ranked = ex.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("g"))
+    ).withColumn(
         "rnk",
         F.row_number().over(W.partitionBy("id").orderBy("df", "g")),
     )

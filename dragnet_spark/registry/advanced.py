@@ -1061,10 +1061,19 @@ def decontam_semantic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-fingerprint, never docs²",
 )
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.dedup import _materialize_once
+
     docs = _t(spark, sf_dir, "documents")
     toks = _text.tokens("text")
-    fp = docs.select(
-        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp"), "source"
+    # (fp, source) is consumed three times (both self-join sides via
+    # the distinct + the diagonal branch); unmaterialized that was
+    # three corpus scans (measured r14). One checkpoint at the skinny
+    # per-doc grain reads back three times instead.
+    fp = _materialize_once(
+        docs.select(
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp"),
+            "source",
+        )
     )
     d = fp.distinct()
     cx = (
@@ -1126,11 +1135,23 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dragnet_spark.ops import spread
 
+    from dragnet_spark.ops.dedup import _materialize_once
+
     docs = spread(_t(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode(_text.tokens("text")).alias("tok"))
-    cs = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # "one (source, token) aggregation feeds everything" was logical
+    # only: ct/ns/n/terms each re-embedded — re-scanned and
+    # re-tokenized — the cs lineage (4 corpus passes, measured r14).
+    # One checkpoint at the bounded source×vocab grain, and one of
+    # the per-source totals (|sources| rows, referenced twice),
+    # collapse it to a single pass.
+    cs = _materialize_once(
+        tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     ct = cs.groupBy("tok").agg(F.sum("c").alias("ct"))
-    ns = cs.groupBy("source").agg(F.sum("c").alias("ns"))
+    ns = _materialize_once(
+        cs.groupBy("source").agg(F.sum("c").alias("ns"))
+    )
     n = ns.agg(F.sum("ns").alias("n"))
     q = F.col("c").cast("double") / F.col("ns")
     p = F.col("ct").cast("double") / F.col("n")

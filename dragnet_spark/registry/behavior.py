@@ -251,6 +251,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", ts_micros("ts").alias("tus")
     )
 
+    from dragnet_spark.ops.dedup import _materialize_once
+
     def stage(etype: str, prev: DataFrame | None, prev_t: str, out_t: str) -> DataFrame:
         s = e.filter(F.col("event_type") == etype)
         if prev is not None:
@@ -259,8 +261,14 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return s.groupBy("user_id").agg(F.min("tus").alias(out_t))
 
-    v = stage("view", None, "", "t0")
-    c = stage("click", v, "t0", "t1")
+    # each stage table is consumed twice (its own count + the next
+    # stage's broadcast filter), and unmaterialized that re-embedded
+    # the events scan per reference — SIX scans for three stages
+    # (measured r14). Checkpointing the per-user stage tables (small
+    # by construction) keeps the deliberate no-shuffle posture at one
+    # scan per stage.
+    v = _materialize_once(stage("view", None, "", "t0"))
+    c = _materialize_once(stage("click", v, "t0", "t1"))
     p = stage("purchase", c, "t1", "t2")
 
     def cnt(df: DataFrame, name: str) -> DataFrame:

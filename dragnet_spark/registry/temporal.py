@@ -242,8 +242,15 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens", _text.token_count("text")
     )
-    packed = pack_sequences(doc, "doc_id", "n_tokens", budget=256).select(
-        "doc_id", "n_tokens", "pack_id"
+    from dragnet_spark.ops.dedup import _materialize_once
+
+    # consumed by both the per-pack audit and the distinct-docs count;
+    # unmaterialized, the applyInPandas packing pass ran twice
+    # (measured r14). 3 ints per row — linear, skinny.
+    packed = _materialize_once(
+        pack_sequences(doc, "doc_id", "n_tokens", budget=256).select(
+            "doc_id", "n_tokens", "pack_id"
+        )
     )
     per_pack = packed.groupBy("pack_id").agg(
         F.sum("n_tokens").alias("fill"), F.count("*").alias("n_in_pack")
