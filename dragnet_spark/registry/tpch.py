@@ -410,15 +410,30 @@ def q16_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boundary; the per-part stats reuse the lineitem partkey shuffle",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dragnet_spark.ops.dedup import _materialize_once
+
     li = _t(spark, sf_dir, "lineitem")
-    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    # the part predicate commutes with the per-part stats (only
+    # Brand#3 partkeys' rows survive the final join), so semi-filter
+    # lineitem BEFORE aggregating — the q20 discipline — and
+    # checkpoint the brand slice once: the old shape aggregated the
+    # FULL lineitem table for stats and scanned lineitem a second
+    # time for the revenue side (measured r14)
+    lif = _materialize_once(
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    stats = lif.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(_dec4("l_quantity")).alias("qsum"),
         F.count(F.lit(1)).alias("qn"),
     )
-    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(stats, li.l_partkey == stats.pk)
+        lif.join(F.broadcast(part), lif.l_partkey == part.p_partkey)
+        .join(stats, lif.l_partkey == stats.pk)
         .filter(_dec4("l_quantity") * 5 * F.col("qn") < F.col("qsum"))
         .agg(
             (
