@@ -146,11 +146,13 @@ def pagerank(
     d*(contrib+dangling/n) ≤ 85*scale = 8.5e13 « 2^63.
 
     Scale shape: per iteration one edge⋈rank join (src-key shuffle),
-    one dst-key aggregation (map-side partial combine), a 1-row
-    broadcast for the dangling mass and node count, and a left join
-    back to nodes. localCheckpoint every round keeps the logical plan
-    depth bounded (the connected_components lesson). Driver state:
-    none — n and dangling ride 1-row broadcasts."""
+    then the contributions UNION the carried rank rows into ONE
+    id-keyed aggregation (map-side partial combine) that rebuilds the
+    rank table directly — no separate contribution aggregation and no
+    rank⋈contrib join-back — plus a 1-row broadcast for the dangling
+    mass. localCheckpoint every round keeps the logical plan depth
+    bounded (the connected_components lesson). Driver state: none —
+    n and dangling ride 1-row broadcasts."""
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
     edges = edges.persist()
@@ -190,20 +192,35 @@ def pagerank(
     try:
         for _ in range(iterations):
             shares = ranks.filter(F.col("deg").isNotNull()).select(
-                "id", F.expr("r div deg").alias("share")
+                "id", F.expr("r div deg").alias("c")
             )
-            contrib = (
-                sym.join(shares, sym.s == shares.id)
-                .groupBy(F.col("d").alias("id"))
-                .agg(F.sum("share").alias("c"))
+            # contributions ride a UNION into the same id-keyed
+            # aggregation that rebuilds the rank table (the
+            # connected_components round shape): every node
+            # contributes one base row (its static deg, c=0), every
+            # edge message one (id, null, share) row, and ONE
+            # exchange + groupBy reduces both — no separate contrib
+            # aggregation and no rank⋈contrib join-back (each a
+            # node-table-sized exchange per iteration at corpus
+            # scale). max(deg) recovers the static deg (base row
+            # only; message rows carry null), and Σ c over {0} ∪
+            # shares is the old coalesce(contrib, 0) exactly —
+            # integer sums are order-independent, so the arithmetic
+            # is bit-identical.
+            msgs = sym.join(shares, sym.s == shares.id).select(
+                F.col("d").alias("id"),
+                F.lit(None).cast("long").alias("deg"),
+                "c",
             )
             dang = ranks.filter(F.col("deg").isNull()).agg(
                 F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
             )
             ranks = (
-                ranks.select("id", "deg")
+                ranks.select("id", "deg", F.lit(0).cast("long").alias("c"))
+                .union(msgs)
+                .groupBy("id")
+                .agg(F.max("deg").alias("deg"), F.sum("c").alias("c"))
                 .crossJoin(F.broadcast(dang))
-                .join(contrib, "id", "left")
                 .select(
                     "id",
                     "deg",
@@ -304,10 +321,10 @@ def personalized_pagerank(
     Non-seed nodes unreachable from S stay at exactly 0.
 
     Scale shape identical to :func:`pagerank`: per iteration one
-    edge⋈rank join, one dst-key partial agg, 1-row broadcasts for |S|
-    and the dangling mass, a seed-flag left join (seed set broadcast
-    when small — the typical case: |S| « n), localCheckpoint per round
-    to bound plan depth."""
+    edge⋈rank join, then one id-keyed union-aggregation that rebuilds
+    the rank table (the seed/deg flags ride the carried rank rows —
+    no contrib join-back), a 1-row broadcast for the dangling mass,
+    localCheckpoint per round to bound plan depth."""
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
     edges = edges.persist()
@@ -358,12 +375,20 @@ def personalized_pagerank(
     try:
         for _ in range(iterations):
             shares = ranks.filter(F.col("deg").isNotNull()).select(
-                "id", F.expr("r div deg").alias("share")
+                "id", F.expr("r div deg").alias("c")
             )
-            contrib = (
-                sym.join(shares, sym.s == shares.id)
-                .groupBy(F.col("d").alias("id"))
-                .agg(F.sum("share").alias("c"))
+            # union-into-one-aggregation round (see pagerank): base
+            # rows carry the static (__seed, deg) state with c=0,
+            # edge messages carry null state with the share; one
+            # exchange + groupBy replaces the contrib aggregation
+            # and the rank⋈contrib join-back. max() over {value,
+            # null…} recovers the static flags; Σ c equals the old
+            # coalesce(contrib, 0) bit for bit.
+            msgs = sym.join(shares, sym.s == shares.id).select(
+                F.col("d").alias("id"),
+                F.lit(None).cast("boolean").alias("__seed"),
+                F.lit(None).cast("long").alias("deg"),
+                "c",
             )
             dang = ranks.filter(F.col("deg").isNull()).agg(
                 F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
@@ -374,9 +399,18 @@ def personalized_pagerank(
             )
             nonseed_term = F.expr(f"({d} * coalesce(c, 0)) div 100")
             ranks = (
-                ranks.select("id", "__seed", "deg")
+                ranks.select(
+                    "id", "__seed", "deg",
+                    F.lit(0).cast("long").alias("c"),
+                )
+                .union(msgs)
+                .groupBy("id")
+                .agg(
+                    F.max("__seed").alias("__seed"),
+                    F.max("deg").alias("deg"),
+                    F.sum("c").alias("c"),
+                )
                 .crossJoin(F.broadcast(dang))
-                .join(contrib, "id", "left")
                 .select(
                     "id",
                     "__seed",

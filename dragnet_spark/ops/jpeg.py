@@ -21,6 +21,7 @@ by quantization alone.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -37,6 +38,9 @@ ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63,
 ], dtype=np.int32)
+
+#: inverse zigzag permutation: sq = blk[_UNZIGZAG] ⟺ sq[ZIGZAG] = blk
+_UNZIGZAG = np.argsort(ZIGZAG)
 
 QUANT_LUM = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -127,7 +131,15 @@ _T = _dct_matrix()
 
 
 def _canonical_codes(bits, values):
-    """bits[1..16] counts + values → {symbol: (code, length)}."""
+    """bits[1..16] counts + values → {symbol: (code, length)}.
+    Cached by table content: the standard Annex-K tables are rebuilt
+    for every frame in a media pipeline (measured 4×/frame), and the
+    output is read-only."""
+    return _canonical_codes_cached(tuple(bits), tuple(values))
+
+
+@functools.lru_cache(maxsize=64)
+def _canonical_codes_cached(bits, values):
     out = {}
     code = 0
     k = 0
@@ -184,6 +196,12 @@ class _Bits:
         self.acc &= (1 << self.n) - 1
         return v
 
+    def drop(self, k: int) -> None:
+        """Discard k bits already exposed by :meth:`peek16` (k ≤ 16;
+        the preceding peek's _fill guarantees n ≥ 16)."""
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
     def skip_rst(self):
         """Byte-align and consume an RSTn marker if present. The spec
         (B.1.1.2) permits any number of 0xFF fill bytes before a
@@ -200,27 +218,53 @@ class _Bits:
             self.i = j + 2
 
 
+class _HuffTable:
+    """Decoded-Huffman lookup: the legacy (length, code)→symbol dict
+    plus a 65536-entry peek-16 LUT (``lut[p] = (symbol << 5) | length``,
+    0 = invalid prefix) so one 16-bit peek replaces up to 16
+    bit-at-a-time reads per symbol."""
+
+    __slots__ = ("table", "lut")
+
+    def __init__(self, table, lut):
+        self.table = table
+        self.lut = lut
+
+
 def _build_decode_table(bits, values):
-    """symbol lookup keyed by (length, code)."""
+    """symbol lookup for ``_read_symbol``; cached by table content
+    (media pipelines decode thousands of frames sharing the same
+    DHT segments — the 64k LUT is built once per distinct table)."""
+    return _build_decode_table_cached(tuple(bits), tuple(values))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decode_table_cached(bits, values):
     table = {}
+    lut = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
+        shift = 16 - length
         for _ in range(bits[length - 1]):
             table[(length, code)] = values[k]
+            packed = (values[k] << 5) | length
+            lut[code << shift : (code + 1) << shift] = [packed] * (1 << shift)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return _HuffTable(table, lut)
 
 
-def _read_symbol(br: _Bits, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.take(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
+def _read_symbol(br: _Bits, ht: _HuffTable) -> int:
+    # One peek + one drop per symbol. peek16's zero-padding past the
+    # scan end reproduces the old bit-at-a-time reads exactly (those
+    # also took zero bits from _fill's padding), so the decoded
+    # (length, code) — and every later bit position — is identical.
+    packed = ht.lut[br.peek16()]
+    if packed:
+        br.drop(packed & 31)
+        return packed >> 5
     raise ValueError("invalid JPEG: bad Huffman code")
 
 
@@ -378,8 +422,10 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                             blk[k] = _extend(br.take(size), size)
                             k += 1
                         blk *= qt[tq]
-                        sq = np.zeros(64)
-                        sq[ZIGZAG] = blk
+                        # gather by the inverse permutation — same
+                        # values in the same slots as the retired
+                        # zeros+scatter, one alloc fewer per block
+                        sq = blk[_UNZIGZAG]
                         px = _T.T @ sq.reshape(8, 8) @ _T + 128.0
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
@@ -434,10 +480,21 @@ class _BitWriter:
 
 
 def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """Quality-scaled quantization table; cached read-only by table
+    content (rebuilt per frame otherwise — callers only copy/divide)."""
+    return _scaled_quant_cached(base.tobytes(), base.dtype.str,
+                                base.shape, int(quality))
+
+
+@functools.lru_cache(maxsize=32)
+def _scaled_quant_cached(raw, dtype, shape, quality):
+    base = np.frombuffer(raw, dtype=dtype).reshape(shape)
     quality = min(max(quality, 1), 100)
     scale = 5000 / quality if quality < 50 else 200 - 2 * quality
     q = np.floor((base * scale + 50) / 100)
-    return np.clip(q, 1, 255)
+    q = np.clip(q, 1, 255)
+    q.setflags(write=False)
+    return q
 
 
 def _size_cat(v: int) -> int:
@@ -447,32 +504,37 @@ def _size_cat(v: int) -> int:
 def _encode_block(bw, blk, qtab, dc_codes, ac_codes, pred):
     coef = _T @ (blk - 128.0) @ _T.T
     zz = np.round(coef.reshape(64)[ZIGZAG] / qtab).astype(np.int64)
-    diff = int(zz[0]) - pred
+    zzl = zz.tolist()
+    diff = zzl[0] - pred
     s = _size_cat(diff)
     code, ln = dc_codes[s]
     bw.put(code, ln)
     if s:
         bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
+    # walk only the nonzero AC positions; the zero gaps between them
+    # become the run lengths directly (identical bitstream to the
+    # retired 1..63 scan — runs of ≥16 still split into ZRLs first)
+    nzi = np.flatnonzero(zz)
+    last_nz = int(nzi[-1]) if nzi.size else 0
+    prev = 0
+    for k in nzi.tolist():
+        if k == 0:
             continue
+        run = k - prev - 1
         while run >= 16:
             code, ln = ac_codes[0xF0]
             bw.put(code, ln)
             run -= 16
+        v = zzl[k]
         s = _size_cat(v)
         code, ln = ac_codes[(run << 4) | s]
         bw.put(code, ln)
         bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
+        prev = k
     if last_nz < 63:
         code, ln = ac_codes[0x00]
         bw.put(code, ln)
-    return int(zz[0])
+    return zzl[0]
 
 
 def encode_jpeg(px, quality: int = 90) -> bytes:

@@ -34,9 +34,11 @@ Scale shape (the MLlib posture): centroids are k×dims driver state —
 bounded by k, never the corpus — shipped in the assignment closure,
 so assignment is one narrow Arrow-batched int64 matmul pass over the
 vectors (mapInPandas, no shuffle; exact — np.argmin's first-minimum
-matches the lexicographic tie-break). The update is one
-(cluster, dim)-keyed aggregation per iteration with map-side partial
-combine: k·dims output rows regardless of corpus size. ``k`` itself
+matches the lexicographic tie-break). The centroid update rides the
+SAME pass: each task accumulates its per-cluster coordinate sums in
+numpy and emits at most k·dims partial rows (no n·dims explode ever
+exists), so the per-iteration shuffle is k·dims·tasks rows regardless
+of corpus size. ``k`` itself
 can be derived from the corpus (:func:`auto_k`,
 ``target_rows_per_cluster``) — the SemDeDup regime where cluster
 SIZE stays constant as the corpus grows. Nothing about the loop
@@ -119,6 +121,90 @@ def _assign(
     return qv.mapInPandas(run, schema=schema)
 
 
+def _update_partials(qv: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Per-task partial centroid sums for one Lloyd round:
+    (cluster, dim, s, n) where ``s`` is the int64 sum of the quantized
+    coordinate over this task's rows assigned to ``cluster`` and ``n``
+    that cluster's task-local row count (repeated per dim). Assignment
+    is the exact :func:`_assign` arithmetic (same expanded-distance
+    expression, same first-minimum argmin), but the per-dimension sums
+    are accumulated in numpy INSIDE the same pass — each task emits at
+    most k·dims rows instead of feeding n·dims exploded rows through a
+    hash aggregate. Integer addition is order-independent, so
+    ``sum(s) div sum(n)`` downstream equals the exploded form's
+    ``sum(val) div count(1)`` bit for bit."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.int64)  # k × dims
+    k, dims = C.shape
+    cc = (C * C).sum(axis=1)
+
+    def run(batches):
+        sums = np.zeros((k, dims), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.asarray(list(pdf["q"]), dtype=np.int64)  # n × dims
+            d = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * (Q @ C.T)
+                + cc[None, :]
+            )
+            best = d.argmin(axis=1)  # first min → lowest cluster id
+            # segment-sum by cluster: sort once, reduceat per segment
+            order = np.argsort(best, kind="stable")
+            bs = best[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(bs)) + 1)
+            )
+            sums[bs[starts]] += np.add.reduceat(Q[order], starts, axis=0)
+            cnts += np.bincount(best, minlength=k)
+        nz = np.flatnonzero(cnts)
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz.astype(np.int32), dims),
+                    "dim": np.tile(np.arange(dims, dtype=np.int32), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "n": np.repeat(cnts[nz], dims),
+                }
+            )
+
+    return qv.mapInPandas(run, schema="cluster int, dim int, s long, n long")
+
+
+def _lloyd_rounds(
+    qv: DataFrame, cents: list[list[int]], iterations: int
+) -> list[list[int]]:
+    """Run ``iterations`` exact centroid updates over the quantized
+    vectors and return the final centroid list. One job per round:
+    the assignment matmul and the per-cluster coordinate sums happen
+    in a single :func:`_update_partials` pass whose output is k·dims
+    rows per task, aggregated to k·dims rows total and collected.
+    ``sum(s) div sum(n)`` reproduces the module's truncating-division
+    centroid rule exactly; an empty cluster keeps its previous
+    centroid (no partial rows for it)."""
+    for _ in range(iterations):
+        upd = (
+            _update_partials(qv, cents)
+            .groupBy("cluster", "dim")
+            .agg(F.expr("sum(s) div sum(n)").alias("v"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_c.setdefault(r["cluster"], {})[r["dim"]] = r["v"]
+        cents = [
+            [by_c[c][d] for d in range(len(cents[c]))]
+            if c in by_c
+            else cents[c]  # empty cluster: keep previous centroid
+            for c in range(len(cents))
+        ]
+    return cents
+
+
 def kmeans_seeds(
     qv: DataFrame, k: int, id_col: str = "id"
 ) -> list[list[int]]:
@@ -168,10 +254,11 @@ def kmeans_assign(
     search) stays bounded. The count that sizes k is one aggregate
     over the already-persisted quantized vectors.
 
-    Per iteration: one scan + one (cluster, dim) aggregation whose
-    output is k·dims rows; the k·dims centroid ints ride the driver
-    (the MLlib/SemDeDup posture — centroid state is O(k), corpora are
-    O(10¹⁰) rows). The returned assignment is eagerly
+    Per iteration: one scan in which each task assigns its rows AND
+    accumulates per-cluster coordinate sums in numpy, emitting at most
+    k·dims partial rows; those aggregate to k·dims rows and the
+    centroid ints ride the driver (the MLlib/SemDeDup posture —
+    centroid state is O(k), corpora are O(10¹⁰) rows). The returned assignment is eagerly
     localCheckpoint-ed (3 ints per row — the PageRank lineage
     discipline) so the quantized-vector cache can be released before
     returning instead of leaking for the session."""
@@ -186,24 +273,7 @@ def kmeans_assign(
             return qv.sparkSession.createDataFrame(
                 [], "id long, cluster int, dist long"
             )
-        for _ in range(iterations):
-            assigned = _assign(qv, cents, keep_q=True)
-            upd = (
-                assigned
-                .select("cluster", F.posexplode("q").alias("dim", "val"))
-                .groupBy("cluster", "dim")
-                .agg(F.expr("sum(val) div count(1)").alias("v"))
-                .collect()
-            )
-            by_c: dict[int, dict[int, int]] = {}
-            for r in upd:
-                by_c.setdefault(r["cluster"], {})[r["dim"]] = r["v"]
-            cents = [
-                [by_c[c][d] for d in range(len(cents[c]))]
-                if c in by_c
-                else cents[c]  # empty cluster: keep previous centroid
-                for c in range(len(cents))
-            ]
+        cents = _lloyd_rounds(qv, cents, iterations)
         # eager checkpoint: materializes (id, cluster, dist) — linear,
         # small — and truncates lineage off qv so the finally-block
         # unpersist can't force a recompute later
@@ -325,24 +395,7 @@ def kmeans_assign_two_level(
         k = auto_k(n, target_rows_per_cluster)
         k1 = max(1, math.ceil(math.sqrt(k)))
         cents = kmeans_seeds(qv, k1)
-        for _ in range(iterations):
-            assigned = _assign(qv, cents, keep_q=True)
-            upd = (
-                assigned
-                .select("cluster", F.posexplode("q").alias("dim", "val"))
-                .groupBy("cluster", "dim")
-                .agg(F.expr("sum(val) div count(1)").alias("v"))
-                .collect()
-            )
-            by_c: dict[int, dict[int, int]] = {}
-            for r in upd:
-                by_c.setdefault(r["cluster"], {})[r["dim"]] = r["v"]
-            cents = [
-                [by_c[c][d] for d in range(len(cents[c]))]
-                if c in by_c
-                else cents[c]
-                for c in range(len(cents))
-            ]
+        cents = _lloyd_rounds(qv, cents, iterations)
         level1 = _assign(qv, cents, keep_q=True)
         target = target_rows_per_cluster
         iters = iterations

@@ -735,12 +735,16 @@ def bigram_logprob(
     the sign-safe truncating integer division — the same discipline
     that keeps unigram_logprob hash-exact at every octave.
 
-    Scale shape: one (doc, bigram) explode grouped to per-doc
-    occurrence counts, then bigram-key and context-key aggregations
-    (map-side partial combine on both), a bigram-vocabulary join that
-    AQE broadcasts when small and shuffles when web-scale, and a
-    final doc-key aggregation. The corpus total rides a 1-row
-    broadcast. No driver-side state, no BNLJ."""
+    Scale shape: ONE corpus pass — a single explode of each doc's
+    bigrams plus one unigram-completion sentinel row (every token
+    occurrence is a bigram second or the doc's first token, so the
+    unigram prior derives from the same exploded rows) grouped to
+    per-doc occurrence counts, then bigram-key and context-key
+    aggregations (map-side partial combine on both), a
+    bigram-vocabulary join that AQE broadcasts when small and
+    shuffles when web-scale, and a final doc-key aggregation. The
+    corpus total rides a 1-row broadcast. No driver-side state, no
+    BNLJ."""
     from pyspark.sql import functions as F
 
     from dragnet_spark.ops import spread
@@ -748,16 +752,30 @@ def bigram_logprob(
     toks = tokens(text_col)
     n = F.size(toks)
     # bigrams as (u, v) structs: zip the array with itself shifted by
-    # one — docs with < 2 tokens contribute nothing
+    # one — docs with < 2 tokens contribute no bigrams (greatest(n-1,
+    # 0) keeps the slice length legal for 0/1-token docs)
     bg = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda u, v: F.struct(u.alias("u"), v.alias("v")),
+    )
+    # unigram-completion sentinel: every token occurrence is either a
+    # bigram SECOND (positions 2..n) or the doc's FIRST token, so one
+    # (null, first-token) row per non-empty doc lets the unigram
+    # prior be derived from the same exploded rows — the token
+    # explode's second corpus scan+tokenize pass (measured r14)
+    # disappears
+    first_sent = F.transform(
+        F.slice(toks, 1, 1),
+        lambda t: F.struct(
+            F.lit(None).cast("string").alias("u"), t.alias("v")
+        ),
     )
     dbg = (
         spread(df)
-        .filter(n >= 2)
-        .select(F.col(id_col), F.explode(bg).alias("b"))
+        .select(
+            F.col(id_col), F.explode(F.concat(bg, first_sent)).alias("b")
+        )
         .select(id_col, F.col("b.u").alias("u"), F.col("b.v").alias("v"))
     )
     from dragnet_spark.ops.dedup import _materialize_once
@@ -767,23 +785,25 @@ def bigram_logprob(
     # measured discipline)
     #
     # materialization discipline (unigram_logprob's, one level up):
-    # dbc feeds both the bigram vocab and the per-doc join, c2 feeds
-    # cu and the probability table, c1 feeds the prior and the corpus
-    # total — unmaterialized, Catalyst re-embedded the scan+tokenize
-    # lineage FIVE times (measured r14). Three checkpoints (doc-gram
-    # grain + two vocab-sized) collapse it to two passes: one bigram
-    # explode, one token explode.
+    # dbc feeds the bigram vocab, the unigram prior AND the per-doc
+    # join, c2 feeds cu and the probability table, c1 feeds the prior
+    # and the corpus total — unmaterialized, Catalyst re-embedded the
+    # scan+tokenize lineage FIVE times (measured r14). Three
+    # checkpoints (doc-gram grain + two vocab-sized) and the sentinel
+    # rows collapse it to ONE corpus pass: a single combined explode.
     dbc = _materialize_once(
         dbg.groupBy(id_col, "u", "v").agg(F.count(F.lit(1)).alias("n"))
     )
     c2 = _materialize_once(
-        dbc.groupBy("u", "v").agg(F.sum("n").alias("c2"))
+        dbc.filter(F.col("u").isNotNull())
+        .groupBy("u", "v")
+        .agg(F.sum("n").alias("c2"))
     )
     cu = c2.groupBy("u").agg(F.sum("c2").alias("cu"))
-    # unigram prior over ALL token occurrences (not just contexts)
-    tok = spread(df).select(F.explode(toks).alias("v"))
+    # unigram prior over ALL token occurrences (not just contexts):
+    # bigram seconds + the per-doc sentinel = every occurrence
     c1 = _materialize_once(
-        tok.groupBy("v").agg(F.count(F.lit(1)).alias("c1"))
+        dbc.groupBy("v").agg(F.sum("n").alias("c1"))
     )
     tot = c1.agg(F.sum("c1").alias("t"))
     # fixed evaluation order, written identically in the SQL twin:
@@ -802,7 +822,12 @@ def bigram_logprob(
         )
     )
     per_doc = (
-        dbc.join(probs, ["u", "v"])
+        # the unigram sentinels (u IS NULL) are not bigrams — filter
+        # before the vocab join (an equi-join would drop them anyway;
+        # the filter makes it explicit and keeps them out of the
+        # join's build side)
+        dbc.filter(F.col("u").isNotNull())
+        .join(probs, ["u", "v"])
         .groupBy(id_col)
         .agg(
             F.sum("n").cast("long").alias("n_bigrams"),

@@ -463,3 +463,63 @@ def test_two_level_assignment_invariant_under_chunking(spark):
         ).collect()
     }
     assert tiny == base and len(base) == 600
+
+
+def test_update_partials_match_exploded_form(spark):
+    """The fused assignment+partial-sums pass (_update_partials) must
+    reproduce the retired posexplode→groupBy centroid sums bit for
+    bit: same per-(cluster, dim) totals and counts, clusters with no
+    members absent, across multiple partitions and ragged batches."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops.kmeans import _assign, _update_partials, quantize_vectors
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.standard_normal(5) * (1 + i % 4)).tolist()) for i in range(257)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = quantize_vectors(df).repartition(7)
+    cents = [list(q) for q in
+             (rng.standard_normal((4, 5)) * 1e6).astype(np.int64).tolist()]
+    got = {
+        (r["cluster"], r["dim"]): (r["s"], r["n"])
+        for r in _update_partials(qv, cents)
+        .groupBy("cluster", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    }
+    want = {
+        (r["cluster"], r["dim"]): (r["s"], r["n"])
+        for r in _assign(qv, cents, keep_q=True)
+        .select("cluster", F.posexplode("q").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_update_partials_empty_partitions(spark):
+    """Partitions with zero rows must emit nothing (not malformed
+    empty frames), and a centroid no row chooses must be absent."""
+    from pyspark.sql import functions as F
+
+    from dragnet_spark.ops.kmeans import _update_partials, quantize_vectors
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [0.9, 1.1])],
+        "vec_id long, embedding array<double>",
+    )
+    qv = quantize_vectors(df).repartition(8)  # most partitions empty
+    cents = [[1_000_000, 1_000_000], [-9_000_000, -9_000_000]]
+    out = (
+        _update_partials(qv, cents)
+        .groupBy("cluster", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    got = {(r["cluster"], r["dim"]): (r["s"], r["n"]) for r in out}
+    assert set(got) == {(0, 0), (0, 1)}
+    assert got[(0, 0)] == (1_000_000 + 900_000, 2)
+    assert got[(0, 1)] == (1_000_000 + 1_100_000, 2)
