@@ -3,12 +3,20 @@
 The first question against any 100 TB drop is "what's in it?" —
 null rates, cardinalities, value ranges, per column. The naive form
 is one scan per column (M scans of 100 TB); this operator computes
-every column's statistics in ONE scan: a single ``agg`` carrying
-``count``/``count_distinct``/``min``/``max`` for every column at
-once, which Catalyst plans as one pass with an Expand for the
-multi-distinct (the same single-scan machinery CUBE uses), then the
-1-row wide result is exploded into the long (col_name, stats) shape.
-Everything after the scan touches one row.
+every column's statistics in ONE scan. The exact path melts each row
+into one (gid, value) pair per column (the same ×(cols) row
+multiplication Catalyst's multi-distinct Expand would do) and runs a
+two-level aggregation: level 1 deduplicates (gid, value) with a
+plain ``count`` — all-primitive buffers, so it plans as a
+HashAggregate with map-side partial combine — and level 2 derives
+every statistic from the deduplicated values (``n_distinct`` = rows,
+``count`` = Σ cnt, ``min``/``max`` over distinct values ≡ over all
+values). The retired single-``agg`` form (count_distinct + min/max
+in one aggregate) planned the multiplied corpus through
+SortAggregate — string min/max buffers disqualify hash aggregation —
+paying two full-width sorts of (cols+1)× the scanned rows (measured
+r14). Everything after the melt's aggregation touches rows bounded
+by the column count and per-column cardinality, never the corpus.
 
 Cross-engine exactness: numeric ranges are emitted as DOUBLE from
 integer/double minima (bigint→double exact below 2^53 — epoch
@@ -56,14 +64,111 @@ def _range_col(name: str, kind: str) -> Column:
 
 
 #: column count above which the profiler switches n_distinct to the
-#: HLL++ sketch by default. The exact multi-distinct is planned via
-#: Expand: the scan's rows are REPLICATED once per distinct aggregate,
-#: so a 100-column exact profile turns a 100 TB scan into a 100-fold
-#: 10 PB shuffle-input. approx_count_distinct keeps one partial-agg
-#: pass (fixed-size HLL registers per column — no row multiplication),
-#: which is the only sane wide-table posture; narrow tables keep the
-#: exact, oracle-gradable counts.
+#: HLL++ sketch by default. The exact path melts every row into one
+#: (gid, value) pair per column: the scan's rows are REPLICATED once
+#: per column, so a 100-column exact profile turns a 100 TB scan into
+#: a 100-fold 10 PB aggregation input (hash-combined map-side, but
+#: still materialized per row). approx_count_distinct keeps one
+#: partial-agg pass (fixed-size HLL registers per column — no row
+#: multiplication), which is the only sane wide-table posture; narrow
+#: tables keep the exact, oracle-gradable counts.
 EXACT_DISTINCT_MAX_COLS = 32
+
+
+def _exact_wide(df: DataFrame, kinds: dict[str, str]) -> DataFrame:
+    """The exact-distinct profile as ONE wide row, via a manual
+    two-level (gid, value) distinct instead of a single multi-
+    ``count_distinct`` agg. Each row melts into one (gid, value) pair
+    per column (a Generate — the same ×cols row multiplication the
+    retired Expand plan paid); level 1 deduplicates (gid, value) with
+    a plain count, which keeps every aggregation buffer primitive so
+    Catalyst plans a HashAggregate with map-side partial combine —
+    the single-agg form's string min/max buffers forced SortAggregate
+    plus two full-width sorts of the multiplied corpus. Level 2 (rows
+    bounded by Σ per-column cardinality, never the corpus) recovers
+    the exact statistics:
+
+    - ``n_rows``  = Σ cnt over gid 0 (every row emits one gid-0 pair)
+    - ``count(c)`` = Σ cnt over non-null values of c's gid
+    - ``count_distinct(c)`` = #rows with a non-null value in c's gid
+    - ``min/max(c)`` over the distinct values ≡ over all values
+
+    Value keying per column is injective, so distinct counts are
+    unchanged: integral/time columns key a shared LONG slot (time via
+    the sanctioned epoch-micros recipe — 1:1 with the raw value),
+    float/double a DOUBLE slot (float→double widening is exact;
+    grouping normalizes NaN/-0.0 exactly like count_distinct's
+    rewrite does), strings and booleans a STRING slot (bool→'true'/
+    'false'), and any other type (decimal, array, struct, binary)
+    gets its own raw-typed slot with the same grouping semantics
+    count_distinct used. Columns never share a slot within one gid,
+    so cross-column collisions are impossible."""
+    slot_types: dict[str, T.DataType] = {
+        "vl": T.LongType(), "vd": T.DoubleType(), "vs": T.StringType(),
+    }
+    other_slots: dict[str, str] = {}  # dataType.simpleString -> slot
+    col_slot: dict[str, tuple[str, Column]] = {}
+    for f in df.schema.fields:
+        n, dt = f.name, f.dataType
+        if kinds[n] == "time":
+            col_slot[n] = ("vl", ts_micros(F.col(n)))
+        elif isinstance(dt, T.IntegralType):
+            col_slot[n] = ("vl", F.col(n).cast("long"))
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            col_slot[n] = ("vd", F.col(n).cast("double"))
+        elif isinstance(dt, T.StringType):
+            col_slot[n] = ("vs", F.col(n))
+        elif isinstance(dt, T.BooleanType):
+            # ranges were already the cast-to-string form; 'false' <
+            # 'true' matches boolean ordering, and the cast is 1:1
+            col_slot[n] = ("vs", F.col(n).cast("string"))
+        else:
+            key = dt.simpleString()
+            if key not in other_slots:
+                other_slots[key] = f"vo{len(other_slots)}"
+                slot_types[other_slots[key]] = dt
+            col_slot[n] = (other_slots[key], F.col(n))
+    slot_order = list(slot_types)
+
+    melted = []
+    for gid, f in enumerate(df.schema.fields):
+        slot, key = col_slot[f.name]
+        parts = [F.lit(gid).alias("gid")]
+        for s in slot_order:
+            v = key if s == slot else F.lit(None).cast(slot_types[s])
+            parts.append(v.alias(s))
+        melted.append(F.struct(*parts))
+    kv = df.select(F.explode(F.array(*melted)).alias("e")).select("e.*")
+    lvl1 = kv.groupBy("gid", *slot_order).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    g, cnt = F.col("gid"), F.col("cnt")
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(g == 0, cnt)), F.lit(0).cast("long")
+        ).alias("__nr")
+    ]
+    for gid, f in enumerate(df.schema.fields):
+        n, k = f.name, kinds[f.name]
+        v = F.col(col_slot[n][0])
+        seen = (g == gid) & v.isNotNull()
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(seen, cnt)), F.lit(0).cast("long")
+            ).alias(f"__nn_{n}")
+        )
+        aggs.append(F.count(F.when(seen, F.lit(1))).alias(f"__nd_{n}"))
+        if k == "none":
+            continue
+        mn, mx = F.min(F.when(g == gid, v)), F.max(F.when(g == gid, v))
+        if k in ("num", "time"):
+            aggs.append(mn.cast("double").alias(f"__mn_{n}"))
+            aggs.append(mx.cast("double").alias(f"__mx_{n}"))
+        else:
+            aggs.append(mn.alias(f"__mn_{n}"))
+            aggs.append(mx.alias(f"__mx_{n}"))
+    return lvl1.agg(*aggs)
 
 
 def profile_table(
@@ -104,12 +209,6 @@ def profile_table(
                 stacklevel=2,
             )
 
-    def _nd(c: Column) -> Column:
-        if exact_distinct:
-            return F.count_distinct(c)
-        return F.approx_count_distinct(c, rsd)
-
-    aggs = [F.count(F.lit(1)).alias("__nr")]
     kinds: dict[str, str] = {}
     for f in df.schema.fields:
         n = f.name
@@ -119,19 +218,26 @@ def profile_table(
         else:
             rangeable = False  # arrays/structs/binary: no total order
         kinds[n] = k if rangeable else "none"
-        c = F.col(n)
-        aggs.append(F.count(c).alias(f"__nn_{n}"))
-        aggs.append(_nd(c).alias(f"__nd_{n}"))
-        if not rangeable:
-            continue
-        r = _range_col(n, k)
-        if k in ("num", "time"):
-            aggs.append(F.min(r).cast("double").alias(f"__mn_{n}"))
-            aggs.append(F.max(r).cast("double").alias(f"__mx_{n}"))
-        else:
-            aggs.append(F.min(r.cast("string")).alias(f"__mn_{n}"))
-            aggs.append(F.max(r.cast("string")).alias(f"__mx_{n}"))
-    wide = df.agg(*aggs)
+
+    if exact_distinct:
+        wide = _exact_wide(df, kinds)
+    else:
+        aggs = [F.count(F.lit(1)).alias("__nr")]
+        for f in df.schema.fields:
+            n, k = f.name, kinds[f.name]
+            c = F.col(n)
+            aggs.append(F.count(c).alias(f"__nn_{n}"))
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"__nd_{n}"))
+            if k == "none":
+                continue
+            r = _range_col(n, "time" if k == "time" else k)
+            if k in ("num", "time"):
+                aggs.append(F.min(r).cast("double").alias(f"__mn_{n}"))
+                aggs.append(F.max(r).cast("double").alias(f"__mx_{n}"))
+            else:
+                aggs.append(F.min(r.cast("string")).alias(f"__mn_{n}"))
+                aggs.append(F.max(r.cast("string")).alias(f"__mx_{n}"))
+        wide = df.agg(*aggs)
     rows = []
     for f in df.schema.fields:
         n, k = f.name, kinds[f.name]

@@ -50,20 +50,71 @@ def test_wide_table_auto_switches_to_approx_and_drops_expand(spark):
         warnings.simplefilter("always")
         prof = profile_table(df)  # auto: approx above the threshold
         assert any("approx_count_distinct" in str(x.message) for x in w)
+    import re
+
     plan = prof._jdf.queryExecution().executedPlan().toString()
+    # no row multiplication: neither Catalyst's Expand nor the exact
+    # path's per-column melt (a gid-keyed dedup aggregate)
     assert "Expand" not in plan
+    assert not re.search(r"HashAggregate\(keys=\[gid", plan)
     rows = {r["col_name"]: r for r in prof.collect()}
     assert len(rows) == n
     for i in range(n):
         exact = i + 2  # c_i = id % (i+2) over 500 rows: i+2 distincts
         got = rows[f"c{i}"]["n_distinct"]
         assert abs(got - exact) <= max(2, 0.15 * exact), (i, got, exact)
-    # narrow tables keep the exact plan (Expand present = exact path)
+    # narrow tables keep the exact path (the per-column melt)
     narrow_plan = (
         profile_table(_wide(spark, 4))
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Expand" in narrow_plan
+    assert re.search(r"HashAggregate\(keys=\[gid", narrow_plan)
+
+
+def test_exact_path_hash_aggregates_without_sorts(spark):
+    """The exact path's corpus-scale level (dedup of the melted
+    (gid, value) pairs) must plan as a HashAggregate with map-side
+    partial combine — the retired single-agg multi-count_distinct
+    form's string min/max buffers forced SortAggregate plus two
+    full-width sorts of the (cols+1)-multiplied scan (r14)."""
+    import re
+
+    plan = (
+        profile_table(_narrow(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the (gid, value) dedup is hash-aggregated...
+    assert re.search(r"HashAggregate\(keys=\[gid", plan)
+    # ...and no operator sorts the multiplied corpus (SortAggregate
+    # with empty grouping keys needs no Sort and is fine)
+    assert not re.search(r"\bSort \[", plan)
+
+
+def test_exact_path_mixed_types_and_all_null_column(spark):
+    """Slot keying must stay injective per column across mixed types
+    sharing a slot (int + timestamp both ride the long slot), and an
+    all-null column must profile as 0 distinct / n nulls with null
+    ranges."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 0), None, 1.0),
+            (1, datetime.datetime(2024, 1, 2, 0, 0, 0), None, float("nan")),
+            (2, None, None, -0.0),
+            (3, datetime.datetime(2024, 1, 1, 0, 0, 0), None, 0.0),
+        ],
+        "i int, t timestamp, dead string, x double",
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["i"]["n_distinct"] == 3 and rows["i"]["n_nulls"] == 0
+    assert rows["i"]["min_num"] == 1.0 and rows["i"]["max_num"] == 3.0
+    assert rows["t"]["n_distinct"] == 2 and rows["t"]["n_nulls"] == 1
+    assert rows["dead"]["n_distinct"] == 0 and rows["dead"]["n_nulls"] == 4
+    assert rows["dead"]["min_str"] is None and rows["dead"]["max_str"] is None
+    # grouping normalizes -0.0/NaN exactly like count_distinct's
+    # rewrite: {1.0, nan, ±0.0} → 3 distincts
+    assert rows["x"]["n_distinct"] == 3
 
 
 def test_mode_override(spark):
