@@ -392,6 +392,15 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
     br = _Bits(data, start)
     pred = [0] * len(comps)
     n_mcu = 0
+    # pass 1: entropy decode (inherently sequential) writes each
+    # block's zigzag coefficients straight into one preallocated
+    # (nblocks, 64) stack — no per-block allocation; pass 2 below
+    # dequantizes, un-zigzags and IDCTs the WHOLE stack per component
+    # in three vectorized ops instead of two 8×8 matmuls per block
+    bpm = sum(ch * cv for _, ch, cv, _ in comps)
+    coefs = np.zeros((mcuy * mcux * bpm, 64), dtype=np.float64)
+    place: list[list[tuple[int, int, int]]] = [[] for _ in comps]
+    bi = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and n_mcu and n_mcu % dri == 0:
@@ -402,7 +411,7 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                 td, ta = sel[cid]
                 for by in range(cv):
                     for bx in range(ch):
-                        blk = np.zeros(64, dtype=np.float64)
+                        blk = coefs[bi]
                         s = _read_symbol(br, huff_dc[td])
                         diff = _extend(br.take(s), s) if s else 0
                         pred[ci] += diff
@@ -421,15 +430,25 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                                 raise ValueError("invalid JPEG: AC overrun")
                             blk[k] = _extend(br.take(size), size)
                             k += 1
-                        blk *= qt[tq]
-                        # gather by the inverse permutation — same
-                        # values in the same slots as the retired
-                        # zeros+scatter, one alloc fewer per block
-                        sq = blk[_UNZIGZAG]
-                        px = _T.T @ sq.reshape(8, 8) @ _T + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                        place[ci].append(
+                            (bi, (my * cv + by) * 8, (mx * ch + bx) * 8)
+                        )
+                        bi += 1
+    # pass 2: batched dequant + inverse-permutation gather + IDCT.
+    # Left-association (_T.T @ sq) @ _T matches the retired per-block
+    # expression exactly, and numpy's stacked matmul runs the same
+    # 8×8 dgemm per slice — decoded pixels are bit-identical.
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        pl = place[ci]
+        if not pl:
+            continue
+        rows = np.array([r for r, _, _ in pl], dtype=np.intp)
+        deq = coefs[rows] * qt[tq]
+        sq = deq[:, _UNZIGZAG].reshape(-1, 8, 8)
+        px = _T.T @ sq @ _T + 128.0
+        dst = planes[ci]
+        for j, (_, y0, x0) in enumerate(pl):
+            dst[y0 : y0 + 8, x0 : x0 + 8] = px[j]
     # upsample each component to full resolution and crop
     full = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
@@ -501,9 +520,10 @@ def _size_cat(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def _encode_block(bw, blk, qtab, dc_codes, ac_codes, pred):
-    coef = _T @ (blk - 128.0) @ _T.T
-    zz = np.round(coef.reshape(64)[ZIGZAG] / qtab).astype(np.int64)
+def _encode_block(bw, zz, dc_codes, ac_codes, pred):
+    """Huffman-emit one block's already-quantized zigzag coefficients
+    (int64, length 64 — the DCT + quantization are batched across the
+    whole plane in :func:`encode_jpeg`)."""
     zzl = zz.tolist()
     diff = zzl[0] - pred
     s = _size_cat(diff)
@@ -599,12 +619,27 @@ def encode_jpeg(px, quality: int = 90) -> bytes:
     bw = _BitWriter()
     pred = [0] * len(planes)
     qz = [t[0].reshape(64)[ZIGZAG] for t in tabs]  # divide in zigzag domain
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
-            for ci, p in enumerate(padded):
-                blk = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+    nby, nbx = ph // 8, pw // 8
+    # batched DCT + quantization: every block of a plane through one
+    # stacked matmul instead of two 8×8 matmuls per block. The
+    # left-association (_T @ (blocks-128)) @ _T.T and the elementwise
+    # zigzag divide match the retired per-block expression exactly —
+    # identical int64 coefficients, identical bitstream.
+    zzs = []
+    for ci, pp in enumerate(padded):
+        blocks = (
+            pp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coef = _T @ (blocks - 128.0) @ _T.T
+        zzs.append(
+            np.round(coef.reshape(-1, 64)[:, ZIGZAG] / qz[ci]).astype(np.int64)
+        )
+    for my in range(nby):
+        for mx in range(nbx):
+            b = my * nbx + mx
+            for ci in range(len(padded)):
                 pred[ci] = _encode_block(
-                    bw, blk, qz[ci], tabs[ci][1], tabs[ci][2], pred[ci]
+                    bw, zzs[ci][b], tabs[ci][1], tabs[ci][2], pred[ci]
                 )
     bw.flush()
     out += bw.out

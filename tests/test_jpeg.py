@@ -345,3 +345,35 @@ def test_jpeg_progressive_ac_refine_zrl_and_corrections():
         np.round(_T.T @ want.reshape(8, 8) @ _T + 128.0), 0, 255
     )
     assert np.array_equal(px.astype(float), expect)
+
+
+def test_batched_block_math_matches_per_block_reference():
+    """The stacked DCT/IDCT (one matmul over every block of a plane,
+    r14) must reproduce the per-block expressions bit for bit — same
+    left-association, same 8x8 dgemm per slice. Computes both forms
+    directly and compares exactly (no tolerance)."""
+    import numpy as np
+
+    from dragnet_spark.ops.jpeg import QUANT_LUM, ZIGZAG, _T, _UNZIGZAG
+    from dragnet_spark.ops.jpeg import _scaled_quant
+
+    rng = np.random.RandomState(7)
+    pp = (rng.rand(24, 32) * 255.0).round()  # 12 blocks
+    qz = _scaled_quant(QUANT_LUM, 85).reshape(64)[ZIGZAG]
+    nby, nbx = 3, 4
+    blocks = pp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    # encoder: batched forward DCT + quantize
+    coef = _T @ (blocks - 128.0) @ _T.T
+    zz_batch = np.round(coef.reshape(-1, 64)[:, ZIGZAG] / qz).astype(np.int64)
+    for b in range(nby * nbx):
+        ref = _T @ (blocks[b] - 128.0) @ _T.T
+        zz_ref = np.round(ref.reshape(64)[ZIGZAG] / qz).astype(np.int64)
+        assert (zz_batch[b] == zz_ref).all()
+    # decoder: batched dequant + un-zigzag + IDCT
+    deq = zz_batch.astype(np.float64) * qz
+    sq = deq[:, _UNZIGZAG].reshape(-1, 8, 8)
+    px_batch = _T.T @ sq @ _T + 128.0
+    for b in range(nby * nbx):
+        d = zz_batch[b].astype(np.float64) * qz
+        px_ref = _T.T @ d[_UNZIGZAG].reshape(8, 8) @ _T + 128.0
+        assert (px_batch[b] == px_ref).all()
