@@ -256,7 +256,6 @@ def cmd_append(i: int) -> None:
     _update_fold(i, fields)
     print(f"fold {i}: srp {fields['srp_append_s']}s "
           f"({fields['srp_store_bytes']/1e9:.2f} GB)")
-    spark.stop()
 
 
 def cmd_discover(family: str) -> None:
@@ -306,7 +305,6 @@ def cmd_discover(family: str) -> None:
     shutil.rmtree(out, ignore_errors=True)
     print(f"{family}: {n_cand} candidates in {rec['discover_s']}s "
           f"({slices} slices over {n_rows} store rows)")
-    spark.stop()
 
 
 def cmd_finalize() -> None:
@@ -396,4 +394,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # Each ladder step runs as its own process (run_sf100000.sh), so
+    # tear the JVM down at the PROCESS boundary — never inside cmd_*:
+    # get_spark getOrCreate's the caller's session, and stopping it
+    # from a library-driven call (the test suite drives cmd_* in
+    # process) kills the shared SparkContext for everything after.
+    try:
+        main()
+    finally:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
