@@ -52,12 +52,16 @@ def connected_components(
     # distinct's layout) would re-exchange the full edge table per
     # round — this way the per-round join reuses the cached layout
     # and only the (smaller) label side shuffles (guide: two
-    # operations keyed the same way share one exchange)
+    # operations keyed the same way share one exchange). The distinct
+    # runs AFTER the repartition: hash(s) co-locates every (s, d)
+    # duplicate, so the dedup aggregation reuses the same exchange
+    # (HashPartitioning(s) satisfies ClusteredDistribution(s, d)) —
+    # one full-edge-table exchange instead of two.
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .distinct()
         .repartition("s")
+        .distinct()
     )
     sym.persist()
     # localCheckpoint EVERY round, not just at the end: persist caches
@@ -160,12 +164,14 @@ def pagerank(
     # partitioned by the per-round join key s before caching — the
     # contrib join then reuses the cached layout every round instead
     # of re-exchanging the full edge table (connected_components'
-    # discipline)
+    # discipline); distinct AFTER the repartition dedups inside the
+    # same exchange (hash(s) co-locates every (s, d) duplicate), so
+    # the prep pays one full-edge exchange, not two
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .distinct()
         .repartition("s")
+        .distinct()
         .persist()
     )
     ids = nodes.select(F.col(id_col).alias("id"))
@@ -330,12 +336,13 @@ def personalized_pagerank(
     edges = edges.persist()
     edges.count()
     # partitioned by the per-round join key s before caching (the
-    # pagerank/components discipline)
+    # pagerank/components discipline), distinct after the repartition
+    # so the dedup shares that exchange — one full-edge exchange
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .distinct()
         .repartition("s")
+        .distinct()
         .persist()
     )
     ids = nodes.select(F.col(id_col).alias("id"))

@@ -152,6 +152,27 @@ def _canonical_codes_cached(bits, values):
     return out
 
 
+def _canonical_code_arrays(bits, values, size):
+    """Array form of :func:`_canonical_codes` for the vectorized
+    encoder: (code[symbol], length[symbol]) int64 lookups, length 0
+    marking symbols absent from the table (the dict's KeyError)."""
+    return _canonical_code_arrays_cached(tuple(bits), tuple(values), size)
+
+
+@functools.lru_cache(maxsize=64)
+def _canonical_code_arrays_cached(bits, values, size):
+    codes = _canonical_codes_cached(bits, values)
+    code = np.zeros(size, dtype=np.int64)
+    ln = np.zeros(size, dtype=np.int64)
+    for sym, (c, l) in codes.items():
+        if sym < size:
+            code[sym] = c
+            ln[sym] = l
+    code.setflags(write=False)
+    ln.setflags(write=False)
+    return code, ln
+
+
 class _Bits:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     unstuffing and RSTn handling (reset() is called by the scan loop)."""
@@ -389,51 +410,141 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
     for cid, ch, cv, tq in comps:
         pw, ph = mcux * ch * 8, mcuy * cv * 8
         planes.append(np.zeros((ph, pw), dtype=np.float64))
-    br = _Bits(data, start)
     pred = [0] * len(comps)
     n_mcu = 0
-    # pass 1: entropy decode (inherently sequential) writes each
-    # block's zigzag coefficients straight into one preallocated
-    # (nblocks, 64) stack — no per-block allocation; pass 2 below
-    # dequantizes, un-zigzags and IDCTs the WHOLE stack per component
-    # in three vectorized ops instead of two 8×8 matmuls per block
+    # pass 1: entropy decode (inherently sequential) collects each
+    # block's nonzero zigzag coefficients as (block, pos, value)
+    # triplets scattered into one preallocated (nblocks, 64) stack in
+    # a single numpy assignment; pass 2 below dequantizes, un-zigzags
+    # and IDCTs the WHOLE stack per component in three vectorized ops
+    # instead of two 8×8 matmuls per block.
+    #
+    # The bit reader is INLINED on local ints (the _Bits methods cost
+    # more than the work — measured ~2.1 s of a 2.9 s decode in call
+    # overhead): `acc`/`nb` mirror _Bits.acc/.n, one fill tops up to
+    # ≥48 bits so a (code ≤16) + (value ≤16) pair never refills, and
+    # the fill's 0xFF00-unstuff / pad-at-marker behavior is the same
+    # bit sequence _Bits produced (fill depth does not change the
+    # stream: markers never advance `pos`, pads are zeros).
     bpm = sum(ch * cv for _, ch, cv, _ in comps)
     coefs = np.zeros((mcuy * mcux * bpm, 64), dtype=np.float64)
     place: list[list[tuple[int, int, int]]] = [[] for _ in comps]
     bi = 0
+    sched = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        td, ta = sel[cid]
+        for by in range(cv):
+            for bx in range(ch):
+                sched.append(
+                    (ci, huff_dc[td].lut, huff_ac[ta].lut, cv, ch, by, bx)
+                )
+    d = data
+    dlen = len(d)
+    pos = start
+    acc = 0
+    nb = 0
+    t_bi: list[int] = []
+    t_k: list[int] = []
+    t_v: list[int] = []
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and n_mcu and n_mcu % dri == 0:
-                br.skip_rst()
+                # skip_rst inline: byte-align (drop buffered bits),
+                # skip 0xFF fill runs, consume an RSTn if present
+                acc = 0
+                nb = 0
+                j = pos
+                while j + 1 < dlen and d[j] == 0xFF and d[j + 1] == 0xFF:
+                    j += 1
+                if j + 1 < dlen and d[j] == 0xFF and 0xD0 <= d[j + 1] <= 0xD7:
+                    pos = j + 2
                 pred = [0] * len(comps)
             n_mcu += 1
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                td, ta = sel[cid]
-                for by in range(cv):
-                    for bx in range(ch):
-                        blk = coefs[bi]
-                        s = _read_symbol(br, huff_dc[td])
-                        diff = _extend(br.take(s), s) if s else 0
-                        pred[ci] += diff
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(br, huff_ac[ta])
-                            r, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("invalid JPEG: AC overrun")
-                            blk[k] = _extend(br.take(size), size)
-                            k += 1
-                        place[ci].append(
-                            (bi, (my * cv + by) * 8, (mx * ch + bx) * 8)
-                        )
-                        bi += 1
+            for ci, dclut, aclut, cv, ch, by, bx in sched:
+                acc &= (1 << nb) - 1  # bound acc to the live bits
+                while nb < 48:
+                    if pos >= dlen:
+                        acc <<= 8
+                        nb += 8
+                        continue
+                    b = d[pos]
+                    if b == 0xFF:
+                        nxt = d[pos + 1] if pos + 1 < dlen else 0xD9
+                        if nxt == 0x00:
+                            pos += 2
+                        else:  # marker: pad zeros, leave pos on it
+                            acc <<= 8
+                            nb += 8
+                            continue
+                    else:
+                        pos += 1
+                    acc = (acc << 8) | b
+                    nb += 8
+                packed = dclut[(acc >> (nb - 16)) & 0xFFFF]
+                if not packed:
+                    raise ValueError("invalid JPEG: bad Huffman code")
+                nb -= packed & 31
+                s = packed >> 5
+                if s:
+                    nb -= s
+                    v = (acc >> nb) & ((1 << s) - 1)
+                    pred[ci] += (
+                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    )
+                t_bi.append(bi)
+                t_k.append(0)
+                t_v.append(pred[ci])
+                k = 1
+                while k < 64:
+                    acc &= (1 << nb) - 1
+                    while nb < 48:
+                        if pos >= dlen:
+                            acc <<= 8
+                            nb += 8
+                            continue
+                        b = d[pos]
+                        if b == 0xFF:
+                            nxt = d[pos + 1] if pos + 1 < dlen else 0xD9
+                            if nxt == 0x00:
+                                pos += 2
+                            else:
+                                acc <<= 8
+                                nb += 8
+                                continue
+                        else:
+                            pos += 1
+                        acc = (acc << 8) | b
+                        nb += 8
+                    packed = aclut[(acc >> (nb - 16)) & 0xFFFF]
+                    if not packed:
+                        raise ValueError("invalid JPEG: bad Huffman code")
+                    nb -= packed & 31
+                    rs = packed >> 5
+                    size = rs & 0xF
+                    if size == 0:
+                        if rs >> 4 == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("invalid JPEG: AC overrun")
+                    nb -= size
+                    v = (acc >> nb) & ((1 << size) - 1)
+                    t_bi.append(bi)
+                    t_k.append(k)
+                    t_v.append(
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
+                    k += 1
+                place[ci].append(
+                    (bi, (my * cv + by) * 8, (mx * ch + bx) * 8)
+                )
+                bi += 1
+    if t_bi:
+        coefs[np.array(t_bi, dtype=np.intp), np.array(t_k, dtype=np.intp)] = (
+            np.array(t_v, dtype=np.float64)
+        )
     # pass 2: batched dequant + inverse-permutation gather + IDCT.
     # Left-association (_T.T @ sq) @ _T matches the retired per-block
     # expression exactly, and numpy's stacked matmul runs the same
@@ -522,8 +633,9 @@ def _size_cat(v: int) -> int:
 
 def _encode_block(bw, zz, dc_codes, ac_codes, pred):
     """Huffman-emit one block's already-quantized zigzag coefficients
-    (int64, length 64 — the DCT + quantization are batched across the
-    whole plane in :func:`encode_jpeg`)."""
+    (int64, length 64). Retired from the encode path by the vectorized
+    :func:`_emit_entropy`; kept as the per-symbol REFERENCE the
+    byte-identity test pins the vectorized emitter against."""
     zzl = zz.tolist()
     diff = zzl[0] - pred
     s = _size_cat(diff)
@@ -555,6 +667,133 @@ def _encode_block(bw, zz, dc_codes, ac_codes, pred):
         code, ln = ac_codes[0x00]
         bw.put(code, ln)
     return zzl[0]
+
+
+#: powers of two for exact vectorized bit_length via searchsorted
+_POW2 = np.int64(1) << np.arange(63, dtype=np.int64)
+
+
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    """Exact ``int.bit_length`` over a non-negative int64 array (no
+    float log2 — 2^k boundaries must not wobble)."""
+    return np.searchsorted(_POW2, x, side="right").astype(np.int64)
+
+
+def _emit_entropy(zzs, dc_tabs, ac_tabs) -> bytes:
+    """Vectorized Huffman emission for a whole baseline scan.
+
+    Replaces the per-symbol Python loop (`_BitWriter.put` twice per
+    coefficient) with array ops: per plane the (code, length) symbol
+    stream is derived vectorized (DC category+diff bits from a shifted
+    difference, AC run/size symbols from the nonzero positions, ZRL
+    splits by repeat, per-block EOB), interleaved into MCU order
+    (block-major, plane-minor, in-block sequence last) by one integer
+    sort key, then bit-packed and 0xFF-stuffed in one numpy pass.
+    Bitstream is byte-identical to the retired `_encode_block` loop
+    (test-pinned); unknown size categories raise KeyError exactly as
+    the code-dict lookups did.
+    """
+    nplanes = len(zzs)
+    ks, cs, ls = [], [], []
+    for ci, zz in enumerate(zzs):
+        nb = zz.shape[0]
+        dc_code, dc_len = dc_tabs[ci]
+        ac_code, ac_len = ac_tabs[ci]
+        # per-block sort-key base: block-major, plane-minor; low 10
+        # bits hold the in-block sequence (max used value 514)
+        bkey = (np.arange(nb, dtype=np.int64) * nplanes + ci) << 10
+        # --- DC: category code, then the mapped diff bits (seq 0, 1)
+        dc = zz[:, 0]
+        diff = np.empty(nb, dtype=np.int64)
+        diff[0] = dc[0]
+        diff[1:] = dc[1:] - dc[:-1]
+        s = _bit_length(np.abs(diff))
+        if int(s.max(initial=0)) >= dc_len.size or bool((dc_len[s] == 0).any()):
+            raise KeyError("DC size category outside the Huffman table")
+        ks.append(bkey)
+        cs.append(dc_code[s])
+        ls.append(dc_len[s])
+        has = s > 0
+        ks.append(bkey[has] + 1)
+        cs.append(
+            np.where(diff[has] >= 0, diff[has], diff[has] + _POW2[s[has]] - 1)
+        )
+        ls.append(s[has])
+        # --- AC: each nonzero position k in 1..63 emits up to three
+        # ZRLs (seq 2+8k+j), its (run, size) code (+5) and value (+6)
+        bi, km1 = np.nonzero(zz[:, 1:] != 0)
+        if bi.size:
+            k = km1.astype(np.int64) + 1
+            prevk = np.empty_like(k)
+            prevk[0] = 0
+            prevk[1:] = k[:-1]
+            firsts = np.empty(bi.size, dtype=bool)
+            firsts[0] = True
+            firsts[1:] = bi[1:] != bi[:-1]
+            prevk[firsts] = 0
+            run = k - prevk - 1
+            v = zz[bi, k]
+            sv = _bit_length(np.abs(v))
+            sym = ((run & 15) << 4) | sv
+            if bool((ac_len[sym] == 0).any()):
+                raise KeyError("AC (run, size) outside the Huffman table")
+            bk = bkey[bi]
+            seq = 8 * k + 2
+            nzrl = run >> 4
+            tot = int(nzrl.sum())
+            if tot:
+                rep = np.repeat(np.arange(nzrl.size), nzrl)
+                j = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(nzrl) - nzrl, nzrl
+                )
+                ks.append(bk[rep] + seq[rep] + j)
+                cs.append(np.full(tot, int(ac_code[0xF0]), dtype=np.int64))
+                ls.append(np.full(tot, int(ac_len[0xF0]), dtype=np.int64))
+            ks.append(bk + seq + 5)
+            cs.append(ac_code[sym])
+            ls.append(ac_len[sym])
+            ks.append(bk + seq + 6)
+            cs.append(np.where(v >= 0, v, v + _POW2[sv] - 1))
+            ls.append(sv)
+        # --- EOB wherever the last nonzero sits before position 63
+        lastnz = np.max(
+            np.where(zz != 0, np.arange(64, dtype=np.int64), -1), axis=1
+        )
+        eob = lastnz < 63
+        n_eob = int(eob.sum())
+        if n_eob:
+            ks.append(bkey[eob] + 514)
+            cs.append(np.full(n_eob, int(ac_code[0x00]), dtype=np.int64))
+            ls.append(np.full(n_eob, int(ac_len[0x00]), dtype=np.int64))
+    keys = np.concatenate(ks)
+    order = np.argsort(keys)
+    codes = np.concatenate(cs).astype(np.int64)[order]
+    lens = np.concatenate(ls).astype(np.int64)[order]
+    # --- pack MSB-first; the byte-boundary pad is 1-bits (the retired
+    # flush), emitted here as one final pad symbol
+    total = int(lens.sum())
+    pad = (-total) % 8
+    if pad:
+        codes = np.append(codes, np.int64((1 << pad) - 1))
+        lens = np.append(lens, np.int64(pad))
+        total += pad
+    sym_of_bit = np.repeat(np.arange(lens.size), lens)
+    off = np.cumsum(lens) - lens
+    jpos = np.arange(total, dtype=np.int64) - off[sym_of_bit]
+    bits = ((codes[sym_of_bit] >> (lens[sym_of_bit] - 1 - jpos)) & 1).astype(
+        np.uint8
+    )
+    by = np.packbits(bits)
+    # --- 0xFF byte stuffing (covers a padded final 0xFF exactly like
+    # the retired flush: the stuffed 0x00 follows it)
+    ff = by == 0xFF
+    if bool(ff.any()):
+        cnt = ff.astype(np.int64) + 1
+        pos = np.cumsum(cnt) - cnt
+        stuffed = np.zeros(int(cnt.sum()), dtype=np.uint8)
+        stuffed[pos] = by
+        by = stuffed
+    return by.tobytes()
 
 
 def encode_jpeg(px, quality: int = 90) -> bytes:
@@ -597,15 +836,21 @@ def encode_jpeg(px, quality: int = 90) -> bytes:
 
     if gray:
         planes = [px]
-        tabs = [(qlum, _canonical_codes(*DC_LUM), _canonical_codes(*AC_LUM))]
+        tabs = [(
+            qlum,
+            _canonical_code_arrays(*DC_LUM, 16),
+            _canonical_code_arrays(*AC_LUM, 256),
+        )]
     else:
         R, G, B = px[..., 0], px[..., 1], px[..., 2]
         Y = 0.299 * R + 0.587 * G + 0.114 * B
         Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128
         Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128
         planes = [Y, Cb, Cr]
-        dcl, acl = _canonical_codes(*DC_LUM), _canonical_codes(*AC_LUM)
-        dcc, acc = _canonical_codes(*DC_CHROM), _canonical_codes(*AC_CHROM)
+        dcl = _canonical_code_arrays(*DC_LUM, 16)
+        acl = _canonical_code_arrays(*AC_LUM, 256)
+        dcc = _canonical_code_arrays(*DC_CHROM, 16)
+        acc = _canonical_code_arrays(*AC_CHROM, 256)
         tabs = [(qlum, dcl, acl), (qchrom, dcc, acc), (qchrom, dcc, acc)]
     ph = (h + 7) // 8 * 8
     pw = (w + 7) // 8 * 8
@@ -616,8 +861,6 @@ def encode_jpeg(px, quality: int = 90) -> bytes:
         pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
         pp[:, w:] = pp[:, w - 1 : w]
         padded.append(pp)
-    bw = _BitWriter()
-    pred = [0] * len(planes)
     qz = [t[0].reshape(64)[ZIGZAG] for t in tabs]  # divide in zigzag domain
     nby, nbx = ph // 8, pw // 8
     # batched DCT + quantization: every block of a plane through one
@@ -634,15 +877,11 @@ def encode_jpeg(px, quality: int = 90) -> bytes:
         zzs.append(
             np.round(coef.reshape(-1, 64)[:, ZIGZAG] / qz[ci]).astype(np.int64)
         )
-    for my in range(nby):
-        for mx in range(nbx):
-            b = my * nbx + mx
-            for ci in range(len(padded)):
-                pred[ci] = _encode_block(
-                    bw, zzs[ci][b], tabs[ci][1], tabs[ci][2], pred[ci]
-                )
-    bw.flush()
-    out += bw.out
+    # vectorized entropy emission across every block of every plane
+    # (the retired loop called _BitWriter.put twice per coefficient)
+    out += _emit_entropy(
+        zzs, [t[1] for t in tabs], [t[2] for t in tabs]
+    )
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -234,24 +234,51 @@ def _png_unfilter(raw: bytes, offset: int, w: int, h: int, channels: int):
     if len(raw) < offset + (stride + 1) * h:
         raise ValueError("PNG pixel data truncated")
     bpp = channels
+    arr = np.frombuffer(
+        raw, np.uint8, count=(stride + 1) * h, offset=offset
+    ).reshape(h, stride + 1)
+    fcol = arr[:, 0]
+    lines = arr[:, 1:]
+    bad = fcol > 4
+    if bad.any():
+        r = int(np.argmax(bad))
+        raise ValueError(f"bad PNG filter type {int(fcol[r])} on row {r}")
+    # whole-image fast paths — synthetic pipelines emit ONE filter for
+    # every scanline, so the per-row (worse: per-byte) Python loop is
+    # pure overhead there. None/Up/Sub reconstruct as single numpy
+    # expressions (uint8 arithmetic wraps mod 256 per spec; cumsum
+    # with dtype=uint8 accumulates in uint8, i.e. the running mod-256
+    # sum the serial loop computed).
+    if not fcol.any():  # all None
+        return lines.copy()
+    if (fcol == 2).all():  # Up: vertical running sum
+        return np.cumsum(lines, axis=0, dtype=np.uint8)
+    if (fcol == 1).all():  # Sub: horizontal running sum, stride bpp
+        return (
+            lines.reshape(h, w, bpp)
+            .cumsum(axis=1, dtype=np.uint8)
+            .reshape(h, stride)
+        )
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
-        base = offset + r * (stride + 1)
-        f = raw[base]
-        line = np.frombuffer(raw, np.uint8, count=stride, offset=base + 1)
+        f = int(fcol[r])
+        line = lines[r]
         if f == 0:
             rec = line.copy()
         elif f == 2:  # Up — uint8 addition wraps mod 256, per spec
             rec = line + prev
-        elif f in (1, 3, 4):
+        elif f == 1:  # Sub — row-local horizontal running sum
+            rec = (
+                line.reshape(w, bpp).cumsum(axis=0, dtype=np.uint8)
+                .reshape(stride)
+            )
+        else:  # Average / Paeth: serial in the reconstructed left pixel
             rec = np.empty(stride, dtype=np.uint8)
             for i in range(stride):
                 a = int(rec[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                if f == 1:  # Sub
-                    pred = a
-                elif f == 3:  # Average
+                if f == 3:  # Average
                     pred = (a + b) // 2
                 else:  # Paeth
                     c = int(prev[i - bpp]) if i >= bpp else 0
@@ -259,8 +286,6 @@ def _png_unfilter(raw: bytes, offset: int, w: int, h: int, channels: int):
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 rec[i] = (int(line[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f} on row {r}")
         out[r] = rec
         prev = rec
     return out
@@ -281,34 +306,45 @@ def encode_png(px, filter_type: int = 0) -> bytes:
     h, w, ch = px.shape
     color_type = {1: 0, 3: 2, 4: 6}[ch]
     bpp = ch
-    flat = px.reshape(h, w * ch).astype(np.int16)
-    zeros = np.zeros(bpp, dtype=np.int16)
-    prev = np.zeros(w * ch, dtype=np.int16)
-    raw = bytearray()
-    for r in range(h):
-        line = flat[r]
-        left = np.concatenate([zeros, line[:-bpp]]) if w * ch > bpp else np.zeros_like(line)
-        if filter_type == 0:
-            filt = line
-        elif filter_type == 1:
-            filt = line - left
+    stride = w * ch
+    flat = px.reshape(h, stride)
+    # every predictor reads ORIGINAL scanlines (encoder side), so all
+    # five filters vectorize over the whole image — left/up/upper-left
+    # are shifted views, no per-row loop
+    if filter_type == 0:
+        filt8 = flat
+    else:
+        f16 = flat.astype(np.int16)
+        left = np.zeros_like(f16)
+        left[:, bpp:] = f16[:, :-bpp]
+        if filter_type == 1:
+            filt = f16 - left
         elif filter_type == 2:
-            filt = line - prev
+            up = np.zeros_like(f16)
+            up[1:] = f16[:-1]
+            filt = f16 - up
         elif filter_type == 3:
-            filt = line - (left + prev) // 2
+            up = np.zeros_like(f16)
+            up[1:] = f16[:-1]
+            filt = f16 - (left + up) // 2
         elif filter_type == 4:
-            ul = np.concatenate([zeros, prev[:-bpp]]) if w * ch > bpp else np.zeros_like(line)
-            p = left + prev - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            up = np.zeros_like(f16)
+            up[1:] = f16[:-1]
+            ul = np.zeros_like(f16)
+            ul[1:, bpp:] = f16[:-1, :-bpp]
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
             pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
             )
-            filt = line - pred
+            filt = f16 - pred
         else:
             raise ValueError(f"bad PNG filter type {filter_type}")
-        raw.append(filter_type)
-        raw += (filt & 0xFF).astype(np.uint8).tobytes()
-        prev = line
+        filt8 = (filt & 0xFF).astype(np.uint8)
+    raw = np.empty((h, stride + 1), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = filt8
+    raw = raw.tobytes()
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (

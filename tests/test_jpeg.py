@@ -377,3 +377,96 @@ def test_batched_block_math_matches_per_block_reference():
         d = zz_batch[b].astype(np.float64) * qz
         px_ref = _T.T @ d[_UNZIGZAG].reshape(8, 8) @ _T + 128.0
         assert (px_batch[b] == px_ref).all()
+
+
+def test_vectorized_entropy_emission_matches_bitwriter_reference():
+    """The vectorized Huffman emitter (r14: one numpy pass per scan —
+    symbol streams derived with array ops, interleaved by sort key,
+    bit-packed + 0xFF-stuffed vectorized) must produce the EXACT bytes
+    of the retired per-symbol loop (_encode_block over _BitWriter,
+    kept as the reference). Exercises DC-only blocks (flat), dense AC
+    (checkerboard -> ZRL runs), odd dimensions (edge-replicated
+    padding), grayscale and RGB interleaving, and the 1-bit flush pad
+    + final-byte stuffing."""
+    import numpy as np
+
+    from dragnet_spark.ops.jpeg import (
+        AC_CHROM, AC_LUM, DC_CHROM, DC_LUM, QUANT_CHROM, QUANT_LUM,
+        ZIGZAG, _BitWriter, _canonical_code_arrays, _canonical_codes,
+        _emit_entropy, _encode_block, _scaled_quant, _T,
+    )
+
+    def zz_stacks(px, quality):
+        px = np.asarray(px, dtype=np.float64)
+        gray = px.ndim == 2
+        h, w = px.shape[:2]
+        qlum = _scaled_quant(QUANT_LUM, quality)
+        qchrom = _scaled_quant(QUANT_CHROM, quality)
+        if gray:
+            planes = [px]
+            qz = [qlum.reshape(64)[ZIGZAG]]
+        else:
+            R, G, B = px[..., 0], px[..., 1], px[..., 2]
+            planes = [
+                0.299 * R + 0.587 * G + 0.114 * B,
+                -0.168736 * R - 0.331264 * G + 0.5 * B + 128,
+                0.5 * R - 0.418688 * G - 0.081312 * B + 128,
+            ]
+            qz = [qlum.reshape(64)[ZIGZAG]] + [qchrom.reshape(64)[ZIGZAG]] * 2
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        stacks = []
+        for ci, p in enumerate(planes):
+            pp = np.empty((ph, pw))
+            pp[:h, :w] = p
+            pp[h:, :w] = p[h - 1 : h, :]
+            pp[:, w:] = pp[:, w - 1 : w]
+            blocks = (
+                pp.reshape(ph // 8, 8, pw // 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1, 8, 8)
+            )
+            coef = _T @ (blocks - 128.0) @ _T.T
+            stacks.append(
+                np.round(coef.reshape(-1, 64)[:, ZIGZAG] / qz[ci]).astype(
+                    np.int64
+                )
+            )
+        return stacks, gray
+
+    def reference(zzs, dicts):
+        bw = _BitWriter()
+        pred = [0] * len(zzs)
+        for b in range(zzs[0].shape[0]):
+            for ci in range(len(zzs)):
+                pred[ci] = _encode_block(
+                    bw, zzs[ci][b], dicts[ci][0], dicts[ci][1], pred[ci]
+                )
+        bw.flush()
+        return bytes(bw.out)
+
+    rng = np.random.RandomState(11)
+    y, x = np.mgrid[0:24, 0:40]
+    cases = [
+        (rng.rand(17, 23) * 255).round().astype(np.uint8),
+        (rng.rand(24, 32, 3) * 255).round().astype(np.uint8),
+        np.full((16, 16, 3), 128, np.uint8),          # flat: EOB-only blocks
+        ((y + x) % 2 * 255).astype(np.uint8),          # checker: ZRL-heavy
+        np.zeros((8, 8), np.uint8),
+    ]
+    dl, al = _canonical_codes(*DC_LUM), _canonical_codes(*AC_LUM)
+    dc_, ac_ = _canonical_codes(*DC_CHROM), _canonical_codes(*AC_CHROM)
+    dla = _canonical_code_arrays(*DC_LUM, 16)
+    ala = _canonical_code_arrays(*AC_LUM, 256)
+    dca = _canonical_code_arrays(*DC_CHROM, 16)
+    aca = _canonical_code_arrays(*AC_CHROM, 256)
+    for q in (1, 50, 85, 100):
+        for img in cases:
+            zzs, gray = zz_stacks(img, q)
+            if gray:
+                dicts, dct, act = [(dl, al)], [dla], [ala]
+            else:
+                dicts = [(dl, al), (dc_, ac_), (dc_, ac_)]
+                dct, act = [dla, dca, dca], [ala, aca, aca]
+            assert _emit_entropy(zzs, dct, act) == reference(zzs, dicts), (
+                q, img.shape
+            )
