@@ -214,7 +214,7 @@ def probe_new_documents(
     _recover_staged(os.path.join(path, STORE_DIR))
     _check_layout(path, FP_META, STORE_DIR, "fingerprint store")
     _check_fp_algo(path)
-    store = spark.read.parquet(os.path.join(path, STORE_DIR)).select(
+    store = _read_store_parquet(spark, path, STORE_DIR).select(
         "fp_bucket", "fp", F.col("doc_id").alias("existing_id")
     )
     probes = new_docs.select(
@@ -1512,6 +1512,79 @@ def _recover_staged(dest: str) -> None:
     except OSError:
         if not os.path.exists(dest):
             raise
+
+
+def _is_benign_swap_read_error(e: Exception) -> bool:
+    """True when a plan-time parquet read failed because files it had
+    just listed vanished — the signature of a maintenance directory
+    swap racing the read, never of a wrong answer (no data row was
+    produced). Matched by message because the shape arrives as a
+    py4j-wrapped Java cause chain."""
+    msg = str(e)
+    return (
+        "FileNotFoundException" in msg
+        or "FILE_NOT_EXIST" in msg
+        or "FAILED_READ_FILE" in msg
+        or "PATH_NOT_FOUND" in msg
+    )
+
+
+def _read_store_parquet(spark: SparkSession, store_root: str, data_dir: str):
+    """Plan-time parquet read of a store data dir that keeps the reader
+    contract under concurrent maintenance.
+
+    ``spark.read.parquet`` eagerly lists files and reads footers for
+    schema inference (a distributed job on this Spark) — a compactor
+    swapping the directory between the listing and the footer reads
+    surfaces as a raw FileNotFoundException job failure, which is
+    neither of the two retryable shapes the probe contract documents
+    (typed StoreBusyError, or task-time FAILED_READ_FILE from a plan
+    bound before the swap). Apply :func:`_recover_staged`'s lease
+    discipline to that third, plan-time shape: retry while the LIVE
+    holder's swap settles (the post-swap directory is immediately
+    readable, so one retry normally succeeds), raise the retryable
+    ``StoreBusyError`` if the window won't close, and never mask the
+    error when no maintenance is involved — vanished files with no
+    live lease get exactly one recovery pass (the holder may have
+    finished — or crashed mid-swap, the state ``_recover_staged``
+    repairs) before the original error propagates."""
+    import time as _time
+
+    from dragnet_spark.index.lease import (
+        StoreBusyError,
+        held_by_this_thread,
+        lease_is_live,
+    )
+
+    dest = os.path.join(store_root, data_dir)
+    deadline = _time.monotonic() + _READER_SWAP_WAIT_S
+    retried_quiet = False
+    while True:
+        try:
+            return spark.read.parquet(dest)
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            if not _is_benign_swap_read_error(e):
+                raise
+            if held_by_this_thread(store_root):
+                # our own maintenance read a file that vanished: a real
+                # bug (the holder is the only writer), never a race
+                raise
+            if lease_is_live(store_root):
+                if _time.monotonic() >= deadline:
+                    raise StoreBusyError(
+                        f"store {store_root!r} is mid-maintenance (a "
+                        f"live job holds its lease and its directory "
+                        f"swap kept racing this read for "
+                        f"{_READER_SWAP_WAIT_S:.0f}s); no data was "
+                        f"read — retry the probe after the maintenance "
+                        f"job finishes."
+                    ) from e
+                _time.sleep(0.05)
+                continue
+            if retried_quiet:
+                raise
+            retried_quiet = True
+            _recover_staged(dest)
 
 
 def _staged_rewrite(

@@ -547,8 +547,13 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
         )
     # pass 2: batched dequant + inverse-permutation gather + IDCT.
     # Left-association (_T.T @ sq) @ _T matches the retired per-block
-    # expression exactly, and numpy's stacked matmul runs the same
-    # 8×8 dgemm per slice — decoded pixels are bit-identical.
+    # expression; the stacked matmul MAY differ from per-block 2D
+    # dgemm by a few ulps when the BLAS picks different kernels for
+    # the two shapes (observed under OpenBLAS DYNAMIC_ARCH on AVX512
+    # hosts) — the decoder's contract is the clip(round()) uint8
+    # output, which an ulp can only move at an exact .5 boundary
+    # (test_batched_block_math_matches_per_block_reference pins the
+    # discretized equality; end-to-end pixel goldens pin real frames).
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         pl = place[ci]
         if not pl:
@@ -866,8 +871,12 @@ def encode_jpeg(px, quality: int = 90) -> bytes:
     # batched DCT + quantization: every block of a plane through one
     # stacked matmul instead of two 8×8 matmuls per block. The
     # left-association (_T @ (blocks-128)) @ _T.T and the elementwise
-    # zigzag divide match the retired per-block expression exactly —
-    # identical int64 coefficients, identical bitstream.
+    # zigzag divide match the retired per-block expression through the
+    # round()-to-int64 discretization (the stacked and per-block BLAS
+    # kernels may differ by ulps on some hosts — see the decode-side
+    # note in _decode_scan); the coefficient stream, and therefore the
+    # bitstream, only moves if a product lands within an ulp of an
+    # exact .5, which the discretized test pin guards.
     zzs = []
     for ci, pp in enumerate(padded):
         blocks = (

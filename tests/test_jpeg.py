@@ -349,9 +349,22 @@ def test_jpeg_progressive_ac_refine_zrl_and_corrections():
 
 def test_batched_block_math_matches_per_block_reference():
     """The stacked DCT/IDCT (one matmul over every block of a plane,
-    r14) must reproduce the per-block expressions bit for bit — same
-    left-association, same 8x8 dgemm per slice. Computes both forms
-    directly and compares exactly (no tolerance)."""
+    r14) must reproduce the per-block expressions through the codec's
+    actual discretization: identical int64 quantized coefficients on
+    the encode side, identical clip(round())-rounded uint8 pixels on
+    the decode side.
+
+    NOT asserted: bitwise equality of the raw float64 products. On the
+    host this test was written on the two forms happened to be
+    bit-identical; a later host (OpenBLAS DYNAMIC_ARCH picking AVX512
+    kernels) computes the stacked (3D) matmul and the per-block 2D
+    dgemm with different accumulation orders, diverging by a few ulps
+    (~3e-14 at pixel magnitude). The codec's contract is over the
+    discretized values — an ulp can only flip them at an exact .5
+    boundary, so the rounded comparison here stays exact while a raw
+    float comparison encodes a BLAS-kernel accident. The bound below
+    (1e-9, ~5 decimal digits of slack vs the observed 6e-14) fails
+    loudly if a real math change sneaks in."""
     import numpy as np
 
     from dragnet_spark.ops.jpeg import QUANT_LUM, ZIGZAG, _T, _UNZIGZAG
@@ -367,16 +380,23 @@ def test_batched_block_math_matches_per_block_reference():
     zz_batch = np.round(coef.reshape(-1, 64)[:, ZIGZAG] / qz).astype(np.int64)
     for b in range(nby * nbx):
         ref = _T @ (blocks[b] - 128.0) @ _T.T
+        assert np.abs(coef[b] - ref).max() < 1e-9
         zz_ref = np.round(ref.reshape(64)[ZIGZAG] / qz).astype(np.int64)
         assert (zz_batch[b] == zz_ref).all()
-    # decoder: batched dequant + un-zigzag + IDCT
+    # decoder: batched dequant + un-zigzag + IDCT, compared through the
+    # decoder's exact output rounding (_decode_scan callers emit
+    # clip(round(px), 0, 255) uint8)
     deq = zz_batch.astype(np.float64) * qz
     sq = deq[:, _UNZIGZAG].reshape(-1, 8, 8)
     px_batch = _T.T @ sq @ _T + 128.0
     for b in range(nby * nbx):
         d = zz_batch[b].astype(np.float64) * qz
         px_ref = _T.T @ d[_UNZIGZAG].reshape(8, 8) @ _T + 128.0
-        assert (px_batch[b] == px_ref).all()
+        assert np.abs(px_batch[b] - px_ref).max() < 1e-9
+        assert np.array_equal(
+            np.clip(np.round(px_batch[b]), 0, 255).astype(np.uint8),
+            np.clip(np.round(px_ref), 0, 255).astype(np.uint8),
+        )
 
 
 def test_vectorized_entropy_emission_matches_bitwriter_reference():

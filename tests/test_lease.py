@@ -420,3 +420,134 @@ def test_probe_loop_during_real_compactions(spark, tmp_path):
     answers = [o for o in outcomes if isinstance(o, dict)]
     assert answers, "no probe completed"
     assert all(o == {100: True, 101: False} for o in answers)
+
+
+# ------------------------------------------- _read_store_parquet unit
+#
+# The plan-time read helper (r14): spark.read.parquet lists files and
+# reads footers eagerly, so a compactor's directory swap racing that
+# window surfaces as a raw FileNotFoundException job failure — a third
+# error shape outside the probe contract. The helper maps it back to
+# the contract: retry while the live holder settles, typed retryable
+# StoreBusyError if the window won't close, original error (after one
+# recovery pass) when no maintenance is involved.
+
+
+class _ScriptedReader:
+    """read.parquet stand-in: raise the scripted errors in order, then
+    return a sentinel frame."""
+
+    def __init__(self, errs):
+        self.errs = list(errs)
+        self.calls = 0
+
+    def parquet(self, path):
+        self.calls += 1
+        if self.errs:
+            raise self.errs.pop(0)
+        return "DF"
+
+
+class _FakeSpark:
+    def __init__(self, errs):
+        self.read = _ScriptedReader(errs)
+
+
+def _benign():
+    return Exception(
+        "Job aborted due to stage failure: ... Caused by: "
+        "java.io.FileNotFoundException: part-00000 does not exist"
+    )
+
+
+def test_read_store_parquet_passthrough(tmp_path):
+    from dragnet_spark.index.fingerprints import _read_store_parquet
+
+    fake = _FakeSpark([])
+    assert _read_store_parquet(fake, str(tmp_path), "data") == "DF"
+    assert fake.read.calls == 1
+
+
+def test_read_store_parquet_non_benign_raises_immediately(tmp_path):
+    from dragnet_spark.index.fingerprints import _read_store_parquet
+
+    fake = _FakeSpark([ValueError("schema mismatch: not a race")])
+    with pytest.raises(ValueError, match="not a race"):
+        _read_store_parquet(fake, str(tmp_path), "data")
+    assert fake.read.calls == 1
+
+
+def test_read_store_parquet_quiet_store_gets_one_recovery_pass(tmp_path):
+    """No live lease: vanished files are NOT masked — one recovery
+    retry (the crashed-mid-swap repair), then the original shape."""
+    from dragnet_spark.index.fingerprints import _read_store_parquet
+
+    fake = _FakeSpark([_benign(), _benign()])
+    with pytest.raises(Exception, match="FileNotFoundException"):
+        _read_store_parquet(fake, str(tmp_path), "data")
+    assert fake.read.calls == 2
+
+
+def test_read_store_parquet_retries_through_live_swap(tmp_path):
+    """Another holder's live lease: the benign shape retries until the
+    swap settles and the probe SUCCEEDS (no error escapes)."""
+    from dragnet_spark.index.fingerprints import _read_store_parquet
+
+    p = str(tmp_path / "store")
+    os.makedirs(p)
+    tok = acquire_lease_other_thread(p, wait_s=1)
+    try:
+        fake = _FakeSpark([_benign(), _benign()])
+        assert _read_store_parquet(fake, p, "data") == "DF"
+        assert fake.read.calls == 3
+    finally:
+        release_lease(p, tok)
+
+
+def test_read_store_parquet_busy_when_swap_never_settles(
+    tmp_path, monkeypatch
+):
+    from dragnet_spark.index import fingerprints
+    from dragnet_spark.index.lease import StoreBusyError
+
+    monkeypatch.setattr(fingerprints, "_READER_SWAP_WAIT_S", 0.3)
+    p = str(tmp_path / "store")
+    os.makedirs(p)
+    tok = acquire_lease_other_thread(p, wait_s=1)
+    try:
+        fake = _FakeSpark([_benign()] * 100)
+        with pytest.raises(StoreBusyError, match="mid-maintenance"):
+            fingerprints._read_store_parquet(fake, p, "data")
+    finally:
+        release_lease(p, tok)
+
+
+def test_read_store_parquet_own_maintenance_never_masks(tmp_path):
+    """The lease holder reading its own store: a vanished file is a
+    real bug, raised immediately (the holder is the only writer)."""
+    from dragnet_spark.index.fingerprints import _read_store_parquet
+
+    p = str(tmp_path / "store")
+    os.makedirs(p)
+    with hold_lease(p, "compact"):
+        fake = _FakeSpark([_benign()])
+        with pytest.raises(Exception, match="FileNotFoundException"):
+            _read_store_parquet(fake, p, "data")
+        assert fake.read.calls == 1
+
+
+def test_read_store_parquet_repairs_crashed_swap_midflight(
+    spark, tmp_path
+):
+    """Integration: dest swapped away mid-probe with a DEAD lease (the
+    crashed-compactor state) — the helper's recovery pass renames
+    .compact_old back and the retry returns real rows."""
+    from dragnet_spark.index.fingerprints import _read_store_parquet
+
+    p = str(tmp_path / "store")
+    dest = os.path.join(p, "data")
+    spark.range(5).write.parquet(dest)
+    os.rename(dest, dest + ".compact_old")
+    df = _read_store_parquet(spark, p, "data")
+    assert df.count() == 5
+    assert os.path.exists(dest)
