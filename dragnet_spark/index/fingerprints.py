@@ -407,7 +407,7 @@ def probe_near_duplicates(
         meta["num_hashes"], meta["bands"], meta["ngram"],
     )
     ids = new_docs.select(F.col(meta["id_col"]).alias("doc_id"))
-    store = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
+    store = _read_store_parquet(spark, path, BAND_DIR).select(
         "band", "bhash", F.col("doc_id").alias("existing_id")
     )
     hits = (
@@ -469,7 +469,7 @@ def band_store_pairs(
     _recover_staged(os.path.join(path, BAND_DIR))
     _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
     meta = load_band_store_meta(path)
-    banded = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
+    banded = _read_store_parquet(spark, path, BAND_DIR).select(
         F.col("doc_id").alias("id"), "band", "bhash"
     )
     # repeated appends of the same document would self-collide into
@@ -776,7 +776,7 @@ def band_store_candidates_bounded(
     _recover_staged(os.path.join(path, BAND_DIR))
     _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
     meta = load_band_store_meta(path)
-    banded = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
+    banded = _read_store_parquet(spark, path, BAND_DIR).select(
         F.col("doc_id").alias("id"), "band", "bhash"
     )
     manifest = {
@@ -802,7 +802,7 @@ def srp_store_candidates_bounded(
     _recover_staged(os.path.join(path, SRP_DIR))
     _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
     meta = load_srp_store_meta(path)
-    banded = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
+    banded = _read_store_parquet(spark, path, SRP_DIR).select(
         F.col("vec_id").alias("__id"), "band", "bucket"
     )
     manifest = {
@@ -844,7 +844,7 @@ def band_store_pairs_bounded(
     _recover_staged(os.path.join(path, BAND_DIR))
     _check_layout(path, BAND_META, BAND_DIR, "minhash band store")
     meta = load_band_store_meta(path)
-    banded = spark.read.parquet(os.path.join(path, BAND_DIR)).select(
+    banded = _read_store_parquet(spark, path, BAND_DIR).select(
         F.col("doc_id").alias("id"), "band", "bhash"
     )
     candidates = _collision_pairs(
@@ -893,7 +893,7 @@ def srp_store_pairs_bounded(
     _recover_staged(os.path.join(path, SRP_DIR))
     _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
     meta = load_srp_store_meta(path)
-    banded = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
+    banded = _read_store_parquet(spark, path, SRP_DIR).select(
         F.col("vec_id").alias("__id"), "band", "bucket"
     )
     candidates = _collision_pairs(
@@ -985,7 +985,7 @@ def srp_store_pairs_bucket_verify(
         F.col(meta["id_col"]).alias("__id"),
         F.col(meta["vec_col"]).alias("__vec"),
     )
-    store = spark.read.parquet(os.path.join(path, SRP_DIR))
+    store = _read_store_parquet(spark, path, SRP_DIR)
 
     def bucket_pairs(key, pdf):
         ids = pdf["__id"].to_numpy(dtype=np.int64)
@@ -1341,7 +1341,7 @@ def probe_srp_near_duplicates(
         meta["bands"], meta["bits_per_band"], meta["dims"],
     )
     ids = new_docs.select(F.col(meta["id_col"]).alias("vec_id"))
-    store = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
+    store = _read_store_parquet(spark, path, SRP_DIR).select(
         "band", "bucket", F.col("vec_id").alias("existing_id")
     )
     pair_evidence = (
@@ -1398,7 +1398,7 @@ def srp_store_pairs(
     _recover_staged(os.path.join(path, SRP_DIR))
     _check_layout(path, SRP_META, SRP_DIR, "SRP band store")
     meta = load_srp_store_meta(path)
-    banded = spark.read.parquet(os.path.join(path, SRP_DIR)).select(
+    banded = _read_store_parquet(spark, path, SRP_DIR).select(
         F.col("vec_id").alias("__id"), "band", "bucket"
     )
     candidates = _collision_pairs(
