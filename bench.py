@@ -501,6 +501,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "load_note": note,
         "n_over_band": len(load_retried),
         "store_backed_probe_only": [
@@ -558,6 +561,16 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": fam_totals,  # per-FAMILY totals; per-query → detail
+        # scaling-contract echo (VERDICT r14 #1/#2): the driver's
+        # 8-vs-32-core companion run needs to SEE the effective core
+        # count in the output — without it, a flat 8-vs-32 ratio at a
+        # tiny SF (fixed-job-overhead floor) is indistinguishable
+        # from "the env var was ignored". master/default_parallelism
+        # come from the live context, not the env, so a wiring bug
+        # would show here as a mismatch with $SPARK_GRAFT_CPUS.
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "n_over_band": len(load_retried),
         "canary_probe_minmax": (
             [round(min(probes), 3), round(max(probes), 3)] if probes else None

@@ -499,6 +499,51 @@ def kmeans_assign_auto(
     )
 
 
+def _cluster_pairs_np(ids, M, threshold: float):
+    """(kept, dropped, cosine) arrays for ONE cluster's rows: every
+    pair with HALF_UP-rounded cosine >= threshold, lower id kept.
+    ``ids`` is the cluster's int64 id vector, ``M`` its float64 row
+    matrix. Rows are sorted by id HERE, so emission never depends on
+    the caller's row order (join output vs mask extraction produce
+    identical results). Chunked matmul bounds peak memory at
+    O(chunk x n_c) exactly as the pre-r15 inline form did."""
+    import numpy as np
+
+    nrm = np.linalg.norm(M, axis=1)
+    nrm[nrm == 0] = 1.0  # zero vector scores 0, never NaN
+    M = M / nrm[:, None]
+    order = np.argsort(ids)  # pair emission keyed by id order
+    ids, M = ids[order], M[order]
+    n = len(ids)
+    out_a, out_b, out_c = [], [], []
+    chunk = max(1, 10_000_000 // max(n, 1))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        sims = M[lo:hi] @ M.T
+        # Spark/BigDecimal HALF_UP, not numpy's half-even
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        ai, bi = np.nonzero(
+            (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+        )
+        if len(ai):
+            out_a.append(ids[lo + ai])
+            out_b.append(ids[bi])
+            out_c.append(sims[ai, bi])
+    if not out_a:
+        import numpy as np
+
+        return (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.float64),
+        )
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_c),
+    )
+
+
 def semdedup_prune_pairs(
     df: DataFrame,
     assign: DataFrame,
@@ -542,37 +587,13 @@ def semdedup_prune_pairs(
             )
         ids = pdf["id"].to_numpy(dtype=np.int64)
         M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-        nrm = np.linalg.norm(M, axis=1)
-        nrm[nrm == 0] = 1.0  # zero vector scores 0, never NaN
-        M = M / nrm[:, None]
-        order = np.argsort(ids)  # pair emission keyed by id order
-        ids, M = ids[order], M[order]
-        n = len(ids)
-        out_a, out_b, out_c = [], [], []
-        chunk = max(1, 10_000_000 // max(n, 1))
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            sims = M[lo:hi] @ M.T
-            # Spark/BigDecimal HALF_UP, not numpy's half-even
-            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
-            ai, bi = np.nonzero(
-                (sims >= threshold)
-                & (ids[lo:hi, None] < ids[None, :])
-            )
-            if len(ai):
-                out_a.append(ids[lo + ai])
-                out_b.append(ids[bi])
-                out_c.append(sims[ai, bi])
-        if not out_a:
-            return pd.DataFrame(
-                {"cluster": [], "kept_id": [], "dropped_id": [], "cosine": []}
-            )
+        kept, dropped, cos = _cluster_pairs_np(ids, M, threshold)
         return pd.DataFrame(
             {
-                "cluster": np.full(sum(map(len, out_a)), cluster, dtype=np.int64),
-                "kept_id": np.concatenate(out_a),
-                "dropped_id": np.concatenate(out_b),
-                "cosine": np.concatenate(out_c),
+                "cluster": np.full(len(kept), cluster, dtype=np.int64),
+                "kept_id": kept,
+                "dropped_id": dropped,
+                "cosine": cos,
             }
         )
 
@@ -581,6 +602,252 @@ def semdedup_prune_pairs(
     return v.groupBy("cluster").applyInPandas(
         pairs, schema="cluster long, kept_id long, dropped_id long, cosine double"
     )
+
+
+def _assign_carry(
+    df: DataFrame,
+    cents: list[list[int]],
+    vec_col: str,
+    id_col: str,
+    scale: int,
+    keep_q: bool = False,
+) -> DataFrame:
+    """One mapInPandas pass over the SOURCE table that assigns and
+    carries the raw vector through: (id, cluster[, q], <vec_col>).
+    The quantized coordinates ride the same JVM column expression as
+    :func:`quantize_vectors` (bit-parity by construction — no numpy
+    re-derivation of Spark's cast semantics), the assignment is the
+    exact :func:`_assign` arithmetic, and the float vector never
+    leaves the row — so a downstream per-cluster consumer needs NO
+    join back to the source and exactly ONE vector-sized exchange
+    (the cluster key), where the join form pays two id-keyed
+    vector-sized exchanges plus the regroup at corpus scale."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    C = np.asarray(cents, dtype=np.int64)  # k × dims
+    cc = (C * C).sum(axis=1)
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        q.alias("q"),
+        F.col(vec_col),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.asarray(list(pdf["q"]), dtype=np.int64)  # n × dims
+            d = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * (Q @ C.T)
+                + cc[None, :]
+            )
+            best = d.argmin(axis=1)  # first min → lowest cluster id
+            out = {"id": pdf["id"], "cluster": best.astype(np.int32)}
+            if keep_q:
+                out["q"] = pdf["q"]
+            out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    fields = [
+        StructField("id", LongType()),
+        StructField("cluster", IntegerType()),
+    ]
+    if keep_q:
+        fields.append(StructField("q", ArrayType(LongType())))
+    fields.append(StructField(vec_col, df.schema[vec_col].dataType))
+    return src.mapInPandas(run, schema=StructType(fields))
+
+
+def semdedup_prune_fused(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+    scale: int = DEFAULT_SCALE,
+    target_rows_per_cluster: int = 250,
+    threshold: float = 0.9,
+    mode: str = "auto",
+    two_level_min_k: int = TWO_LEVEL_MIN_K,
+    max_cluster_rows: int = MAX_CLUSTER_ROWS,
+    chunk_elems: int = LEVEL2_CHUNK_ELEMS,
+) -> DataFrame:
+    """assign + :func:`semdedup_prune_pairs` fused into ONE pass over
+    the source vectors — result-identical to composing the two (the
+    same seeds/Lloyd arithmetic produces the same centroids; the same
+    per-cluster pair math runs over the same row groups), with the
+    re-attach join gone:
+
+    * composed form, at corpus scale: Lloyd over the persisted
+      quantized vectors, an ASSIGNMENT pass + eager checkpoint, a
+      parquet RE-SCAN of the vectors, an id-keyed sort-merge join
+      (two vector-sized exchanges) to glue (id, cluster) back onto
+      the embeddings, then the cluster-key regroup (a third
+      vector-sized exchange) for the pair stage;
+    * fused form: Lloyd unchanged (centroids are O(k·dims) driver
+      ints either way), then ONE pass (:func:`_assign_carry`) that
+      assigns and carries the vector, and ONE cluster-key exchange
+      into the pair stage. The guide-§8 rule applied to SemDeDup:
+      the placement decision (cluster id) is computed next to the
+      payload instead of joined back onto it.
+
+    ``mode``: ``"flat"`` (auto-k flat Lloyd), ``"two_level"``
+    (hierarchical — level 2 AND the pair search both run inside the
+    per-super-cluster task, so the packed-cluster regroup exchange
+    disappears too), or ``"auto"`` (k routes at ``two_level_min_k``,
+    the :func:`kmeans_assign_auto` rule, decided from the same count).
+
+    Null ids (a ``cast('long')`` miss) assign normally — they feed
+    seeds/auto-k exactly as the composed form — but emit no pairs,
+    mirroring the composed form's inner join on id."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    empty_schema = "cluster long, kept_id long, dropped_id long, cosine double"
+    qv = quantize_vectors(df, vec_col, id_col, scale).persist()
+    try:
+        n = qv.count()
+        if n == 0:
+            return df.sparkSession.createDataFrame([], empty_schema)
+        k = auto_k(n, target_rows_per_cluster)
+        if mode == "auto":
+            mode = "flat" if k < two_level_min_k else "two_level"
+        if mode == "flat":
+            cents = _lloyd_rounds(qv, kmeans_seeds(qv, k), iterations)
+            assigned = _assign_carry(df, cents, vec_col, id_col, scale)
+
+            def pairs(key, pdf):
+                cluster = int(key[0])
+                if len(pdf) > max_cluster_rows:
+                    raise ContractError(
+                        f"cluster {cluster} holds {len(pdf)} rows > "
+                        f"max_cluster_rows={max_cluster_rows}: k is pinned far "
+                        f"too small for this corpus — rerun kmeans_assign with "
+                        f"target_rows_per_cluster (auto-k keeps clusters "
+                        f"bounded), or raise max_cluster_rows knowingly"
+                    )
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                M = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                kept, dropped, cos = _cluster_pairs_np(ids, M, threshold)
+                return pd.DataFrame(
+                    {
+                        "cluster": np.full(len(kept), cluster, dtype=np.int64),
+                        "kept_id": kept,
+                        "dropped_id": dropped,
+                        "cosine": cos,
+                    }
+                )
+
+            return (
+                assigned.where(F.col("id").isNotNull())
+                .groupBy("cluster")
+                .applyInPandas(pairs, schema=empty_schema)
+            )
+
+        # two-level: level 1 assigns super-clusters in the same carry
+        # pass; level 2's Lloyd AND the within-sub-cluster pair search
+        # run inside the per-super-cluster task (the level-2 shuffle
+        # already co-located every packed cluster's rows — regrouping
+        # by packed id was a pure re-exchange of the vectors)
+        k1 = max(1, math.ceil(math.sqrt(k)))
+        cents = _lloyd_rounds(qv, kmeans_seeds(qv, k1), iterations)
+        level1 = _assign_carry(df, cents, vec_col, id_col, scale, keep_q=True)
+        target = target_rows_per_cluster
+        iters = iterations
+        stride = ARGMIN_PACK
+        chunk = chunk_elems
+
+        def sub_pairs(key, pdf):
+            sup = int(key[0])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            Q = np.asarray(list(pdf["q"]), dtype=np.int64)
+            m = len(ids)
+            k2 = max(1, (m + target - 1) // target)
+            if k2 >= stride:
+                raise ContractError(
+                    f"super-cluster {sup} needs k2={k2} sub-clusters "
+                    f">= SUBCLUSTER_STRIDE={stride}: the packed cluster "
+                    f"id would overflow into the super id. A group this "
+                    f"size ({m} rows) means level 1 collapsed — raise "
+                    f"target_rows_per_cluster or iterations"
+                )
+            # deterministic seed order: (md5(id), id), the global rule
+            import hashlib
+
+            hs = np.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+            )
+            order = np.lexsort((ids, hs))
+            C = Q[order[:k2]].copy()
+            for _ in range(iters):
+                a, _dmin = _chunked_argmin(Q, C, chunk)
+                for c in range(k2):
+                    mask = a == c
+                    if mask.any():  # empty cluster keeps its centroid
+                        # TRUNCATING division toward zero (see
+                        # kmeans_assign_two_level.sub)
+                        s = Q[mask].sum(axis=0)
+                        C[c] = np.sign(s) * (np.abs(s) // mask.sum())
+            a, _dmin = _chunked_argmin(Q, C, chunk)
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            frames = []
+            for c in np.unique(a):
+                mask = a == c
+                packed = sup * stride + int(c)
+                if mask.sum() > max_cluster_rows:
+                    raise ContractError(
+                        f"cluster {packed} holds {int(mask.sum())} rows > "
+                        f"max_cluster_rows={max_cluster_rows}: k is pinned far "
+                        f"too small for this corpus — rerun kmeans_assign with "
+                        f"target_rows_per_cluster (auto-k keeps clusters "
+                        f"bounded), or raise max_cluster_rows knowingly"
+                    )
+                kept, dropped, cos = _cluster_pairs_np(
+                    ids[mask], V[mask], threshold
+                )
+                if len(kept):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "cluster": np.full(
+                                    len(kept), packed, dtype=np.int64
+                                ),
+                                "kept_id": kept,
+                                "dropped_id": dropped,
+                                "cosine": cos,
+                            }
+                        )
+                    )
+            if not frames:
+                return pd.DataFrame(
+                    {"cluster": [], "kept_id": [], "dropped_id": [],
+                     "cosine": []}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        return (
+            level1.where(F.col("id").isNotNull())
+            .groupBy("cluster")
+            .applyInPandas(sub_pairs, schema=empty_schema)
+        )
+    finally:
+        qv.unpersist()
 
 
 #: HUGEINT pack radix for the SQL argmin: min(dist·PACK + c) picks

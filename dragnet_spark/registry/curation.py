@@ -1456,13 +1456,18 @@ def _semdedup_prune_oracle(threshold: float) -> str:
     "exhaustive twin)",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dragnet_spark.ops.kmeans import kmeans_assign, semdedup_prune_pairs
+    from dragnet_spark.ops.kmeans import semdedup_prune_fused
 
     emb = _t(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(
-        emb, iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
+    # r15: assignment+prune fused — result-identical to
+    # kmeans_assign(...) + semdedup_prune_pairs(...) (pinned by
+    # test_semdedup_prune_fused_matches_composed), with the id-keyed
+    # re-attach join and the assignment checkpoint pass removed
+    return semdedup_prune_fused(
+        emb, iterations=_KM_ITERS,
+        target_rows_per_cluster=_KM_TARGET, threshold=_EMB_T,
+        mode="flat",
     )
-    return semdedup_prune_pairs(emb, assign, threshold=_EMB_T)
 
 
 def _semdedup_prune_two_level_oracle(threshold: float) -> str:
@@ -1501,16 +1506,18 @@ def _semdedup_prune_two_level_oracle(threshold: float) -> str:
     "consumes them unchanged, same bounded-cluster linear pair stage",
 )
 def semdedup_prune_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dragnet_spark.ops.kmeans import (
-        kmeans_assign_two_level,
-        semdedup_prune_pairs,
-    )
+    from dragnet_spark.ops.kmeans import semdedup_prune_fused
 
     emb = _t(spark, sf_dir, "embeddings")
-    assign = kmeans_assign_two_level(
-        emb, iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
+    # r15: fused — level-2 Lloyd AND the pair search run inside the
+    # per-super-cluster task (one vector-sized exchange total);
+    # result-identical to kmeans_assign_two_level + prune_pairs
+    # (pinned by test_semdedup_prune_fused_matches_composed)
+    return semdedup_prune_fused(
+        emb, iterations=_KM_ITERS,
+        target_rows_per_cluster=_KM_TARGET, threshold=_EMB_T,
+        mode="two_level",
     )
-    return semdedup_prune_pairs(emb, assign, threshold=_EMB_T)
 
 
 def _semdedup_prune_auto_oracle(threshold: float) -> str:
@@ -1584,17 +1591,16 @@ def _semdedup_prune_auto_oracle(threshold: float) -> str:
     "hash-mismatches",
 )
 def semdedup_prune_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dragnet_spark.ops.kmeans import (
-        kmeans_assign_auto,
-        semdedup_prune_pairs,
-    )
+    from dragnet_spark.ops.kmeans import semdedup_prune_fused
 
     emb = _t(spark, sf_dir, "embeddings")
-    assign = kmeans_assign_auto(
-        emb, iterations=_KM_ITERS, target_rows_per_cluster=_KM_TARGET
-    )
-    return semdedup_prune_pairs(emb, assign, threshold=_EMB_T).withColumn(
-        "cluster", F.col("cluster").cast("long")
+    # r15: fused — same k-routing rule (auto_k vs TWO_LEVEL_MIN_K,
+    # decided from the same count), join-free prune either way;
+    # result-identical to kmeans_assign_auto + prune_pairs
+    return semdedup_prune_fused(
+        emb, iterations=_KM_ITERS,
+        target_rows_per_cluster=_KM_TARGET, threshold=_EMB_T,
+        mode="auto",
     )
 
 

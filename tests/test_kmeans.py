@@ -523,3 +523,96 @@ def test_update_partials_empty_partitions(spark):
     assert set(got) == {(0, 0), (0, 1)}
     assert got[(0, 0)] == (1_000_000 + 900_000, 2)
     assert got[(0, 1)] == (1_000_000 + 1_100_000, 2)
+
+
+@pytest.mark.parametrize("mode", ["flat", "two_level", "auto"])
+def test_semdedup_prune_fused_matches_composed(spark, mode):
+    """semdedup_prune_fused must reproduce the composed
+    assign + semdedup_prune_pairs pipeline EXACTLY (same pairs, same
+    HALF_UP cosine, same packed cluster ids) in every mode — the r15
+    fusion removes the re-attach join, never changes a row. 60 rows /
+    target 8 forces multi-cluster groups; duplicated+near vectors
+    force pairs above and below the threshold."""
+    from dragnet_spark.ops.kmeans import (
+        kmeans_assign,
+        kmeans_assign_auto,
+        kmeans_assign_two_level,
+        semdedup_prune_fused,
+        semdedup_prune_pairs,
+    )
+
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0] if i % 3 == 0 else (
+            [0.0, 1.0] if i % 3 == 1 else [0.7, 0.7]
+        )
+        rows.append((i, [base[0] + (i % 7) * 0.01, base[1] - (i % 5) * 0.01]))
+    df = _emb(spark, rows)
+    target, iters, thr = 8, 2, 0.9
+    if mode == "flat":
+        assign = kmeans_assign(
+            df, iterations=iters, target_rows_per_cluster=target
+        )
+    elif mode == "two_level":
+        assign = kmeans_assign_two_level(
+            df, iterations=iters, target_rows_per_cluster=target
+        )
+    else:
+        assign = kmeans_assign_auto(
+            df, iterations=iters, target_rows_per_cluster=target,
+            two_level_min_k=4,  # force the two-level branch at n=60
+        )
+    want = sorted(
+        map(tuple, semdedup_prune_pairs(df, assign, threshold=thr).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            semdedup_prune_fused(
+                df, iterations=iters, target_rows_per_cluster=target,
+                threshold=thr, mode=mode, two_level_min_k=4,
+            ).collect(),
+        )
+    )
+    assert len(want) > 0  # the fixture must actually exercise pairs
+    assert got == want
+
+
+def test_semdedup_prune_fused_null_ids_mirror_join(spark):
+    """A null id (cast miss) must feed seeds/auto-k exactly as the
+    composed form (it counts) but emit no pairs (the composed form's
+    inner join drops it)."""
+    from dragnet_spark.ops.kmeans import (
+        kmeans_assign,
+        semdedup_prune_fused,
+        semdedup_prune_pairs,
+    )
+
+    rows = [(i, [1.0 + i * 0.001, 0.5]) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows] + [(None, [1.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    assign = kmeans_assign(df, iterations=2, target_rows_per_cluster=5)
+    want = sorted(
+        map(tuple, semdedup_prune_pairs(df, assign, threshold=0.9).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            semdedup_prune_fused(
+                df, iterations=2, target_rows_per_cluster=5,
+                threshold=0.9, mode="flat",
+            ).collect(),
+        )
+    )
+    assert len(want) > 0
+    assert got == want
+    assert all(r[1] is not None and r[2] is not None for r in got)
+
+
+def test_semdedup_prune_fused_empty(spark):
+    from dragnet_spark.ops.kmeans import semdedup_prune_fused
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semdedup_prune_fused(df, mode="auto").collect() == []
