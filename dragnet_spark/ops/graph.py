@@ -195,6 +195,20 @@ def pagerank(
         .select("id", "deg", F.lit(scale // n if n else 0).alias("r"))
         .localCheckpoint(eager=True)
     )
+    # The dangling mass is a DRIVER-side integer recurrence, not a
+    # per-round aggregate: dangling nodes (deg NULL ⟺ no edges)
+    # receive no messages (message targets are edge endpoints, which
+    # always have deg ≥ 1), so after any round every dangling node
+    # holds the identical rank base + (d·(0 + dang div n)) div 100 —
+    # hence dang_{t+1} = n_dang · that value, computable exactly in
+    # Python ints. This removes the old per-round 1-row dangling
+    # aggregate + its broadcast, i.e. one full scan of the rank table
+    # per iteration; the arithmetic is the same integers bit for bit.
+    # n_dang is counted on the materialized rank table — exactly the
+    # set the old per-round aggregate summed over.
+    n_dang = ranks.filter(F.col("deg").isNull()).count()
+    base = ((100 - damping_pct) * scale) // (100 * n) if n else 0
+    dang = n_dang * (scale // n) if n else 0
     try:
         for _ in range(iterations):
             shares = ranks.filter(F.col("deg").isNotNull()).select(
@@ -218,27 +232,26 @@ def pagerank(
                 F.lit(None).cast("long").alias("deg"),
                 "c",
             )
-            dang = ranks.filter(F.col("deg").isNull()).agg(
-                F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
-            )
+            dang_term = dang // n if n else 0
             ranks = (
                 ranks.select("id", "deg", F.lit(0).cast("long").alias("c"))
                 .union(msgs)
                 .groupBy("id")
                 .agg(F.max("deg").alias("deg"), F.sum("c").alias("c"))
-                .crossJoin(F.broadcast(dang))
                 .select(
                     "id",
                     "deg",
                     (
-                        F.lit(((100 - damping_pct) * scale) // (100 * n)
-                              if n else 0)
+                        F.lit(base)
                         + F.expr(f"({damping_pct} * (coalesce(c, 0)"
-                                 f" + dang div {n if n else 1})) div 100")
+                                 f" + {dang_term})) div 100")
                     ).alias("r"),
                 )
                 .localCheckpoint(eager=True)
             )
+            # every dangling node's new rank, hence the next round's
+            # dangling mass (c = 0 for all of them)
+            dang = n_dang * (base + (damping_pct * dang_term) // 100)
         return ranks.select(
             "id", (F.col("r").cast("double") / S).alias("pagerank")
         )
@@ -379,6 +392,18 @@ def personalized_pagerank(
         )
         .localCheckpoint(eager=True)
     )
+    # driver-side dangling recurrence (see pagerank): dangling nodes
+    # get no messages, dangling NON-seeds hold rank 0 after any round
+    # and dangling seeds all hold the identical seed_term with c = 0,
+    # so dang_{t+1} = n_dang_seed · that value — exact Python ints,
+    # replacing the per-round 1-row aggregate + broadcast (one full
+    # rank-table scan per iteration). Counted on the materialized
+    # rank table: the same set the old aggregate summed.
+    n_dang_seed = ranks.filter(
+        F.col("__seed") & F.col("deg").isNull()
+    ).count()
+    base_s = ((100 - d) * scale) // (100 * ns)
+    dang = n_dang_seed * (scale // ns)
     try:
         for _ in range(iterations):
             shares = ranks.filter(F.col("deg").isNotNull()).select(
@@ -397,12 +422,10 @@ def personalized_pagerank(
                 F.lit(None).cast("long").alias("deg"),
                 "c",
             )
-            dang = ranks.filter(F.col("deg").isNull()).agg(
-                F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
-            )
+            dang_term = dang // ns
             seed_term = (
-                F.lit(((100 - d) * scale) // (100 * ns))
-                + F.expr(f"({d} * (coalesce(c, 0) + dang div {ns})) div 100")
+                F.lit(base_s)
+                + F.expr(f"({d} * (coalesce(c, 0) + {dang_term})) div 100")
             )
             nonseed_term = F.expr(f"({d} * coalesce(c, 0)) div 100")
             ranks = (
@@ -417,7 +440,6 @@ def personalized_pagerank(
                     F.max("deg").alias("deg"),
                     F.sum("c").alias("c"),
                 )
-                .crossJoin(F.broadcast(dang))
                 .select(
                     "id",
                     "__seed",
@@ -428,6 +450,7 @@ def personalized_pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
+            dang = n_dang_seed * (base_s + (d * dang_term) // 100)
         return ranks.select(
             "id",
             (F.col("r").cast("double") / F.lit(scale)).alias("trustrank"),
