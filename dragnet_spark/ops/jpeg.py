@@ -295,6 +295,45 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _clean_entropy(d: bytes, start: int):
+    """Pre-unstuff one entropy segment starting at ``start``: returns
+    (seg, rawmap, end) where ``seg`` is the segment's data bytes with
+    every 0xFF00-stuffed zero removed, ``rawmap[i]`` is the raw-buffer
+    index of ``seg[i]``, and ``end`` is the raw index of the byte that
+    terminated the segment (the 0xFF of the first marker, or len(d)).
+    The serial bit loop then refills from ``seg`` in multi-byte gulps
+    with no per-byte 0xFF test — the same byte stream the old
+    per-byte fill produced, because inside a segment the only 0xFF
+    bytes are stuffed pairs (anything else ended the segment) and the
+    old fill never advanced past a marker either."""
+    dlen = len(d)
+    i = start
+    stuffed = []
+    while True:
+        k = d.find(0xFF, i)
+        if k == -1:
+            end = dlen
+            break
+        if k + 1 >= dlen:
+            # trailing 0xFF: the old fill synthesized nxt=0xD9 (EOI)
+            # and padded from here
+            end = k
+            break
+        if d[k + 1] == 0x00:
+            stuffed.append(k + 1)
+            i = k + 2
+            continue
+        end = k
+        break
+    raw = np.frombuffer(d, dtype=np.uint8, count=end - start, offset=start)
+    rawmap = np.arange(start, end, dtype=np.int64)
+    if stuffed:
+        local = np.array(stuffed, dtype=np.int64) - start
+        raw = np.delete(raw, local)
+        rawmap = np.delete(rawmap, local)
+    return raw.tobytes(), rawmap, end
+
+
 # ------------------------------------------------------------------ decoder
 
 
@@ -422,10 +461,14 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
     # The bit reader is INLINED on local ints (the _Bits methods cost
     # more than the work — measured ~2.1 s of a 2.9 s decode in call
     # overhead): `acc`/`nb` mirror _Bits.acc/.n, one fill tops up to
-    # ≥48 bits so a (code ≤16) + (value ≤16) pair never refills, and
-    # the fill's 0xFF00-unstuff / pad-at-marker behavior is the same
-    # bit sequence _Bits produced (fill depth does not change the
-    # stream: markers never advance `pos`, pads are zeros).
+    # ≥48 bits so a (code ≤16) + (value ≤16) pair never refills.
+    # The entropy bytes are pre-unstuffed per restart segment
+    # (_clean_entropy), so the refill is one ≤6-byte int.from_bytes
+    # gulp with no per-byte 0xFF branch — the identical bit sequence:
+    # inside a segment the only 0xFF bytes were stuffed pairs, the
+    # old fill never advanced past a marker, and zero-padding past
+    # the segment end reproduces the old pad-at-marker bits (fill
+    # depth does not change the stream).
     bpm = sum(ch * cv for _, ch, cv, _ in comps)
     coefs = np.zeros((mcuy * mcux * bpm, 64), dtype=np.float64)
     place: list[list[tuple[int, int, int]]] = [[] for _ in comps]
@@ -440,7 +483,10 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                 )
     d = data
     dlen = len(d)
-    pos = start
+    ifb = int.from_bytes
+    seg, rawmap, seg_end = _clean_entropy(d, start)
+    slen = len(seg)
+    pos = 0
     acc = 0
     nb = 0
     t_bi: list[int] = []
@@ -449,37 +495,37 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and n_mcu and n_mcu % dri == 0:
-                # skip_rst inline: byte-align (drop buffered bits),
-                # skip 0xFF fill runs, consume an RSTn if present
+                # skip_rst on the RAW buffer (byte-align by dropping
+                # buffered bits, skip 0xFF fill runs, consume an RSTn
+                # if present): j is the raw cursor the old per-byte
+                # fill would hold — the next unread data byte, or the
+                # terminating marker once the segment is drained
                 acc = 0
                 nb = 0
-                j = pos
+                j = int(rawmap[pos]) if pos < slen else seg_end
                 while j + 1 < dlen and d[j] == 0xFF and d[j + 1] == 0xFF:
                     j += 1
                 if j + 1 < dlen and d[j] == 0xFF and 0xD0 <= d[j + 1] <= 0xD7:
-                    pos = j + 2
+                    seg, rawmap, seg_end = _clean_entropy(d, j + 2)
+                    slen = len(seg)
+                    pos = 0
                 pred = [0] * len(comps)
             n_mcu += 1
             for ci, dclut, aclut, cv, ch, by, bx in sched:
-                acc &= (1 << nb) - 1  # bound acc to the live bits
-                while nb < 48:
-                    if pos >= dlen:
-                        acc <<= 8
-                        nb += 8
-                        continue
-                    b = d[pos]
-                    if b == 0xFF:
-                        nxt = d[pos + 1] if pos + 1 < dlen else 0xD9
-                        if nxt == 0x00:
-                            pos += 2
-                        else:  # marker: pad zeros, leave pos on it
-                            acc <<= 8
-                            nb += 8
-                            continue
-                    else:
-                        pos += 1
-                    acc = (acc << 8) | b
-                    nb += 8
+                if nb < 48:
+                    acc &= (1 << nb) - 1  # bound acc to the live bits
+                    take = slen - pos
+                    if take > 0:
+                        if take > 6:
+                            take = 6
+                        acc = (acc << (take << 3)) | ifb(
+                            seg[pos:pos + take], "big"
+                        )
+                        nb += take << 3
+                        pos += take
+                    if nb < 48:  # past segment end: pad zeros
+                        acc <<= 48 - nb
+                        nb = 48
                 packed = dclut[(acc >> (nb - 16)) & 0xFFFF]
                 if not packed:
                     raise ValueError("invalid JPEG: bad Huffman code")
@@ -496,25 +542,20 @@ def _decode_scan(data, start, frame, scan_sel, qt, huff_dc, huff_ac, dri):
                 t_v.append(pred[ci])
                 k = 1
                 while k < 64:
-                    acc &= (1 << nb) - 1
-                    while nb < 48:
-                        if pos >= dlen:
-                            acc <<= 8
-                            nb += 8
-                            continue
-                        b = d[pos]
-                        if b == 0xFF:
-                            nxt = d[pos + 1] if pos + 1 < dlen else 0xD9
-                            if nxt == 0x00:
-                                pos += 2
-                            else:
-                                acc <<= 8
-                                nb += 8
-                                continue
-                        else:
-                            pos += 1
-                        acc = (acc << 8) | b
-                        nb += 8
+                    if nb < 48:
+                        acc &= (1 << nb) - 1
+                        take = slen - pos
+                        if take > 0:
+                            if take > 6:
+                                take = 6
+                            acc = (acc << (take << 3)) | ifb(
+                                seg[pos:pos + take], "big"
+                            )
+                            nb += take << 3
+                            pos += take
+                        if nb < 48:
+                            acc <<= 48 - nb
+                            nb = 48
                     packed = aclut[(acc >> (nb - 16)) & 0xFFFF]
                     if not packed:
                         raise ValueError("invalid JPEG: bad Huffman code")
