@@ -71,22 +71,31 @@ def connected_components(
     # checkpoint truncates lineage to the materialized blocks each
     # round (bounded plan depth, bounded heap); superseded checkpoint
     # blocks are reference-GC'd by the ContextCleaner.
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
     # convergence via the label-sum invariant: min-label propagation
     # only ever DECREASES a node's label, so Σ component (exact, in
     # decimal so any int64 id magnitude at any node count is safe)
     # is strictly decreasing until the fixed point — equal sums ⟺
-    # identical labels. One 1-row partial aggregation per round over
-    # the just-checkpointed labels replaces the old changed-row check,
-    # which JOINED two node-sized tables (two exchanges) per round.
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+    # identical labels. The sum rides each round's CHECKPOINT job as
+    # an observed metric (Dataset.observe / CollectMetrics is a
+    # pass-through over the same rows), so the check costs ZERO extra
+    # passes — the old form re-scanned the just-checkpointed label
+    # table with a separate 1-row aggregation every round (and that
+    # form had already replaced the r13 changed-row check, which
+    # JOINED two node-sized tables per round).
+    from pyspark.sql import Observation
 
-    prev_sum = _label_sum(labels)
+    def _sum_obs():
+        return Observation(), F.sum(
+            F.col("component").cast("decimal(38,0)")
+        ).alias("s")
+
+    obs0, expr0 = _sum_obs()
+    labels = (
+        ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+        .observe(obs0, expr0)
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = obs0.get["s"]
     try:
         for rounds in range(1, max_iter + 1):
             if stats is not None:
@@ -94,13 +103,15 @@ def connected_components(
             msgs = sym.join(labels, sym.s == labels.id).select(
                 F.col("d").alias("id"), "component"
             )
+            obs, expr = _sum_obs()
             new_labels = (
                 labels.union(msgs)
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
+                .observe(obs, expr)
                 .localCheckpoint(eager=True)
             )
-            new_sum = _label_sum(new_labels)
+            new_sum = obs.get["s"]
             labels = new_labels
             if new_sum == prev_sum:
                 return labels
@@ -190,11 +201,6 @@ def pagerank(
     # the per-round shares join against deg and the per-round
     # left-anti dangling join (two node-keyed shuffle joins per
     # iteration) collapse into a filter on the rank table itself
-    ranks = (
-        ids.join(deg, "id", "left")
-        .select("id", "deg", F.lit(scale // n if n else 0).alias("r"))
-        .localCheckpoint(eager=True)
-    )
     # The dangling mass is a DRIVER-side integer recurrence, not a
     # per-round aggregate: dangling nodes (deg NULL ⟺ no edges)
     # receive no messages (message targets are edge endpoints, which
@@ -204,9 +210,19 @@ def pagerank(
     # Python ints. This removes the old per-round 1-row dangling
     # aggregate + its broadcast, i.e. one full scan of the rank table
     # per iteration; the arithmetic is the same integers bit for bit.
-    # n_dang is counted on the materialized rank table — exactly the
-    # set the old per-round aggregate summed over.
-    n_dang = ranks.filter(F.col("deg").isNull()).count()
+    # n_dang (exactly the set the old per-round aggregate summed
+    # over) rides the initial checkpoint as an observed metric —
+    # no separate count job.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ranks = (
+        ids.join(deg, "id", "left")
+        .select("id", "deg", F.lit(scale // n if n else 0).alias("r"))
+        .observe(obs, F.count(F.when(F.col("deg").isNull(), 1)).alias("nd"))
+        .localCheckpoint(eager=True)
+    )
+    n_dang = int(obs.get["nd"])
     base = ((100 - damping_pct) * scale) // (100 * n) if n else 0
     dang = n_dang * (scale // n) if n else 0
     try:
@@ -371,6 +387,9 @@ def personalized_pagerank(
         F.count(F.lit(1)).alias("deg")
     )
     d = damping_pct
+    from pyspark.sql import Observation
+
+    obs = Observation()
     # static per-node state (id, __seed, deg) joined ONCE and carried
     # through every checkpointed rank row — the per-round deg join
     # and dangling left-anti join collapse into filters on the rank
@@ -390,6 +409,12 @@ def personalized_pagerank(
             .otherwise(F.lit(0).cast("long"))
             .alias("r"),
         )
+        .observe(
+            obs,
+            F.count(
+                F.when(F.col("__seed") & F.col("deg").isNull(), 1)
+            ).alias("nd"),
+        )
         .localCheckpoint(eager=True)
     )
     # driver-side dangling recurrence (see pagerank): dangling nodes
@@ -397,11 +422,10 @@ def personalized_pagerank(
     # and dangling seeds all hold the identical seed_term with c = 0,
     # so dang_{t+1} = n_dang_seed · that value — exact Python ints,
     # replacing the per-round 1-row aggregate + broadcast (one full
-    # rank-table scan per iteration). Counted on the materialized
-    # rank table: the same set the old aggregate summed.
-    n_dang_seed = ranks.filter(
-        F.col("__seed") & F.col("deg").isNull()
-    ).count()
+    # rank-table scan per iteration). n_dang_seed (the same set the
+    # old aggregate summed) rides the initial checkpoint as an
+    # observed metric — no separate count job.
+    n_dang_seed = int(obs.get["nd"])
     base_s = ((100 - d) * scale) // (100 * ns)
     dang = n_dang_seed * (scale // ns)
     try:

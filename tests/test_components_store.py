@@ -2,6 +2,11 @@
 fold == batch exactness in any batch order, chain merges across
 folds, compaction, and read-path equivalence."""
 
+# multi-minute store/ladder/soak tier: deselected from the default
+# gate (pytest.ini addopts) so the driver's suite run completes;
+# run with `pytest -m slow` (the builder's sessions do).
+pytestmark = __import__("pytest").mark.slow
+
 import itertools
 
 import pytest

@@ -1,6 +1,11 @@
 """Materialized fingerprint store (index/fingerprints.py): probe
 correctness, append semantics, and the never-read-text contract."""
 
+# multi-minute store/ladder/soak tier: deselected from the default
+# gate (pytest.ini addopts) so the driver's suite run completes;
+# run with `pytest -m slow` (the builder's sessions do).
+pytestmark = __import__("pytest").mark.slow
+
 import pytest
 from pyspark.sql import functions as F
 

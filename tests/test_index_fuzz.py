@@ -9,6 +9,11 @@ bucketized columns, date buckets, and day-aligned time bounds (which
 are record-exact at day granularity).
 """
 
+# multi-minute store/ladder/soak tier: deselected from the default
+# gate (pytest.ini addopts) so the driver's suite run completes;
+# run with `pytest -m slow` (the builder's sessions do).
+pytestmark = __import__("pytest").mark.slow
+
 import random
 
 import pytest

