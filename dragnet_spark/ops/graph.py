@@ -42,11 +42,15 @@ def connected_components(
     bound, observable — tools/soak_clusters.py graphs it against
     planted chain diameters).
     """
-    # materialize edges before the symmetrize-union: its two branches
-    # would otherwise each recompute the (possibly expensive — e.g.
-    # a full LSH pipeline) edge lineage within one job
-    edges = edges.persist()
-    edges.count()
+    # symmetrize by EXPLODING each edge into both directions instead
+    # of a two-branch self-union: the (possibly expensive — e.g. a
+    # full LSH pipeline) edge lineage is referenced exactly ONCE, so
+    # the eager pre-materialization pass the union form required
+    # (edges.persist() + count() so its two branches would not each
+    # recompute the lineage) disappears — the first job that touches
+    # sym computes the edge lineage once and fills the cache, and the
+    # edge table is held in memory once (sym) instead of twice
+    # (edges + sym). Identical row multiset, hence identical labels.
     # repartition by the join key BEFORE caching: every round's
     # message join keys on s, and a cache partitioned on (s, d) (the
     # distinct's layout) would re-exchange the full edge table per
@@ -58,8 +62,19 @@ def connected_components(
     # (HashPartitioning(s) satisfies ClusteredDistribution(s, d)) —
     # one full-edge-table exchange instead of two.
     sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .repartition("s")
         .distinct()
     )
@@ -121,7 +136,6 @@ def connected_components(
         )
     finally:
         sym.unpersist()
-        edges.unpersist()
 
 
 def pagerank(
@@ -170,28 +184,37 @@ def pagerank(
     n and dangling ride 1-row broadcasts."""
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
-    edges = edges.persist()
-    edges.count()
-    # partitioned by the per-round join key s before caching — the
+    # symmetrize by EXPLODING each edge into both directions (the
+    # connected_components discipline): one reference to the edge
+    # lineage, so the eager pre-materialization pass the two-branch
+    # union form required disappears — the initial-checkpoint job
+    # computes the edge lineage once and fills sym's cache, and the
+    # edge table is held once (sym), not twice (edges + sym).
+    # Partitioned by the per-round join key s before caching — the
     # contrib join then reuses the cached layout every round instead
-    # of re-exchanging the full edge table (connected_components'
-    # discipline); distinct AFTER the repartition dedups inside the
-    # same exchange (hash(s) co-locates every (s, d) duplicate), so
-    # the prep pays one full-edge exchange, not two
+    # of re-exchanging the full edge table; distinct AFTER the
+    # repartition dedups inside the same exchange (hash(s) co-locates
+    # every (s, d) duplicate), so the prep pays one full-edge
+    # exchange, not two
     sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .repartition("s")
         .distinct()
         .persist()
     )
     ids = nodes.select(F.col(id_col).alias("id"))
-    # n is a driver scalar (one count job, same cost the old 1-row
-    # nn aggregate paid per checkpointed round — the crossJoin'd
-    # broadcast subplan re-executed under every round's eager
-    # checkpoint); as a literal it constant-folds into the rank
-    # expression
-    n = ids.count()
     deg = sym.groupBy(F.col("s").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -210,19 +233,30 @@ def pagerank(
     # Python ints. This removes the old per-round 1-row dangling
     # aggregate + its broadcast, i.e. one full scan of the rank table
     # per iteration; the arithmetic is the same integers bit for bit.
-    # n_dang (exactly the set the old per-round aggregate summed
-    # over) rides the initial checkpoint as an observed metric —
-    # no separate count job.
+    # n AND n_dang ride the initial checkpoint as observed metrics
+    # (count(*) over the left join ≡ the old ids.count() — deg's ids
+    # are unique, so the join preserves row count): no separate
+    # count job, and no separate edge-materialization job — the
+    # checkpoint job is the ONLY setup pass. The initial rank value
+    # scale div n is a constant, so it is attached as a lazy literal
+    # projection AFTER the checkpoint instead of being stored in it.
     from pyspark.sql import Observation
 
     obs = Observation()
-    ranks = (
+    state = (
         ids.join(deg, "id", "left")
-        .select("id", "deg", F.lit(scale // n if n else 0).alias("r"))
-        .observe(obs, F.count(F.when(F.col("deg").isNull(), 1)).alias("nd"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("deg").isNull(), 1)).alias("nd"),
+        )
         .localCheckpoint(eager=True)
     )
+    n = int(obs.get["n"])
     n_dang = int(obs.get["nd"])
+    ranks = state.select(
+        "id", "deg", F.lit(scale // n if n else 0).alias("r")
+    )
     base = ((100 - damping_pct) * scale) // (100 * n) if n else 0
     dang = n_dang * (scale // n) if n else 0
     try:
@@ -273,7 +307,6 @@ def pagerank(
         )
     finally:
         sym.unpersist()
-        edges.unpersist()
 
 
 def pagerank_sql(
@@ -362,14 +395,25 @@ def personalized_pagerank(
     localCheckpoint per round to bound plan depth."""
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
-    edges = edges.persist()
-    edges.count()
-    # partitioned by the per-round join key s before caching (the
-    # pagerank/components discipline), distinct after the repartition
-    # so the dedup shares that exchange — one full-edge exchange
+    # explode-symmetrize (the pagerank/components discipline): one
+    # reference to the edge lineage, so no eager pre-materialization
+    # pass; partitioned by the per-round join key s before caching,
+    # distinct after the repartition so the dedup shares that
+    # exchange — one full-edge exchange
     sym = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .repartition("s")
         .distinct()
         .persist()
@@ -481,7 +525,6 @@ def personalized_pagerank(
         )
     finally:
         sym.unpersist()
-        edges.unpersist()
 
 
 def personalized_pagerank_sql(

@@ -187,7 +187,6 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     in95 = (
         F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
     ) & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
-    zero = F.lit(0).cast("decimal(18,4)")
     small_parts = _t(spark, sf_dir, "part").filter(
         F.col("p_name").like("small %")
     )
@@ -199,11 +198,19 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
+    # quantities ride as exact e4 longs (the q1 discipline): each
+    # decimal(18,4) value is a multiple of 1e-4, so the recode is
+    # lossless per row and the qty95*2 > qty_all comparison is the
+    # same exact-integer comparison the decimal sums made — with
+    # 8-byte agg state instead of overflow-checked decimals
+    q4 = (_dec4("l_quantity") * F.lit(10_000)).cast("long")
     shipped = li_small.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(
-        F.sum(F.when(in95, _dec4("l_quantity")).otherwise(zero)).alias("qty95"),
-        F.sum(_dec4("l_quantity")).alias("qty_all"),
+        F.sum(F.when(in95, q4).otherwise(F.lit(0).cast("long"))).alias(
+            "qty95"
+        ),
+        F.sum(q4).alias("qty_all"),
     )
     movers = (
         shipped.filter(F.col("qty95") * 2 > F.col("qty_all")).select("sk")

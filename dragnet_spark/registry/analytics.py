@@ -49,28 +49,39 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     charge = (disc_price * (one + _dec4("l_tax"))).cast("decimal(18,6)")
 
-    def e_double(agg, s: int):
-        # exact decimal sum -> e-scaled BIGINT -> double / 10^s: every
-        # remaining conversion is IEEE-deterministic, unlike a direct
-        # decimal->double cast (1-ulp divergence vs DuckDB at 17
-        # significant digits)
-        return (agg * F.lit(10 ** s)).cast("long").cast("double") / F.lit(
-            float(10 ** s)
-        )
+    def e_long(col, s: int):
+        # per-row exact e-unit recode: every decimal(18,s) value is an
+        # exact multiple of 10^-s, so (v * 10^s) cast long is lossless
+        # per row, and SUM(long) == (SUM(decimal) * 10^s) cast long
+        # whenever the latter itself fits in int64 — which the query's
+        # own e-integer contract already requires (the old form cast
+        # the scaled decimal total to BIGINT). The per-row decimal
+        # arithmetic (incl. each cast's HALF_UP rounding) is
+        # unchanged; only the AGGREGATION runs on 8-byte longs instead
+        # of 16-byte overflow-checked decimals — narrower partial-agg
+        # state and ~half the sum CPU (guide §2.3 narrower types)
+        return F.sum((col * F.lit(10 ** s)).cast("long"))
+
+    def as_double(agg, s: int):
+        # e-scaled BIGINT -> double / 10^s: IEEE-deterministic in both
+        # engines, unlike a direct decimal->double cast (1-ulp
+        # divergence vs DuckDB at 17 significant digits)
+        return agg.cast("double") / F.lit(float(10 ** s))
 
     return (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            e_double(F.sum(_dec4("l_quantity")), 4).alias("sum_qty"),
-            e_double(F.sum(_dec4("l_extendedprice")), 4).alias(
+            as_double(e_long(_dec4("l_quantity"), 4), 4).alias("sum_qty"),
+            as_double(e_long(_dec4("l_extendedprice"), 4), 4).alias(
                 "sum_base_price"
             ),
-            e_double(F.sum(disc_price), 6).alias("sum_disc_price"),
-            e_double(F.sum(charge), 6).alias("sum_charge"),
+            as_double(e_long(disc_price, 6), 6).alias("sum_disc_price"),
+            as_double(e_long(charge, 6), 6).alias("sum_charge"),
             (
-                e_double(F.sum(_dec4("l_quantity")), 4) / F.count(F.lit(1))
+                as_double(e_long(_dec4("l_quantity"), 4), 4)
+                / F.count(F.lit(1))
             ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )

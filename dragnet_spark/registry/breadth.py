@@ -99,12 +99,17 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    zero = F.lit(0).cast("decimal(18,6)")
+    # per-row exact e6 recode (the q1 discipline): disc_price is a
+    # decimal(18,6), an exact multiple of 1e-6, so (v * 1e6) cast long
+    # is lossless per row and SUM(long) equals the old
+    # (SUM(decimal) * 1e6) cast BIGINT whenever that cast itself fits
+    # — which the query's e-integer contract already requires. The
+    # aggregation state narrows from overflow-checked decimals to
+    # 8-byte longs (guide §2.3); per-row decimal rounding is unchanged
+    disc_e6 = (disc_price * F.lit(1_000_000)).cast("long")
 
     def e6_double(agg):
-        return (agg * F.lit(1_000_000)).cast("long").cast("double") / F.lit(
-            1_000_000.0
-        )
+        return agg.cast("double") / F.lit(1_000_000.0)
 
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -112,10 +117,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             e6_double(
                 F.sum(
-                    F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)
+                    F.when(F.col("p_type") == "PROMO", disc_e6).otherwise(
+                        F.lit(0).cast("long")
+                    )
                 )
             ).alias("promo_revenue"),
-            e6_double(F.sum(disc_price)).alias("total_revenue"),
+            e6_double(F.sum(disc_e6)).alias("total_revenue"),
         )
     )
 

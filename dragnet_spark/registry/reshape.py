@@ -665,10 +665,15 @@ def events_cube_type_uid_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_custkey")
+    # prices ride as exact e4 longs (the q1 discipline): decimal(18,4)
+    # is a multiple of 1e-4, the recode is lossless per row, and
+    # p*n > s compares the same exact integers the decimal form did —
+    # the window sum's state narrows to an 8-byte long
+    p4 = (_dec4("o_totalprice") * F.lit(10_000)).cast("long")
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
-        _dec4("o_totalprice").alias("p"),
-        F.sum(_dec4("o_totalprice")).over(w).alias("s"),
+        p4.alias("p"),
+        F.sum(p4).over(w).alias("s"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
     return (
