@@ -1299,9 +1299,17 @@ def fuzzy_key_pairs(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
     # reserved alias: aliasing the key to its own name would make the
     # explode's column reference resolve laterally (Spark internal
     # error) when key_col is literally named "key"
+    # variants ride as 8-byte xxhash64 keys, not strings: the shuffle
+    # row narrows by ~the key length and the sort-merge compares
+    # longs. Result-preserving exactly — a hash collision can only ADD
+    # a candidate, which the exact levenshtein verify below rejects,
+    # and every true dist<=1 pair already shares a variant (so its
+    # candidacy never depends on a collision).
     v = df.select(
-        F.col(id_col).alias("id"), k.alias("__fk"), F.explode(variants).alias("var")
-    )
+        F.col(id_col).alias("id"),
+        k.alias("__fk"),
+        F.explode(variants).alias("__var"),
+    ).select("id", "__fk", F.xxhash64("__var").alias("var"))
     # self-alias + merge hint (see _shared_gram_counts): the variant
     # table shuffles once and both join sides read the ReusedExchange;
     # no broadcast of the full variant inventory at any sf.
