@@ -25,7 +25,10 @@ graph_old = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(graph_old)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPS = 6
+REPS = int(os.environ.get("AB_REPS", "6"))
+ONLY = set(
+    q for q in os.environ.get("AB_ONLY", "").split(",") if q
+)  # e.g. AB_ONLY=pagerank,trustrank
 
 
 def noop(df):
@@ -58,6 +61,8 @@ def main():
     for label, fn, col in (("pagerank", pr, "pagerank"),
                            ("trustrank", tr, "trustrank"),
                            ("components", cc, "component")):
+        if ONLY and label not in ONLY:
+            continue
         agg = [F.count(F.lit(1)), F.sum(F.hash("id", col).cast("long"))]
         old = fn(graph_old).agg(*agg).collect()[0]
         new = fn(graph_new).agg(*agg).collect()[0]
@@ -65,6 +70,8 @@ def main():
         print(f"checksum {label}: identical {tuple(new)}", flush=True)
 
     for label, fn in (("pagerank", pr), ("trustrank", tr), ("components", cc)):
+        if ONLY and label not in ONLY:
+            continue
         ts = {"old": [], "new": []}
         for _ in range(REPS):
             for tag, mod in (("old", graph_old), ("new", graph_new)):
