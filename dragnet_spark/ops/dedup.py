@@ -908,7 +908,28 @@ def embedding_near_dup_lsh_autobits(
     O(n). Recall at the 0.9 working regime is unaffected — identical
     vectors collide at any width. Returns (id_a, id_b, cosine)."""
     df = spread(df)
-    n = df.count()
+    # the sizing COUNT need not be its own corpus pass on the non-semi
+    # route: that route materializes the (__id, __vec) projection
+    # eagerly anyway (embedding_near_dup_lsh's _materialize_once), so n
+    # rides the checkpoint job as an observed metric — the pagerank
+    # setup discipline — and the separate count() pass disappears. The
+    # semi route streams the corpus (nothing eager to ride), so it
+    # keeps the explicit count. Routing is decided here from the same
+    # plan-size estimate embedding_near_dup_lsh would use on this df.
+    verify_semi = _relation_bytes(df) >= MINHASH_SEMI_VERIFY_MIN_BYTES
+    vecs = None
+    if verify_semi:
+        n = df.count()
+    else:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        vecs = _materialize_once(
+            df.select(
+                F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+            ).observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        n = int(obs.get["n"])
     bits, planes = auto_srp_width(n, bands, dims, seed)
     return embedding_near_dup_lsh(
         df,
@@ -920,6 +941,8 @@ def embedding_near_dup_lsh_autobits(
         bands=bands,
         seed=seed,
         planes_q=planes,
+        verify_semi=verify_semi,
+        _vecs=vecs,
     )
 
 
@@ -1090,6 +1113,7 @@ def embedding_near_dup_lsh(
     seed: int = 42,
     planes_q=None,
     verify_semi: bool | None = None,
+    _vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup via sign-random-projection LSH.
 
@@ -1128,16 +1152,25 @@ def embedding_near_dup_lsh(
     )
 
     df = spread(df)
-    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-    if not verify_semi:
-        # small-corpus path: vecs is referenced three times (bucket
-        # projection + both verify joins) and each reference re-scans
-        # (and re-pays the spread exchange of) the vector payload;
-        # materializing the bounded table once collapses that to a
-        # single pass. The semi path keeps the streaming scan and
-        # materializes only the collision-family survivors — the full
-        # vector table on executor storage is exactly what it avoids.
-        vecs = _materialize_once(vecs)
+    if _vecs is not None:
+        # caller (the auto-width form) already materialized the
+        # (__id, __vec) projection — riding its sizing count on the
+        # checkpoint job — so don't re-derive or re-materialize it
+        vecs = _vecs
+    else:
+        vecs = df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        )
+        if not verify_semi:
+            # small-corpus path: vecs is referenced three times (bucket
+            # projection + both verify joins) and each reference
+            # re-scans (and re-pays the spread exchange of) the vector
+            # payload; materializing the bounded table once collapses
+            # that to a single pass. The semi path keeps the streaming
+            # scan and materializes only the collision-family
+            # survivors — the full vector table on executor storage is
+            # exactly what it avoids.
+            vecs = _materialize_once(vecs)
     buckets_udf = _band_buckets_udf(planes, bands, bits_per_band)
     # one row per band: (band index, that band's bucket key); vectors
     # do NOT ride the bucket shuffle — they are joined back onto the

@@ -934,6 +934,46 @@ def test_srp_planes_prefix_property(spark):
     assert got == {(i, 100 + i) for i in range(30)}
 
 
+def test_autobits_observed_count_matches_explicit_count(spark):
+    """embedding_near_dup_lsh_autobits sizes its band width from a
+    count OBSERVED on the vector-table materialization (no separate
+    corpus pass on the non-semi route). The observed n must equal the
+    explicit df.count() the old form used — including NULL and
+    wrong-dims vectors, which count toward n (they rode the old
+    count()) even though they can never collide — so the composed
+    explicit-width pipeline over the same corpus returns the exact
+    same pairs."""
+    import numpy as np
+
+    from dragnet_spark.ops.dedup import (
+        auto_srp_width,
+        embedding_near_dup_lsh,
+        embedding_near_dup_lsh_autobits,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((25, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(25)]
+    rows += [(100 + i, base[i].tolist()) for i in range(25)]  # twins
+    rows += [(900, None), (901, base[0][:7].tolist())]  # null + ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    fused = embedding_near_dup_lsh_autobits(
+        df, threshold=0.99, dims=16, bands=6
+    )
+    # the pre-fusion shape: explicit count, then the sized pipeline
+    n = df.count()
+    bits, planes = auto_srp_width(n, 6, 16, 42)
+    composed = embedding_near_dup_lsh(
+        df, threshold=0.99, dims=16, bits_per_band=bits, bands=6,
+        seed=42, planes_q=planes,
+    )
+    f = sorted(tuple(r) for r in fused.collect())
+    c = sorted(tuple(r) for r in composed.collect())
+    assert f == c
+    assert {(a, b) for a, b, _ in f} == {(i, 100 + i) for i in range(25)}
+
+
 def test_parse_size_bytes_accepts_spark_suffix_grammar():
     """spread()'s split estimate must parse any value a human sets for
     maxPartitionBytes — not only the canonical '<long>b' form. A form
